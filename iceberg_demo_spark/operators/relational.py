@@ -1,0 +1,789 @@
+"""Relational operator library — scans, filters, joins, aggregates, windows,
+set ops, sorts/limits (SURVEY.md §2.1-§2.8) exercised as TPC-H-style queries
+over the driver testdata.
+
+Scale notes (the plans these produce at 100 TB):
+- Star joins put the big fact (lineitem/orders) on the probe side and
+  broadcast the small dims (region/nation always; customer/supplier under
+  AQE's threshold at small SF, shuffle-hash beyond).
+- Aggregates are partial (map-side combine) then final — guaranteed by using
+  built-in aggregate functions, never UDAFs.
+- Filters are written on base columns so Catalyst pushes them into the
+  parquet scan (verified via .explain PushedFilters).
+- Float aggregates use the exact-decimal technique in functions/__init__.py
+  so results hash-match the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.functions import davg, dsum
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+
+# Shared oracle fragment: exact decimal revenue sum (see functions docstring).
+# Rounded as DECIMAL first, cast to double second — ties like .385 are exact
+# in decimal but not in binary, and the engines disagree on rounding them.
+_REV = "CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+
+def _rev_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue by region (scan+filter+4-way join+agg+sort; SURVEY §7.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_revenue_by_region",
+    oracle=f"""
+    SELECT r_name,
+           {_REV} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(_rev_col()).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1: pricing summary (wide aggregate, partial-agg friendly)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - l_discount AS DECIMAL(6,4))
+                          * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(_rev_col()).alias("sum_disc_price"),
+            # charge has 6 true decimal digits — a double→decimal(18,4) cast
+            # hits exact …50 ties the engines round differently; multiply in
+            # exact decimal instead (factors are 2-decimal, tie-free casts).
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+                    * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+                ),
+                2,
+            ).cast("double").alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: top unshipped orders (selective join + top-k with tiebreak)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_top_unshipped_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local supplier volume (6-way join incl. two keys on nation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_REV} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change (pure scan-filter-agg; fully pushed down)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item reporting (top 20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REV} AS revenue, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: late shipments per order priority (interval arithmetic + join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_late_shipments_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q12_late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style: promo revenue share (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+           4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _rev_col()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(18,4)")).cast("double")
+                / F.sum(_rev_col().cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-style: large-volume orders (join back on a grouped HAVING)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 140
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            dsum(F.col("l_quantity")).alias("total_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty_exact"),
+        )
+        .filter(F.col("_qty_exact") > 140)
+        .drop("_qty_exact")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window function: top-3 customers per nation by balance
+# ---------------------------------------------------------------------------
+
+@query(
+    "top3_customers_per_nation",
+    oracle="""
+    SELECT n_name, rank_in_nation, c_custkey, c_acctbal
+    FROM (
+      SELECT n_name, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank_in_nation
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rank_in_nation <= 3
+    ORDER BY n_name, rank_in_nation
+    """,
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("n_name", "rank_in_nation", "c_custkey", "c_acctbal")
+        .orderBy("n_name", "rank_in_nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: revenue at (region, nation), (region), and grand-total levels
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_rollup_region_nation",
+    oracle=f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           {_REV} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: nations having both customers and suppliers / only customers
+# ---------------------------------------------------------------------------
+
+@query(
+    "nations_customers_and_suppliers",
+    oracle="""
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    ORDER BY n_name
+    """,
+)
+def nations_customers_and_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust_nations = t["nation"].join(
+        t["customer"], F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = t["nation"].join(
+        t["supplier"], F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    return cust_nations.intersect(supp_nations).orderBy("n_name")
+
+
+@query(
+    "nations_customers_only",
+    oracle="""
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+                  WHERE s_acctbal > 5000
+    ORDER BY n_name
+    """,
+)
+def nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust_nations = t["nation"].join(
+        t["customer"], F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name")
+    supp_nations = t["nation"].join(
+        t["supplier"].filter(F.col("s_acctbal") > 5000),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("n_name")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep unmatched duplicates)
+    return cust_nations.subtract(supp_nations).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers that never ordered, per nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join: suppliers in nations that have high-balance customers
+# ---------------------------------------------------------------------------
+
+@query(
+    "suppliers_in_rich_nations",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM customer
+                  WHERE c_nationkey = s_nationkey AND c_acctbal > 9000)
+    ORDER BY s_suppkey
+    """,
+)
+def suppliers_in_rich_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rich = t["customer"].filter(F.col("c_acctbal") > 9000)
+    return (
+        t["supplier"]
+        .join(rich, F.col("c_nationkey") == F.col("s_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates per group
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join of two aggregates: customer vs supplier balance per nation
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_balance_full_outer",
+    oracle="""
+    WITH cb AS (
+      SELECT c_nationkey AS nk,
+             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS cust_balance
+      FROM customer GROUP BY c_nationkey
+    ), sb AS (
+      SELECT s_nationkey AS nk,
+             CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS supp_balance
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cb.nk, sb.nk) AS nationkey, cust_balance, supp_balance
+    FROM cb FULL OUTER JOIN sb ON cb.nk = sb.nk
+    ORDER BY nationkey
+    """,
+)
+def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cb = (
+        t["customer"]
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(dsum(F.col("c_acctbal")).alias("cust_balance"))
+    )
+    sb = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(dsum(F.col("s_acctbal")).alias("supp_balance"))
+    )
+    return (
+        cb.join(sb, F.col("cnk") == F.col("snk"), "full_outer")
+        .select(
+            F.coalesce("cnk", "snk").alias("nationkey"),
+            "cust_balance",
+            "supp_balance",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: hourly stats (date_trunc + multi-agg; streaming-shaped workload)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly_stats",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY DATE_TRUNC('day', ts), event_type
+    ORDER BY day, event_type
+    """,
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction from the props column
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    return (
+        t["events"]
+        .withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization via window lag (gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .filter(F.col("n_events") >= 3)
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window aggregate comparison: orders priced above 1.5x the customer average
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_sum,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS cust_cnt
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM w
+    WHERE o_totalprice * cust_cnt > 1.5 * cust_sum
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey")
+    enriched = (
+        t["orders"]
+        .withColumn("cust_sum", F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double"))
+        .withColumn("cust_cnt", F.count("*").over(w))
+    )
+    return (
+        enriched.filter(F.col("o_totalprice") * F.col("cust_cnt") > 1.5 * F.col("cust_sum"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CASE / conditional bucketing + struct-ish projection
+# ---------------------------------------------------------------------------
+
+@query(
+    "order_size_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket, o_orderstatus
+    """,
+)
+def order_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        t["orders"]
+        .groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("bucket", "o_orderstatus")
+    )

@@ -1,0 +1,249 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+array<float>, label).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+set against the full corpus, so the corpus side streams through one scan
+with no shuffle of the vectors themselves; per-query top-k runs as a window
+over the (n_queries × corpus) pair stream.
+
+Scale path: random-hyperplane LSH bucketing — vectors hash to sign-pattern
+buckets; candidate generation joins on bucket key, cutting the pair stream
+from n² to ~n·bucket_size. At 100 TB the bucket join shuffles only
+(id, bucket, vec) once.
+
+Cross-engine determinism: cosine is computed as a sequential left fold over
+the zipped double arrays — F.aggregate in Spark, list_reduce in DuckDB —
+both left-to-right over identical doubles, so results are bit-identical
+(0.0 + x == x in IEEE-754 makes the differing seeds equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.functions import cosine_sim
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (oracle-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'e.embedding::DOUBLE[]')} AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_sim(F.col("qv"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs above a cosine threshold (oracle-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_threshold_pairs",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 120
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql('a.v', 'b.v')}, 4) AS sim,
+           CAST(a.label = b.label AS INT) AS same_label
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v')} > 0.30
+    ORDER BY id_a, id_b
+    """,
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    sub = t["embeddings"].filter(F.col("vec_id") < 120).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = sub.alias("a")
+    b = sub.alias("b")
+    sim = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim_raw"),
+            (F.col("a.label") == F.col("b.label")).cast("int").alias("same_label"),
+        )
+        .filter(F.col("sim_raw") > 0.30)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"), "same_label")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (rows-only: plane generation uses Spark-side hashing)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _plane(seed: int, dim: int = 64) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no RNG state; pure function of
+    seed+index so regenerable on any executor)."""
+    vals = []
+    x = (seed * 2654435761 + 1) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
+    return vals
+
+
+@query("sim_ann_lsh_topk")
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: bucket = sign bits of
+    projections onto _N_PLANES fixed planes; candidates share a bucket.
+    Rows-only check; recall vs brute force asserted in tests/test_similarity.py.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    planes = [_plane(s) for s in range(_N_PLANES)]
+
+    def bucket_expr(vec_col):
+        bits = []
+        for i, p in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(v) for v in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    bucketed = emb.withColumn("bucket", bucket_expr(F.col("vec")))
+    queries = bucketed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = cosine_sim(F.col("qv"), F.col("vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label centroid similarity (vector aggregation without UDFs)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_label_centroid_norms",
+    oracle="""
+    WITH expanded AS (
+      SELECT label, u.dim, u.val
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(range(len(embedding))) AS dim,
+                           UNNEST(embedding::DOUBLE[]) AS val) u
+    ), centroid AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+      FROM expanded GROUP BY label, dim
+    )
+    SELECT label,
+           ROUND(SQRT(CAST(SUM(CAST(c * c AS DECIMAL(28,14))) AS DOUBLE)), 4) AS centroid_norm,
+           COUNT(*) AS dim_count
+    FROM centroid
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    expanded = t["embeddings"].select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    centroid = expanded.groupBy("label", "dim").agg(
+        (F.sum(F.col("val").cast("decimal(28,14)")).cast("double") / F.count("*")).alias("c")
+    )
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("c") * F.col("c")).cast("decimal(28,14)")).cast("double")
+                ),
+                4,
+            ).alias("centroid_norm"),
+            F.count("*").alias("dim_count"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,55 @@
+"""Dedup operator tests: MinHash-LSH and SimHash cross-checked against exact
+Jaccard (the reference-style correctness bar for the no-oracle operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark import registry
+from tests.conftest import SF_MED, SF_SMALL
+
+registry.load_all()
+
+
+def _exact_jaccard_pairs(spark, sf_dir, threshold):
+    df = registry.QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir)
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in df.collect()
+        if r["jaccard"] >= threshold
+    }
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    exact = _exact_jaccard_pairs(spark, SF_MED, 0.5)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in registry.QUERIES["dedup_minhash_lsh_pairs"](spark, SF_MED).collect()
+    }
+    # every strongly-similar pair must be recalled by LSH
+    missed = [p for p in exact if p not in est]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    # estimates within 0.35 of exact (32 permutations => sigma ~ 0.09)
+    for p, j in exact.items():
+        assert abs(est[p] - j) < 0.35, (p, est[p], j)
+
+
+def test_exact_dedup_counts_consistent(spark):
+    row = registry.QUERIES["dedup_exact"](spark, SF_SMALL).collect()[0]
+    assert row["n_docs"] == row["n_unique"] + row["n_duplicates"]
+    assert row["n_docs"] > 0
+
+
+def test_simhash_pairs_have_low_hamming(spark):
+    rows = registry.QUERIES["dedup_simhash_hamming_pairs"](spark, SF_SMALL).collect()
+    assert all(r["hamming"] <= 16 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_minhash_signature_deterministic(spark):
+    from iceberg_demo_spark.operators.dedup import minhash_signature_col
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(5)
+    a = docs.select("doc_id", minhash_signature_col().alias("sig")).collect()
+    b = docs.select("doc_id", minhash_signature_col().alias("sig")).collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}

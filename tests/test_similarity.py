@@ -1,0 +1,47 @@
+"""Similarity-search tests: LSH ANN recall vs brute force, centroid sanity."""
+
+from __future__ import annotations
+
+from iceberg_demo_spark import registry
+from tests.conftest import SF_MED, SF_SMALL
+
+registry.load_all()
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    brute = registry.QUERIES["sim_cosine_topk"](spark, SF_MED).collect()
+    ann = registry.QUERIES["sim_ann_lsh_topk"](spark, SF_MED).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # 8 hyperplanes on random 64-d data is a coarse hash: require that the
+    # ANN path returns candidates for most queries and that what it returns
+    # overlaps the true top-5 at all (recall floor, not a tight bound).
+    assert len(ann_sets) >= len(brute_sets) // 2
+    overlaps = [
+        len(brute_sets[q] & ann_sets.get(q, set())) for q in brute_sets
+    ]
+    assert sum(overlaps) > 0
+
+
+def test_topk_is_five_per_query(spark):
+    rows = registry.QUERIES["sim_cosine_topk"](spark, SF_SMALL).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, grp in per_q.items():
+        assert len(grp) == 5
+        sims = [r["sim"] for r in sorted(grp, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in grp)
+
+
+def test_centroid_norms_small_for_random_data(spark):
+    rows = registry.QUERIES["sim_label_centroid_norms"](spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    # random unit-ish vectors: centroid norm far below individual norms
+    assert all(0 <= r["centroid_norm"] < 1.0 for r in rows)
+    assert all(r["dim_count"] == 64 for r in rows)

@@ -1,0 +1,108 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle on DuckDB at the given
+scale factor, then compares row counts and order-insensitive values
+(columns sorted by name, rows sorted, floats compared exactly after the
+in-query rounding). Usage:
+
+    python tools/check_oracles.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from iceberg_demo_spark import registry
+from iceberg_demo_spark.session import get_spark
+from iceberg_demo_spark.sources import TPCH_TABLES
+
+registry.load_all()
+
+
+def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    spark = get_spark("check_oracles")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+
+        oracle = registry.ORACLES.get(name)
+        if oracle is None:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            if not srows:
+                print(f"WARN {name}: rows-only query returned 0 rows")
+            continue
+        try:
+            rel = con.execute(oracle)
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failures.append(name)
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            failures.append(name)
+            continue
+        sn = _normalize(srows, scols)
+        dn = _normalize(drows, dcols)
+        if sn != dn:
+            diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: {len(srows)} rows [{spark_s:.1f}s]")
+
+    print()
+    total = len([n for n in registry.QUERIES if not name_filter or any(f in n for f in name_filter)])
+    print(f"{total - len(failures)}/{total} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
