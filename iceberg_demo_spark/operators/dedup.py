@@ -163,22 +163,34 @@ _BAND_SIZE = 4
 _PRIME = (1 << 31) - 1
 
 
-def minhash_signature_col(n_perm: int = _N_PERM):
-    """array<bigint> MinHash signature from distinct shingles, built-ins only.
+def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures, built-ins only.
 
-    Base hash = xxhash64(shingle) (JVM built-in, deterministic across runs);
-    permutation i applies (a_i * h + b_i) mod p with constants derived from i.
+    Shape chosen for scale: explode distinct shingles → ONE xxhash64 per
+    shingle → the n_perm permutations (a_i*h + b_i) mod p as plain columns →
+    ``groupBy(doc_id).agg(min...)``. The mins combine map-side (partial agg),
+    so the shuffle carries just n_perm longs per doc. The earlier
+    array-expression formulation recomputed the shingle array once per
+    permutation (higher-order fns are interpreted, no codegen CSE) and was
+    ~30× slower.
+
+    Docs with no shingles (short texts) yield no pairs either way and drop out
+    at the explode, matching the pairwise semantics.
     """
-    sh = shingles_col()
-    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % _PRIME)
-
-    def perm(i: int):
-        # Closure (not a default arg): a 2-param lambda would receive the
-        # element index as its second argument.
-        return lambda h: (h * F.lit(2 * i + 3) + F.lit(i * i + 1)) % _PRIME
-
-    return F.array(
-        *[F.array_min(F.transform(base, perm(i))) for i in range(n_perm)]
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    h = F.abs(F.xxhash64("s")) % _PRIME
+    permed = sh.select(
+        "doc_id",
+        *[
+            ((h * F.lit(2 * i + 3) + F.lit(i * i + 1)) % _PRIME).alias(f"p{i}")
+            for i in range(n_perm)
+        ],
+    )
+    mins = permed.groupBy("doc_id").agg(
+        *[F.min(f"p{i}").alias(f"p{i}") for i in range(n_perm)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"p{i}" for i in range(n_perm)]).alias("sig")
     )
 
 
@@ -188,12 +200,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity. No oracle: hash family isn't reproducible in DuckDB; pytest
     cross-checks against exact Jaccard (tests/test_dedup.py)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].select("doc_id", minhash_signature_col().alias("sig"))
+    # Reused three times (band build + both join sides); persist so the
+    # signature shuffle runs once. At cluster scale this would be a
+    # checkpoint/intermediate table instead of executor memory.
+    docs = minhash_signatures(t["documents"].select("doc_id", "text")).persist()
     n_bands = _N_PERM // _BAND_SIZE
-    # band key = (band_idx, hash of that band's slice of the signature)
+    # band key = (band_idx, hash of that band's slice of the signature).
+    # Narrow projection (doc_id, band, bucket) — the equi-join shuffles 3
+    # longs per row; signatures are re-attached only to surviving candidates.
     bands = docs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -213,7 +229,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", "bk.band", "bk.bucket")
+    ).select("doc_id", "bk.band", "bk.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -223,14 +239,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est_jac = (
         F.size(
             F.filter(
@@ -241,7 +254,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(_N_PERM)
     )
     return (
-        cand.select("id_a", "id_b", F.round(est_jac, 4).alias("est_jaccard"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est_jac, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.2)
         .orderBy("id_a", "id_b")
     )
@@ -254,30 +269,38 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 64
 
 
-def simhash_col():
-    """64-bit SimHash of the token multiset, computed with built-ins.
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: bigint) 64-bit SimHash of the token multiset.
 
     Per token: xxhash64 → for each bit position, +1 if set else -1; sum over
-    tokens; bit b of the simhash = 1 iff the sum is positive.
+    tokens; bit b of the simhash = 1 iff the sum is positive. Same
+    explode→wide-columns→groupBy shape as MinHash: one hash per token, 64
+    cheap bit-vote columns, map-side partial SUM — the shuffle carries 64
+    ints per doc. Token-less docs keep simhash 0 via explode_outer
+    (matching the fold-over-empty-array semantics).
     """
-    toks = tokens_col()
-    hashes = F.transform(toks, lambda s: F.xxhash64(s))
-
-    def bit_vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = [
-        F.when(
-            F.aggregate(hashes, F.lit(0), bit_vote(b)) > 0, F.lit(1).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(_SIMHASH_BITS)
-    ]
+    tok = docs.select("doc_id", F.explode_outer(tokens_col()).alias("t"))
+    h = F.xxhash64("t")
+    votes = tok.select(
+        "doc_id",
+        *[
+            F.when(F.col("t").isNull(), F.lit(0))
+            .when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ],
+    )
+    sums = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{b}").alias(f"v{b}") for b in range(_SIMHASH_BITS)]
+    )
     out = F.lit(0).cast("bigint")
-    for b, bit in enumerate(bits):
+    for b in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         out = out + F.shiftleft(bit, b)
-    return out
+    return sums.select("doc_id", out.alias("sh"))
 
 
 @query("dedup_simhash_hamming_pairs")
@@ -286,7 +309,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to avoid the full n² comparison (same block-key trick production SimHash
     dedup uses). Rows-only check."""
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].select("doc_id", simhash_col().alias("sh"))
+    docs = simhash_signatures(t["documents"].select("doc_id", "text")).persist()
     # Block on each of 4 16-bit chunks: near-identical docs agree on ≥1 chunk
     # when hamming ≤ 16 is concentrated; a standard recall/cost tradeoff.
     chunks = docs.select(

@@ -47,9 +47,10 @@ def test_simhash_pairs_have_low_hamming(spark):
 
 
 def test_minhash_signature_deterministic(spark):
-    from iceberg_demo_spark.operators.dedup import minhash_signature_col
+    from iceberg_demo_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(5)
-    a = docs.select("doc_id", minhash_signature_col().alias("sig")).collect()
-    b = docs.select("doc_id", minhash_signature_col().alias("sig")).collect()
+    a = minhash_signatures(docs).collect()
+    b = minhash_signatures(docs).collect()
     assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
+    assert all(len(r["sig"]) == 32 for r in a)
