@@ -1,0 +1,323 @@
+"""Table-format metadata model: schemas, partition specs, snapshots, refs.
+
+Mirrors the capability surface of the reference's Iceberg tables
+(/root/reference/iceberg_it.py:267-396 DDL+evolution, :617-860 branches/tags,
+:1938-2041 snapshots/time-travel) without the Iceberg runtime: a table is a
+directory of parquet data files plus a JSON metadata log.
+
+Scale notes. Snapshots here embed their full data-file list in the metadata
+JSON; production Iceberg splits this into manifest files so that planning a
+100 TB table (~10^6 files) streams instead of loading one document — the
+moment file counts exceed ~10^5 this model must grow a manifest layer. All
+other mechanics (field-id schema evolution, hidden partition transforms,
+copy-on-write deltas, ref pointers) are scale-independent driver-side
+metadata and match the production design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import dataclass, field
+
+MAIN_BRANCH = "main"
+
+_TRANSFORM_RE = re.compile(r"^(identity|years?|months?|days?|hours?|bucket\[(\d+)\]|truncate\[(\d+)\])$")
+
+
+@dataclass
+class SchemaField:
+    """One column; ``field_id`` is stable across renames (Iceberg semantics:
+    files written before a rename are mapped by id, not by name)."""
+
+    field_id: int
+    name: str
+    type: str  # Spark DDL type string, e.g. "bigint", "struct<a:int>"
+    nullable: bool = True
+    comment: str | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.field_id,
+            "name": self.name,
+            "type": self.type,
+            "nullable": self.nullable,
+            "comment": self.comment,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SchemaField":
+        return SchemaField(d["id"], d["name"], d["type"], d.get("nullable", True), d.get("comment"))
+
+
+@dataclass
+class PartitionField:
+    """Hidden-partition field: ``transform(source)`` materialized as a
+    ``_p_<name>`` directory column at write time (docs/spark-ddl.md:74-85
+    transform list)."""
+
+    name: str  # partition field name, e.g. "ts_day" or "id_bucket"
+    source: str  # source column name
+    transform: str  # identity | year | month | day | hour | bucket[N] | truncate[N]
+
+    def __post_init__(self) -> None:
+        if not _TRANSFORM_RE.match(self.transform):
+            raise ValueError(f"unsupported partition transform: {self.transform}")
+
+    @property
+    def partition_col(self) -> str:
+        return f"_p_{self.name}"
+
+    def to_json(self) -> dict:
+        return {"name": self.name, "source": self.source, "transform": self.transform}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["name"], d["source"], d["transform"])
+
+
+@dataclass
+class DataFile:
+    """One parquet data file tracked by a snapshot."""
+
+    path: str  # relative to table location
+    records: int
+    bytes: int
+    schema_id: int
+    partition: dict[str, str] = field(default_factory=dict)  # partition_col -> string value
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "records": self.records,
+            "bytes": self.bytes,
+            "schema_id": self.schema_id,
+            "partition": self.partition,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["records"], d["bytes"], d["schema_id"], d.get("partition", {}))
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | delete | replace
+    schema_id: int
+    files: list[DataFile]
+    added_files: list[str] = field(default_factory=list)
+    removed_files: list[str] = field(default_factory=list)
+    summary: dict[str, str] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "schema_id": self.schema_id,
+            "files": [f.to_json() for f in self.files],
+            "added_files": self.added_files,
+            "removed_files": self.removed_files,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot_id"],
+            d.get("parent_id"),
+            d["timestamp_ms"],
+            d["operation"],
+            d["schema_id"],
+            [DataFile.from_json(f) for f in d["files"]],
+            d.get("added_files", []),
+            d.get("removed_files", []),
+            d.get("summary", {}),
+        )
+
+
+class TableMetadata:
+    """Full mutable metadata for one table. Persisted as
+    ``metadata/v{N}.metadata.json`` + ``metadata/version-hint.text`` (the
+    hadoop-catalog commit protocol: write new version, then swap the hint —
+    the hint write is the atomic commit point)."""
+
+    def __init__(self, name: str, location: str):
+        self.name = name
+        self.location = location
+        self.table_uuid = str(uuid.uuid4())
+        self.properties: dict[str, str] = {}
+        self.schemas: dict[int, list[SchemaField]] = {}
+        self.current_schema_id = 0
+        self.last_field_id = 0
+        self.partition_spec: list[PartitionField] = []
+        self.sort_order: list[dict] = []  # [{"col":..., "dir": "asc|desc", "nulls": ...}]
+        self.snapshots: list[Snapshot] = []
+        self.refs: dict[str, dict] = {}  # name -> {"snapshot_id": int, "type": "branch"|"tag"}
+        self.metadata_log: list[dict] = []  # [{"timestamp_ms":..., "version": N}]
+        self.last_snapshot_id = 0
+        self.version = 0
+
+    # -- schema ------------------------------------------------------------
+
+    @property
+    def schema(self) -> list[SchemaField]:
+        return self.schemas[self.current_schema_id]
+
+    def field_by_name(self, name: str) -> SchemaField:
+        for f in self.schema:
+            if f.name.lower() == name.lower():
+                return f
+        raise KeyError(f"no such column: {name} in {self.name}")
+
+    def schema_ddl(self, schema_id: int | None = None) -> str:
+        fields = self.schemas[self.current_schema_id if schema_id is None else schema_id]
+        return ", ".join(
+            f"{f.name} {f.type}{'' if f.nullable else ' NOT NULL'}" for f in fields
+        )
+
+    def next_field_id(self) -> int:
+        self.last_field_id += 1
+        return self.last_field_id
+
+    def new_schema_version(self) -> int:
+        """Copy the current schema to a fresh id; callers mutate the copy."""
+        new_id = max(self.schemas) + 1
+        self.schemas[new_id] = [
+            SchemaField(f.field_id, f.name, f.type, f.nullable, f.comment)
+            for f in self.schema
+        ]
+        self.current_schema_id = new_id
+        return new_id
+
+    # -- snapshots / refs --------------------------------------------------
+
+    def snapshot_by_id(self, snapshot_id: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id} in {self.name}")
+
+    def current_snapshot(self, branch: str = MAIN_BRANCH) -> Snapshot | None:
+        ref = self.refs.get(branch)
+        if ref is None:
+            return None
+        return self.snapshot_by_id(ref["snapshot_id"])
+
+    def snapshot_as_of_timestamp(self, ts_ms: int, branch: str = MAIN_BRANCH) -> Snapshot:
+        best: Snapshot | None = None
+        for s in self.ancestors(branch):
+            if s.timestamp_ms <= ts_ms and (best is None or s.timestamp_ms > best.timestamp_ms):
+                best = s
+        if best is None:
+            raise ValueError(f"no snapshot at or before timestamp {ts_ms} in {self.name}")
+        return best
+
+    def ancestors(self, ref_or_id: str | int = MAIN_BRANCH) -> list[Snapshot]:
+        """Snapshot chain from the given ref/id back to the root (newest first)."""
+        if isinstance(ref_or_id, int):
+            head: int | None = ref_or_id
+        else:
+            ref = self.refs.get(ref_or_id)
+            head = ref["snapshot_id"] if ref else None
+        out = []
+        while head is not None:
+            s = self.snapshot_by_id(head)
+            out.append(s)
+            head = s.parent_id
+        return out
+
+    def next_snapshot_id(self) -> int:
+        self.last_snapshot_id += 1
+        return self.last_snapshot_id
+
+    def resolve_ref(self, name: str) -> Snapshot:
+        if name not in self.refs:
+            raise KeyError(f"no such ref: {name} on {self.name}")
+        return self.snapshot_by_id(self.refs[name]["snapshot_id"])
+
+    # -- persistence -------------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "format_version": 1,
+            "table_uuid": self.table_uuid,
+            "name": self.name,
+            "location": self.location,
+            "properties": self.properties,
+            "schemas": {str(k): [f.to_json() for f in v] for k, v in self.schemas.items()},
+            "current_schema_id": self.current_schema_id,
+            "last_field_id": self.last_field_id,
+            "partition_spec": [p.to_json() for p in self.partition_spec],
+            "sort_order": self.sort_order,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "refs": self.refs,
+            "metadata_log": self.metadata_log,
+            "last_snapshot_id": self.last_snapshot_id,
+            "version": self.version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableMetadata":
+        m = TableMetadata(d["name"], d["location"])
+        m.table_uuid = d["table_uuid"]
+        m.properties = dict(d.get("properties", {}))
+        m.schemas = {
+            int(k): [SchemaField.from_json(f) for f in v] for k, v in d["schemas"].items()
+        }
+        m.current_schema_id = d["current_schema_id"]
+        m.last_field_id = d["last_field_id"]
+        m.partition_spec = [PartitionField.from_json(p) for p in d.get("partition_spec", [])]
+        m.sort_order = d.get("sort_order", [])
+        m.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
+        m.refs = dict(d.get("refs", {}))
+        m.metadata_log = list(d.get("metadata_log", []))
+        m.last_snapshot_id = d.get("last_snapshot_id", 0)
+        m.version = d.get("version", 0)
+        return m
+
+    # commit protocol ------------------------------------------------------
+
+    def metadata_dir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    def save(self) -> None:
+        """Write v{N+1}.metadata.json then atomically swap version-hint.text.
+
+        Single-writer locally; a multi-writer deployment would CAS the hint
+        (or use a metastore pointer) for optimistic concurrency, as the
+        hadoop catalog does.
+        """
+        self.version += 1
+        self.metadata_log.append({"timestamp_ms": now_ms(), "version": self.version})
+        md = self.metadata_dir()
+        os.makedirs(md, exist_ok=True)
+        path = os.path.join(md, f"v{self.version}.metadata.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.to_json(), fh, indent=1)
+        os.rename(tmp, path)
+        hint_tmp = os.path.join(md, "version-hint.text.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(self.version))
+        os.rename(hint_tmp, os.path.join(md, "version-hint.text"))
+
+    @staticmethod
+    def load(location: str, version: int | None = None) -> "TableMetadata":
+        md = os.path.join(location, "metadata")
+        if version is None:
+            with open(os.path.join(md, "version-hint.text")) as fh:
+                version = int(fh.read().strip())
+        with open(os.path.join(md, f"v{version}.metadata.json")) as fh:
+            return TableMetadata.from_json(json.load(fh))
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)

@@ -1,0 +1,446 @@
+"""Stored-procedure equivalents (reference: CALL catalog.system.*,
+iceberg_it.py:2349-2508 registry, docs/spark-procedures.md).
+
+Snapshot-management procedures are pure metadata pointer swaps; maintenance
+procedures (compaction, expiry, orphan cleanup) combine a Spark rewrite job
+with a metadata commit. Each returns a small result dict/DataFrame mirroring
+the reference procedure's output columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from iceberg_demo_spark.tables.format import MAIN_BRANCH, Snapshot, now_ms
+from iceberg_demo_spark.tables.table import Table
+
+# -- snapshot management ---------------------------------------------------
+
+
+def rollback_to_snapshot(table: Table, snapshot_id: int) -> dict:
+    """docs/spark-procedures.md:49-79 — move main back to an ancestor."""
+    table.check_writable("rollback_to_snapshot")
+    md = table.metadata
+    prev = md.current_snapshot()
+    md.snapshot_by_id(snapshot_id)
+    md.refs[MAIN_BRANCH]["snapshot_id"] = snapshot_id
+    md.save()
+    return {"previous_snapshot_id": prev.snapshot_id if prev else None,
+            "current_snapshot_id": snapshot_id}
+
+
+def rollback_to_timestamp(table: Table, timestamp_ms: int) -> dict:
+    table.check_writable("rollback_to_timestamp")
+    snap = table.metadata.snapshot_as_of_timestamp(timestamp_ms)
+    return rollback_to_snapshot(table, snap.snapshot_id)
+
+
+def set_current_snapshot(table: Table, snapshot_id: int | None = None,
+                         ref: str | None = None) -> dict:
+    """By id or by ref name (iceberg_it.py:1752-1757 uses ref=>branch)."""
+    table.check_writable("set_current_snapshot")
+    if (snapshot_id is None) == (ref is None):
+        raise ValueError("provide exactly one of snapshot_id / ref")
+    if ref is not None:
+        snapshot_id = table.metadata.resolve_ref(ref).snapshot_id
+    return rollback_to_snapshot(table, snapshot_id)
+
+
+def cherrypick_snapshot(table: Table, snapshot_id: int) -> dict:
+    """Re-apply a (e.g. WAP-staged) snapshot's file delta onto main
+    (docs/spark-procedures.md:149-185)."""
+    table.check_writable("cherrypick_snapshot")
+    md = table.metadata
+    snap = md.snapshot_by_id(snapshot_id)
+    head = md.current_snapshot()
+    if head is not None and snap.parent_id == head.snapshot_id:
+        # fast path: direct child — just advance the pointer
+        md.refs[MAIN_BRANCH]["snapshot_id"] = snapshot_id
+        md.save()
+        return {"source_snapshot_id": snapshot_id, "current_snapshot_id": snapshot_id}
+    base = {f.path: f for f in (head.files if head else [])}
+    for p in snap.removed_files:
+        base.pop(p, None)
+    by_path = {f.path: f for f in snap.files}
+    added = [by_path[p] for p in snap.added_files if p in by_path]
+    files = list(base.values()) + added
+    new = table._commit(snap.operation, files, added, [], MAIN_BRANCH,
+                        {"cherry-picked-from": str(snapshot_id)})
+    return {"source_snapshot_id": snapshot_id, "current_snapshot_id": new.snapshot_id}
+
+
+def publish_changes(table: Table, wap_id: str | None = None,
+                    wap_branch: str | None = None) -> dict:
+    """WAP publish (iceberg_it.py:2245-2254): cherry-pick the audited
+    snapshot (by wap.id summary or staging branch head) onto main."""
+    table.check_writable("publish_changes")
+    md = table.metadata
+    if wap_branch is not None:
+        snap = md.resolve_ref(wap_branch)
+    elif wap_id is not None:
+        cands = [s for s in md.snapshots if s.summary.get("wap.id") == wap_id]
+        if not cands:
+            raise ValueError(f"no snapshot with wap.id={wap_id}")
+        snap = cands[-1]
+    else:
+        raise ValueError("provide wap_id or wap_branch")
+    return cherrypick_snapshot(table, snap.snapshot_id)
+
+
+def fast_forward(table: Table, branch: str, to: str) -> dict:
+    """Advance `branch` to `to`'s head if it is an ancestor-descendant move
+    (docs/spark-procedures.md:223-248)."""
+    table.check_writable("fast_forward")
+    md = table.metadata
+    target = md.resolve_ref(to)
+    cur = md.refs.get(branch)
+    if cur is not None:
+        ancestor_ids = {s.snapshot_id for s in md.ancestors(to)}
+        if cur["snapshot_id"] not in ancestor_ids:
+            raise ValueError(f"{branch} is not an ancestor of {to}; cannot fast-forward")
+        prev = cur["snapshot_id"]
+    else:
+        prev = None
+    md.refs[branch] = {"snapshot_id": target.snapshot_id, "type": "branch"}
+    md.save()
+    return {"branch_updated": branch, "previous_ref": prev, "updated_ref": target.snapshot_id}
+
+
+def ancestors_of(table: Table, snapshot_id: int | None = None) -> DataFrame:
+    """docs/spark-procedures.md:764-803."""
+    md = table.metadata
+    if snapshot_id is None:
+        head = md.current_snapshot()
+        snapshot_id = head.snapshot_id if head else None
+    rows = []
+    if snapshot_id is not None:
+        rows = [(s.snapshot_id, s.timestamp_ms) for s in md.ancestors(snapshot_id)]
+    return table.spark.createDataFrame(rows, "snapshot_id bigint, timestamp_ms bigint")
+
+
+# -- maintenance -----------------------------------------------------------
+
+
+def expire_snapshots(table: Table, older_than_ms: int | None = None,
+                     retain_last: int = 1,
+                     snapshot_ids: list[int] | None = None) -> dict:
+    """Drop expired snapshots' metadata and delete data files no longer
+    referenced by any surviving snapshot (docs/spark-procedures.md:255-302)."""
+    table.check_writable("expire_snapshots")
+    md = table.metadata
+    keep_ids = {r["snapshot_id"] for r in md.refs.values()}
+    chain = md.ancestors(MAIN_BRANCH)
+    keep_ids.update(s.snapshot_id for s in chain[: max(retain_last, 1)])
+    expire: set[int] = set()
+    if snapshot_ids:
+        expire.update(snapshot_ids)
+    if older_than_ms is not None:
+        expire.update(s.snapshot_id for s in md.snapshots if s.timestamp_ms < older_than_ms)
+    expire -= keep_ids
+    if not expire:
+        return {"deleted_data_files_count": 0, "deleted_snapshots_count": 0}
+    survivors = [s for s in md.snapshots if s.snapshot_id not in expire]
+    live_after = {f.path for s in survivors for f in s.files}
+    live_before = table.live_file_paths()
+    to_delete = live_before - live_after
+    for rel in to_delete:
+        p = os.path.join(table.location, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    md.snapshots = survivors
+    for s in md.snapshots:
+        if s.parent_id in expire:
+            s.parent_id = None
+    md.save()
+    return {"deleted_data_files_count": len(to_delete),
+            "deleted_snapshots_count": len(expire)}
+
+
+def remove_orphan_files(table: Table, older_than_ms: int | None = None,
+                        dry_run: bool = False) -> list[str]:
+    """Files under data/ not referenced by ANY snapshot
+    (docs/spark-procedures.md:304-378)."""
+    table.check_writable("remove_orphan_files")
+    live = table.live_file_paths()
+    orphans = []
+    for root, _d, names in os.walk(table.data_dir()):
+        for n in names:
+            ap = os.path.join(root, n)
+            rel = os.path.relpath(ap, table.location)
+            if rel in live or not n.endswith(".parquet"):
+                continue
+            if older_than_ms is not None and os.path.getmtime(ap) * 1000 >= older_than_ms:
+                continue
+            orphans.append(rel)
+            if not dry_run:
+                os.remove(ap)
+    return sorted(orphans)
+
+
+def rewrite_data_files(table: Table, strategy: str = "binpack",
+                       sort_order: list[dict] | None = None,
+                       where: str | None = None,
+                       target_file_size_bytes: int | None = None,
+                       min_input_files: int = 2) -> dict:
+    """Compaction (docs/spark-procedures.md:380-475; the BASELINE 'compaction'
+    requirement). binpack: coalesce small files toward the target size;
+    sort: additionally order rows (zorder approximated by hash-interleaving
+    the sort columns — same clustering goal, works on any types).
+
+    Per-partition grouping keeps rewrites shuffle-free for binpack
+    (coalesce only); sort pays one exchange per rewrite group.
+    """
+    table.check_writable("rewrite_data_files")
+    md = table.metadata
+    head = md.current_snapshot()
+    if head is None:
+        return {"rewritten_data_files_count": 0, "added_data_files_count": 0, "rewritten_bytes_count": 0}
+    target = target_file_size_bytes or int(
+        md.properties.get("write.target-file-size-bytes", 512 * 1024 * 1024)
+    )
+    candidates = list(head.files)
+    if where is not None:
+        hit = table._matching_files(candidates, F.expr(where), head.schema_id)
+        candidates = [f for f in candidates if f.path in hit]
+    groups: dict[tuple, list] = {}
+    for f in candidates:
+        groups.setdefault(tuple(sorted(f.partition.items())), []).append(f)
+    rewritten, added = [], []
+    for _part, fs in sorted(groups.items()):
+        small = [f for f in fs if f.bytes < target]
+        if len(small) < min_input_files and strategy == "binpack":
+            continue
+        src = fs if strategy != "binpack" else small
+        if not src:
+            continue
+        df = table._read_files(src, head.schema_id)
+        total = sum(f.bytes for f in src)
+        n_out = max(1, -(-total // target))  # ceil
+        if strategy == "sort" and sort_order:
+            cols = [F.col(o["col"]).desc() if o.get("dir") == "desc" else F.col(o["col"])
+                    for o in sort_order]
+            df = df.repartition(n_out).sortWithinPartitions(*cols)
+        elif strategy == "zorder" and sort_order:
+            zcols = [o["col"] for o in sort_order]
+            zkey = F.xxhash64(*zcols)
+            df = df.repartitionByRange(n_out, zkey).sortWithinPartitions(zkey)
+        else:
+            df = df.coalesce(int(n_out))
+        new = table._write_files(df, head.schema_id)
+        rewritten.extend(src)
+        added.extend(new)
+    if not rewritten:
+        return {"rewritten_data_files_count": 0, "added_data_files_count": 0, "rewritten_bytes_count": 0}
+    rewritten_paths = {f.path for f in rewritten}
+    files = [f for f in head.files if f.path not in rewritten_paths] + added
+    table._commit("replace", files, added, rewritten, MAIN_BRANCH,
+                  {"operation-detail": "rewrite_data_files"})
+    return {
+        "rewritten_data_files_count": len(rewritten),
+        "added_data_files_count": len(added),
+        "rewritten_bytes_count": sum(f.bytes for f in rewritten),
+    }
+
+
+def rewrite_manifests(table: Table) -> dict:
+    """Our metadata embeds file lists directly (no manifest layer), so this
+    compacts the metadata log instead: rewrites current metadata as a fresh
+    version. Kept for procedure parity (docs/spark-procedures.md:477-512)."""
+    table.check_writable("rewrite_manifests")
+    table.metadata.save()
+    return {"rewritten_manifests_count": 1, "added_manifests_count": 1}
+
+
+def rewrite_position_delete_files(table: Table) -> dict:
+    """Copy-on-write engine ⇒ no position-delete files exist; returns the
+    empty result the reference would after full compaction
+    (docs/spark-procedures.md:514-572)."""
+    table.check_writable("rewrite_position_delete_files")
+    return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+
+
+# -- table migration / registration ---------------------------------------
+
+
+def snapshot_table(table: Table, dest_name: str, catalog) -> Table:
+    """Lightweight independent copy referencing the same data files
+    (docs/spark-procedures.md:578-626)."""
+    head = table.metadata.current_snapshot()
+    dest = catalog.create_table(
+        dest_name,
+        [(f.name, f.type, f.nullable, f.comment) for f in table.metadata.schema],
+        properties={**table.metadata.properties, "snapshot-source": table.name},
+    )
+    if head is not None:
+        # Reference absolute paths of the source's files (no copy).
+        files = [
+            type(f)(os.path.join(table.location, f.path) if not os.path.isabs(f.path) else f.path,
+                    f.records, f.bytes, 0, f.partition)
+            for f in head.files
+        ]
+        # snapshot tables read files by absolute path; relativize cleanly
+        rel = [type(f)(os.path.relpath(fp.path, dest.location), fp.records, fp.bytes, 0, fp.partition)
+               for fp in files]
+        dest._commit("append", rel, rel, [], MAIN_BRANCH, {"snapshot-of": table.name})
+    return dest
+
+
+def migrate_parquet_path(catalog, spark, name: str, parquet_path: str,
+                         properties: dict | None = None) -> Table:
+    """migrate / add_files for path-based parquet sources
+    (iceberg_it.py:2107-2163): import existing files into a new table by
+    rewriting them into table layout (one job, no per-row Python)."""
+    df = spark.read.parquet(parquet_path)
+    return catalog.create_table_as(name, df, properties=properties)
+
+
+def add_files(table: Table, spark, parquet_path: str,
+              check_duplicate_files: bool = True) -> dict:
+    """Append files from a path-based parquet dataset
+    (docs/spark-procedures.md:670-726)."""
+    table.check_writable("add_files")
+    df = spark.read.parquet(parquet_path)
+    before = table.metadata.current_snapshot()
+    n_before = len(before.files) if before else 0
+    table.append(df)
+    after = table.metadata.current_snapshot()
+    return {"added_files_count": len(after.files) - n_before}
+
+
+def register_table(catalog, name: str, metadata_location: str) -> Table:
+    """Attach an existing table directory to the catalog by location
+    (docs/spark-procedures.md:728-760)."""
+    from iceberg_demo_spark.tables.format import TableMetadata
+
+    src = TableMetadata.load(metadata_location)
+    dest_loc = catalog._location(name)
+    if os.path.exists(dest_loc):
+        raise ValueError(f"table location exists: {dest_loc}")
+    os.makedirs(os.path.dirname(dest_loc), exist_ok=True)
+    import shutil
+
+    shutil.copytree(metadata_location, dest_loc)
+    md = TableMetadata.load(dest_loc)
+    md.name = name
+    md.location = dest_loc
+    md.save()
+    return catalog.load_table(name)
+
+
+# -- stats -----------------------------------------------------------------
+
+
+def compute_table_stats(table: Table, columns: list[str] | None = None) -> dict:
+    """NDV per column (docs/spark-procedures.md:945-978) — one Spark job with
+    approx_count_distinct (HLL, the same sketch Iceberg's puffin stores)."""
+    df = table.scan()
+    cols = columns or df.columns
+    row = df.agg(
+        *[F.approx_count_distinct(c).alias(c) for c in cols],
+        F.count(F.lit(1)).alias("_row_count"),
+    ).collect()[0]
+    stats = {c: int(row[c]) for c in cols}
+    md = table.metadata
+    md.properties["stats.row-count"] = str(row["_row_count"])
+    for c, v in stats.items():
+        md.properties[f"stats.ndv.{c}"] = str(v)
+    md.save()
+    return stats
+
+
+def compute_partition_stats(table: Table) -> DataFrame:
+    """docs/spark-procedures.md:982-1010."""
+    return table.partitions_df()
+
+
+# -- changelog (CDC) -------------------------------------------------------
+
+
+def create_changelog_view(
+    table: Table,
+    view_name: str,
+    start_snapshot_id: int | None = None,
+    end_snapshot_id: int | None = None,
+    identifier_columns: list[str] | None = None,
+    net_changes: bool = False,
+) -> DataFrame:
+    """Row-level change stream between snapshots
+    (iceberg_it.py:2301-2344, docs/spark-procedures.md:805-941):
+    per ancestor step, INSERTs = rows(added files) ∖ rows(removed files),
+    DELETEs = the reverse; with identifier_columns, paired delete+insert on
+    the same key becomes update_before/update_after. Registers the result as
+    a temp view and returns it."""
+    spark = table.spark
+    md = table.metadata
+    chain = list(reversed(md.ancestors(MAIN_BRANCH)))  # oldest → newest
+    if start_snapshot_id is not None:
+        ids = [s.snapshot_id for s in chain]
+        chain = chain[ids.index(start_snapshot_id) + 1:] if start_snapshot_id in ids else chain
+    if end_snapshot_id is not None:
+        ids = [s.snapshot_id for s in chain]
+        if end_snapshot_id in ids:
+            chain = chain[: ids.index(end_snapshot_id) + 1]
+    parts = []
+    for ordinal, snap in enumerate(chain):
+        by_path = {f.path: f for f in snap.files}
+        parent = md.snapshot_by_id(snap.parent_id) if snap.parent_id else None
+        parent_by_path = {f.path: f for f in parent.files} if parent else {}
+        added = [by_path[p] for p in snap.added_files if p in by_path]
+        removed = [parent_by_path[p] for p in snap.removed_files if p in parent_by_path]
+        if not added and not removed:
+            continue
+        schema_id = snap.schema_id
+        added_df = table._read_files(added, schema_id)
+        removed_df = table._read_files(removed, schema_id)
+        ins = added_df.exceptAll(removed_df).select(
+            "*", F.lit("INSERT").alias("_change_type"),
+            F.lit(ordinal).alias("_change_ordinal"),
+            F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
+        )
+        dels = removed_df.exceptAll(added_df).select(
+            "*", F.lit("DELETE").alias("_change_type"),
+            F.lit(ordinal).alias("_change_ordinal"),
+            F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
+        )
+        parts.extend([ins, dels])
+    if not parts:
+        out = spark.createDataFrame(
+            [], table.schema().add("_change_type", "string")
+            .add("_change_ordinal", "int").add("_commit_snapshot_id", "long")
+        )
+        out.createOrReplaceTempView(view_name)
+        return out
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if identifier_columns:
+        # Pair DELETE+INSERT on the same key within one commit as an update.
+        keys = list(identifier_columns)
+        w_cols = keys + ["_change_ordinal"]
+        counts = out.groupBy(*w_cols).agg(
+            F.sum(F.when(F.col("_change_type") == "DELETE", 1).otherwise(0)).alias("_n_del"),
+            F.sum(F.when(F.col("_change_type") == "INSERT", 1).otherwise(0)).alias("_n_ins"),
+        )
+        out = (
+            out.join(counts, w_cols, "left")
+            .withColumn(
+                "_change_type",
+                F.when(
+                    (F.col("_n_del") > 0) & (F.col("_n_ins") > 0),
+                    F.when(F.col("_change_type") == "DELETE", F.lit("UPDATE_BEFORE"))
+                    .otherwise(F.lit("UPDATE_AFTER")),
+                ).otherwise(F.col("_change_type")),
+            )
+            .drop("_n_del", "_n_ins")
+        )
+    if net_changes:
+        # Keep only each row's final state across the window (drop rows that
+        # were inserted then deleted, etc.) — implemented as last change wins.
+        w = out.groupBy(*[c for c in out.columns
+                          if c not in ("_change_type", "_change_ordinal", "_commit_snapshot_id")]) \
+            .agg(F.max("_change_ordinal").alias("_change_ordinal"))
+        out = out.join(w, on=list(w.columns), how="inner")
+    out.createOrReplaceTempView(view_name)
+    return out

@@ -1,0 +1,868 @@
+"""Table API: snapshot-versioned reads, copy-on-write DML, schema and
+partition evolution, branches/tags, metadata tables.
+
+Re-expresses the reference's Iceberg table surface Spark-first
+(/root/reference/iceberg_it.py:1267-1681 DML, :342-396 evolution, :617-860
+refs, :1938-2093 metadata/time-travel): every data movement is a DataFrame
+job; every version change is a driver-side metadata commit.
+
+Copy-on-write strategy (the reference's default, iceberg_it.py:2279-2285):
+row-level DELETE/UPDATE/MERGE rewrite only the data files that contain
+affected rows — at 100 TB a point-delete touches a handful of files, not the
+table. Affected files are found with one filtered scan projecting
+``input_file_name()`` (file-level pruning; per-file min/max stats would
+shortcut this further and slot in at ``_matching_files``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+from urllib.request import url2pathname
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_demo_spark.tables.format import (
+    MAIN_BRANCH,
+    DataFile,
+    PartitionField,
+    SchemaField,
+    Snapshot,
+    TableMetadata,
+    now_ms,
+)
+
+READONLY_PROP = "hive-ext.readOnly"
+
+_FILE_COL = "_g_file"
+_ROW_COL = "_g_row"
+
+
+class ReadOnlyTableError(Exception):
+    """Raised for any write/DDL against a table with hive-ext.readOnly=true
+    (reference: spark-readonly-plugin ReadOnlyTableCheckRule.scala:51-145)."""
+
+
+class MergeCardinalityError(Exception):
+    """A single target row matched multiple source rows in MERGE."""
+
+
+def _col(c: str | Column) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+class Table:
+    def __init__(self, spark: SparkSession, metadata: TableMetadata):
+        self.spark = spark
+        self.metadata = metadata
+
+    # -- basics ------------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self.metadata.name
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self.metadata.properties)
+
+    def refresh(self) -> "Table":
+        self.metadata = TableMetadata.load(self.location)
+        return self
+
+    def schema(self) -> T.StructType:
+        return self._struct(self.metadata.current_schema_id)
+
+    def _struct(self, schema_id: int) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f.name, _parse_type(f.type), f.nullable)
+                for f in self.metadata.schemas[schema_id]
+            ]
+        )
+
+    def check_writable(self, operation: str) -> None:
+        # Case-insensitive value, like the reference (ReadOnlyTableSuite
+        # "TRUE blocks, false doesn't").
+        if self.metadata.properties.get(READONLY_PROP, "").lower() == "true":
+            raise ReadOnlyTableError(
+                f"Table {self.name} is read-only ({READONLY_PROP}=true). "
+                f"Operation {operation} is not allowed."
+            )
+
+    # -- properties / DDL --------------------------------------------------
+
+    def set_properties(self, props: dict[str, str]) -> None:
+        # Allowed even when read-only IF it's the readOnly flag being changed
+        # (otherwise a table could never be un-frozen); all other property
+        # changes on a read-only table are blocked like ALTER.
+        if set(props) - {READONLY_PROP}:
+            self.check_writable("ALTER TABLE SET TBLPROPERTIES")
+        self.metadata.properties.update(props)
+        self.metadata.save()
+
+    def unset_properties(self, keys: list[str]) -> None:
+        if set(keys) - {READONLY_PROP}:
+            self.check_writable("ALTER TABLE UNSET TBLPROPERTIES")
+        for k in keys:
+            self.metadata.properties.pop(k, None)
+        self.metadata.save()
+
+    def add_column(self, name: str, type_: str, comment: str | None = None,
+                   nullable: bool = True) -> None:
+        self.check_writable("ALTER TABLE ADD COLUMNS")
+        self.metadata.new_schema_version()
+        if "." in name:  # nested struct field: parent.child
+            parent, child = name.rsplit(".", 1)
+            f = self.metadata.field_by_name(parent)
+            st = _parse_type(f.type)
+            if not isinstance(st, T.StructType):
+                raise ValueError(f"{parent} is not a struct")
+            st = T.StructType(list(st.fields) + [T.StructField(child, _parse_type(type_), nullable)])
+            f.type = st.simpleString()
+            self.metadata.save()
+            return
+        if any(f.name.lower() == name.lower() for f in self.metadata.schema):
+            raise ValueError(f"column already exists: {name}")
+        self.metadata.schema.append(
+            SchemaField(self.metadata.next_field_id(), name, type_, nullable, comment)
+        )
+        self.metadata.save()
+
+    def drop_column(self, name: str) -> None:
+        self.check_writable("ALTER TABLE DROP COLUMN")
+        self.metadata.new_schema_version()
+        if "." in name:
+            parent, child = name.rsplit(".", 1)
+            f = self.metadata.field_by_name(parent)
+            st = _parse_type(f.type)
+            if not isinstance(st, T.StructType):
+                raise ValueError(f"{parent} is not a struct")
+            f.type = T.StructType(
+                [x for x in st.fields if x.name.lower() != child.lower()]
+            ).simpleString()
+            self.metadata.save()
+            return
+        f = self.metadata.field_by_name(name)
+        self.metadata.schema.remove(f)
+        self.metadata.save()
+
+    def rename_column(self, old: str, new: str) -> None:
+        self.check_writable("ALTER TABLE RENAME COLUMN")
+        self.metadata.new_schema_version()
+        self.metadata.field_by_name(old).name = new
+        self.metadata.save()
+
+    def alter_column_type(self, name: str, new_type: str) -> None:
+        """Widening only (int->bigint, float->double, decimal scale-up) —
+        same restriction Iceberg enforces."""
+        self.check_writable("ALTER COLUMN TYPE")
+        f_cur = self.metadata.field_by_name(name)
+        if not _is_widening(f_cur.type, new_type):
+            raise ValueError(f"cannot narrow {name}: {f_cur.type} -> {new_type}")
+        self.metadata.new_schema_version()
+        self.metadata.field_by_name(name).type = new_type
+        self.metadata.save()
+
+    def alter_column_nullable(self, name: str, nullable: bool) -> None:
+        self.check_writable("ALTER COLUMN NULLABILITY")
+        self.metadata.new_schema_version()
+        self.metadata.field_by_name(name).nullable = nullable
+        self.metadata.save()
+
+    def alter_column_comment(self, name: str, comment: str) -> None:
+        self.check_writable("ALTER COLUMN COMMENT")
+        self.metadata.new_schema_version()
+        self.metadata.field_by_name(name).comment = comment
+        self.metadata.save()
+
+    # partition evolution: only affects FUTURE writes (old files keep their
+    # layout) — exactly Iceberg's spec-versioning behavior.
+    def add_partition_field(self, source: str, transform: str = "identity",
+                            name: str | None = None) -> None:
+        self.check_writable("ALTER TABLE ADD PARTITION FIELD")
+        self.metadata.field_by_name(source)  # must exist
+        pname = name or _default_partition_name(source, transform)
+        if any(p.name == pname for p in self.metadata.partition_spec):
+            raise ValueError(f"partition field exists: {pname}")
+        self.metadata.partition_spec.append(PartitionField(pname, source, transform))
+        self.metadata.save()
+
+    def drop_partition_field(self, name: str) -> None:
+        self.check_writable("ALTER TABLE DROP PARTITION FIELD")
+        spec = [p for p in self.metadata.partition_spec if p.name != name and p.source != name]
+        if len(spec) == len(self.metadata.partition_spec):
+            raise ValueError(f"no such partition field: {name}")
+        self.metadata.partition_spec = spec
+        self.metadata.save()
+
+    def replace_partition_field(self, old: str, source: str, transform: str = "identity",
+                                name: str | None = None) -> None:
+        self.check_writable("ALTER TABLE REPLACE PARTITION FIELD")
+        self.drop_partition_field(old)
+        self.add_partition_field(source, transform, name)
+
+    def set_write_order(self, order: list[dict] | None) -> None:
+        """order = [{"col": c, "dir": "asc"|"desc", "nulls": "first"|"last"}];
+        None/[] = WRITE UNORDERED."""
+        self.check_writable("ALTER TABLE WRITE ORDERED BY")
+        self.metadata.sort_order = order or []
+        self.metadata.save()
+
+    # -- refs: branches / tags --------------------------------------------
+
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      if_not_exists: bool = False, or_replace: bool = False) -> None:
+        self.check_writable("CREATE BRANCH")
+        self._create_ref(name, "branch", snapshot_id, if_not_exists, or_replace)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   if_not_exists: bool = False, or_replace: bool = False) -> None:
+        self.check_writable("CREATE TAG")
+        self._create_ref(name, "tag", snapshot_id, if_not_exists, or_replace)
+
+    def _create_ref(self, name: str, type_: str, snapshot_id: int | None,
+                    if_not_exists: bool, or_replace: bool) -> None:
+        if name in self.metadata.refs and not or_replace:
+            if if_not_exists:
+                return
+            raise ValueError(f"ref already exists: {name}")
+        if snapshot_id is None:
+            cur = self.metadata.current_snapshot()
+            if cur is None:
+                raise ValueError(f"cannot create {type_} on empty table {self.name}")
+            snapshot_id = cur.snapshot_id
+        else:
+            self.metadata.snapshot_by_id(snapshot_id)  # must exist
+        self.metadata.refs[name] = {"snapshot_id": snapshot_id, "type": type_}
+        self.metadata.save()
+
+    def drop_ref(self, name: str, if_exists: bool = False) -> None:
+        self.check_writable("DROP BRANCH/TAG")
+        if name == MAIN_BRANCH:
+            raise ValueError("cannot drop main branch")
+        if name not in self.metadata.refs:
+            if if_exists:
+                return
+            raise ValueError(f"no such ref: {name}")
+        del self.metadata.refs[name]
+        self.metadata.save()
+
+    def replace_branch(self, name: str, snapshot_id: int) -> None:
+        self.check_writable("REPLACE BRANCH")
+        if name not in self.metadata.refs:
+            raise ValueError(f"no such branch: {name}")
+        self.metadata.snapshot_by_id(snapshot_id)
+        self.metadata.refs[name]["snapshot_id"] = snapshot_id
+        self.metadata.save()
+
+    # -- read path ---------------------------------------------------------
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        branch: str | None = None,
+        tag: str | None = None,
+        with_file_col: bool = False,
+    ) -> DataFrame:
+        """Time-travel-aware read (the 4 syntaxes of docs/spark-queries.md:47-98
+        map here: VERSION AS OF -> snapshot_id or branch/tag name,
+        TIMESTAMP AS OF -> as_of_timestamp_ms)."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch, tag)
+        if snap is None:
+            return self.spark.createDataFrame([], self.schema())
+        # Current-state reads use the CURRENT schema (renames/adds visible
+        # immediately); explicit time travel reads the snapshot's own schema,
+        # matching Iceberg's behavior.
+        time_travel = any(
+            x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
+        )
+        out_schema = snap.schema_id if time_travel else self.metadata.current_schema_id
+        return self._read_files(snap.files, out_schema, with_file_col)
+
+    def to_df(self) -> DataFrame:
+        return self.scan()
+
+    def _resolve_snapshot(self, snapshot_id=None, as_of_timestamp_ms=None,
+                          branch=None, tag=None) -> Snapshot | None:
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, branch, tag)) > 1:
+            raise ValueError("specify at most one of snapshot_id/timestamp/branch/tag")
+        if snapshot_id is not None:
+            return self.metadata.snapshot_by_id(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            return self.metadata.snapshot_as_of_timestamp(as_of_timestamp_ms)
+        if branch is not None or tag is not None:
+            return self.metadata.resolve_ref(branch or tag)
+        return self.metadata.current_snapshot()
+
+    def _read_files(self, files: list[DataFile], out_schema_id: int,
+                    with_file_col: bool = False) -> DataFrame:
+        """Field-id-mapped read: files written under older schemas are
+        selected/cast/renamed into the requested schema (rename = same id,
+        new name; add = NULL for old files; widen = cast)."""
+        out_fields = self.metadata.schemas[out_schema_id]
+        if not files:
+            df = self.spark.createDataFrame([], self._struct(out_schema_id))
+            return df.withColumn(_FILE_COL, F.lit(None).cast("string")) if with_file_col else df
+        by_schema: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_schema.setdefault(f.schema_id, []).append(f)
+        parts = []
+        for sid, fs in sorted(by_schema.items()):
+            in_fields = {f.field_id: f for f in self.metadata.schemas[sid]}
+            paths = [os.path.join(self.location, f.path) for f in fs]
+            df = self.spark.read.schema(self._struct(sid)).parquet(*paths)
+            cols = []
+            for of in out_fields:
+                inf = in_fields.get(of.field_id)
+                if inf is None:
+                    cols.append(F.lit(None).cast(_parse_type(of.type)).alias(of.name))
+                else:
+                    cols.append(
+                        _align_col(F.col(inf.name), _parse_type(inf.type),
+                                   _parse_type(of.type)).alias(of.name)
+                    )
+            if with_file_col:
+                cols.append(F.input_file_name().alias(_FILE_COL))
+            parts.append(df.select(cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- write path --------------------------------------------------------
+
+    def _partition_exprs(self) -> list[tuple[str, Column]]:
+        out = []
+        for p in self.metadata.partition_spec:
+            out.append((p.partition_col, _transform_expr(p.transform, p.source)))
+        return out
+
+    def _apply_sort(self, df: DataFrame) -> DataFrame:
+        if not self.metadata.sort_order:
+            return df
+        cols = []
+        for o in self.metadata.sort_order:
+            c = F.col(o["col"])
+            c = c.desc_nulls_first() if o.get("dir") == "desc" and o.get("nulls") == "first" \
+                else c.desc_nulls_last() if o.get("dir") == "desc" \
+                else c.asc_nulls_first() if o.get("nulls") == "first" \
+                else c.asc_nulls_last()
+            cols.append(c)
+        # Local (per-task) sort: cheap, preserves parallelism. A global
+        # WRITE ORDERED BY would be df.repartitionByRange + sort; the local
+        # variant is what large-scale writers actually want (no range
+        # exchange of the full write set).
+        return df.sortWithinPartitions(*cols)
+
+    def _write_files(self, df: DataFrame, schema_id: int | None = None) -> list[DataFile]:
+        """Write df as parquet data files under data/<commit-uuid>/ and return
+        their DataFile entries. Hidden partitioning: derived _p_* columns
+        drive the directory layout; source columns stay in the files so
+        snapshot reads are self-contained."""
+        schema_id = self.metadata.current_schema_id if schema_id is None else schema_id
+        st = self._struct(schema_id)
+        aligned = df.select(
+            [_align_col(F.col(f.name), df.schema[f.name].dataType, f.dataType).alias(f.name)
+             if f.name in df.columns else F.lit(None).cast(f.dataType).alias(f.name)
+             for f in st.fields]
+        )
+        pexprs = self._partition_exprs()
+        for name, expr in pexprs:
+            aligned = aligned.withColumn(name, expr.cast("string"))
+        aligned = self._apply_sort(aligned)
+        commit_dir = f"data/{uuid.uuid4().hex[:16]}"
+        abs_dir = os.path.join(self.location, commit_dir)
+        writer = aligned.write.mode("overwrite")
+        if pexprs:
+            writer = writer.partitionBy(*[n for n, _ in pexprs])
+        writer.parquet(abs_dir)
+        return self._list_written(abs_dir, commit_dir, schema_id)
+
+    def _list_written(self, abs_dir: str, rel_dir: str, schema_id: int) -> list[DataFile]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for root, _dirs, names in os.walk(abs_dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                ap = os.path.join(root, n)
+                rel = os.path.relpath(ap, self.location)
+                partition = {}
+                for comp in os.path.relpath(root, abs_dir).split(os.sep):
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        partition[k] = unquote(v)
+                meta = pq.ParquetFile(ap).metadata
+                if meta.num_rows == 0:
+                    os.remove(ap)
+                    continue
+                out.append(DataFile(rel, meta.num_rows, os.path.getsize(ap), schema_id, partition))
+        return out
+
+    def _commit(self, operation: str, files: list[DataFile], added: list[DataFile],
+                removed: list[DataFile], branch: str, summary: dict | None = None) -> Snapshot:
+        parent = self.metadata.current_snapshot(branch)
+        snap = Snapshot(
+            snapshot_id=self.metadata.next_snapshot_id(),
+            parent_id=parent.snapshot_id if parent else None,
+            timestamp_ms=now_ms(),
+            operation=operation,
+            schema_id=self.metadata.current_schema_id,
+            files=files,
+            added_files=[f.path for f in added],
+            removed_files=[f.path for f in removed],
+            summary=dict(summary or {}),
+        )
+        snap.summary.setdefault("added-data-files", str(len(added)))
+        snap.summary.setdefault("removed-data-files", str(len(removed)))
+        snap.summary.setdefault("total-records", str(sum(f.records for f in files)))
+        self.metadata.snapshots.append(snap)
+        self.metadata.refs.setdefault(branch, {"snapshot_id": snap.snapshot_id, "type": "branch"})
+        self.metadata.refs[branch]["snapshot_id"] = snap.snapshot_id
+        self.metadata.save()
+        return snap
+
+    def _branch_files(self, branch: str) -> list[DataFile]:
+        cur = self.metadata.current_snapshot(branch)
+        return list(cur.files) if cur else []
+
+    # -- DML ---------------------------------------------------------------
+
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        self.check_writable("INSERT INTO / append")
+        new = self._write_files(df)
+        return self._commit("append", self._branch_files(branch) + new, new, [], branch)
+
+    def overwrite_all(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        """INSERT OVERWRITE with no partition clause: replace the table."""
+        self.check_writable("INSERT OVERWRITE")
+        old = self._branch_files(branch)
+        new = self._write_files(df)
+        return self._commit("overwrite", new, new, old, branch)
+
+    def overwrite_dynamic(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        """Dynamic overwrite: replace exactly the partitions present in df
+        (docs/spark-writes.md:129-143)."""
+        self.check_writable("INSERT OVERWRITE (dynamic)")
+        old = self._branch_files(branch)
+        new = self._write_files(df)
+        touched = {tuple(sorted(f.partition.items())) for f in new}
+        kept = [f for f in old if tuple(sorted(f.partition.items())) not in touched]
+        removed = [f for f in old if tuple(sorted(f.partition.items())) in touched]
+        return self._commit("overwrite", kept + new, new, removed, branch)
+
+    def overwrite_where(self, df: DataFrame, condition: str | Column,
+                        branch: str = MAIN_BRANCH) -> Snapshot:
+        """DataFrameWriterV2.overwrite(condition) / static INSERT OVERWRITE
+        PARTITION: delete rows matching condition, then append df, as one
+        commit."""
+        self.check_writable("INSERT OVERWRITE (static) / overwrite(condition)")
+        old = self._branch_files(branch)
+        kept, rewritten, removed = self._cow_delete(old, condition, branch)
+        new = self._write_files(df)
+        return self._commit("overwrite", kept + rewritten + new, rewritten + new, removed, branch)
+
+    def delete_where(self, condition: str | Column, branch: str = MAIN_BRANCH) -> Snapshot | None:
+        """Row-level DELETE, copy-on-write. Files whose rows all survive are
+        untouched; a filter aligned with partition boundaries becomes a
+        metadata-only delete (file drop, no rewrite)."""
+        self.check_writable("DELETE FROM")
+        old = self._branch_files(branch)
+        kept, rewritten, removed = self._cow_delete(old, condition, branch)
+        if not removed:
+            return None  # nothing matched — no new snapshot (Iceberg no-ops too)
+        return self._commit("delete", kept + rewritten, rewritten, removed, branch)
+
+    def _cow_delete(self, files: list[DataFile], condition: str | Column,
+                    branch: str) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
+        """Returns (untouched, rewritten_new_files, removed_old_files)."""
+        cond = _col(condition)
+        snap = self.metadata.current_snapshot(branch)
+        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        hit_paths = self._matching_files(files, cond, schema_id)
+        if not hit_paths:
+            return list(files), [], []
+        hit = [f for f in files if f.path in hit_paths]
+        kept = [f for f in files if f.path not in hit_paths]
+        # Metadata-only fast path: if every row in a hit file matches the
+        # predicate, drop the file without rewriting. Detect via counts.
+        survivors = self._read_files(hit, schema_id).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        rewritten = self._write_files(survivors, schema_id)
+        return kept, rewritten, hit
+
+    def _matching_files(self, files: list[DataFile], cond: Column,
+                        schema_id: int) -> set[str]:
+        if not files:
+            return set()
+        df = self._read_files(files, schema_id, with_file_col=True)
+        rows = df.filter(F.coalesce(cond, F.lit(False))).select(_FILE_COL).distinct().collect()
+        return {self._rel_path(r[_FILE_COL]) for r in rows}
+
+    def _rel_path(self, file_uri: str) -> str:
+        p = file_uri
+        if p.startswith("file:"):
+            p = url2pathname(p[len("file:"):])
+        return os.path.relpath(p, self.location)
+
+    def update_where(self, assignments: dict[str, str | Column],
+                     condition: str | Column | None = None,
+                     branch: str = MAIN_BRANCH) -> Snapshot | None:
+        """UPDATE t SET ... WHERE ..., copy-on-write on affected files only."""
+        self.check_writable("UPDATE")
+        cond = _col(condition) if condition is not None else F.lit(True)
+        old = self._branch_files(branch)
+        snap = self.metadata.current_snapshot(branch)
+        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        hit_paths = self._matching_files(old, cond, schema_id)
+        if not hit_paths:
+            return None
+        hit = [f for f in old if f.path in hit_paths]
+        kept = [f for f in old if f.path not in hit_paths]
+        src = self._read_files(hit, schema_id)
+        matched = F.coalesce(cond, F.lit(False))
+        out = src.select(
+            [
+                F.when(matched, _col(assignments[c]).cast(src.schema[c].dataType))
+                .otherwise(F.col(c)).alias(c)
+                if c in assignments else F.col(c)
+                for c in src.columns
+            ]
+        )
+        rewritten = self._write_files(out, schema_id)
+        return self._commit("overwrite", kept + rewritten, rewritten, hit, branch,
+                            {"operation-detail": "update"})
+
+    # -- MERGE -------------------------------------------------------------
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        branch: str = MAIN_BRANCH,
+        check_cardinality: bool = True,
+    ) -> Snapshot | None:
+        """MERGE INTO with the reference's four variants
+        (iceberg_it.py:1286-1500): multiple WHEN MATCHED clauses are
+        first-match-wins; WHEN NOT MATCHED BY SOURCE updates/deletes target
+        rows without a source match.
+
+        Clause shapes (expressions are SQL strings; target alias ``t``,
+        source alias ``s``):
+          matched:              {"condition": str|None, "action": "update"|"delete", "set": {col: expr}}
+          not_matched:          {"condition": str|None, "values": {col: expr} | None}  (None = insert s.* by name)
+          not_matched_by_source:{"condition": str|None, "action": "update"|"delete", "set": {col: expr}}
+        """
+        self.check_writable("MERGE INTO")
+        matched = matched or []
+        not_matched = not_matched or []
+        not_matched_by_source = not_matched_by_source or []
+        old = self._branch_files(branch)
+        snap = self.metadata.current_snapshot(branch)
+        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        st = self._struct(schema_id)
+
+        target = self._read_files(old, schema_id, with_file_col=True).alias("t")
+        src = source.alias("s")
+        on_expr = F.expr(on)
+
+        if check_cardinality and matched:
+            # Reference semantics: a target row matching >1 source rows is an
+            # error. One extra agg job over the matched keys only.
+            t_keyed = target.withColumn(_ROW_COL, F.monotonically_increasing_id()).alias("t")
+            dup = (
+                t_keyed.join(src, on_expr, "inner")
+                .groupBy(_ROW_COL).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise MergeCardinalityError(
+                    "MERGE: a single row from the target table matched multiple source rows"
+                )
+
+        # Which files must be rewritten? Files with join matches, plus — if
+        # there are NOT MATCHED BY SOURCE clauses — files with rows lacking a
+        # match (for a selective ON, that is every file; unavoidable, same as
+        # Iceberg).
+        joined = target.join(src, on_expr, "left_outer")
+        s_first = src.columns[0]
+        has_match = F.col(f"s.{s_first}").isNotNull() if src.columns else F.lit(False)
+        need = F.coalesce(has_match, F.lit(False)) if not not_matched_by_source else F.lit(True)
+        hits = (
+            joined.filter(need).select(F.col(f"t.{_FILE_COL}")).distinct().collect()
+        )
+        hit_paths = {self._rel_path(r[_FILE_COL]) for r in hits}
+        hit = [f for f in old if f.path in hit_paths]
+        kept = [f for f in old if f.path not in hit_paths]
+
+        new_files: list[DataFile] = []
+        if hit:
+            rewrite_src = self._read_files(hit, schema_id, with_file_col=False).alias("t")
+            j = rewrite_src.join(src, on_expr, "left_outer")
+            new_files += self._write_files(
+                self._apply_merge_clauses(j, st, has_match, matched, not_matched_by_source),
+                schema_id,
+            )
+
+        if not_matched:
+            inserts = src.join(target, on_expr, "left_anti")
+            ins_parts = []
+            prev_not = F.lit(True)
+            for cl in not_matched:
+                c = F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+                rows = inserts.filter(prev_not & F.coalesce(c, F.lit(False)))
+                prev_not = prev_not & ~F.coalesce(c, F.lit(False))
+                values = cl.get("values")
+                if values is None:
+                    proj = [
+                        (F.col(f.name) if f.name in inserts.columns else F.lit(None))
+                        .cast(f.dataType).alias(f.name)
+                        for f in st.fields
+                    ]
+                else:
+                    proj = [
+                        (_col(values[f.name]) if f.name in values else F.lit(None))
+                        .cast(f.dataType).alias(f.name)
+                        for f in st.fields
+                    ]
+                ins_parts.append(rows.select(proj))
+            if ins_parts:
+                ins = ins_parts[0]
+                for p in ins_parts[1:]:
+                    ins = ins.unionByName(p)
+                new_files += self._write_files(ins, schema_id)
+
+        if not hit and not new_files:
+            return None
+        files = kept + new_files
+        return self._commit("overwrite", files, new_files, hit, branch,
+                            {"operation-detail": "merge"})
+
+    def _apply_merge_clauses(self, joined: DataFrame, st: T.StructType,
+                             has_match: Column, matched: list[dict],
+                             nmbs: list[dict]) -> DataFrame:
+        """First-match-wins cascade over the left-joined (t ⟕ s) rows →
+        surviving target-schema rows."""
+        has_match = F.coalesce(has_match, F.lit(False))
+        action_idx = F.lit(-1)
+        clauses: list[tuple[int, dict]] = []
+        i = 0
+        for cl in matched:
+            cond = has_match & (
+                F.coalesce(F.expr(cl["condition"]), F.lit(False)) if cl.get("condition") else F.lit(True)
+            )
+            action_idx = F.when(action_idx >= 0, action_idx).when(cond, F.lit(i)).otherwise(F.lit(-1))
+            clauses.append((i, cl))
+            i += 1
+        for cl in nmbs:
+            cond = (~has_match) & (
+                F.coalesce(F.expr(cl["condition"]), F.lit(False)) if cl.get("condition") else F.lit(True)
+            )
+            action_idx = F.when(action_idx >= 0, action_idx).when(cond, F.lit(i)).otherwise(F.lit(-1))
+            clauses.append((i, cl))
+            i += 1
+        with_idx = joined.withColumn("_g_action", action_idx)
+        delete_idx = [i for i, cl in clauses if cl.get("action") == "delete"]
+        survive = ~F.col("_g_action").isin(delete_idx) if delete_idx else F.lit(True)
+        out_cols = []
+        for f in st.fields:
+            expr = F.col(f"t.{f.name}")
+            for i, cl in clauses:
+                if cl.get("action") == "update" and f.name in (cl.get("set") or {}):
+                    expr = F.when(F.col("_g_action") == i,
+                                  _col(cl["set"][f.name]).cast(f.dataType)).otherwise(expr)
+            out_cols.append(expr.cast(f.dataType).alias(f.name))
+        return with_idx.filter(survive).select(out_cols)
+
+    # -- metadata tables ---------------------------------------------------
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (s.snapshot_id, s.parent_id, s.timestamp_ms, s.operation,
+             {k: str(v) for k, v in s.summary.items()})
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, parent_id bigint, committed_at_ms bigint, "
+            "operation string, summary map<string,string>",
+        )
+
+    def history_df(self) -> DataFrame:
+        ancestor_ids = {s.snapshot_id for s in self.metadata.ancestors(MAIN_BRANCH)}
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.parent_id, s.snapshot_id in ancestor_ids)
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at_ms bigint, snapshot_id bigint, parent_id bigint, "
+            "is_current_ancestor boolean",
+        )
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self._resolve_snapshot(snapshot_id)
+        files = snap.files if snap else []
+        rows = [
+            (0, f.path, "PARQUET", f.records, f.bytes, f.partition, f.schema_id)
+            for f in files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, record_count bigint, "
+            "file_size_in_bytes bigint, partition map<string,string>, schema_id int",
+        )
+
+    def all_files_df(self) -> DataFrame:
+        seen, rows = set(), []
+        for s in self.metadata.snapshots:
+            for f in s.files:
+                if f.path not in seen:
+                    seen.add(f.path)
+                    rows.append((0, f.path, "PARQUET", f.records, f.bytes, f.partition, s.snapshot_id))
+        return self.spark.createDataFrame(
+            rows,
+            "content int, file_path string, file_format string, record_count bigint, "
+            "file_size_in_bytes bigint, partition map<string,string>, snapshot_id bigint",
+        )
+
+    def refs_df(self) -> DataFrame:
+        rows = [(n, r["type"].upper(), r["snapshot_id"]) for n, r in self.metadata.refs.items()]
+        return self.spark.createDataFrame(rows, "name string, type string, snapshot_id bigint")
+
+    def partitions_df(self) -> DataFrame:
+        snap = self.metadata.current_snapshot()
+        agg: dict[tuple, list[int]] = {}
+        for f in (snap.files if snap else []):
+            key = tuple(sorted(f.partition.items()))
+            a = agg.setdefault(key, [0, 0])
+            a[0] += f.records
+            a[1] += 1
+        rows = [(dict(k), v[0], v[1]) for k, v in agg.items()]
+        return self.spark.createDataFrame(
+            rows, "partition map<string,string>, record_count bigint, file_count bigint"
+        )
+
+    def metadata_log_df(self) -> DataFrame:
+        rows = [(e["timestamp_ms"], e["version"]) for e in self.metadata.metadata_log]
+        return self.spark.createDataFrame(rows, "timestamp_ms bigint, version int")
+
+    # -- maintenance helpers used by procedures ----------------------------
+
+    def live_file_paths(self) -> set[str]:
+        out: set[str] = set()
+        for s in self.metadata.snapshots:
+            out.update(f.path for f in s.files)
+        return out
+
+    def data_dir(self) -> str:
+        return os.path.join(self.location, "data")
+
+    def purge(self) -> None:
+        shutil.rmtree(self.location, ignore_errors=True)
+
+
+# -- helpers ---------------------------------------------------------------
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    return T._parse_datatype_string(ddl)
+
+
+def _align_col(col: Column, in_type: T.DataType, out_type: T.DataType) -> Column:
+    """Align a column from a file schema to the requested schema: recursive
+    by-name struct rebuild (nested add => NULL, nested drop => omit), plain
+    cast for widening/primitives."""
+    if in_type == out_type:
+        return col
+    if isinstance(in_type, T.StructType) and isinstance(out_type, T.StructType):
+        in_by_name = {f.name.lower(): f for f in in_type.fields}
+        parts = []
+        for f in out_type.fields:
+            src = in_by_name.get(f.name.lower())
+            if src is None:
+                parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                parts.append(_align_col(col.getField(src.name), src.dataType, f.dataType).alias(f.name))
+        aligned = F.struct(*parts)
+        return F.when(col.isNull(), F.lit(None).cast(out_type)).otherwise(aligned)
+    return col.cast(out_type)
+
+
+_WIDEN = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("float", "double"),
+}
+
+
+def _is_widening(old: str, new: str) -> bool:
+    o, n = old.lower().strip(), new.lower().strip()
+    if o == n:
+        return True
+    if (o, n) in _WIDEN:
+        return True
+    if o.startswith("decimal") and n.startswith("decimal"):
+        op, os_ = _decimal_ps(o)
+        np, ns = _decimal_ps(n)
+        return ns == os_ and np >= op
+    return False
+
+
+def _decimal_ps(s: str) -> tuple[int, int]:
+    inner = s[s.index("(") + 1 : s.index(")")]
+    p, sc = inner.split(",")
+    return int(p), int(sc)
+
+
+def _transform_expr(transform: str, source: str) -> Column:
+    c = F.col(source)
+    t = transform
+    if t == "identity":
+        return c
+    if t in ("year", "years"):
+        return F.date_format(c, "yyyy")
+    if t in ("month", "months"):
+        return F.date_format(c, "yyyy-MM")
+    if t in ("day", "days"):
+        return F.date_format(c, "yyyy-MM-dd")
+    if t in ("hour", "hours"):
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if t.startswith("bucket["):
+        n = int(t[len("bucket[") : -1])
+        return F.pmod(F.xxhash64(c), F.lit(n))
+    if t.startswith("truncate["):
+        w = int(t[len("truncate[") : -1])
+        # strings: prefix; integral: floor to multiple (Iceberg semantics)
+        return F.when(
+            F.lit(True),
+            F.expr(
+                f"CASE WHEN typeof({source}) IN ('string','varchar') "
+                f"THEN substring({source}, 1, {w}) "
+                f"ELSE CAST({source} - pmod({source}, {w}) AS STRING) END"
+            ),
+        )
+    raise ValueError(f"unsupported transform: {transform}")
+
+
+def _default_partition_name(source: str, transform: str) -> str:
+    if transform == "identity":
+        return source
+    base = transform.split("[")[0]
+    # Iceberg-style singular names: days(ts) -> ts_day
+    base = {"years": "year", "months": "month", "days": "day", "hours": "hour"}.get(base, base)
+    return f"{source}_{base}"
