@@ -1,0 +1,168 @@
+"""The engine facade: SQL entry point with MV DDL, automatic MV rewriting,
+CALL procedures, WAP session state, and the table catalog.
+
+This is the product surface (SURVEY.md §7): queries submitted through
+``Engine.sql`` get the reference plugins' behaviors (MV rewrite, read-only
+enforcement via the Table layer); everything else delegates to Spark SQL
+untouched, so the full Spark surface remains available.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_demo_spark.mv.catalog import MVCatalog
+from iceberg_demo_spark.mv.manager import MVManager
+from iceberg_demo_spark.mv.parser import match_statement, parse_call_args
+from iceberg_demo_spark.mv.rewriter import Rewriter, RewriteResult
+from iceberg_demo_spark.tables import procedures as proc
+from iceberg_demo_spark.tables.catalog import Catalog
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+        self.mv_catalog = MVCatalog(os.path.join(warehouse, "__mv_catalog.json"))
+        self.mv = MVManager(spark, self.catalog, self.mv_catalog)
+        self.rewriter = Rewriter(spark, self.mv_catalog, self.mv.backing_df)
+        self.mv.rewriter = self.rewriter
+        self.last_rewrite: RewriteResult | None = None
+        # WAP session state (iceberg_it.py:1352-1365): when set, DML through
+        # engine-managed tables goes to this branch instead of main.
+        self.wap_branch: str | None = None
+
+    # -- SQL entry point ---------------------------------------------------
+
+    def sql(self, text: str) -> DataFrame:
+        self.last_rewrite = None
+        m = match_statement(text)
+        if m is not None:
+            kind, groups = m
+            if kind == "create_mv":
+                mv = self.mv.create(groups.group(2), groups.group(3),
+                                    if_not_exists=bool(groups.group(1)))
+                return self._status(f"created materialized view {mv.name}")
+            if kind == "drop_mv":
+                self.mv.drop(groups.group(2), if_exists=bool(groups.group(1)))
+                return self._status(f"dropped materialized view {groups.group(2)}")
+            if kind == "refresh_mv":
+                mv = self.mv.refresh(groups.group(1), incremental=bool(groups.group(2)))
+                return self._status(f"refreshed materialized view {mv.name}")
+            if kind == "show_mv":
+                return self.mv.show()
+            if kind == "call":
+                return self._call(groups.group(1), groups.group(2))
+        res = self.rewriter.try_rewrite(text)
+        if res is not None:
+            self.last_rewrite = res
+            return res.df
+        return self.spark.sql(text)
+
+    def _status(self, message: str) -> DataFrame:
+        return self.spark.createDataFrame([(message,)], "result string")
+
+    # -- CALL system.* dispatch (docs/spark-procedures.md) ------------------
+
+    def _call(self, name: str, argstr: str) -> DataFrame:
+        args, kw = parse_call_args(argstr)
+        name = name.lower()
+        table_arg = kw.pop("table", None) or (args.pop(0) if args else None)
+        handlers = {
+            "rollback_to_snapshot": lambda t: proc.rollback_to_snapshot(
+                t, kw.get("snapshot_id", args[0] if args else None)),
+            "rollback_to_timestamp": lambda t: proc.rollback_to_timestamp(
+                t, kw.get("timestamp_ms", args[0] if args else None)),
+            "set_current_snapshot": lambda t: proc.set_current_snapshot(
+                t, snapshot_id=kw.get("snapshot_id", args[0] if args else None),
+                ref=kw.get("ref")),
+            "cherrypick_snapshot": lambda t: proc.cherrypick_snapshot(
+                t, kw.get("snapshot_id", args[0] if args else None)),
+            "publish_changes": lambda t: proc.publish_changes(
+                t, wap_id=kw.get("wap_id"), wap_branch=kw.get("wap_branch")),
+            "fast_forward": lambda t: proc.fast_forward(
+                t, kw.get("branch", args[0] if args else None),
+                kw.get("to", args[1] if len(args) > 1 else None)),
+            "expire_snapshots": lambda t: proc.expire_snapshots(
+                t, older_than_ms=kw.get("older_than_ms"),
+                retain_last=kw.get("retain_last", 1),
+                snapshot_ids=kw.get("snapshot_ids")),
+            "remove_orphan_files": lambda t: {"orphan_file_location": proc.remove_orphan_files(
+                t, older_than_ms=kw.get("older_than_ms"), dry_run=kw.get("dry_run", False))},
+            "rewrite_data_files": lambda t: proc.rewrite_data_files(
+                t, strategy=kw.get("strategy", "binpack"),
+                sort_order=kw.get("sort_order"), where=kw.get("where"),
+                target_file_size_bytes=kw.get("target_file_size_bytes")),
+            "rewrite_manifests": lambda t: proc.rewrite_manifests(t),
+            "rewrite_position_delete_files": lambda t: proc.rewrite_position_delete_files(t),
+            "compute_table_stats": lambda t: proc.compute_table_stats(
+                t, columns=kw.get("columns")),
+        }
+        if name == "ancestors_of":
+            t = self.catalog.load_table(table_arg)
+            return proc.ancestors_of(t, kw.get("snapshot_id", args[0] if args else None))
+        if name == "compute_partition_stats":
+            return proc.compute_partition_stats(self.catalog.load_table(table_arg))
+        if name == "create_changelog_view":
+            t = self.catalog.load_table(table_arg)
+            return proc.create_changelog_view(
+                t, kw.get("changelog_view", f"{t.name.split('.')[-1]}_changes"),
+                start_snapshot_id=kw.get("start_snapshot_id"),
+                end_snapshot_id=kw.get("end_snapshot_id"),
+                identifier_columns=kw.get("identifier_columns"),
+                net_changes=kw.get("net_changes", False),
+            )
+        if name == "add_files":
+            t = self.catalog.load_table(table_arg)
+            res = proc.add_files(t, self.spark, kw.get("source_table", args[0] if args else None))
+            return self._result_df(res)
+        if name == "migrate":
+            t = proc.migrate_parquet_path(self.catalog, self.spark, table_arg,
+                                          kw.get("source", args[0] if args else None))
+            return self._status(f"migrated to {t.name}")
+        if name == "register_table":
+            t = proc.register_table(self.catalog, table_arg,
+                                    kw.get("metadata_file", args[0] if args else None))
+            return self._status(f"registered {t.name}")
+        if name == "snapshot":
+            dest = kw.get("dest", args[0] if args else None)
+            t = proc.snapshot_table(self.catalog.load_table(table_arg), dest, self.catalog)
+            return self._status(f"snapshotted to {t.name}")
+        if name not in handlers:
+            raise ValueError(f"unknown procedure: system.{name}")
+        t = self.catalog.load_table(table_arg)
+        res = handlers[name](t)
+        return self._result_df(res)
+
+    def _result_df(self, res) -> DataFrame:
+        if isinstance(res, DataFrame):
+            return res
+        if isinstance(res, dict):
+            items = sorted(res.items())
+            row = tuple(str(v) if isinstance(v, (list, dict)) else v for _k, v in items)
+            ddl = ", ".join(
+                f"{k} {'bigint' if isinstance(v, (int, type(None))) and not isinstance(v, bool) else 'string'}"
+                for k, v in items
+            )
+            return self.spark.createDataFrame([row], ddl)
+        return self._status(str(res))
+
+    # -- WAP ---------------------------------------------------------------
+
+    def set_wap_branch(self, branch: str | None) -> None:
+        self.wap_branch = branch
+
+    def write_branch(self, table) -> str:
+        """Resolve the effective write branch for a table: WAP staging branch
+        when enabled on the table + session (iceberg_it.py:1352-1365)."""
+        from iceberg_demo_spark.tables.format import MAIN_BRANCH
+
+        if self.wap_branch and table.properties.get("write.wap.enabled", "").lower() == "true":
+            if self.wap_branch not in table.metadata.refs:
+                cur = table.metadata.current_snapshot()
+                if cur is not None:
+                    table.create_branch(self.wap_branch)
+            return self.wap_branch
+        return MAIN_BRANCH
