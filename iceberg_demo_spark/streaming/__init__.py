@@ -1,0 +1,15 @@
+"""Structured Streaming surface (SURVEY.md §2.15,
+docs/spark-structured-streaming.md): incremental micro-batch reads and
+snapshot-committing writes over the engine's tables."""
+
+from iceberg_demo_spark.streaming.pipeline import (
+    maintain_streaming_table,
+    stream_hourly_event_counts,
+    stream_to_table,
+)
+
+__all__ = [
+    "stream_to_table",
+    "stream_hourly_event_counts",
+    "maintain_streaming_table",
+]
