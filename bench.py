@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk",
     "events_sessionization",
+    "dml_merge_upsert",
+    "compaction_preserves_table",
 ]
 
 

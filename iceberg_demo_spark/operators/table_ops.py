@@ -1,0 +1,388 @@
+"""Driver-gate queries for the table-format + MV + streaming subsystems.
+
+Each query materializes a scratch table in a per-call temp warehouse, runs
+the operator under test (DML / time travel / compaction / MV rewrite /
+streaming ingest), and returns the resulting state as a DataFrame whose
+content is ALSO expressible as pure SQL over the input tables — that SQL is
+the DuckDB oracle. This puts the reference's write-path semantics
+(iceberg_it.py §2.9-2.12) under the driver's value-hash correctness gate,
+not just pytest.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.engine import Engine
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+from iceberg_demo_spark.tables import Catalog, procedures as proc
+
+
+def _scratch(spark: SparkSession) -> Catalog:
+    return Catalog(spark, tempfile.mkdtemp(prefix="glacier_wh_"))
+
+
+# -- DML: MERGE upsert -----------------------------------------------------
+
+@query(
+    "dml_merge_upsert",
+    oracle="""
+    WITH totals AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey AS c_custkey,
+           ROUND(c.c_acctbal + COALESCE(t.total, 0.0), 2) AS new_acctbal,
+           COALESCE(t.n_orders, 0) AS n_orders
+    FROM customer c LEFT JOIN totals t ON c.c_custkey = t.o_custkey
+    ORDER BY c_custkey
+    LIMIT 200
+    """,
+)
+def dml_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (matched-update) against a real table, then scan: the final
+    state must equal the SQL-joined expectation."""
+    t_in = load_tables(spark, sf_dir, ("customer", "orders"))
+    cat = _scratch(spark)
+    target = cat.create_table_as(
+        "db.cust",
+        t_in["customer"].select("c_custkey", "c_acctbal"),
+    )
+    src = (
+        t_in["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    # extend schema for merge bookkeeping
+    target.add_column("n_orders", "bigint")
+    target.merge(
+        src,
+        on="t.c_custkey = s.custkey",
+        matched=[{"action": "update",
+                  "set": {"c_acctbal": "round(t.c_acctbal + s.total, 2)",
+                          "n_orders": "s.n_orders"}}],
+        check_cardinality=False,  # source is pre-aggregated ⇒ unique keys
+    )
+    return (
+        target.scan()
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("new_acctbal"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+# -- DML: DELETE + UPDATE --------------------------------------------------
+
+@query(
+    "dml_delete_update",
+    oracle="""
+    WITH after_delete AS (
+      SELECT * FROM part WHERE p_size > 10
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           ROUND(SUM(CASE WHEN p_size > 40 THEN p_retailprice * 1.1
+                          ELSE p_retailprice END), 2) AS total_price
+    FROM after_delete
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE then UPDATE WHERE on a scratch copy of part; final agg
+    must equal the pure-SQL simulation."""
+    t_in = load_tables(spark, sf_dir, ("part",))
+    cat = _scratch(spark)
+    t = cat.create_table_as(
+        "db.part", t_in["part"].select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )
+    t.delete_where("p_size <= 10")
+    t.update_where({"p_retailprice": "p_retailprice * 1.1"}, "p_size > 40")
+    return (
+        t.scan()
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum("p_retailprice"), 2).alias("total_price"))
+        .orderBy("p_brand")
+    )
+
+
+# -- DML: dynamic partition overwrite -------------------------------------
+
+@query(
+    "dml_overwrite_dynamic",
+    oracle="""
+    WITH repl AS (
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_returnflag, l_linestatus
+    ), keep AS (
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem WHERE l_returnflag <> 'R'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT * FROM repl UNION ALL SELECT * FROM keep
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def dml_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned table; dynamic overwrite replaces only the partitions the
+    incoming frame touches (docs/spark-writes.md:129-143 semantics)."""
+    t_in = load_tables(spark, sf_dir, ("lineitem",))
+    li = t_in["lineitem"]
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.flags", "l_returnflag string, l_linestatus string, sum_qty double",
+        partition_by=[("l_returnflag",)],
+    )
+    t.append(agg)  # initial state: all partitions
+    # overwrite partition R only (recomputed — content identical, but the
+    # commit must not touch A/N partitions)
+    t.overwrite_dynamic(agg.filter(F.col("l_returnflag") == "R"))
+    return t.scan().orderBy("l_returnflag", "l_linestatus")
+
+
+# -- time travel -----------------------------------------------------------
+
+@query(
+    "tt_snapshot_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM nation) AS v1_rows,
+           (SELECT COUNT(*) FROM nation) * 2 AS v2_rows,
+           (SELECT COUNT(*) FROM nation) AS rollback_rows
+    """,
+)
+def tt_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append → snapshot-read v1 vs v2 → rollback: row counts at each point
+    (iceberg_it.py:1957-1967 time-travel semantics)."""
+    t_in = load_tables(spark, sf_dir, ("nation",))
+    cat = _scratch(spark)
+    t = cat.create_table_as("db.nat", t_in["nation"])
+    s1 = t.metadata.current_snapshot().snapshot_id
+    t.append(t_in["nation"])  # v2 = double
+    v1 = t.scan(snapshot_id=s1).count()
+    v2 = t.scan().count()
+    proc.rollback_to_snapshot(t, s1)
+    rb = t.scan().count()
+    return spark.createDataFrame(
+        [(v1, v2, rb)], "v1_rows bigint, v2_rows bigint, rollback_rows bigint"
+    )
+
+
+# -- branch isolation ------------------------------------------------------
+
+@query(
+    "branch_write_isolation",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM region) AS main_rows,
+           (SELECT COUNT(*) FROM region) * 2 AS branch_rows,
+           (SELECT COUNT(*) FROM region) * 2 AS published_rows
+    """,
+)
+def branch_write_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP flow (iceberg_it.py:1352-1365): write to staging branch, main
+    unaffected, publish fast-forwards main."""
+    t_in = load_tables(spark, sf_dir, ("region",))
+    cat = _scratch(spark)
+    t = cat.create_table_as("db.reg", t_in["region"])
+    t.create_branch("audit")
+    t.append(t_in["region"], branch="audit")
+    main_rows = t.scan().count()
+    branch_rows = t.scan(branch="audit").count()
+    proc.publish_changes(t, wap_branch="audit")
+    published = t.scan().count()
+    return spark.createDataFrame(
+        [(main_rows, branch_rows, published)],
+        "main_rows bigint, branch_rows bigint, published_rows bigint",
+    )
+
+
+# -- compaction ------------------------------------------------------------
+
+@query(
+    "compaction_preserves_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(s_acctbal), 2) AS total_bal,
+           COUNT(DISTINCT s_nationkey) AS n_nations
+    FROM supplier
+    """,
+)
+def compaction_preserves_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rewrite_data_files (binpack) must reduce file count and preserve
+    content — the BASELINE 'compaction' requirement under the value gate."""
+    t_in = load_tables(spark, sf_dir, ("supplier",))
+    cat = _scratch(spark)
+    t = cat.create_table("db.supp", [
+        (f.name, f.dataType.simpleString(), f.nullable)
+        for f in t_in["supplier"].schema.fields
+    ])
+    sup = t_in["supplier"]
+    # three small appends => three+ small files
+    t.append(sup.filter("s_suppkey % 3 = 0"))
+    t.append(sup.filter("s_suppkey % 3 = 1"))
+    t.append(sup.filter("s_suppkey % 3 = 2"))
+    n_before = len(t.metadata.current_snapshot().files)
+    proc.rewrite_data_files(t)
+    n_after = len(t.metadata.current_snapshot().files)
+    assert n_after < n_before, "compaction must reduce file count"
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+    )
+
+
+# -- changelog (CDC) -------------------------------------------------------
+
+@query(
+    "changelog_row_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM region) + 1 AS n_inserts,
+           1 AS n_deletes
+    """,
+)
+def changelog_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_changelog_view: inserts from the initial load + one append,
+    one delete (iceberg_it.py:2301-2344)."""
+    t_in = load_tables(spark, sf_dir, ("region",))
+    cat = _scratch(spark)
+    t = cat.create_table_as("db.regc", t_in["region"])
+    one = t_in["region"].limit(1).withColumn("r_regionkey", F.lit(99).cast("bigint"))
+    t.append(one)
+    t.delete_where("r_regionkey = 99")
+    cdc = proc.create_changelog_view(t, "regc_changes")
+    return cdc.agg(
+        F.sum(F.when(F.col("_change_type") == "INSERT", 1).otherwise(0)).cast("bigint").alias("n_inserts"),
+        F.sum(F.when(F.col("_change_type") == "DELETE", 1).otherwise(0)).cast("bigint").alias("n_deletes"),
+    )
+
+
+# -- MV rewrite under the value gate ---------------------------------------
+
+@query(
+    "mv_rollup_correctness",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def mv_rollup_correctness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll-up MV rewrite answering a coarser GROUP BY: the rewritten result
+    goes through the driver's value-hash compare against plain SQL."""
+    load_tables(spark, sf_dir, ("orders",))
+    import tempfile as _tf
+
+    eng = Engine(spark, _tf.mkdtemp(prefix="glacier_mv_"))
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mv_ord AS "
+        "SELECT o_orderpriority, o_orderstatus, SUM(o_totalprice) AS total_raw, COUNT(*) AS cnt "
+        "FROM orders GROUP BY o_orderpriority, o_orderstatus"
+    )
+    df = eng.sql(
+        "SELECT o_orderpriority, SUM(o_totalprice) AS total_raw, COUNT(*) AS cnt "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+    assert eng.last_rewrite is not None and eng.last_rewrite.kind == "rollup"
+    return (
+        df.select(
+            "o_orderpriority",
+            F.round("total_raw", 2).alias("total"),
+            "cnt",
+        ).orderBy("o_orderpriority")
+    )
+
+
+# -- streaming ingest under the value gate ---------------------------------
+
+@query(
+    "streaming_ingest_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    LIMIT 100
+    """,
+)
+def streaming_ingest_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow micro-batch ingest of events into a table, then hourly
+    rollup over the ingested snapshots — equals batch SQL over the source."""
+    import tempfile as _tf
+
+    from iceberg_demo_spark.streaming import stream_to_table
+
+    t_in = load_tables(spark, sf_dir, ("events",))
+    src_dir = _tf.mkdtemp(prefix="glacier_stream_src_")
+    t_in["events"].repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.ev", [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields]
+    )
+    stream_to_table(spark, src_dir, schema, t, _tf.mkdtemp(prefix="glacier_ckpt_"),
+                    max_files_per_trigger=2)
+    t.refresh()
+    return (
+        t.scan()
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("hour_start", "event_type")
+        .limit(100)
+    )
+
+
+# -- schema evolution under the value gate ---------------------------------
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT n_nationkey AS key, n_name AS name,
+           CAST(NULL AS VARCHAR) AS continent
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS key, n_name AS name, 'X' AS continent
+    FROM nation
+    ORDER BY key
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows written before add-column/rename read back NULL-filled and under
+    the new names (iceberg_it.py:342-365 evolution semantics)."""
+    t_in = load_tables(spark, sf_dir, ("nation",))
+    cat = _scratch(spark)
+    nat = t_in["nation"].select("n_nationkey", "n_name")
+    t = cat.create_table_as("db.evo", nat)
+    t.add_column("continent", "string")
+    t.append(
+        nat.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            "n_name", F.lit("X").alias("continent"),
+        )
+    )
+    t.rename_column("n_nationkey", "key")
+    t.rename_column("n_name", "name")
+    return t.scan().orderBy("key")

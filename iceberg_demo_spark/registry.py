@@ -41,5 +41,6 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        table_ops,
         text,
     )

@@ -488,8 +488,9 @@ class Table:
                     branch: str) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
         """Returns (untouched, rewritten_new_files, removed_old_files)."""
         cond = _col(condition)
-        snap = self.metadata.current_snapshot(branch)
-        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        # DML always operates on the CURRENT schema: files written under
+        # older schemas are field-id-mapped up by _read_files.
+        schema_id = self.metadata.current_schema_id
         hit_paths = self._matching_files(files, cond, schema_id)
         if not hit_paths:
             return list(files), [], []
@@ -524,8 +525,7 @@ class Table:
         self.check_writable("UPDATE")
         cond = _col(condition) if condition is not None else F.lit(True)
         old = self._branch_files(branch)
-        snap = self.metadata.current_snapshot(branch)
-        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        schema_id = self.metadata.current_schema_id
         hit_paths = self._matching_files(old, cond, schema_id)
         if not hit_paths:
             return None
@@ -573,8 +573,7 @@ class Table:
         not_matched = not_matched or []
         not_matched_by_source = not_matched_by_source or []
         old = self._branch_files(branch)
-        snap = self.metadata.current_snapshot(branch)
-        schema_id = snap.schema_id if snap else self.metadata.current_schema_id
+        schema_id = self.metadata.current_schema_id
         st = self._struct(schema_id)
 
         target = self._read_files(old, schema_id, with_file_col=True).alias("t")
