@@ -292,6 +292,32 @@ class Table:
     def to_df(self) -> DataFrame:
         return self.scan()
 
+    def scan_incremental(self, start_snapshot_id: int | None = None,
+                         end_snapshot_id: int | None = None,
+                         skip_overwrite: bool = False) -> DataFrame:
+        """Incremental append-only read (docs/spark-queries.md:193-212):
+        rows from files ADDED by snapshots after ``start_snapshot_id`` (
+        exclusive) up to ``end_snapshot_id`` (inclusive). Non-append
+        snapshots raise unless ``skip_overwrite`` (the streaming
+        skip-overwrite-snapshots semantics)."""
+        chain = list(reversed(self.metadata.ancestors(MAIN_BRANCH)))  # old→new
+        ids = [s.snapshot_id for s in chain]
+        lo = ids.index(start_snapshot_id) + 1 if start_snapshot_id in ids else 0
+        hi = ids.index(end_snapshot_id) + 1 if end_snapshot_id in ids else len(chain)
+        files: list[DataFile] = []
+        for snap in chain[lo:hi]:
+            if snap.operation != "append":
+                if skip_overwrite:
+                    continue
+                raise ValueError(
+                    f"incremental read found non-append snapshot "
+                    f"{snap.snapshot_id} ({snap.operation}); pass "
+                    f"skip_overwrite=True to skip it"
+                )
+            by_path = {f.path: f for f in snap.files}
+            files.extend(by_path[p] for p in snap.added_files if p in by_path)
+        return self._read_files(files, self.metadata.current_schema_id)
+
     def _resolve_snapshot(self, snapshot_id=None, as_of_timestamp_ms=None,
                           branch=None, tag=None) -> Snapshot | None:
         if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, branch, tag)) > 1:
