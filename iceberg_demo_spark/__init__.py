@@ -15,5 +15,13 @@ O(rows).
 
 from iceberg_demo_spark.session import get_spark, stop_spark
 
-__all__ = ["get_spark", "stop_spark"]
+
+def engine(spark, warehouse: str):
+    """Convenience constructor for the full engine facade."""
+    from iceberg_demo_spark.engine import Engine
+
+    return Engine(spark, warehouse)
+
+
+__all__ = ["get_spark", "stop_spark", "engine"]
 __version__ = "0.1.0"

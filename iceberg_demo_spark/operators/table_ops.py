@@ -386,3 +386,95 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.rename_column("n_nationkey", "key")
     t.rename_column("n_name", "name")
     return t.scan().orderBy("key")
+
+
+# -- static partition overwrite --------------------------------------------
+
+@query(
+    "insert_overwrite_static",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_rows,
+           MIN(n_name) AS first_name
+    FROM (
+      SELECT n_regionkey, n_name FROM nation WHERE n_regionkey <> 0
+      UNION ALL
+      SELECT 0 AS n_regionkey, 'REPLACED' AS n_name
+    )
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def insert_overwrite_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static INSERT OVERWRITE PARTITION (docs/spark-writes.md:145-162):
+    the partition named by the clause is cleared and replaced."""
+    t_in = load_tables(spark, sf_dir, ("nation",))
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.nat_static", "n_regionkey bigint, n_name string",
+        partition_by=[("n_regionkey",)],
+    )
+    t.append(t_in["nation"].select(F.col("n_regionkey").cast("bigint"), "n_name"))
+    repl = spark.createDataFrame([(0, "REPLACED")], "n_regionkey bigint, n_name string")
+    t.overwrite_where(repl, "n_regionkey = 0")  # static: clause -> delete filter
+    return (
+        t.scan()
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+# -- MERGE: WHEN NOT MATCHED BY SOURCE -------------------------------------
+
+@query(
+    "merge_not_matched_by_source",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN n_name ELSE 'ARCHIVED' END AS name
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE archiving rows absent from the source
+    (iceberg_it.py:1474-1500, docs/spark-writes.md:99-103)."""
+    t_in = load_tables(spark, sf_dir, ("nation",))
+    cat = _scratch(spark)
+    t = cat.create_table_as(
+        "db.nat_arch", t_in["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    )
+    src = t_in["nation"].filter("n_regionkey = 0").select(
+        F.col("n_nationkey").alias("key")
+    )
+    t.merge(
+        src, on="t.n_nationkey = s.key",
+        matched=[{"action": "update", "set": {"n_name": "t.n_name"}}],
+        not_matched_by_source=[{"action": "update", "set": {"n_name": "'ARCHIVED'"}}],
+    )
+    return t.scan().select("n_nationkey", F.col("n_name").alias("name")).orderBy("n_nationkey")
+
+
+# -- incremental read -------------------------------------------------------
+
+@query(
+    "incremental_read_appends",
+    oracle="""
+    SELECT r_regionkey + 100 AS key, r_name AS name FROM region
+    UNION ALL
+    SELECT r_regionkey + 200 AS key, r_name AS name FROM region
+    ORDER BY key
+    """,
+)
+def incremental_read_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """start-snapshot-id incremental read returns only post-snapshot appends
+    (docs/spark-queries.md:193-212)."""
+    t_in = load_tables(spark, sf_dir, ("region",))
+    reg = t_in["region"].select(F.col("r_regionkey").cast("bigint").alias("key"),
+                                F.col("r_name").alias("name"))
+    cat = _scratch(spark)
+    t = cat.create_table_as("db.reg_inc", reg)
+    s1 = t.metadata.current_snapshot().snapshot_id
+    t.append(reg.withColumn("key", F.col("key") + 100))
+    t.append(reg.withColumn("key", F.col("key") + 200))
+    return t.scan_incremental(start_snapshot_id=s1).orderBy("key")
