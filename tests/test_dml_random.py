@@ -1,0 +1,107 @@
+"""Randomized DML consistency: seeded sequences of append / delete / update /
+merge / dynamic-overwrite applied to BOTH the table format and a pure-Python
+row model must agree after every step — and earlier snapshots must stay
+stable (immutable history) while ops proceed.
+
+This is the missing randomized layer the reference suite lacks
+(SURVEY.md §5.3); 2 seeds × 12 ops each.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iceberg_demo_spark.tables import Catalog
+
+CATS = ["a", "b", "c"]
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "wh"))
+
+
+def _mk_rows(rng, n, next_id):
+    return [(next_id + i, rng.choice(CATS), round(rng.uniform(0, 100), 2))
+            for i in range(n)]
+
+
+def _table_state(t):
+    return sorted(tuple(r) for r in t.scan().collect())
+
+
+def _model_state(model):
+    return sorted(model)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_random_dml_matches_model(catalog, spark, seed):
+    rng = random.Random(seed)
+    t = catalog.create_table(f"db.rand{seed}", "id bigint, cat string, val double",
+                             partition_by=[("cat",)])
+    model: list[tuple] = []
+    next_id = 0
+    snapshots: list[tuple[int, list]] = []  # (snapshot_id, state at commit)
+
+    def sync_append(rows):
+        nonlocal next_id
+        t.append(spark.createDataFrame(rows, t.schema()))
+        model.extend(rows)
+        next_id += len(rows)
+
+    sync_append(_mk_rows(rng, 20, next_id))
+
+    for step in range(12):
+        op = rng.choice(["append", "delete", "update", "merge", "overwrite_dynamic"])
+        if op == "append":
+            sync_append(_mk_rows(rng, rng.randint(1, 8), next_id))
+        elif op == "delete":
+            cut = round(rng.uniform(0, 100), 2)
+            cat = rng.choice(CATS)
+            t.delete_where(f"cat = '{cat}' AND val < {cut}")
+            model[:] = [r for r in model if not (r[1] == cat and r[2] < cut)]
+        elif op == "update":
+            cut = round(rng.uniform(0, 100), 2)
+            t.update_where({"val": "round(val + 1.5, 2)"}, f"val >= {cut}")
+            model[:] = [
+                (i, c, round(v + 1.5, 2)) if v >= cut else (i, c, v)
+                for (i, c, v) in model
+            ]
+        elif op == "merge":
+            # upsert: half existing ids (update val), half new ids (insert)
+            ids = [r[0] for r in model]
+            upd = rng.sample(ids, min(3, len(ids))) if ids else []
+            new = _mk_rows(rng, 2, next_id)
+            next_id += 2
+            src_rows = [(i, "m", 55.5) for i in upd] + new
+            src = spark.createDataFrame(src_rows, "id bigint, cat string, val double")
+            t.merge(
+                src, on="t.id = s.id",
+                matched=[{"action": "update", "set": {"val": "s.val"}}],
+                not_matched=[{}],
+            )
+            by_id = {r[0]: r for r in src_rows}
+            model[:] = [
+                (i, c, by_id[i][2]) if i in by_id else (i, c, v)
+                for (i, c, v) in model
+            ]
+            existing = {r[0] for r in model}
+            model.extend(r for r in src_rows if r[0] not in existing)
+        elif op == "overwrite_dynamic":
+            cat = rng.choice(CATS)
+            rows = [(10_000 + next_id + i, cat, 9.99) for i in range(3)]
+            next_id += 3
+            t.overwrite_dynamic(spark.createDataFrame(rows, t.schema()))
+            model[:] = [r for r in model if r[1] != cat] + rows
+
+        got, want = _table_state(t), _model_state(model)
+        assert got == want, f"seed={seed} step={step} op={op}:\n{got[:5]}...\nvs\n{want[:5]}..."
+        snap = t.metadata.current_snapshot()
+        snapshots.append((snap.snapshot_id, list(want)))
+
+    # immutable history: every recorded snapshot still reads its own state
+    for sid, state in rng.sample(snapshots, min(4, len(snapshots))):
+        tt = sorted(tuple(r) for r in t.scan(snapshot_id=sid).collect())
+        assert tt == sorted(state), f"time travel drifted for snapshot {sid}"
