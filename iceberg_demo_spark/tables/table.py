@@ -517,7 +517,9 @@ class Table:
         # DML always operates on the CURRENT schema: files written under
         # older schemas are field-id-mapped up by _read_files.
         schema_id = self.metadata.current_schema_id
-        hit_paths = self._matching_files(files, cond, schema_id)
+        hit_paths = self._matching_files(
+            files, cond, schema_id,
+            cond_text=condition if isinstance(condition, str) else None)
         if not hit_paths:
             return list(files), [], []
         hit = [f for f in files if f.path in hit_paths]
@@ -531,12 +533,63 @@ class Table:
         return kept, rewritten, hit
 
     def _matching_files(self, files: list[DataFile], cond: Column,
-                        schema_id: int) -> set[str]:
+                        schema_id: int, cond_text: str | None = None) -> set[str]:
+        if not files:
+            return set()
+        files = self._prune_files(files, cond_text)
         if not files:
             return set()
         df = self._read_files(files, schema_id, with_file_col=True)
         rows = df.filter(F.coalesce(cond, F.lit(False))).select(_FILE_COL).distinct().collect()
         return {self._rel_path(r[_FILE_COL]) for r in rows}
+
+    def _prune_files(self, files: list[DataFile], cond_text: str | None) -> list[DataFile]:
+        """Driver-side partition pruning for identity-partitioned columns:
+        top-level conjuncts of the form ``col = 'lit'`` / ``col IN (...)``
+        restrict the candidate file set before any scan. At 100 TB this is
+        what turns a partition-aligned DELETE into an O(partition) operation
+        instead of O(table); transform-partition pruning (days/bucket) would
+        slot in here by evaluating the transform on the literal."""
+        if not cond_text or not self.metadata.partition_spec:
+            return files
+        import re as _re
+
+        from iceberg_demo_spark.mv.parser import split_conjuncts
+
+        ident_cols = {
+            p.source.lower(): p.partition_col
+            for p in self.metadata.partition_spec
+            if p.transform == "identity"
+        }
+        if not ident_cols:
+            return files
+        allowed: dict[str, set[str]] = {}
+        try:
+            conjuncts = split_conjuncts(cond_text)
+        except Exception:
+            return files
+        for c in conjuncts:
+            m = _re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", c) or \
+                _re.fullmatch(r"\s*(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*", c)
+            if m and m.group(1).lower() in ident_cols:
+                allowed.setdefault(ident_cols[m.group(1).lower()], set()).add(m.group(2))
+                continue
+            m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c, _re.IGNORECASE)
+            if m and m.group(1).lower() in ident_cols:
+                vals = {v.strip().strip("'") for v in m.group(2).split(",")}
+                allowed.setdefault(ident_cols[m.group(1).lower()], set()).update(vals)
+        if not allowed:
+            return files
+        out = []
+        for f in files:
+            keep = True
+            for pcol, vals in allowed.items():
+                if pcol in f.partition and f.partition[pcol] not in vals:
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
 
     def _rel_path(self, file_uri: str) -> str:
         p = file_uri
@@ -552,7 +605,9 @@ class Table:
         cond = _col(condition) if condition is not None else F.lit(True)
         old = self._branch_files(branch)
         schema_id = self.metadata.current_schema_id
-        hit_paths = self._matching_files(old, cond, schema_id)
+        hit_paths = self._matching_files(
+            old, cond, schema_id,
+            cond_text=condition if isinstance(condition, str) else None)
         if not hit_paths:
             return None
         hit = [f for f in old if f.path in hit_paths]

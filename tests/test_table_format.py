@@ -380,3 +380,18 @@ def test_rewrite_table_path_stages_copy(catalog, spark, tmp_path):
     staged = Table(spark, TableMetadata.load(staging))
     assert staged.scan().count() == 3  # staged copy readable in place
     assert t.scan().count() == 3  # source untouched
+
+
+def test_partition_pruned_delete_never_scans_other_partitions(catalog, spark):
+    """A partition-aligned DELETE prunes candidate files driver-side: the
+    non-matching partition's file is untouched AND was never a rewrite
+    candidate (file list pruned before the matching scan)."""
+    t = _sample(catalog, "db.prune", partition_by=[("category",)])
+    files_before = list(t.metadata.current_snapshot().files)
+    pruned = t._prune_files(files_before, "category = 'x' AND amount < 100")
+    assert pruned and all(f.partition["_p_category"] == "x" for f in pruned)
+    assert t._prune_files(files_before, "category IN ('y')") != files_before
+    # OR at top level must NOT prune (could match either partition)
+    assert t._prune_files(files_before, "category = 'x' OR amount > 5") == files_before
+    t.delete_where("category = 'x' AND amount <= 10")
+    assert {r["id"] for r in t.scan().collect()} == {2, 3}
