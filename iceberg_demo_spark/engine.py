@@ -64,6 +64,21 @@ class Engine:
     def _status(self, message: str) -> DataFrame:
         return self.spark.createDataFrame([(message,)], "result string")
 
+    # -- table access ------------------------------------------------------
+
+    def table(self, name: str, **scan_kwargs) -> DataFrame:
+        """DataFrame over a catalog table; scan_kwargs pass through to
+        Table.scan (snapshot_id / as_of_timestamp_ms / branch / tag)."""
+        return self.catalog.load_table(name).scan(**scan_kwargs)
+
+    def register(self, name: str, view_name: str | None = None, **scan_kwargs) -> str:
+        """Register a catalog table('s snapshot) as a Spark temp view so
+        plain SQL — and MV defining queries — can reference it. Returns the
+        view name (dots become underscores)."""
+        view = view_name or name.replace(".", "_")
+        self.table(name, **scan_kwargs).createOrReplaceTempView(view)
+        return view
+
     # -- CALL system.* dispatch (docs/spark-procedures.md) ------------------
 
     def _call(self, name: str, argstr: str) -> DataFrame:

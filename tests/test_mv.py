@@ -246,3 +246,72 @@ def test_refresh_does_not_self_rewrite(engine):
     engine.sql("CREATE MATERIALIZED VIEW mv_s AS SELECT region, product, amount FROM sales")
     engine.sql("REFRESH MATERIALIZED VIEW mv_s")
     assert engine.mv_catalog.get("mv_s").row_count == 6
+
+
+def test_three_way_join_rewrite(engine, spark):
+    spark.createDataFrame(
+        [(1, "widget"), (2, "gadget")], "id bigint, pname string"
+    ).createOrReplaceTempView("products")
+    spark.createDataFrame(
+        [(1, 101, 1, 50.0), (2, 101, 2, 70.0), (3, 102, 1, 20.0)],
+        "id bigint, customer_id bigint, product_id bigint, amount double",
+    ).createOrReplaceTempView("line_orders")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_3w AS "
+        "SELECT c.region AS region, p.pname AS pname, SUM(o.amount) AS total "
+        "FROM line_orders o JOIN customers c ON o.customer_id = c.id "
+        "JOIN products p ON o.product_id = p.id "
+        "GROUP BY c.region, p.pname"
+    )
+    _assert_same(
+        engine,
+        "SELECT c.region AS region, SUM(o.amount) AS total "
+        "FROM line_orders o JOIN customers c ON o.customer_id = c.id "
+        "JOIN products p ON o.product_id = p.id "
+        "GROUP BY c.region",
+        expect_mv="mv_3w", expect_kind="rollup",
+    )
+    # different middle table => no rewrite
+    res = _assert_same(
+        engine,
+        "SELECT c.region AS region, SUM(o.amount) AS total "
+        "FROM line_orders o JOIN customers c ON o.customer_id = c.id "
+        "JOIN sales p ON o.product_id = p.amount "
+        "GROUP BY c.region",
+    )
+    assert res is None
+
+
+def test_join_condition_order_insensitive(engine):
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_flip AS "
+        "SELECT o.id AS oid, c.name AS cname FROM orders o "
+        "JOIN customers c ON o.customer_id = c.id"
+    )
+    # flipped equality in ON must still match (canonicalized as sorted pair)
+    _assert_same(
+        engine,
+        "SELECT o.id AS oid, c.name AS cname FROM orders o "
+        "JOIN customers c ON c.id = o.customer_id",
+        expect_mv="mv_flip",
+    )
+
+
+def test_mv_over_engine_catalog_table(engine, spark):
+    """MV whose base is one of the engine's own snapshot-versioned tables:
+    register as view, build MV, rewrite fires, refresh picks up new commits."""
+    t = engine.catalog.create_table_as(
+        "db.sales_t",
+        spark.createDataFrame([("e", 10.0), ("w", 20.0)], "region string, amount double"),
+    )
+    engine.register("db.sales_t", "sales_t")
+    engine.sql("CREATE MATERIALIZED VIEW mv_cat AS "
+               "SELECT region, SUM(amount) AS total FROM sales_t GROUP BY region")
+    df = engine.sql("SELECT region, SUM(amount) AS total FROM sales_t GROUP BY region")
+    assert engine.last_rewrite is not None
+    assert dict(df.collect()) == {"e": 10.0, "w": 20.0}
+    t.append(spark.createDataFrame([("e", 5.0)], "region string, amount double"))
+    engine.register("db.sales_t", "sales_t")  # refresh the view snapshot
+    engine.sql("REFRESH MATERIALIZED VIEW mv_cat")
+    df2 = engine.sql("SELECT region, SUM(amount) AS total FROM sales_t GROUP BY region")
+    assert dict(df2.collect()) == {"e": 15.0, "w": 20.0}
