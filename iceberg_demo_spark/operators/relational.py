@@ -887,3 +887,59 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("rev")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT (SURVEY §2.7 — Spark-native)
+# ---------------------------------------------------------------------------
+
+@query(
+    "setops_customer_supplier_nations",
+    oracle="""
+    WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+    ORDER BY op
+    """,
+)
+def setops_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nk")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("nk")).distinct()
+    rows = [
+        ("except", c.exceptAll(s).distinct().count()),
+        ("intersect", c.intersect(s).count()),
+        ("union", c.union(s).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n bigint")
+
+
+# ---------------------------------------------------------------------------
+# first() aggregate dedup (docs/spark-writes.md:136-141 INSERT OVERWRITE
+# dedup pattern; deterministic because duplicate rows are identical)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_first_agg",
+    oracle="""
+    WITH doubled AS (
+      SELECT * FROM region UNION ALL SELECT * FROM region
+    )
+    SELECT r_regionkey, MIN(r_name) AS r_name, COUNT(*) AS n_copies
+    FROM doubled
+    GROUP BY r_regionkey
+    ORDER BY r_regionkey
+    """,
+)
+def dedup_first_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("region",))
+    doubled = t["region"].unionAll(t["region"])
+    return (
+        doubled.groupBy("r_regionkey")
+        .agg(F.first("r_name").alias("r_name"), F.count("*").alias("n_copies"))
+        .orderBy("r_regionkey")
+    )

@@ -315,3 +315,37 @@ def test_mv_over_engine_catalog_table(engine, spark):
     engine.sql("REFRESH MATERIALIZED VIEW mv_cat")
     df2 = engine.sql("SELECT region, SUM(amount) AS total FROM sales_t GROUP BY region")
     assert dict(df2.collect()) == {"e": 15.0, "w": 20.0}
+
+
+def test_random_query_sweep_rewrite_equivalence(engine):
+    """Seeded sweep over the rewrite grammar: random group-by subsets,
+    aggregate picks, and predicate combos. Every query must return the same
+    rows through the engine (rewrite allowed) as through raw Spark."""
+    import random
+
+    rng = random.Random(1234)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW mv_sweep AS "
+        "SELECT region, product, SUM(amount) AS s_amt, COUNT(*) AS cnt, "
+        "MIN(amount) AS lo, MAX(amount) AS hi, COUNT(amount) AS c_amt "
+        "FROM sales GROUP BY region, product"
+    )
+    groups_pool = [["region"], ["product"], ["region", "product"]]
+    aggs_pool = [
+        "SUM(amount) AS s", "COUNT(*) AS c", "MIN(amount) AS mn",
+        "MAX(amount) AS mx", "AVG(amount) AS av",
+    ]
+    preds_pool = [None, "product = 'widget'", "region = 'east'",
+                  "product = 'widget' AND region = 'east'"]
+    n_rewritten = 0
+    for _ in range(24):
+        groups = rng.choice(groups_pool)
+        aggs = rng.sample(aggs_pool, rng.randint(1, 3))
+        pred = rng.choice(preds_pool)
+        q = (f"SELECT {', '.join(groups + aggs)} FROM sales"
+             + (f" WHERE {pred}" if pred else "")
+             + f" GROUP BY {', '.join(groups)}")
+        _assert_same(engine, q)
+        if engine.last_rewrite is not None:
+            n_rewritten += 1
+    assert n_rewritten >= 12, f"rewriter fired only {n_rewritten}/24 times"
