@@ -116,6 +116,48 @@ def dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- DML: merge-on-read (position deletes) ---------------------------------
+
+@query(
+    "dml_delete_update_mor",
+    oracle="""
+    WITH after_delete AS (
+      SELECT * FROM part WHERE p_size > 10
+    )
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           ROUND(SUM(CASE WHEN p_size > 40 THEN p_retailprice * 1.1
+                          ELSE p_retailprice END), 2) AS total_price
+    FROM after_delete
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def dml_delete_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same DELETE+UPDATE sequence as ``dml_delete_update`` but under
+    ``write.*.mode = merge-on-read`` (position-delete files,
+    iceberg_it.py:2279-2285), then compacted via
+    rewrite_position_delete_files — final scan must equal the same SQL
+    oracle, proving mode changes storage layout, not semantics."""
+    t_in = load_tables(spark, sf_dir, ("part",))
+    cat = _scratch(spark)
+    t = cat.create_table_as(
+        "db.part_mor", t_in["part"].select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    )
+    t.set_properties({"write.delete.mode": "merge-on-read",
+                      "write.update.mode": "merge-on-read"})
+    t.delete_where("p_size <= 10")
+    t.update_where({"p_retailprice": "p_retailprice * 1.1"}, "p_size > 40")
+    proc.rewrite_position_delete_files(t)
+    return (
+        t.scan()
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum("p_retailprice"), 2).alias("total_price"))
+        .orderBy("p_brand")
+    )
+
+
 # -- DML: dynamic partition overwrite -------------------------------------
 
 @query(

@@ -104,6 +104,26 @@ class DataFile:
 
 
 @dataclass
+class DeleteFile:
+    """Position-delete file (merge-on-read DML): a parquet file of
+    ``(file_path string, pos bigint)`` rows marking deleted positions in data
+    files. ``file_path`` is the data file's path relative to the table
+    location. Mirrors Iceberg v2 position deletes
+    (docs/spark-procedures.md:514-572, iceberg_it.py:2274-2294)."""
+
+    path: str  # relative to table location
+    records: int
+    bytes: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "records": self.records, "bytes": self.bytes}
+
+    @staticmethod
+    def from_json(d: dict) -> "DeleteFile":
+        return DeleteFile(d["path"], d["records"], d["bytes"])
+
+
+@dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
@@ -114,6 +134,7 @@ class Snapshot:
     added_files: list[str] = field(default_factory=list)
     removed_files: list[str] = field(default_factory=list)
     summary: dict[str, str] = field(default_factory=dict)
+    delete_files: list[DeleteFile] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -126,6 +147,7 @@ class Snapshot:
             "added_files": self.added_files,
             "removed_files": self.removed_files,
             "summary": self.summary,
+            "delete_files": [f.to_json() for f in self.delete_files],
         }
 
     @staticmethod
@@ -140,6 +162,7 @@ class Snapshot:
             d.get("added_files", []),
             d.get("removed_files", []),
             d.get("summary", {}),
+            [DeleteFile.from_json(f) for f in d.get("delete_files", [])],
         )
 
 

@@ -143,6 +143,7 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
         return {"deleted_data_files_count": 0, "deleted_snapshots_count": 0}
     survivors = [s for s in md.snapshots if s.snapshot_id not in expire]
     live_after = {f.path for s in survivors for f in s.files}
+    live_after.update(f.path for s in survivors for f in s.delete_files)
     live_before = table.live_file_paths()
     to_delete = live_before - live_after
     for rel in to_delete:
@@ -202,7 +203,8 @@ def rewrite_data_files(table: Table, strategy: str = "binpack",
     )
     candidates = list(head.files)
     if where is not None:
-        hit = table._matching_files(candidates, F.expr(where), head.schema_id)
+        hit = table._matching_files(candidates, F.expr(where), head.schema_id,
+                                    delete_files=head.delete_files)
         candidates = [f for f in candidates if f.path in hit]
     groups: dict[tuple, list] = {}
     for f in candidates:
@@ -215,7 +217,9 @@ def rewrite_data_files(table: Table, strategy: str = "binpack",
         src = fs if strategy != "binpack" else small
         if not src:
             continue
-        df = table._read_files(src, head.schema_id)
+        # Reading WITH position deletes applied folds merge-on-read deletes
+        # back into clean data files (one purpose of compaction).
+        df = table._read_files(src, head.schema_id, delete_files=head.delete_files)
         total = sum(f.bytes for f in src)
         n_out = max(1, -(-total // target))  # ceil
         if strategy == "sort" and sort_order:
@@ -254,11 +258,29 @@ def rewrite_manifests(table: Table) -> dict:
 
 
 def rewrite_position_delete_files(table: Table) -> dict:
-    """Copy-on-write engine ⇒ no position-delete files exist; returns the
-    empty result the reference would after full compaction
-    (docs/spark-procedures.md:514-572)."""
+    """Compact merge-on-read position-delete files
+    (docs/spark-procedures.md:514-572, iceberg_it.py:2274-2294): merge the
+    accumulated per-commit delete files into one sorted file and drop
+    *dangling* entries (deletes pointing at data files no longer live —
+    produced when copy-on-write or compaction rewrote a file after a
+    merge-on-read delete). At scale this is what keeps the read-side
+    anti-join build small."""
     table.check_writable("rewrite_position_delete_files")
-    return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+    head = table.metadata.current_snapshot()
+    if head is None or not head.delete_files:
+        return {"rewritten_delete_files_count": 0, "added_delete_files_count": 0}
+    live = {f.path for f in head.files}
+    entries = table._delete_entries_df(head.delete_files)
+    live_df = table.spark.createDataFrame([(p,) for p in sorted(live)], "file_path string")
+    kept = entries.join(F.broadcast(live_df), "file_path", "left_semi")
+    new_dels = table._write_delete_files(kept)
+    table._commit("replace", list(head.files), [], [], MAIN_BRANCH,
+                  {"operation-detail": "rewrite_position_delete_files"},
+                  delete_files=new_dels)
+    return {
+        "rewritten_delete_files_count": len(head.delete_files),
+        "added_delete_files_count": len(new_dels),
+    }
 
 
 # -- table migration / registration ---------------------------------------
@@ -389,11 +411,27 @@ def create_changelog_view(
         parent_by_path = {f.path: f for f in parent.files} if parent else {}
         added = [by_path[p] for p in snap.added_files if p in by_path]
         removed = [parent_by_path[p] for p in snap.removed_files if p in parent_by_path]
-        if not added and not removed:
+        # Merge-on-read commits change rows without touching data files:
+        # rows newly masked by this commit's NEW delete files are DELETEs.
+        parent_del_paths = {d.path for d in parent.delete_files} if parent else set()
+        new_dels = [d for d in snap.delete_files if d.path not in parent_del_paths]
+        if not added and not removed and not new_dels:
             continue
         schema_id = snap.schema_id
-        added_df = table._read_files(added, schema_id)
-        removed_df = table._read_files(removed, schema_id)
+        added_df = table._read_files(added, schema_id,
+                                     delete_files=snap.delete_files)
+        removed_df = table._read_files(removed, schema_id,
+                                       delete_files=parent.delete_files if parent else None)
+        if new_dels:
+            touched = {
+                r["file_path"]
+                for r in table._delete_entries_df(new_dels).select("file_path").distinct().collect()
+            }
+            ref = [f for f in (parent.files if parent else []) if f.path in touched]
+            before = table._read_files(ref, schema_id,
+                                       delete_files=parent.delete_files if parent else None)
+            after = table._read_files(ref, schema_id, delete_files=snap.delete_files)
+            removed_df = removed_df.unionByName(before.exceptAll(after))
         ins = added_df.exceptAll(removed_df).select(
             "*", F.lit("INSERT").alias("_change_type"),
             F.lit(ordinal).alias("_change_ordinal"),

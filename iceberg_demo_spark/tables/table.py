@@ -6,12 +6,21 @@ Re-expresses the reference's Iceberg table surface Spark-first
 refs, :1938-2093 metadata/time-travel): every data movement is a DataFrame
 job; every version change is a driver-side metadata commit.
 
-Copy-on-write strategy (the reference's default, iceberg_it.py:2279-2285):
-row-level DELETE/UPDATE/MERGE rewrite only the data files that contain
-affected rows — at 100 TB a point-delete touches a handful of files, not the
-table. Affected files are found with one filtered scan projecting
-``input_file_name()`` (file-level pruning; per-file min/max stats would
-shortcut this further and slot in at ``_matching_files``).
+Row-level DML supports both Iceberg write modes (iceberg_it.py:2279-2285,
+table properties ``write.delete/update/merge.mode``):
+
+- **copy-on-write** (default): rewrite only the data files that contain
+  affected rows — at 100 TB a point-delete touches a handful of files, not
+  the table. Affected files are found with one filtered scan projecting the
+  file path (file-level pruning; per-file min/max stats would shortcut this
+  further and slot in at ``_matching_files``).
+- **merge-on-read**: write small position-delete files ``(file_path, pos)``
+  instead of rewriting data files (cheap writes, reads pay an anti-join);
+  positions come from the parquet reader's ``_metadata.row_index``. Deletes
+  are applied scan-side via a broadcast anti-join — the Spark analogue of
+  Iceberg's executor delete-file cache (docs/spark-configuration.md:195-198).
+  ``rewrite_position_delete_files`` / ``rewrite_data_files`` fold the deletes
+  back into data files (docs/spark-procedures.md:514-572).
 """
 
 from __future__ import annotations
@@ -20,7 +29,6 @@ import os
 import shutil
 import uuid
 from urllib.parse import unquote
-from urllib.request import url2pathname
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +37,7 @@ from pyspark.sql import types as T
 from iceberg_demo_spark.tables.format import (
     MAIN_BRANCH,
     DataFile,
+    DeleteFile,
     PartitionField,
     SchemaField,
     Snapshot,
@@ -40,6 +49,10 @@ READONLY_PROP = "hive-ext.readOnly"
 
 _FILE_COL = "_g_file"
 _ROW_COL = "_g_row"
+_POS_COL = "_g_pos"
+
+#: schema of a position-delete file (Iceberg v2 position deletes)
+_DELETE_SCHEMA = "file_path string, pos bigint"
 
 
 class ReadOnlyTableError(Exception):
@@ -287,7 +300,8 @@ class Table:
             x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
         )
         out_schema = snap.schema_id if time_travel else self.metadata.current_schema_id
-        return self._read_files(snap.files, out_schema, with_file_col)
+        return self._read_files(snap.files, out_schema, with_file_col,
+                                delete_files=snap.delete_files)
 
     def to_df(self) -> DataFrame:
         return self.scan()
@@ -330,15 +344,45 @@ class Table:
             return self.metadata.resolve_ref(branch or tag)
         return self.metadata.current_snapshot()
 
+    def _rel_path_expr(self) -> Column:
+        """Data-file path relative to the table location, computed from
+        ``_metadata.file_path`` (scheme-prefix agnostic: works for
+        ``file:/...`` and ``file:///...``)."""
+        anchor = self.location.rstrip("/") + "/"
+        return F.expr(
+            f"substring(_metadata.file_path, "
+            f"instr(_metadata.file_path, '{anchor}') + {len(anchor)})"
+        )
+
+    def _delete_entries_df(self, delete_files: list[DeleteFile]) -> DataFrame:
+        paths = [os.path.join(self.location, f.path) for f in delete_files]
+        return self.spark.read.schema(_DELETE_SCHEMA).parquet(*paths)
+
     def _read_files(self, files: list[DataFile], out_schema_id: int,
-                    with_file_col: bool = False) -> DataFrame:
+                    with_file_col: bool = False,
+                    delete_files: list[DeleteFile] | None = None,
+                    with_pos_col: bool = False) -> DataFrame:
         """Field-id-mapped read: files written under older schemas are
         selected/cast/renamed into the requested schema (rename = same id,
-        new name; add = NULL for old files; widen = cast)."""
+        new name; add = NULL for old files; widen = cast).
+
+        ``delete_files``: position deletes applied via broadcast anti-join on
+        (relative file path, row index) — delete sets are small next to the
+        data they mask, so broadcasting avoids shuffling the data side; this
+        is the Spark analogue of Iceberg distributing delete files to
+        executors. ``with_file_col`` adds the relative file path as
+        ``_g_file``; ``with_pos_col`` additionally adds ``_g_pos`` (the
+        parquet row index), which together address a row for position
+        deletes."""
         out_fields = self.metadata.schemas[out_schema_id]
         if not files:
             df = self.spark.createDataFrame([], self._struct(out_schema_id))
-            return df.withColumn(_FILE_COL, F.lit(None).cast("string")) if with_file_col else df
+            if with_file_col or with_pos_col:
+                df = df.withColumn(_FILE_COL, F.lit(None).cast("string"))
+            if with_pos_col:
+                df = df.withColumn(_POS_COL, F.lit(None).cast("bigint"))
+            return df
+        need_addr = with_file_col or with_pos_col or bool(delete_files)
         by_schema: dict[int, list[DataFile]] = {}
         for f in files:
             by_schema.setdefault(f.schema_id, []).append(f)
@@ -357,12 +401,24 @@ class Table:
                         _align_col(F.col(inf.name), _parse_type(inf.type),
                                    _parse_type(of.type)).alias(of.name)
                     )
-            if with_file_col:
-                cols.append(F.input_file_name().alias(_FILE_COL))
+            if need_addr:
+                cols.append(self._rel_path_expr().alias(_FILE_COL))
+                cols.append(F.col("_metadata.row_index").alias(_POS_COL))
             parts.append(df.select(cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if delete_files:
+            dels = self._delete_entries_df(delete_files)
+            out = out.join(
+                F.broadcast(dels),
+                (out[_FILE_COL] == dels["file_path"]) & (out[_POS_COL] == dels["pos"]),
+                "left_anti",
+            )
+        if need_addr and not with_pos_col:
+            out = out.drop(_POS_COL)
+            if not with_file_col:
+                out = out.drop(_FILE_COL)
         return out
 
     # -- write path --------------------------------------------------------
@@ -437,8 +493,11 @@ class Table:
         return out
 
     def _commit(self, operation: str, files: list[DataFile], added: list[DataFile],
-                removed: list[DataFile], branch: str, summary: dict | None = None) -> Snapshot:
+                removed: list[DataFile], branch: str, summary: dict | None = None,
+                delete_files: list[DeleteFile] | None = None) -> Snapshot:
         parent = self.metadata.current_snapshot(branch)
+        if delete_files is None:  # inherit the branch head's position deletes
+            delete_files = list(parent.delete_files) if parent else []
         snap = Snapshot(
             snapshot_id=self.metadata.next_snapshot_id(),
             parent_id=parent.snapshot_id if parent else None,
@@ -449,10 +508,13 @@ class Table:
             added_files=[f.path for f in added],
             removed_files=[f.path for f in removed],
             summary=dict(summary or {}),
+            delete_files=delete_files,
         )
         snap.summary.setdefault("added-data-files", str(len(added)))
         snap.summary.setdefault("removed-data-files", str(len(removed)))
         snap.summary.setdefault("total-records", str(sum(f.records for f in files)))
+        if delete_files:
+            snap.summary.setdefault("total-delete-files", str(len(delete_files)))
         self.metadata.snapshots.append(snap)
         self.metadata.refs.setdefault(branch, {"snapshot_id": snap.snapshot_id, "type": "branch"})
         self.metadata.refs[branch]["snapshot_id"] = snap.snapshot_id
@@ -462,6 +524,44 @@ class Table:
     def _branch_files(self, branch: str) -> list[DataFile]:
         cur = self.metadata.current_snapshot(branch)
         return list(cur.files) if cur else []
+
+    def _branch_deletes(self, branch: str) -> list[DeleteFile]:
+        cur = self.metadata.current_snapshot(branch)
+        return list(cur.delete_files) if cur else []
+
+    def write_mode(self, op: str) -> str:
+        """Row-level operation mode: ``write.<op>.mode`` table property,
+        ``copy-on-write`` (the Iceberg default) or ``merge-on-read``
+        (iceberg_it.py:2279-2285)."""
+        return self.metadata.properties.get(f"write.{op}.mode", "copy-on-write").lower()
+
+    def _write_delete_files(self, entries: DataFrame) -> list[DeleteFile]:
+        """Write position-delete entries (file_path, pos) as parquet.
+
+        Entries are globally sorted by (file_path, pos) so each delete file
+        covers a contiguous path range — the reader's broadcast build then
+        prunes well, and parquet min/max on file_path lets a per-file-group
+        applier skip irrelevant delete files at scale. One output file per
+        commit here; a 1000-executor writer would instead keep the natural
+        task partitioning (one delete file per task, fanout style)."""
+        import pyarrow.parquet as pq
+
+        commit_dir = f"data/{uuid.uuid4().hex[:16]}-deletes"
+        abs_dir = os.path.join(self.location, commit_dir)
+        entries.orderBy("file_path", "pos").coalesce(1).write.mode("overwrite").parquet(abs_dir)
+        out = []
+        for root, _dirs, names in os.walk(abs_dir):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                ap = os.path.join(root, n)
+                meta = pq.ParquetFile(ap).metadata
+                if meta.num_rows == 0:
+                    os.remove(ap)
+                    continue
+                out.append(DeleteFile(os.path.relpath(ap, self.location),
+                                      meta.num_rows, os.path.getsize(ap)))
+        return out
 
     # -- DML ---------------------------------------------------------------
 
@@ -475,7 +575,7 @@ class Table:
         self.check_writable("INSERT OVERWRITE")
         old = self._branch_files(branch)
         new = self._write_files(df)
-        return self._commit("overwrite", new, new, old, branch)
+        return self._commit("overwrite", new, new, old, branch, delete_files=[])
 
     def overwrite_dynamic(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
         """Dynamic overwrite: replace exactly the partitions present in df
@@ -500,11 +600,29 @@ class Table:
         return self._commit("overwrite", kept + rewritten + new, rewritten + new, removed, branch)
 
     def delete_where(self, condition: str | Column, branch: str = MAIN_BRANCH) -> Snapshot | None:
-        """Row-level DELETE, copy-on-write. Files whose rows all survive are
+        """Row-level DELETE. Copy-on-write: files whose rows all survive are
         untouched; a filter aligned with partition boundaries becomes a
-        metadata-only delete (file drop, no rewrite)."""
+        metadata-only delete (file drop, no rewrite). Merge-on-read
+        (``write.delete.mode=merge-on-read``): no data file is touched — the
+        matched (file, pos) pairs are written as a position-delete file."""
         self.check_writable("DELETE FROM")
         old = self._branch_files(branch)
+        dels = self._branch_deletes(branch)
+        if self.write_mode("delete") == "merge-on-read":
+            cond = _col(condition)
+            schema_id = self.metadata.current_schema_id
+            cand = self._prune_files(
+                old, condition if isinstance(condition, str) else None)
+            df = self._read_files(cand, schema_id, delete_files=dels, with_pos_col=True)
+            entries = df.filter(F.coalesce(cond, F.lit(False))).select(
+                F.col(_FILE_COL).alias("file_path"), F.col(_POS_COL).alias("pos"))
+            new_dels = self._write_delete_files(entries)
+            if not new_dels:
+                return None
+            return self._commit("delete", old, [], [], branch,
+                                {"operation-detail": "merge-on-read",
+                                 "added-delete-files": str(len(new_dels))},
+                                delete_files=dels + new_dels)
         kept, rewritten, removed = self._cow_delete(old, condition, branch)
         if not removed:
             return None  # nothing matched — no new snapshot (Iceberg no-ops too)
@@ -514,34 +632,38 @@ class Table:
                     branch: str) -> tuple[list[DataFile], list[DataFile], list[DataFile]]:
         """Returns (untouched, rewritten_new_files, removed_old_files)."""
         cond = _col(condition)
+        dels = self._branch_deletes(branch)
         # DML always operates on the CURRENT schema: files written under
         # older schemas are field-id-mapped up by _read_files.
         schema_id = self.metadata.current_schema_id
         hit_paths = self._matching_files(
             files, cond, schema_id,
-            cond_text=condition if isinstance(condition, str) else None)
+            cond_text=condition if isinstance(condition, str) else None,
+            delete_files=dels)
         if not hit_paths:
             return list(files), [], []
         hit = [f for f in files if f.path in hit_paths]
         kept = [f for f in files if f.path not in hit_paths]
         # Metadata-only fast path: if every row in a hit file matches the
         # predicate, drop the file without rewriting. Detect via counts.
-        survivors = self._read_files(hit, schema_id).filter(
+        survivors = self._read_files(hit, schema_id, delete_files=dels).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         rewritten = self._write_files(survivors, schema_id)
         return kept, rewritten, hit
 
     def _matching_files(self, files: list[DataFile], cond: Column,
-                        schema_id: int, cond_text: str | None = None) -> set[str]:
+                        schema_id: int, cond_text: str | None = None,
+                        delete_files: list[DeleteFile] | None = None) -> set[str]:
         if not files:
             return set()
         files = self._prune_files(files, cond_text)
         if not files:
             return set()
-        df = self._read_files(files, schema_id, with_file_col=True)
+        df = self._read_files(files, schema_id, with_file_col=True,
+                              delete_files=delete_files)
         rows = df.filter(F.coalesce(cond, F.lit(False))).select(_FILE_COL).distinct().collect()
-        return {self._rel_path(r[_FILE_COL]) for r in rows}
+        return {r[_FILE_COL] for r in rows}
 
     def _prune_files(self, files: list[DataFile], cond_text: str | None) -> list[DataFile]:
         """Driver-side partition pruning for identity-partitioned columns:
@@ -591,28 +713,52 @@ class Table:
                 out.append(f)
         return out
 
-    def _rel_path(self, file_uri: str) -> str:
-        p = file_uri
-        if p.startswith("file:"):
-            p = url2pathname(p[len("file:"):])
-        return os.path.relpath(p, self.location)
-
     def update_where(self, assignments: dict[str, str | Column],
                      condition: str | Column | None = None,
                      branch: str = MAIN_BRANCH) -> Snapshot | None:
-        """UPDATE t SET ... WHERE ..., copy-on-write on affected files only."""
+        """UPDATE t SET ... WHERE ... — copy-on-write rewrites affected files
+        only; merge-on-read position-deletes the matched rows and appends
+        their updated images as new data files."""
         self.check_writable("UPDATE")
         cond = _col(condition) if condition is not None else F.lit(True)
         old = self._branch_files(branch)
+        dels = self._branch_deletes(branch)
         schema_id = self.metadata.current_schema_id
-        hit_paths = self._matching_files(
-            old, cond, schema_id,
-            cond_text=condition if isinstance(condition, str) else None)
+        cond_text = condition if isinstance(condition, str) else None
+
+        if self.write_mode("update") == "merge-on-read":
+            st = self._struct(schema_id)
+            cand = self._prune_files(old, cond_text)
+            df = self._read_files(cand, schema_id, delete_files=dels, with_pos_col=True)
+            matched_rows = df.filter(F.coalesce(cond, F.lit(False))).persist()
+            try:
+                entries = matched_rows.select(
+                    F.col(_FILE_COL).alias("file_path"), F.col(_POS_COL).alias("pos"))
+                new_dels = self._write_delete_files(entries)
+                if not new_dels:
+                    return None
+                updated = matched_rows.select(
+                    [
+                        _col(assignments[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in assignments else F.col(f.name)
+                        for f in st.fields
+                    ]
+                )
+                new_files = self._write_files(updated, schema_id)
+            finally:
+                matched_rows.unpersist()
+            return self._commit("overwrite", old + new_files, new_files, [], branch,
+                                {"operation-detail": "update",
+                                 "added-delete-files": str(len(new_dels))},
+                                delete_files=dels + new_dels)
+
+        hit_paths = self._matching_files(old, cond, schema_id, cond_text=cond_text,
+                                         delete_files=dels)
         if not hit_paths:
             return None
         hit = [f for f in old if f.path in hit_paths]
         kept = [f for f in old if f.path not in hit_paths]
-        src = self._read_files(hit, schema_id)
+        src = self._read_files(hit, schema_id, delete_files=dels)
         matched = F.coalesce(cond, F.lit(False))
         out = src.select(
             [
@@ -654,10 +800,13 @@ class Table:
         not_matched = not_matched or []
         not_matched_by_source = not_matched_by_source or []
         old = self._branch_files(branch)
+        dels = self._branch_deletes(branch)
         schema_id = self.metadata.current_schema_id
         st = self._struct(schema_id)
+        mor = self.write_mode("merge") == "merge-on-read"
 
-        target = self._read_files(old, schema_id, with_file_col=True).alias("t")
+        target = self._read_files(old, schema_id, with_file_col=True,
+                                  delete_files=dels, with_pos_col=mor).alias("t")
         src = source.alias("s")
         on_expr = F.expr(on)
 
@@ -674,24 +823,31 @@ class Table:
                     "MERGE: a single row from the target table matched multiple source rows"
                 )
 
-        # Which files must be rewritten? Files with join matches, plus — if
-        # there are NOT MATCHED BY SOURCE clauses — files with rows lacking a
-        # match (for a selective ON, that is every file; unavoidable, same as
-        # Iceberg).
         joined = target.join(src, on_expr, "left_outer")
         s_first = src.columns[0]
         has_match = F.col(f"s.{s_first}").isNotNull() if src.columns else F.lit(False)
+
+        if mor:
+            return self._merge_mor(
+                old, dels, target, src, joined, on_expr, has_match, st, schema_id,
+                matched, not_matched, not_matched_by_source, branch)
+
+        # Copy-on-write: which files must be rewritten? Files with join
+        # matches, plus — if there are NOT MATCHED BY SOURCE clauses — files
+        # with rows lacking a match (for a selective ON, that is every file;
+        # unavoidable, same as Iceberg).
         need = F.coalesce(has_match, F.lit(False)) if not not_matched_by_source else F.lit(True)
         hits = (
             joined.filter(need).select(F.col(f"t.{_FILE_COL}")).distinct().collect()
         )
-        hit_paths = {self._rel_path(r[_FILE_COL]) for r in hits}
+        hit_paths = {r[_FILE_COL] for r in hits}
         hit = [f for f in old if f.path in hit_paths]
         kept = [f for f in old if f.path not in hit_paths]
 
         new_files: list[DataFile] = []
         if hit:
-            rewrite_src = self._read_files(hit, schema_id, with_file_col=False).alias("t")
+            rewrite_src = self._read_files(hit, schema_id, with_file_col=False,
+                                           delete_files=dels).alias("t")
             j = rewrite_src.join(src, on_expr, "left_outer")
             new_files += self._write_files(
                 self._apply_merge_clauses(j, st, has_match, matched, not_matched_by_source),
@@ -700,30 +856,8 @@ class Table:
 
         if not_matched:
             inserts = src.join(target, on_expr, "left_anti")
-            ins_parts = []
-            prev_not = F.lit(True)
-            for cl in not_matched:
-                c = F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
-                rows = inserts.filter(prev_not & F.coalesce(c, F.lit(False)))
-                prev_not = prev_not & ~F.coalesce(c, F.lit(False))
-                values = cl.get("values")
-                if values is None:
-                    proj = [
-                        (F.col(f.name) if f.name in inserts.columns else F.lit(None))
-                        .cast(f.dataType).alias(f.name)
-                        for f in st.fields
-                    ]
-                else:
-                    proj = [
-                        (_col(values[f.name]) if f.name in values else F.lit(None))
-                        .cast(f.dataType).alias(f.name)
-                        for f in st.fields
-                    ]
-                ins_parts.append(rows.select(proj))
-            if ins_parts:
-                ins = ins_parts[0]
-                for p in ins_parts[1:]:
-                    ins = ins.unionByName(p)
+            ins = self._merge_inserts(inserts, st, not_matched)
+            if ins is not None:
                 new_files += self._write_files(ins, schema_id)
 
         if not hit and not new_files:
@@ -732,11 +866,41 @@ class Table:
         return self._commit("overwrite", files, new_files, hit, branch,
                             {"operation-detail": "merge"})
 
-    def _apply_merge_clauses(self, joined: DataFrame, st: T.StructType,
-                             has_match: Column, matched: list[dict],
-                             nmbs: list[dict]) -> DataFrame:
-        """First-match-wins cascade over the left-joined (t ⟕ s) rows →
-        surviving target-schema rows."""
+    def _merge_inserts(self, inserts: DataFrame, st: T.StructType,
+                       not_matched: list[dict]) -> DataFrame | None:
+        """NOT MATCHED clause cascade (first-match-wins) over source rows
+        without a target match → target-schema insert rows."""
+        ins_parts = []
+        prev_not = F.lit(True)
+        for cl in not_matched:
+            c = F.expr(cl["condition"]) if cl.get("condition") else F.lit(True)
+            rows = inserts.filter(prev_not & F.coalesce(c, F.lit(False)))
+            prev_not = prev_not & ~F.coalesce(c, F.lit(False))
+            values = cl.get("values")
+            if values is None:
+                proj = [
+                    (F.col(f.name) if f.name in inserts.columns else F.lit(None))
+                    .cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            else:
+                proj = [
+                    (_col(values[f.name]) if f.name in values else F.lit(None))
+                    .cast(f.dataType).alias(f.name)
+                    for f in st.fields
+                ]
+            ins_parts.append(rows.select(proj))
+        if not ins_parts:
+            return None
+        ins = ins_parts[0]
+        for p in ins_parts[1:]:
+            ins = ins.unionByName(p)
+        return ins
+
+    def _merge_action_idx(self, has_match: Column, matched: list[dict],
+                          nmbs: list[dict]) -> tuple[Column, list[tuple[int, dict]]]:
+        """First-match-wins clause index: for each (t ⟕ s) row, the index of
+        the first clause whose condition holds, else -1."""
         has_match = F.coalesce(has_match, F.lit(False))
         action_idx = F.lit(-1)
         clauses: list[tuple[int, dict]] = []
@@ -755,9 +919,12 @@ class Table:
             action_idx = F.when(action_idx >= 0, action_idx).when(cond, F.lit(i)).otherwise(F.lit(-1))
             clauses.append((i, cl))
             i += 1
-        with_idx = joined.withColumn("_g_action", action_idx)
-        delete_idx = [i for i, cl in clauses if cl.get("action") == "delete"]
-        survive = ~F.col("_g_action").isin(delete_idx) if delete_idx else F.lit(True)
+        return action_idx, clauses
+
+    def _merge_out_cols(self, st: T.StructType,
+                        clauses: list[tuple[int, dict]]) -> list[Column]:
+        """Target-schema projection applying each UPDATE clause's SET list to
+        the rows it claimed (by ``_g_action``)."""
         out_cols = []
         for f in st.fields:
             expr = F.col(f"t.{f.name}")
@@ -766,7 +933,56 @@ class Table:
                     expr = F.when(F.col("_g_action") == i,
                                   _col(cl["set"][f.name]).cast(f.dataType)).otherwise(expr)
             out_cols.append(expr.cast(f.dataType).alias(f.name))
-        return with_idx.filter(survive).select(out_cols)
+        return out_cols
+
+    def _apply_merge_clauses(self, joined: DataFrame, st: T.StructType,
+                             has_match: Column, matched: list[dict],
+                             nmbs: list[dict]) -> DataFrame:
+        """First-match-wins cascade over the left-joined (t ⟕ s) rows →
+        surviving target-schema rows (copy-on-write rewrite body)."""
+        action_idx, clauses = self._merge_action_idx(has_match, matched, nmbs)
+        with_idx = joined.withColumn("_g_action", action_idx)
+        delete_idx = [i for i, cl in clauses if cl.get("action") == "delete"]
+        survive = ~F.col("_g_action").isin(delete_idx) if delete_idx else F.lit(True)
+        return with_idx.filter(survive).select(self._merge_out_cols(st, clauses))
+
+    def _merge_mor(self, old: list[DataFile], dels: list[DeleteFile],
+                   target: DataFrame, src: DataFrame, joined: DataFrame,
+                   on_expr: Column, has_match: Column, st: T.StructType,
+                   schema_id: int, matched: list[dict], not_matched: list[dict],
+                   nmbs: list[dict], branch: str) -> Snapshot | None:
+        """Merge-on-read MERGE: no data file is rewritten. Every row claimed
+        by a MATCHED / NOT MATCHED BY SOURCE clause gets a position-delete
+        entry; UPDATE clauses additionally append the updated row image;
+        NOT MATCHED inserts append as usual. At scale this turns MERGE's
+        write cost from O(touched files) into O(changed rows)."""
+        action_idx, clauses = self._merge_action_idx(has_match, matched, nmbs)
+        affected = joined.withColumn("_g_action", action_idx).filter(
+            F.col("_g_action") >= 0).persist()
+        try:
+            entries = affected.select(
+                F.col(f"t.{_FILE_COL}").alias("file_path"),
+                F.col(f"t.{_POS_COL}").alias("pos"))
+            new_dels = self._write_delete_files(entries)
+            new_files: list[DataFile] = []
+            update_idx = [i for i, cl in clauses if cl.get("action") == "update"]
+            if update_idx and new_dels:
+                updated = affected.filter(F.col("_g_action").isin(update_idx)).select(
+                    self._merge_out_cols(st, clauses))
+                new_files += self._write_files(updated, schema_id)
+            if not_matched:
+                inserts = src.join(target, on_expr, "left_anti")
+                ins = self._merge_inserts(inserts, st, not_matched)
+                if ins is not None:
+                    new_files += self._write_files(ins, schema_id)
+        finally:
+            affected.unpersist()
+        if not new_dels and not new_files:
+            return None
+        return self._commit("overwrite", old + new_files, new_files, [], branch,
+                            {"operation-detail": "merge",
+                             "added-delete-files": str(len(new_dels))},
+                            delete_files=dels + new_dels)
 
     # -- metadata tables ---------------------------------------------------
 
@@ -794,18 +1010,30 @@ class Table:
             "is_current_ancestor boolean",
         )
 
+    _FILES_DF_SCHEMA = (
+        "content int, file_path string, file_format string, record_count bigint, "
+        "file_size_in_bytes bigint, partition map<string,string>, schema_id int"
+    )
+
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``files`` metadata table: data files (content=0) and position
+        delete files (content=1), Iceberg content-id convention
+        (docs/spark-queries.md:215-326)."""
         snap = self._resolve_snapshot(snapshot_id)
-        files = snap.files if snap else []
         rows = [
             (0, f.path, "PARQUET", f.records, f.bytes, f.partition, f.schema_id)
-            for f in files
+            for f in (snap.files if snap else [])
+        ] + [
+            (1, f.path, "PARQUET", f.records, f.bytes, {}, None)
+            for f in (snap.delete_files if snap else [])
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "content int, file_path string, file_format string, record_count bigint, "
-            "file_size_in_bytes bigint, partition map<string,string>, schema_id int",
-        )
+        return self.spark.createDataFrame(rows, self._FILES_DF_SCHEMA)
+
+    def data_files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        return self.files_df(snapshot_id).filter("content = 0")
+
+    def delete_files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        return self.files_df(snapshot_id).filter("content = 1")
 
     def all_files_df(self) -> DataFrame:
         seen, rows = set(), []
@@ -814,6 +1042,10 @@ class Table:
                 if f.path not in seen:
                     seen.add(f.path)
                     rows.append((0, f.path, "PARQUET", f.records, f.bytes, f.partition, s.snapshot_id))
+            for f in s.delete_files:
+                if f.path not in seen:
+                    seen.add(f.path)
+                    rows.append((1, f.path, "PARQUET", f.records, f.bytes, {}, s.snapshot_id))
         return self.spark.createDataFrame(
             rows,
             "content int, file_path string, file_format string, record_count bigint, "
@@ -847,6 +1079,7 @@ class Table:
         out: set[str] = set()
         for s in self.metadata.snapshots:
             out.update(f.path for f in s.files)
+            out.update(f.path for f in s.delete_files)
         return out
 
     def data_dir(self) -> str:
