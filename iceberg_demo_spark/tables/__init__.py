@@ -11,12 +11,14 @@ uses, re-implemented at the Python layer.
 from iceberg_demo_spark.tables.catalog import Catalog
 from iceberg_demo_spark.tables.format import (
     DataFile,
+    DeleteFile,
     PartitionField,
     SchemaField,
     Snapshot,
     TableMetadata,
 )
 from iceberg_demo_spark.tables.table import Table
+from iceberg_demo_spark.tables.writer import merge_into, write_to
 
 __all__ = [
     "Catalog",
@@ -24,6 +26,9 @@ __all__ = [
     "TableMetadata",
     "Snapshot",
     "DataFile",
+    "DeleteFile",
     "SchemaField",
     "PartitionField",
+    "write_to",
+    "merge_into",
 ]

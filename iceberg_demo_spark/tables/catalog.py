@@ -28,6 +28,11 @@ class TableAlreadyExistsError(Exception):
     pass
 
 
+class UnsupportedOperationError(Exception):
+    """Operation the table format rejects by design (e.g. CREATE TABLE LIKE,
+    which Iceberg does not support — iceberg_it.py:464-479)."""
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
@@ -95,6 +100,14 @@ class Catalog:
         md.sort_order = sort_order or []
         md.save()
         return Table(self.spark, md)
+
+    def create_table_like(self, name: str, source: str) -> None:
+        """CREATE TABLE ... LIKE — rejected by design, matching Iceberg
+        (the reference's negative test, iceberg_it.py:464-479)."""
+        raise UnsupportedOperationError(
+            f"CREATE TABLE {name} LIKE {source} is not supported; "
+            f"use CREATE TABLE ... AS SELECT instead"
+        )
 
     def create_table_as(self, name: str, df: DataFrame,
                         partition_by: list[tuple] | None = None,

@@ -182,6 +182,7 @@ class TableMetadata:
         self.last_field_id = 0
         self.partition_spec: list[PartitionField] = []
         self.sort_order: list[dict] = []  # [{"col":..., "dir": "asc|desc", "nulls": ...}]
+        self.identifier_field_names: list[str] = []  # SET IDENTIFIER FIELDS
         self.snapshots: list[Snapshot] = []
         self.refs: dict[str, dict] = {}  # name -> {"snapshot_id": int, "type": "branch"|"tag"}
         self.metadata_log: list[dict] = []  # [{"timestamp_ms":..., "version": N}]
@@ -280,6 +281,7 @@ class TableMetadata:
             "last_field_id": self.last_field_id,
             "partition_spec": [p.to_json() for p in self.partition_spec],
             "sort_order": self.sort_order,
+            "identifier_field_names": self.identifier_field_names,
             "snapshots": [s.to_json() for s in self.snapshots],
             "refs": self.refs,
             "metadata_log": self.metadata_log,
@@ -299,6 +301,7 @@ class TableMetadata:
         m.last_field_id = d["last_field_id"]
         m.partition_spec = [PartitionField.from_json(p) for p in d.get("partition_spec", [])]
         m.sort_order = d.get("sort_order", [])
+        m.identifier_field_names = d.get("identifier_field_names", [])
         m.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
         m.refs = dict(d.get("refs", {}))
         m.metadata_log = list(d.get("metadata_log", []))

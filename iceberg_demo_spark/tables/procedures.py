@@ -396,6 +396,9 @@ def create_changelog_view(
     a temp view and returns it."""
     spark = table.spark
     md = table.metadata
+    if identifier_columns is None and md.identifier_field_names:
+        # SET IDENTIFIER FIELDS supplies the default row identity
+        identifier_columns = list(md.identifier_field_names)
     chain = list(reversed(md.ancestors(MAIN_BRANCH)))  # oldest → newest
     if start_snapshot_id is not None:
         ids = [s.snapshot_id for s in chain]

@@ -223,6 +223,37 @@ class Table:
         self.drop_partition_field(old)
         self.add_partition_field(source, transform, name)
 
+    def set_identifier_fields(self, *names: str) -> None:
+        """ALTER TABLE ... SET IDENTIFIER FIELDS (iceberg_it.py:395):
+        primary-key-like row identity, used as the default
+        ``identifier_columns`` of the changelog view. Fields must exist and
+        be NOT NULL (Iceberg's rule)."""
+        self.check_writable("SET IDENTIFIER FIELDS")
+        resolved = []
+        for n in names:
+            f = self.metadata.field_by_name(n)
+            if f.nullable:
+                raise ValueError(
+                    f"cannot set identifier field {f.name}: not a required field"
+                )
+            resolved.append(f.name)
+        self.metadata.identifier_field_names = resolved
+        self.metadata.save()
+
+    def drop_identifier_fields(self, *names: str) -> None:
+        """ALTER TABLE ... DROP IDENTIFIER FIELDS (iceberg_it.py:396)."""
+        self.check_writable("DROP IDENTIFIER FIELDS")
+        drop = {n.lower() for n in names} if names else None
+        self.metadata.identifier_field_names = [
+            n for n in self.metadata.identifier_field_names
+            if drop is not None and n.lower() not in drop
+        ]
+        self.metadata.save()
+
+    @property
+    def identifier_fields(self) -> list[str]:
+        return list(self.metadata.identifier_field_names)
+
     def set_write_order(self, order: list[dict] | None) -> None:
         """order = [{"col": c, "dir": "asc"|"desc", "nulls": "first"|"last"}];
         None/[] = WRITE UNORDERED."""
@@ -429,6 +460,26 @@ class Table:
             out.append((p.partition_col, _transform_expr(p.transform, p.source)))
         return out
 
+    def _apply_distribution(self, df: DataFrame,
+                            pexprs: list[tuple[str, Column]]) -> DataFrame:
+        """``write.distribution-mode`` (docs/spark-writes.md:380-430):
+        ``hash`` clusters rows by partition key before the write (one shuffle;
+        each partition's rows land in few tasks → few, large files — ALTER
+        TABLE WRITE DISTRIBUTED BY PARTITION); ``range`` range-partitions by
+        the sort order (global clustering for WRITE ORDERED BY); ``none``
+        (default) keeps the incoming distribution — zero extra shuffle."""
+        mode = self.metadata.properties.get("write.distribution-mode", "none").lower()
+        if mode == "hash" and pexprs:
+            return df.repartition(*[F.col(n) for n, _ in pexprs])
+        if mode == "range":
+            cols = [
+                F.col(o["col"]).desc() if o.get("dir") == "desc" else F.col(o["col"])
+                for o in self.metadata.sort_order
+            ] or [F.col(n) for n, _ in pexprs]
+            if cols:
+                return df.repartitionByRange(*cols)
+        return df
+
     def _apply_sort(self, df: DataFrame) -> DataFrame:
         if not self.metadata.sort_order:
             return df
@@ -461,6 +512,7 @@ class Table:
         pexprs = self._partition_exprs()
         for name, expr in pexprs:
             aligned = aligned.withColumn(name, expr.cast("string"))
+        aligned = self._apply_distribution(aligned, pexprs)
         aligned = self._apply_sort(aligned)
         commit_dir = f"data/{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self.location, commit_dir)
@@ -485,11 +537,16 @@ class Table:
                     if "=" in comp:
                         k, v = comp.split("=", 1)
                         partition[k] = unquote(v)
-                meta = pq.ParquetFile(ap).metadata
-                if meta.num_rows == 0:
+                try:
+                    num_rows = pq.ParquetFile(ap).metadata.num_rows
+                except Exception:
+                    # pyarrow can't parse some newer logical types (e.g.
+                    # variant) — fall back to a footer-only Spark count.
+                    num_rows = self.spark.read.parquet(ap).count()
+                if num_rows == 0:
                     os.remove(ap)
                     continue
-                out.append(DataFile(rel, meta.num_rows, os.path.getsize(ap), schema_id, partition))
+                out.append(DataFile(rel, num_rows, os.path.getsize(ap), schema_id, partition))
         return out
 
     def _commit(self, operation: str, files: list[DataFile], added: list[DataFile],

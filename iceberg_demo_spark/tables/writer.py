@@ -112,3 +112,105 @@ class WriteToBuilder:
 
 def write_to(catalog: Catalog, name: str, df: DataFrame) -> WriteToBuilder:
     return WriteToBuilder(catalog, name, df)
+
+
+class _WhenMatched:
+    def __init__(self, builder: "MergeIntoBuilder", condition: str | None):
+        self._b, self._cond = builder, condition
+
+    def update(self, set_: dict) -> "MergeIntoBuilder":
+        self._b._matched.append({"condition": self._cond, "action": "update", "set": set_})
+        return self._b
+
+    def update_all(self) -> "MergeIntoBuilder":
+        """UPDATE SET * — every target column takes the same-named source
+        column (docs/spark-writes.md:345)."""
+        self._b._matched.append({"condition": self._cond, "action": "update", "set": None})
+        return self._b
+
+    def delete(self) -> "MergeIntoBuilder":
+        self._b._matched.append({"condition": self._cond, "action": "delete"})
+        return self._b
+
+
+class _WhenNotMatched:
+    def __init__(self, builder: "MergeIntoBuilder", condition: str | None):
+        self._b, self._cond = builder, condition
+
+    def insert(self, values: dict) -> "MergeIntoBuilder":
+        self._b._not_matched.append({"condition": self._cond, "values": values})
+        return self._b
+
+    def insert_all(self) -> "MergeIntoBuilder":
+        self._b._not_matched.append({"condition": self._cond, "values": None})
+        return self._b
+
+
+class _WhenNotMatchedBySource:
+    def __init__(self, builder: "MergeIntoBuilder", condition: str | None):
+        self._b, self._cond = builder, condition
+
+    def update(self, set_: dict) -> "MergeIntoBuilder":
+        self._b._nmbs.append({"condition": self._cond, "action": "update", "set": set_})
+        return self._b
+
+    def delete(self) -> "MergeIntoBuilder":
+        self._b._nmbs.append({"condition": self._cond, "action": "delete"})
+        return self._b
+
+
+class MergeIntoBuilder:
+    """Spark 4's ``df.mergeInto(table, cond)`` fluent API
+    (docs/spark-writes.md:337-353) re-expressed over our Table.merge: the
+    source frame is aliased ``s``, the target ``t``; clause order is
+    preserved (first-match-wins, docs/spark-writes.md:77)."""
+
+    def __init__(self, catalog: Catalog, name: str, source: DataFrame, on: str):
+        self.catalog = catalog
+        self.name = name
+        self.source = source
+        self.on = on
+        self._matched: list[dict] = []
+        self._not_matched: list[dict] = []
+        self._nmbs: list[dict] = []
+        self._branch = MAIN_BRANCH
+        self._check_cardinality = True
+
+    def when_matched(self, condition: str | None = None) -> _WhenMatched:
+        return _WhenMatched(self, condition)
+
+    def when_not_matched(self, condition: str | None = None) -> _WhenNotMatched:
+        return _WhenNotMatched(self, condition)
+
+    def when_not_matched_by_source(self, condition: str | None = None) -> _WhenNotMatchedBySource:
+        return _WhenNotMatchedBySource(self, condition)
+
+    def to_branch(self, branch: str) -> "MergeIntoBuilder":
+        self._branch = branch
+        return self
+
+    def without_cardinality_check(self) -> "MergeIntoBuilder":
+        self._check_cardinality = False
+        return self
+
+    def merge(self):
+        """Execute: one atomic snapshot commit."""
+        if not self.catalog.table_exists(self.name):
+            raise NoSuchTableError(self.name)
+        t = self.catalog.load_table(self.name)
+        tcols = [f.name for f in t.metadata.schema]
+        scols = set(self.source.columns)
+        matched = [
+            {**cl, "set": {c: f"s.{c}" for c in tcols if c in scols}}
+            if cl.get("action") == "update" and cl.get("set") is None else cl
+            for cl in self._matched
+        ]
+        return t.merge(
+            self.source, on=self.on, matched=matched,
+            not_matched=self._not_matched, not_matched_by_source=self._nmbs,
+            branch=self._branch, check_cardinality=self._check_cardinality,
+        )
+
+
+def merge_into(catalog: Catalog, name: str, source: DataFrame, on: str) -> MergeIntoBuilder:
+    return MergeIntoBuilder(catalog, name, source, on)
