@@ -346,3 +346,89 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 16)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: semantic duplicates via the embeddings table
+# ---------------------------------------------------------------------------
+
+#: Synthetic-corpus near-dup threshold (99.95th percentile of the pair-sim
+#: distribution; real pipelines use ~0.95 on well-trained embeddings).
+_COS_DUP_THRESHOLD = 0.40
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD) -> DataFrame:
+    """(id_dup, id_keep, sim): rows whose embedding has cosine >= threshold
+    with a lower-id vector; keeper = the smallest such neighbor id.
+
+    Vectors are L2-normalized BEFORE the pair join, so each pair costs one
+    dot product instead of three array folds. This brute-force form is
+    O(n^2) pairs — right up to ~10^5 vectors per executor-group; past that,
+    feed the candidate pairs from an LSH bucketing (sim_ann_lsh_topk's
+    bucket join) or the IVF cells (sim_ann_ivf_topk) and verify with the
+    same dot product, which keeps pairs ∝ true duplicates instead of n².
+    """
+    # Norm as its own column first: a lambda-nested norm would be re-evaluated
+    # per array element (higher-order fns don't CSE; see q1's explode note).
+    unit = emb.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform(F.col("v"), lambda y: y * y),
+                           F.lit(0.0), lambda a, b: a + b)),
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("u"),
+    )
+    a = unit.alias("a")
+    b = unit.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("b.vec_id").alias("id_dup"),
+            F.col("a.vec_id").alias("id_keep"),
+            dot.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    keepers = pairs.groupBy("id_dup").agg(F.min("id_keep").alias("id_keep"))
+    return keepers.join(pairs, ["id_dup", "id_keep"]).select(
+        "id_dup", "id_keep", F.round("sim", 4).alias("sim")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y*y),
+                                          (a, b) -> a + b))) AS u
+      FROM embeddings
+    ), p AS (
+      SELECT b.vec_id AS id_dup, a.vec_id AS id_keep,
+             list_reduce(list_transform(list_zip(a.u, b.u), q -> q[1] * q[2]),
+                         (x, y) -> x + y) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ), f AS (
+      SELECT * FROM p WHERE sim >= 0.40
+    ), k AS (
+      SELECT id_dup, MIN(id_keep) AS id_keep FROM f GROUP BY id_dup
+    )
+    SELECT k.id_dup AS id_dup, k.id_keep AS id_keep, ROUND(f.sim, 4) AS sim
+    FROM k JOIN f ON k.id_dup = f.id_dup AND k.id_keep = f.id_keep
+    ORDER BY id_dup
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection over the full corpus: a row
+    is a duplicate if some lower-id vector is within the cosine threshold;
+    the keeper is the smallest such id (north-star dedup family)."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_near_dups(emb).orderBy("id_dup")

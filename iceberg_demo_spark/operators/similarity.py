@@ -247,3 +247,113 @@ def sim_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (oracle-checked: centroid choice is pure SQL)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16   # coarse centroids (√n-ish at test scale)
+_IVF_NPROBE = 3   # cells probed per query
+
+
+@query(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}
+    ), assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.v', 'cent.cv')} DESC, cent.cell_id)
+                 AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), probe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qv', 'cent.cv')} DESC, cent.cell_id)
+                 AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {_IVF_NPROBE}
+    ), cand AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'e.v')} AS sim
+      FROM probe
+      JOIN assign ON assign.cell_id = probe.cell_id
+      JOIN e ON e.vec_id = assign.vec_id
+      JOIN q ON q.query_id = probe.query_id
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of
+    _IVF_CELLS coarse centroids (here: the first 16 corpus vectors — a
+    deterministic stand-in for k-means so the oracle is pure SQL), probe the
+    _IVF_NPROBE cells nearest each query, rank candidates exactly.
+
+    Scale shape: the centroid set is tiny and BROADCAST to both the
+    assignment and probe joins, so building the inverted lists is one
+    map-side pass over the corpus (no shuffle of vectors); the candidate
+    join then touches ~nprobe/cells of the data — this is the IVF recall/
+    cost dial. At 100 TB the assignment becomes a bucketed write
+    (cell_id as partition key) so repeated queries skip assignment
+    entirely and prune scans to probed cells."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cell_id"))
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell_id", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter("rn = 1")
+        .select("vec_id", "v", "cell_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cell_id"))
+    probe = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "qv", "cell_id",
+                cosine_sim(F.col("qv"), F.col("cv")).alias("csim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(f"rn <= {_IVF_NPROBE}")
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_sim(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+        .orderBy("query_id", "rank")
+    )

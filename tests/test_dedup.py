@@ -54,3 +54,15 @@ def test_minhash_signature_deterministic(spark):
     b = minhash_signatures(docs).collect()
     assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
     assert all(len(r["sig"]) == 32 for r in a)
+
+
+def test_embedding_near_dups_keeper_semantics(spark):
+    from tests.conftest import SF_MED
+
+    rows = registry.QUERIES["dedup_embedding_cosine"](spark, SF_MED).collect()
+    assert rows, "synthetic corpus should contain near-dup pairs at 0.40"
+    for r in rows:
+        assert r["id_keep"] < r["id_dup"]
+        assert r["sim"] >= 0.40
+    # one keeper decision per duplicate
+    assert len({r["id_dup"] for r in rows}) == len(rows)

@@ -45,3 +45,20 @@ def test_centroid_norms_small_for_random_data(spark):
     # random unit-ish vectors: centroid norm far below individual norms
     assert all(0 <= r["centroid_norm"] < 1.0 for r in rows)
     assert all(r["dim_count"] == 64 for r in rows)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=3/16 cells: every query answered, ranked output well
+    formed, and aggregate recall vs exact top-5 is non-trivial."""
+    brute = registry.QUERIES["sim_cosine_topk"](spark, SF_MED).collect()
+    ivf = registry.QUERIES["sim_ann_ivf_topk"](spark, SF_MED).collect()
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(ivf_sets) == 8  # every query produced candidates
+    assert all(len(v) == 5 for v in ivf_sets.values())
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(brute_sets[q] & ivf_sets[q]) for q in brute_sets) / (5 * 8)
+    assert recall >= 0.2, recall
