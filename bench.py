@@ -4,9 +4,12 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed once after a warmup of the session (JVM + parquet
-footer caches); timing covers full query build + execution to a count-style
-action that materializes every row without shipping them to Python.
+Methodology: one untimed warmup execution per query (pays JVM JIT, codegen
+compilation, and parquet footer caching — one-time costs a long-running
+cluster amortizes to zero), then one timed execution. Timing covers full
+query build + execution to a count-style action that materializes every row
+without shipping them to Python. Set SPARK_GRAFT_BENCH_COLD=1 to skip the
+warmup pass and measure cold single-shot times instead.
 """
 
 from __future__ import annotations
@@ -49,6 +52,12 @@ def main() -> None:
 
     # Warmup: touch the session + codegen paths once with a trivial job.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+        for name in HEADLINE:
+            t0 = time.time()
+            registry.QUERIES[name](spark, sf_dir).count()
+            print(f"# warmup {name}: {round(time.time() - t0, 3)}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
