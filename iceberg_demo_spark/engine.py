@@ -68,7 +68,21 @@ class Engine:
 
     def table(self, name: str, **scan_kwargs) -> DataFrame:
         """DataFrame over a catalog table; scan_kwargs pass through to
-        Table.scan (snapshot_id / as_of_timestamp_ms / branch / tag)."""
+        Table.scan (snapshot_id / as_of_timestamp_ms / branch / tag).
+
+        Identifier suffixes resolve like Iceberg's (iceberg_it.py:1938-2093):
+        ``db.t.files`` (and every metadata table), ``db.t.branch_x``,
+        ``db.t.tag_y``."""
+        if not self.catalog.table_exists(name) and name.count(".") >= 2:
+            base, suffix = name.rsplit(".", 1)
+            if self.catalog.table_exists(base):
+                t = self.catalog.load_table(base)
+                s = suffix.lower()
+                if s.startswith("branch_"):
+                    return t.scan(branch=s[len("branch_"):], **scan_kwargs)
+                if s.startswith("tag_"):
+                    return t.scan(tag=s[len("tag_"):], **scan_kwargs)
+                return t.metadata_table(s)
         return self.catalog.load_table(name).scan(**scan_kwargs)
 
     def register(self, name: str, view_name: str | None = None, **scan_kwargs) -> str:

@@ -101,6 +101,56 @@ class Catalog:
         md.save()
         return Table(self.spark, md)
 
+    def show_create_table(self, name: str) -> str:
+        """SHOW CREATE TABLE text (docs/spark-ddl.md:658-687 surface)."""
+        t = self.load_table(name)
+        md = t.metadata
+        cols = ",\n  ".join(
+            f"{f.name} {f.type.upper()}{'' if f.nullable else ' NOT NULL'}"
+            + (f" COMMENT '{f.comment}'" if f.comment else "")
+            for f in md.schema
+        )
+        ddl = f"CREATE TABLE {name} (\n  {cols})\nUSING glacier"
+        if md.partition_spec:
+            parts = []
+            for p in md.partition_spec:
+                if p.transform == "identity":
+                    parts.append(p.source)
+                elif p.transform.startswith("bucket["):
+                    parts.append(f"bucket({p.transform[7:-1]}, {p.source})")
+                elif p.transform.startswith("truncate["):
+                    parts.append(f"truncate({p.transform[9:-1]}, {p.source})")
+                else:
+                    parts.append(f"{p.transform}({p.source})")
+            ddl += f"\nPARTITIONED BY ({', '.join(parts)})"
+        ddl += f"\nLOCATION '{md.location}'"
+        if md.properties:
+            props = ",\n  ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(md.properties.items()))
+            ddl += f"\nTBLPROPERTIES (\n  {props})"
+        return ddl
+
+    def describe_extended(self, name: str) -> DataFrame:
+        """DESCRIBE EXTENDED-shaped result: columns, then # Detailed Table
+        Information rows."""
+        t = self.load_table(name)
+        md = t.metadata
+        rows = [(f.name, f.type, f.comment or "") for f in md.schema]
+        rows.append(("", "", ""))
+        rows.append(("# Detailed Table Information", "", ""))
+        rows.append(("Name", name, ""))
+        rows.append(("Location", md.location, ""))
+        rows.append(("Provider", "glacier", ""))
+        if md.partition_spec:
+            rows.append(("Partition Spec",
+                         ", ".join(f"{p.transform}({p.source})" for p in md.partition_spec), ""))
+        if md.identifier_field_names:
+            rows.append(("Identifier Fields", ", ".join(md.identifier_field_names), ""))
+        rows.append(("Table Properties",
+                     ", ".join(f"{k}={v}" for k, v in sorted(md.properties.items())), ""))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
+
     def create_table_like(self, name: str, source: str) -> None:
         """CREATE TABLE ... LIKE — rejected by design, matching Iceberg
         (the reference's negative test, iceberg_it.py:464-479)."""

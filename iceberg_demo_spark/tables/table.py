@@ -254,11 +254,18 @@ class Table:
     def identifier_fields(self) -> list[str]:
         return list(self.metadata.identifier_field_names)
 
-    def set_write_order(self, order: list[dict] | None) -> None:
+    def set_write_order(self, order: list[dict] | None,
+                        scope: str = "local") -> None:
         """order = [{"col": c, "dir": "asc"|"desc", "nulls": "first"|"last"}];
-        None/[] = WRITE UNORDERED."""
+        None/[] = WRITE UNORDERED. ``scope="global"`` = WRITE ORDERED BY
+        (range-exchange before the sort); ``"local"`` = WRITE LOCALLY
+        ORDERED BY (per-task sort only) — iceberg_it.py:391-393."""
         self.check_writable("ALTER TABLE WRITE ORDERED BY")
         self.metadata.sort_order = order or []
+        if order:
+            self.metadata.properties["write.sort.scope"] = scope
+        else:
+            self.metadata.properties.pop("write.sort.scope", None)
         self.metadata.save()
 
     # -- refs: branches / tags --------------------------------------------
@@ -491,10 +498,12 @@ class Table:
                 else c.asc_nulls_first() if o.get("nulls") == "first" \
                 else c.asc_nulls_last()
             cols.append(c)
-        # Local (per-task) sort: cheap, preserves parallelism. A global
-        # WRITE ORDERED BY would be df.repartitionByRange + sort; the local
-        # variant is what large-scale writers actually want (no range
-        # exchange of the full write set).
+        # Local (per-task) sort is the default: cheap, preserves
+        # parallelism. Global (WRITE ORDERED BY) pays one range exchange of
+        # the write set — worth it only when downstream scans depend on a
+        # total order; large-scale writers usually want the local variant.
+        if self.metadata.properties.get("write.sort.scope") == "global":
+            return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         return df.sortWithinPartitions(*cols)
 
     def _write_files(self, df: DataFrame, schema_id: int | None = None) -> list[DataFile]:
@@ -1129,6 +1138,93 @@ class Table:
     def metadata_log_df(self) -> DataFrame:
         rows = [(e["timestamp_ms"], e["version"]) for e in self.metadata.metadata_log]
         return self.spark.createDataFrame(rows, "timestamp_ms bigint, version int")
+
+    _ENTRIES_SCHEMA = (
+        "status int, snapshot_id bigint, file_path string, record_count bigint, "
+        "file_size_in_bytes bigint"
+    )
+
+    def entries_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``entries`` metadata table (docs/spark-queries.md manifest
+        entries): per-file status at a snapshot — 1=ADDED by it, 0=EXISTING
+        (carried over)."""
+        snap = self._resolve_snapshot(snapshot_id)
+        added = set(snap.added_files) if snap else set()
+        rows = [
+            (1 if f.path in added else 0, snap.snapshot_id, f.path, f.records, f.bytes)
+            for f in (snap.files if snap else [])
+        ]
+        return self.spark.createDataFrame(rows, self._ENTRIES_SCHEMA)
+
+    def all_entries_df(self) -> DataFrame:
+        """Entries across every snapshot, including status 2=DELETED rows for
+        files a snapshot removed."""
+        rows = []
+        for s in self.metadata.snapshots:
+            added = set(s.added_files)
+            for f in s.files:
+                rows.append((1 if f.path in added else 0, s.snapshot_id, f.path,
+                             f.records, f.bytes))
+            parent = (self.metadata.snapshot_by_id(s.parent_id)
+                      if s.parent_id is not None else None)
+            parent_files = {f.path: f for f in parent.files} if parent else {}
+            for p in s.removed_files:
+                pf = parent_files.get(p)
+                if pf is not None:
+                    rows.append((2, s.snapshot_id, pf.path, pf.records, pf.bytes))
+        return self.spark.createDataFrame(rows, self._ENTRIES_SCHEMA)
+
+    def manifests_df(self) -> DataFrame:
+        """The ``manifests`` metadata table. This format embeds the file list
+        in the snapshot record (one logical manifest per snapshot — see
+        format.py's scale note on growing a real manifest layer), so each row
+        describes the current snapshot's embedded manifest."""
+        snap = self.metadata.current_snapshot()
+        rows = []
+        if snap is not None:
+            path = os.path.join("metadata", f"v{self.metadata.version}.metadata.json")
+            ap = os.path.join(self.location, path)
+            length = os.path.getsize(ap) if os.path.exists(ap) else 0
+            rows.append((path, length, 0, snap.snapshot_id,
+                         len(snap.added_files),
+                         len(snap.files) - sum(1 for f in snap.files
+                                               if f.path in set(snap.added_files)),
+                         len(snap.removed_files)))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length bigint, partition_spec_id int, "
+            "added_snapshot_id bigint, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int",
+        )
+
+    #: metadata-table suffix → builder (the ``tbl.files`` read surface,
+    #: iceberg_it.py:1938-1989)
+    METADATA_TABLES = {
+        "snapshots": "snapshots_df",
+        "history": "history_df",
+        "files": "files_df",
+        "data_files": "data_files_df",
+        "delete_files": "delete_files_df",
+        "all_files": "all_files_df",
+        "refs": "refs_df",
+        "partitions": "partitions_df",
+        "metadata_log_entries": "metadata_log_df",
+        "entries": "entries_df",
+        "all_entries": "all_entries_df",
+        "manifests": "manifests_df",
+        "all_manifests": "manifests_df",
+    }
+
+    def metadata_table(self, suffix: str) -> DataFrame:
+        s = suffix.lower()
+        if s == "all_data_files":
+            return self.all_files_df().filter("content = 0")
+        if s == "all_delete_files":
+            return self.all_files_df().filter("content = 1")
+        attr = self.METADATA_TABLES.get(s)
+        if attr is None:
+            raise ValueError(f"unknown metadata table: {self.name}.{suffix}")
+        return getattr(self, attr)()
 
     # -- maintenance helpers used by procedures ----------------------------
 

@@ -1,0 +1,149 @@
+"""Metadata-table surface (iceberg_it.py:1938-1989), identifier-suffix
+scans (iceberg_it.py:2043-2093), SHOW CREATE TABLE / DESCRIBE EXTENDED
+(docs/spark-ddl.md:658-687), write-order scopes (iceberg_it.py:391-394),
+and the uuid() generator (iceberg_it.py:1084-1114)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.engine import Engine
+from iceberg_demo_spark.tables import Catalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def _sample(catalog, name="db.t"):
+    t = catalog.create_table(name, "id bigint not null, v string")
+    t.append(catalog.spark.createDataFrame([(1, "a"), (2, "b")], schema=t.schema()))
+    t.append(catalog.spark.createDataFrame([(3, "c")], schema=t.schema()))
+    return t
+
+
+def test_entries_statuses(catalog):
+    t = _sample(catalog)
+    head = t.metadata.current_snapshot()
+    e = t.entries_df().collect()
+    # head snapshot: second append's files ADDED(1), first append's EXISTING(0)
+    assert sum(1 for r in e if r["status"] == 1) == len(head.added_files)
+    assert sum(1 for r in e if r["status"] == 0) == \
+        len(head.files) - len(head.added_files) > 0
+    n_total = len(head.files)
+    all_e = t.all_entries_df()
+    assert all_e.filter("status = 1").count() == n_total  # every file was added once
+    t.overwrite_all(catalog.spark.createDataFrame([(9, "z")], schema=t.schema()))
+    assert t.all_entries_df().filter("status = 2").count() == n_total  # all removed
+
+
+def test_manifests_df_shape(catalog):
+    t = _sample(catalog)
+    head = t.metadata.current_snapshot()
+    m = t.manifests_df().collect()
+    assert len(m) == 1
+    assert m[0]["added_data_files_count"] == len(head.added_files)
+    assert m[0]["existing_data_files_count"] == \
+        len(head.files) - len(head.added_files)
+    assert m[0]["length"] > 0
+
+
+def test_engine_metadata_table_suffixes(engine):
+    t = engine.catalog.create_table("db.mt", "id bigint")
+    t.append(engine.spark.range(5).select(F.col("id")))
+    for suffix in ("files", "data_files", "delete_files", "all_files",
+                   "all_data_files", "all_delete_files", "snapshots", "history",
+                   "refs", "partitions", "metadata_log_entries", "entries",
+                   "all_entries", "manifests", "all_manifests"):
+        df = engine.table(f"db.mt.{suffix}")
+        assert df.columns, suffix
+    assert engine.table("db.mt.files").count() >= 1
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        engine.table("db.mt.nope")
+
+
+def test_engine_branch_tag_suffix_scan(engine):
+    t = engine.catalog.create_table("db.bt", "id bigint")
+    t.append(engine.spark.range(3).select(F.col("id")))
+    t.create_branch("dev")
+    t.create_tag("v1")
+    t.append(engine.spark.range(10, 12).select(F.col("id")))
+    assert engine.table("db.bt").count() == 5
+    assert engine.table("db.bt.branch_dev").count() == 3
+    assert engine.table("db.bt.tag_v1").count() == 3
+
+
+def test_show_create_table(catalog):
+    t = catalog.create_table(
+        "db.sct", "id bigint not null, ts timestamp, data string",
+        partition_by=[("ts", "days"), ("id", "bucket[16]")],
+        properties={"owner": "me"},
+    )
+    t.set_properties({"write.wap.enabled": "true"})
+    ddl = catalog.show_create_table("db.sct")
+    assert "id BIGINT NOT NULL" in ddl
+    assert "PARTITIONED BY (days(ts), bucket(16, id))" in ddl
+    assert "'owner' = 'me'" in ddl
+    assert "LOCATION" in ddl
+
+
+def test_describe_extended(catalog):
+    t = _sample(catalog, "db.de")
+    t.set_identifier_fields("id")
+    rows = {r["col_name"]: r["data_type"]
+            for r in catalog.describe_extended("db.de").collect()}
+    assert rows["id"] == "bigint"
+    assert rows["Identifier Fields"] == "id"
+    assert rows["Provider"] == "glacier"
+
+
+def test_global_write_order_range_partitions_files(catalog, spark):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = catalog.create_table("db.gwo", "id bigint, v double")
+    t.set_write_order([{"col": "id"}], scope="global")
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(2000)], schema=t.schema()).repartition(6))
+    ranges = []
+    for f in t.metadata.current_snapshot().files:
+        ids = pq.ParquetFile(os.path.join(t.location, f.path)).read(
+            columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids)  # sorted within each file
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint ranges across files (global order)
+
+
+def test_local_write_order_sorts_within_files(catalog, spark):
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = catalog.create_table("db.lwo", "id bigint, v double")
+    t.set_write_order([{"col": "id", "dir": "desc"}])
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(500)], schema=t.schema()).repartition(4))
+    for f in t.metadata.current_snapshot().files:
+        ids = pq.ParquetFile(os.path.join(t.location, f.path)).read(
+            columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids, reverse=True)
+
+
+def test_uuid_generator_round_trip(catalog, spark):
+    t = catalog.create_table("db.uu", "id bigint, u string")
+    t.append(spark.range(10).select("id", F.expr("uuid()").alias("u")))
+    rows = t.scan().collect()
+    assert len({r["u"] for r in rows}) == 10
+    import re
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+    assert all(pat.match(r["u"]) for r in rows)
