@@ -24,6 +24,11 @@ class MaterializedView:
     storage_location: str = ""
     row_count: int = -1
     size_in_bytes: int = -1
+    # incremental-maintenance bookkeeping: the catalog table the defining
+    # query reads and the snapshot it was last synchronized to ("" / -1 when
+    # the query isn't incrementally maintainable)
+    source_table: str = ""
+    source_snapshot_id: int = -1
 
 
 class MVCatalog:

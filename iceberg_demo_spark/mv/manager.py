@@ -11,11 +11,19 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_demo_spark.mv.catalog import MaterializedView, MVCatalog
-from iceberg_demo_spark.mv.parser import parse_select, ParseError
+from iceberg_demo_spark.mv.parser import QueryInfo, parse_select, ParseError
 from iceberg_demo_spark.tables.catalog import Catalog
 from iceberg_demo_spark.tables.format import now_ms
+
+#: aggregate functions the incremental path can recompute per group (all of
+#: them — the partial-group strategy recomputes touched groups exactly, so
+#: even MIN/MAX/AVG/COUNT DISTINCT maintain correctly under deletes)
+_INCR_FNS = {"sum", "count", "min", "max", "avg",
+             "sum_distinct", "count_distinct", "min_distinct", "max_distinct",
+             "avg_distinct"}
 
 
 class MVManager:
@@ -66,11 +74,60 @@ class MVManager:
                 out.append(c)
         return df.toDF(*out)
 
+    # -- incremental-maintenance planning ----------------------------------
+
+    def _resolve_source(self, table_ref: str) -> str | None:
+        """Map a defining-query table reference to a catalog table: the raw
+        name, or (for Engine.register's ``db.t`` → ``db_t`` view names) each
+        single-underscore→dot variant."""
+        cands = [table_ref]
+        for i, ch in enumerate(table_ref):
+            if ch == "_":
+                cands.append(table_ref[:i] + "." + table_ref[i + 1:])
+        for c in cands:
+            if self.table_catalog.table_exists(c):
+                return c
+        return None
+
+    def _maintenance_plan(self, query: str) -> tuple[str, QueryInfo] | None:
+        """(source_catalog_table, parsed query) when the defining query is
+        incrementally maintainable: single catalog-table GROUP BY aggregate,
+        every GROUP BY expr projected plainly, no joins/limit."""
+        try:
+            info = parse_select(query)
+        except ParseError:
+            return None
+        if len(info.base_tables) != 1 or info.joins or info.limit is not None:
+            return None
+        if not info.group_by:
+            return None
+        plain = {e for (fn, e, _a) in info.agg_items() if fn == ""}
+        if set(info.group_by) != plain:
+            return None
+        for fn, _arg, _a in info.agg_items():
+            if fn and fn not in _INCR_FNS:
+                return None
+        src = self._resolve_source(info.base_tables[0])
+        if src is None:
+            return None
+        return src, info
+
+    def _source_snapshot_id(self, source: str) -> int:
+        snap = self.table_catalog.load_table(source).metadata.current_snapshot()
+        return snap.snapshot_id if snap else -1
+
     def create(self, name: str, query: str, if_not_exists: bool = False) -> MaterializedView:
         if self.mv_catalog.exists(name):
             if if_not_exists:
                 return self.mv_catalog.get(name)
             raise ValueError(f"Materialized view {name} already exists")
+        plan = self._maintenance_plan(query)
+        if plan and "." not in parse_select(query).base_tables[0]:
+            # Bind the referenced view name to the catalog table's CURRENT
+            # snapshot so the recorded source_snapshot_id matches the data
+            # the backing table is built from.
+            self.table_catalog.load_table(plan[0]).scan() \
+                .createOrReplaceTempView(parse_select(query).base_tables[0])
         df = self._aliased(self._run_query(query), query)
         backing = self._backing_name(name)
         if self.table_catalog.table_exists(backing):
@@ -86,6 +143,8 @@ class MVManager:
             storage_location=t.location,
             row_count=sum(f.records for f in snap.files) if snap else 0,
             size_in_bytes=sum(f.bytes for f in snap.files) if snap else 0,
+            source_table=plan[0] if plan else "",
+            source_snapshot_id=self._source_snapshot_id(plan[0]) if plan else -1,
         )
         self.mv_catalog.register(mv)
         return mv
@@ -100,22 +159,120 @@ class MVManager:
             self.table_catalog.drop_table(mv.backing_table, purge=True)
 
     def refresh(self, name: str, incremental: bool = False) -> MaterializedView:
-        """Full recompute; INCREMENTAL is accepted but falls back to full,
-        exactly like the reference (MaterializedViewCommands.scala:150-177,
-        docs/starrocks-mv-features.md:56-58). True incremental maintenance
-        would consume the backing tables' changelog views."""
+        """REFRESH [INCREMENTAL]. The reference accepts INCREMENTAL but
+        always recomputes fully (MaterializedViewCommands.scala:150-177,
+        docs/starrocks-mv-features.md:56-58); we go beyond it: maintainable
+        single-table GROUP BY views refresh by **delta-driven partial group
+        recompute** — the source table's changelog between the last
+        synchronized snapshot and head yields the touched group keys, only
+        those groups are re-aggregated from the source, and untouched backing
+        rows are carried over. Exact for every aggregate (incl. MIN/MAX/AVG/
+        DISTINCT, which pure +/- delta merging cannot maintain under
+        deletes). Falls back to full recompute when the query shape or
+        changelog doesn't allow it."""
         mv = self.mv_catalog.get(name)
         if mv is None:
             raise ValueError(f"Materialized view {name} does not exist")
+        if incremental and mv.source_table:
+            try:
+                return self._refresh_incremental(mv)
+            except Exception:
+                pass  # fall through to full recompute
+        return self._refresh_full(mv)
+
+    def _refresh_full(self, mv: MaterializedView) -> MaterializedView:
+        plan = self._maintenance_plan(mv.query)
+        if plan and "." not in parse_select(mv.query).base_tables[0]:
+            self.table_catalog.load_table(plan[0]).scan() \
+                .createOrReplaceTempView(parse_select(mv.query).base_tables[0])
         df = self._aliased(self._run_query(mv.query), mv.query)
         t = self.table_catalog.load_table(mv.backing_table)
         t.overwrite_all(df)
+        if plan:
+            mv.source_table = plan[0]
+            mv.source_snapshot_id = self._source_snapshot_id(plan[0])
+        return self._finish_refresh(mv, t)
+
+    def _finish_refresh(self, mv: MaterializedView, t) -> MaterializedView:
         snap = t.metadata.current_snapshot()
         mv.last_refresh_ts = now_ms()
         mv.row_count = sum(f.records for f in snap.files) if snap else 0
         mv.size_in_bytes = sum(f.bytes for f in snap.files) if snap else 0
         self.mv_catalog.update(mv)
         return mv
+
+    def _refresh_incremental(self, mv: MaterializedView) -> MaterializedView:
+        """Partial group recompute (see refresh docstring). Scale notes: the
+        changelog carries only changed rows; the recompute scan is restricted
+        by an IN-list on touched keys when they're few (collected driver-side
+        → parquet min/max + partition pruning applies) or a broadcast
+        semi-join otherwise; the backing rewrite is proportional to the
+        backing table, which is the small side by construction."""
+        plan = self._maintenance_plan(mv.query)
+        if plan is None:
+            raise ParseError("not incrementally maintainable")
+        source, info = plan
+        from iceberg_demo_spark.tables import procedures as proc
+
+        t = self.table_catalog.load_table(source)
+        head = t.metadata.current_snapshot()
+        if head is None or mv.source_snapshot_id < 0:
+            raise ValueError("no synchronized snapshot recorded")
+        backing = self.table_catalog.load_table(mv.backing_table)
+        if head.snapshot_id == mv.source_snapshot_id:
+            return self._finish_refresh(mv, backing)  # already in sync
+
+        # 1. touched group keys from the changelog window
+        cl = proc.create_changelog_view(
+            t, f"__mv_delta_{mv.name.lower().replace('.', '_')}",
+            start_snapshot_id=mv.source_snapshot_id,
+            end_snapshot_id=head.snapshot_id)
+        where = " AND ".join(f"({c})" for c in info.where) if info.where else None
+        if where is not None:
+            cl = cl.filter(where)
+        backing_cols = [f.name for f in backing.metadata.schema]
+        items = info.agg_items()  # aligned with backing_cols by position
+        key_cols = [(backing_cols[i], expr)
+                    for i, (fn, expr, _a) in enumerate(items) if fn == ""]
+        touched = cl.select(
+            *[F.expr(e).alias(n) for n, e in key_cols]).distinct()
+
+        # 2. recompute exactly those groups from the source's current state
+        src = t.scan()
+        if where is not None:
+            src = src.filter(where)
+        keys = touched.limit(1001).collect()
+        if len(keys) <= 1000 and len(key_cols) == 1:
+            name0 = key_cols[0][0]
+            vals = [r[name0] for r in keys]
+            src = src.filter(F.expr(key_cols[0][1]).isin(vals))
+        else:
+            cond = None
+            for n, e in key_cols:
+                eq = F.expr(e).eqNullSafe(touched[n])
+                cond = eq if cond is None else (cond & eq)
+            src = src.join(F.broadcast(touched), cond, "left_semi")
+        aggs = []
+        for i, (fn, expr, _a) in enumerate(items):
+            if fn == "":
+                continue
+            base = fn[:-9] if fn.endswith("_distinct") else fn
+            inner = f"distinct {expr}" if fn.endswith("_distinct") else expr
+            aggs.append(F.expr(f"{base}({inner})").alias(backing_cols[i]))
+        recomputed = src.groupBy(
+            *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs) \
+            .select(backing_cols)
+
+        # 3. carry over untouched groups, swap in recomputed ones
+        b = backing.scan()
+        cond = None
+        for n, _e in key_cols:
+            eq = b[n].eqNullSafe(touched[n])
+            cond = eq if cond is None else (cond & eq)
+        kept = b.join(F.broadcast(touched), cond, "left_anti")
+        backing.overwrite_all(kept.unionByName(recomputed))
+        mv.source_snapshot_id = head.snapshot_id
+        return self._finish_refresh(mv, backing)
 
     def show(self) -> DataFrame:
         """SHOW MATERIALIZED VIEWS — the reference's 8-column schema

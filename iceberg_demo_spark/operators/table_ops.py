@@ -354,6 +354,47 @@ def mv_rollup_correctness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           COUNT(*) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True incremental MV maintenance: materialize over HALF the orders,
+    append the other half to the source table, REFRESH INCREMENTAL (delta-
+    driven partial group recompute via the changelog), and the backing table
+    must equal a from-scratch aggregate over ALL orders."""
+    import tempfile as _tf
+
+    t_in = load_tables(spark, sf_dir, ("orders",))
+    eng = Engine(spark, _tf.mkdtemp(prefix="glacier_mvi_"))
+    orders = t_in["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    src = eng.catalog.create_table_as(
+        "db.ord_src", orders.filter(F.col("o_orderkey") % 2 == 0))
+    eng.register("db.ord_src")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvi AS "
+        "SELECT o_orderpriority, SUM(o_totalprice) AS total_raw, COUNT(*) AS cnt "
+        "FROM db_ord_src GROUP BY o_orderpriority"
+    )
+    src.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    eng.sql("REFRESH MATERIALIZED VIEW mvi INCREMENTAL")
+    mv = eng.mv_catalog.get("mvi")
+    assert mv.source_snapshot_id == \
+        src.metadata.current_snapshot().snapshot_id, "incremental did not sync"
+    return (
+        eng.mv.backing_df(mv)
+        .select("o_orderpriority", F.round("total_raw", 2).alias("total"), "cnt")
+        .orderBy("o_orderpriority")
+    )
+
+
 # -- streaming ingest under the value gate ---------------------------------
 
 @query(
