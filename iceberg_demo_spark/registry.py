@@ -41,6 +41,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         table_ops,
         text,
     )

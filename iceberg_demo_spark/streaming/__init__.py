@@ -7,9 +7,12 @@ from iceberg_demo_spark.streaming.pipeline import (
     stream_hourly_event_counts,
     stream_to_table,
 )
+from iceberg_demo_spark.streaming.stateful import first_seen, running_counts
 
 __all__ = [
     "stream_to_table",
     "stream_hourly_event_counts",
     "maintain_streaming_table",
+    "first_seen",
+    "running_counts",
 ]

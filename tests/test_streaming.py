@@ -97,3 +97,71 @@ def test_maintenance_loop(spark, tmp_path, events_dir):
     assert res["expired_snapshots"] >= 1
     assert len(t.metadata.current_snapshot().files) < n_files_before
     assert t.scan().count() == n  # maintenance never changes data
+
+
+# -- custom stateful operators (applyInPandasWithState) ---------------------
+
+@pytest.fixture()
+def dup_stream_dir(spark, tmp_path):
+    """Two source files with overlapping doc ids, ingested one per
+    micro-batch so duplicates cross batch boundaries."""
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(
+        [(1, "a1"), (2, "b1"), (3, "c1")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(
+        [(2, "b2"), (3, "c2"), (4, "d1"), (4, "d2")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    # flatten: move part files into one dir with ordered names
+    import glob
+
+    out = str(tmp_path / "dup_flat")
+    os.makedirs(out)
+    for i, sub in enumerate(("f1", "f2")):
+        part = glob.glob(f"{src}/{sub}/part-*.parquet")[0]
+        shutil.copy(part, f"{out}/{i:03d}.parquet")
+    return out
+
+
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path, dup_stream_dir):
+    from iceberg_demo_spark.streaming import first_seen
+
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dup_stream_dir)
+    )
+    q = (
+        first_seen(stream, "doc_id")
+        .writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["text"] for r in spark.sql("select * from dedup_out").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # first occurrence won: ids 2,3 keep their batch-1 text
+    assert rows[2] == "b1" and rows[3] == "c1"
+
+
+def test_streaming_running_counts(spark, tmp_path, dup_stream_dir):
+    from iceberg_demo_spark.streaming import running_counts
+
+    schema = "doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dup_stream_dir)
+    )
+    q = (
+        running_counts(stream, "doc_id")
+        .writeStream.format("memory").queryName("counts_out")
+        .option("checkpointLocation", str(tmp_path / "ck_counts"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # update mode: take the LAST emission per key = final running count
+    rows = spark.sql("select * from counts_out").collect()
+    final = {}
+    for r in rows:
+        final[r["doc_id"]] = max(final.get(r["doc_id"], 0), r["n"])
+    assert final == {1: 1, 2: 2, 3: 2, 4: 2}
