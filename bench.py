@@ -38,9 +38,14 @@ HEADLINE = [
     "top3_customers_per_nation",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ann_ivf_topk",
     "events_sessionization",
     "dml_merge_upsert",
+    "dml_delete_update_mor",
+    "mv_incremental_refresh",
+    "skew_salted_agg",
     "compaction_preserves_table",
 ]
 

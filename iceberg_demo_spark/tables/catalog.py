@@ -228,6 +228,26 @@ class Catalog:
         md.location = new_loc
         md.save()
 
+    def drop_database(self, namespace: str, cascade: bool = False,
+                      purge: bool = False) -> list[str]:
+        """DROP DATABASE [CASCADE]. Without cascade, a non-empty database is
+        an error. With cascade, the read-only guard runs FIRST across every
+        contained table — one read-only table blocks the whole drop, exactly
+        like the reference's check rule
+        (ReadOnlyTableCheckRule.scala:134-143)."""
+        tables = self.list_tables(namespace)
+        if tables and not cascade:
+            raise ValueError(f"database {namespace} is not empty; use cascade")
+        if cascade:
+            for name in tables:
+                self.load_table(name).check_writable("DROP DATABASE CASCADE")
+        for name in tables:
+            self.drop_table(name, purge=purge)
+        root = os.path.join(self.warehouse, *namespace.split("."))
+        if os.path.isdir(root) and purge:
+            shutil.rmtree(root, ignore_errors=True)
+        return tables
+
     def list_tables(self, namespace: str | None = None) -> list[str]:
         root = os.path.join(self.warehouse, *(namespace.split(".") if namespace else []))
         out = []

@@ -176,3 +176,23 @@ def test_distribution_mode_range_uses_sort_order(catalog, spark):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
     assert sorted(r["id"] for r in t.scan().collect()) == list(range(1000))
+
+
+# -- DROP DATABASE [CASCADE] with the read-only guard ----------------------
+
+def test_drop_database_cascade_blocked_by_readonly_table(catalog):
+    from iceberg_demo_spark.tables.table import ReadOnlyTableError
+
+    a = catalog.create_table("dropdb.a", "id bigint")
+    catalog.create_table("dropdb.b", "id bigint")
+    a.set_properties({"hive-ext.readOnly": "TRUE"})  # case-insensitive value
+    with pytest.raises(ValueError, match="not empty"):
+        catalog.drop_database("dropdb")
+    with pytest.raises(ReadOnlyTableError):
+        catalog.drop_database("dropdb", cascade=True)
+    # both tables survive the blocked cascade
+    assert catalog.table_exists("dropdb.a") and catalog.table_exists("dropdb.b")
+    a.unset_properties(["hive-ext.readOnly"])
+    dropped = catalog.drop_database("dropdb", cascade=True)
+    assert sorted(dropped) == ["dropdb.a", "dropdb.b"]
+    assert not catalog.table_exists("dropdb.a")

@@ -117,9 +117,16 @@ def dup_stream_dir(spark, tmp_path):
 
     out = str(tmp_path / "dup_flat")
     os.makedirs(out)
+    import time as _time
+
+    now = _time.time()
     for i, sub in enumerate(("f1", "f2")):
         part = glob.glob(f"{src}/{sub}/part-*.parquet")[0]
-        shutil.copy(part, f"{out}/{i:03d}.parquet")
+        dst = f"{out}/{i:03d}.parquet"
+        shutil.copy(part, dst)
+        # the file source orders batches by modification time — make it
+        # unambiguous (f1 strictly older than f2)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
     return out
 
 
