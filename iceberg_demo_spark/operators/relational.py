@@ -943,3 +943,219 @@ def dedup_first_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("r_name").alias("r_name"), F.count("*").alias("n_copies"))
         .orderBy("r_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: market share via conditional aggregation (CASE inside SUM)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH orders_in AS (
+      SELECT o_orderkey, EXTRACT(year FROM o_orderdate) AS o_year
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(ROUND(
+             SUM(CASE WHEN n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 6)
+           AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders_in ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation market share per order year: conditional aggregation
+    (SUM(CASE...)/SUM(...)) over a 3-way star join — decimal-exact so the
+    ratio hash-matches DuckDB."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier", "nation"))
+    orders_in = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    rev_dec = _rev_col().cast("decimal(18,4)")
+    joined = (
+        t["lineitem"]
+        .join(orders_in, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev_dec)
+                      .otherwise(F.lit(0).cast("decimal(18,4)")))
+                / F.sum(rev_dec),
+                6,
+            ).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: order-count distribution (left join + two-level aggregation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-per-order-count histogram: LEFT JOIN with an extra join-time
+    predicate (not a post-filter — customers with only urgent orders must
+    still count as 0), then a second aggregation over the first."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"].join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: small-quantity revenue (correlated per-group average threshold)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey AS t_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresholds ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows below half their part's average quantity: the correlated
+    aggregate becomes a pre-aggregated threshold table joined back to the
+    fact (the scalable de-correlation — one extra partial agg instead of a
+    per-row subquery)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"]
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#1")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            .cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: OR-of-ANDs predicate (disjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_brand_size_revenue",
+    oracle=f"""
+    SELECT {_REV} AS revenue, COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive brand/size/quantity ranges: Catalyst
+    splits the OR across the join — part-side conjuncts prune the build
+    side, lineitem-side bounds (quantity ∈ [1,40]) push to the fact scan."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_rev_col()).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: idle wealthy customers (scalar subquery + NOT EXISTS anti-join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the positive-balance average with no URGENT orders:
+    scalar-subquery threshold (broadcast single row) + LEFT ANTI join against
+    a filtered subquery, then per-nation totals."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c, o = t["customer"], t["orders"]
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o.filter(F.col("o_orderpriority") == "1-URGENT"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             dsum(F.col("c_acctbal")).alias("totacctbal"))
+        .orderBy("nationkey")
+    )
