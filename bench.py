@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_ivf_topk",
     "events_sessionization",
+    "asof_click_attribution",
     "dml_merge_upsert",
     "dml_delete_update_mor",
     "mv_incremental_refresh",

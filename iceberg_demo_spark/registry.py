@@ -43,5 +43,6 @@ def load_all() -> None:
         similarity,
         skew,
         table_ops,
+        temporal,
         text,
     )

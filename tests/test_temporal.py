@@ -1,0 +1,75 @@
+"""As-of join and range join: the scalable compositions must equal the
+naive (quadratic) formulations."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from iceberg_demo_spark import registry
+from iceberg_demo_spark.operators.temporal import asof_join, range_join_bins
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _events(spark):
+    from iceberg_demo_spark.sources import load_tables
+
+    return load_tables(spark, SF_SMALL, ("events",))["events"]
+
+
+def test_asof_join_equals_naive(spark):
+    ev = _events(spark)
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id"))
+    got = {
+        (r["click_id"], r["r_view_id"])
+        for r in asof_join(
+            clicks, views.select("user_id", F.col("vts").alias("ts"), "view_id"),
+            key="user_id", ts="ts", right_cols=["view_id"], tiebreak="view_id",
+        ).collect()
+    }
+    # naive: inequality join + row_number per click
+    j = clicks.join(views, (clicks.user_id == views.user_id)
+                    & (F.col("vts") <= F.col("ts")), "left")
+    w = Window.partitionBy("click_id").orderBy(
+        F.desc_nulls_last("vts"), F.desc_nulls_last("view_id"))
+    want = {
+        (r["click_id"], r["view_id"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    assert got == want and len(got) == clicks.count()
+
+
+def test_asof_join_unmatched_left_is_null(spark):
+    ev = _events(spark)
+    first_view_ts = ev.filter("event_type = 'view'").agg(F.min("ts")).collect()[0][0]
+    clicks = ev.filter("event_type = 'click'")
+    early = clicks.filter(F.col("ts") < first_view_ts).count()
+    if early == 0:
+        return  # no early clicks at this SF — nothing to assert
+    out = registry.QUERIES["asof_click_attribution"](spark, SF_SMALL)
+    assert out.filter("view_id IS NULL").count() >= 1
+
+
+def test_range_join_bins_equals_naive(spark):
+    ev = _events(spark)
+    err = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1"))
+    points = ev.select("user_id", "ts", F.col("event_id").alias("pt_id"))
+    got = {
+        (r["err_id"], r["pt_id"])
+        for r in range_join_bins(points, err, "user_id", "ts", "t0", "t1",
+                                 600_000_000).collect()
+    }
+    naive = points.alias("p").join(
+        err.alias("e"),
+        (F.col("p.user_id") == F.col("e.user_id"))
+        & (F.col("p.ts") > F.col("e.t0")) & (F.col("p.ts") <= F.col("e.t1")))
+    want = {(r["err_id"], r["pt_id"]) for r in naive.collect()}
+    assert got == want and got
