@@ -262,18 +262,32 @@ class Catalog:
 
     def create_view(self, name: str, sql: str, or_replace: bool = False,
                     if_not_exists: bool = False, properties: dict | None = None,
-                    comment: str | None = None) -> None:
+                    comment: str | None = None,
+                    column_aliases: list[tuple[str, str | None]] | None = None) -> None:
+        """CREATE [OR REPLACE] VIEW [IF NOT EXISTS] with optional
+        TBLPROPERTIES, view comment, and a column-alias list
+        ``[(alias, column_comment|None), ...]`` applied positionally over the
+        defining query's output (iceberg_it.py:569-612 surface)."""
         if name in self.views and not or_replace:
             if if_not_exists:
                 return
             raise TableAlreadyExistsError(f"view {name}")
         self.views[name] = {"sql": sql, "properties": dict(properties or {}),
-                            "comment": comment}
+                            "comment": comment,
+                            "column_aliases": list(column_aliases or [])}
 
     def view_df(self, name: str) -> DataFrame:
         if name not in self.views:
             raise NoSuchTableError(f"view {name}")
-        return self.spark.sql(self.views[name]["sql"])
+        df = self.spark.sql(self.views[name]["sql"])
+        aliases = self.views[name].get("column_aliases") or []
+        if aliases:
+            if len(aliases) != len(df.columns):
+                raise ValueError(
+                    f"view {name}: {len(aliases)} column aliases for "
+                    f"{len(df.columns)} output columns")
+            df = df.toDF(*[a for a, _c in aliases])
+        return df
 
     def alter_view_properties(self, name: str, set_: dict | None = None,
                               unset: list[str] | None = None) -> None:

@@ -133,6 +133,13 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
     keep_ids = {r["snapshot_id"] for r in md.refs.values()}
     chain = md.ancestors(MAIN_BRANCH)
     keep_ids.update(s.snapshot_id for s in chain[: max(retain_last, 1)])
+    # Branch snapshot retention (CREATE BRANCH ... WITH SNAPSHOT RETENTION n
+    # SNAPSHOTS): each branch keeps at least its configured ancestor count.
+    for ref_name, r in md.refs.items():
+        n_keep = r.get("min_snapshots_to_keep")
+        if r.get("type") == "branch" and n_keep:
+            keep_ids.update(
+                s.snapshot_id for s in md.ancestors(ref_name)[: int(n_keep)])
     expire: set[int] = set()
     if snapshot_ids:
         expire.update(snapshot_ids)

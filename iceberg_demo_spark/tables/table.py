@@ -271,17 +271,33 @@ class Table:
     # -- refs: branches / tags --------------------------------------------
 
     def create_branch(self, name: str, snapshot_id: int | None = None,
-                      if_not_exists: bool = False, or_replace: bool = False) -> None:
+                      if_not_exists: bool = False, or_replace: bool = False,
+                      retain_days: float | None = None,
+                      retention_snapshots: int | None = None,
+                      retention_days: float | None = None) -> None:
+        """CREATE BRANCH [AS OF VERSION v] [RETAIN d DAYS] [WITH SNAPSHOT
+        RETENTION n SNAPSHOTS | d DAYS] (iceberg_it.py:617-735,
+        docs/spark-ddl.md:476-505): ``retain_days`` = how long the ref
+        itself lives, ``retention_*`` = how much snapshot history the branch
+        keeps at expire time."""
         self.check_writable("CREATE BRANCH")
-        self._create_ref(name, "branch", snapshot_id, if_not_exists, or_replace)
+        self._create_ref(name, "branch", snapshot_id, if_not_exists, or_replace,
+                         retain_days=retain_days,
+                         retention_snapshots=retention_snapshots,
+                         retention_days=retention_days)
 
     def create_tag(self, name: str, snapshot_id: int | None = None,
-                   if_not_exists: bool = False, or_replace: bool = False) -> None:
+                   if_not_exists: bool = False, or_replace: bool = False,
+                   retain_days: float | None = None) -> None:
         self.check_writable("CREATE TAG")
-        self._create_ref(name, "tag", snapshot_id, if_not_exists, or_replace)
+        self._create_ref(name, "tag", snapshot_id, if_not_exists, or_replace,
+                         retain_days=retain_days)
 
     def _create_ref(self, name: str, type_: str, snapshot_id: int | None,
-                    if_not_exists: bool, or_replace: bool) -> None:
+                    if_not_exists: bool, or_replace: bool,
+                    retain_days: float | None = None,
+                    retention_snapshots: int | None = None,
+                    retention_days: float | None = None) -> None:
         if name in self.metadata.refs and not or_replace:
             if if_not_exists:
                 return
@@ -293,7 +309,14 @@ class Table:
             snapshot_id = cur.snapshot_id
         else:
             self.metadata.snapshot_by_id(snapshot_id)  # must exist
-        self.metadata.refs[name] = {"snapshot_id": snapshot_id, "type": type_}
+        ref = {"snapshot_id": snapshot_id, "type": type_}
+        if retain_days is not None:
+            ref["max_ref_age_ms"] = int(retain_days * 86_400_000)
+        if retention_snapshots is not None:
+            ref["min_snapshots_to_keep"] = int(retention_snapshots)
+        if retention_days is not None:
+            ref["max_snapshot_age_ms"] = int(retention_days * 86_400_000)
+        self.metadata.refs[name] = ref
         self.metadata.save()
 
     def drop_ref(self, name: str, if_exists: bool = False) -> None:
@@ -1119,8 +1142,18 @@ class Table:
         )
 
     def refs_df(self) -> DataFrame:
-        rows = [(n, r["type"].upper(), r["snapshot_id"]) for n, r in self.metadata.refs.items()]
-        return self.spark.createDataFrame(rows, "name string, type string, snapshot_id bigint")
+        rows = [
+            (n, r["type"].upper(), r["snapshot_id"],
+             r.get("max_ref_age_ms"), r.get("min_snapshots_to_keep"),
+             r.get("max_snapshot_age_ms"))
+            for n, r in self.metadata.refs.items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, snapshot_id bigint, "
+            "max_reference_age_in_ms bigint, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms bigint",
+        )
 
     def partitions_df(self) -> DataFrame:
         snap = self.metadata.current_snapshot()

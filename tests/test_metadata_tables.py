@@ -147,3 +147,38 @@ def test_uuid_generator_round_trip(catalog, spark):
     import re
     pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
     assert all(pat.match(r["u"]) for r in rows)
+
+
+# -- view column aliases + ref retention -----------------------------------
+
+def test_view_column_aliases(catalog, spark):
+    t = _sample(catalog, "db.vsrc")
+    t.scan().createOrReplaceTempView("vsrc")
+    catalog.create_view(
+        "v_aliased", "SELECT id, v FROM vsrc",
+        column_aliases=[("ident", "the key"), ("val", None)])
+    df = catalog.view_df("v_aliased")
+    assert df.columns == ["ident", "val"]
+    with pytest.raises(ValueError, match="aliases"):
+        catalog.create_view("v_bad", "SELECT id, v FROM vsrc",
+                            column_aliases=[("only_one", None)])
+        catalog.view_df("v_bad")
+
+
+def test_branch_retention_in_refs_and_expire(catalog, spark):
+    from iceberg_demo_spark.tables import procedures as proc
+
+    t = _sample(catalog, "db.reften")  # 2 appends => 2 snapshots
+    t.append(spark.createDataFrame([(9, "z")], schema=t.schema()))  # 3rd
+    t.create_branch("keepme", retention_snapshots=3, retain_days=7)
+    t.create_tag("old_tag", retain_days=1.5)
+    refs = {r["name"]: r for r in t.refs_df().collect()}
+    assert refs["keepme"]["min_snapshots_to_keep"] == 3
+    assert refs["keepme"]["max_reference_age_in_ms"] == 7 * 86_400_000
+    assert refs["old_tag"]["max_reference_age_in_ms"] == int(1.5 * 86_400_000)
+    # expire everything except what retention forces to stay
+    res = proc.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    remaining = {s.snapshot_id for s in t.metadata.snapshots}
+    # the branch's 3-snapshot retention kept the whole ancestry
+    assert len(remaining) == 3
+    assert res["deleted_snapshots_count"] == 0
