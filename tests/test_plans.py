@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcast dims, filter pushdown, column pruning, no cartesian products)
+are asserted, not assumed — a change that silently degrades a plan fails
+CI even while results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from iceberg_demo_spark import registry
+from tests.conftest import SF_MED
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_MED)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_broadcasts_all_dims(spark):
+    plan = _plan(spark, "flagship_revenue_by_region")
+    # tree lines read "BroadcastHashJoin Inner BuildRight"; the details
+    # section repeats each operator without the join type
+    assert plan.count("BroadcastHashJoin Inner") == 4  # orders/customer/nation/region
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_plan_pushes_shipdate_filter(spark):
+    plan = _plan(spark, "flagship_revenue_by_region")
+    assert "PushedFilters" in plan
+    # the selective predicate reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_flagship_plan_prunes_columns(spark):
+    plan = _plan(spark, "flagship_revenue_by_region")
+    # lineitem scan must not read all 11 columns — the ReadSchema for the
+    # fact table carries only join key + filter + measure columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_extendedprice" in line:
+            assert "l_comment" not in line and "l_tax" not in line
+            assert line.count(",") <= 4, line  # ≤5 columns read
+            break
+    else:
+        pytest.fail("no lineitem ReadSchema found")
+
+
+@pytest.mark.parametrize("name", [
+    "q3_top_unshipped_orders", "q5_local_supplier_volume",
+    "q10_returned_items", "q19_brand_size_revenue",
+])
+def test_star_joins_never_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_quantity_bounds(spark):
+    """The OR-of-ANDs must still push a usable quantity range to the fact
+    scan (Catalyst extracts the common bounds)."""
+    plan = _plan(spark, "q19_brand_size_revenue")
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_salted_agg_has_two_aggregate_stages(spark):
+    plan = _plan(spark, "skew_salted_agg")
+    # phase-1 (key, salt) agg + phase-2 key agg, each partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_asof_join_is_single_window_no_join(spark):
+    """The as-of composition must not contain ANY join operator — its whole
+    point is replacing the inequality join with a window."""
+    plan = _plan(spark, "asof_click_attribution")
+    assert "Join" not in plan
+    assert "Window" in plan
