@@ -10,6 +10,7 @@ untouched, so the full Spark surface remains available.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -55,11 +56,66 @@ class Engine:
                 return self.mv.show()
             if kind == "call":
                 return self._call(groups.group(1), groups.group(2))
+        text = self._rewrite_time_travel(text)
         res = self.rewriter.try_rewrite(text)
         if res is not None:
             self.last_rewrite = res
             return res.df
         return self.spark.sql(text)
+
+    #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR
+    #: SYSTEM_VERSION / SYSTEM_TIME spellings) — docs/spark-queries.md:47-98
+    _TT_RE = re.compile(
+        r"([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)"
+        r"\s+('[^']*'|\d+)",
+        re.IGNORECASE,
+    )
+    _TS_RE = re.compile(
+        r"([\w.]+)\s+(?:FOR\s+SYSTEM_TIME\s+AS\s+OF|TIMESTAMP\s+AS\s+OF)"
+        r"\s+('[^']*')",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_time_travel(self, text: str) -> str:
+        """SQL time travel over catalog tables (iceberg_it.py:1957-2041):
+        each ``tbl VERSION AS OF <id|'ref'>`` / ``tbl TIMESTAMP AS OF 'ts'``
+        reference is bound to the right snapshot scan via a temp view and
+        substituted. Non-catalog names pass through untouched (plain Spark
+        SQL may define its own time travel for other sources)."""
+        counter = [0]
+
+        def bind(df) -> str:
+            counter[0] += 1
+            view = f"__tt_{abs(hash(text)) % 10**8}_{counter[0]}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        def sub_version(m: re.Match) -> str:
+            name, ver = m.group(1), m.group(2)
+            if not self.catalog.table_exists(name):
+                return m.group(0)
+            t = self.catalog.load_table(name)
+            if ver.startswith("'"):  # string ref: branch or tag name
+                ref = ver.strip("'")
+                return bind(t.scan(branch=ref) if
+                            t.metadata.refs.get(ref, {}).get("type") == "branch"
+                            else t.scan(tag=ref))
+            return bind(t.scan(snapshot_id=int(ver)))
+
+        def sub_timestamp(m: re.Match) -> str:
+            name, ts = m.group(1), m.group(2)
+            if not self.catalog.table_exists(name):
+                return m.group(0)
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts.strip("'"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ms = int(dt.timestamp() * 1000)
+            return bind(self.catalog.load_table(name).scan(as_of_timestamp_ms=ms))
+
+        text = self._TT_RE.sub(sub_version, text)
+        return self._TS_RE.sub(sub_timestamp, text)
 
     def _status(self, message: str) -> DataFrame:
         return self.spark.createDataFrame([(message,)], "result string")

@@ -182,3 +182,39 @@ def test_branch_retention_in_refs_and_expire(catalog, spark):
     # the branch's 3-snapshot retention kept the whole ancestry
     assert len(remaining) == 3
     assert res["deleted_snapshots_count"] == 0
+
+
+# -- SQL time travel through Engine.sql ------------------------------------
+
+def test_sql_time_travel_version_and_ref(engine, spark):
+    import time
+
+    t = engine.catalog.create_table("db.tt", "id bigint")
+    t.append(spark.range(3).select(F.col("id")))
+    v1 = t.metadata.current_snapshot().snapshot_id
+    ts_between = time.time()
+    time.sleep(0.05)
+    t.create_tag("v1tag")
+    t.append(spark.range(10, 15).select(F.col("id")))
+    t.create_branch("dev", snapshot_id=v1)
+
+    # plain (non-time-travel) reads go through an explicit register
+    engine.register("db.tt", "db_tt_now")
+    assert engine.sql("SELECT count(*) AS n FROM db_tt_now").collect()[0]["n"] == 8
+    assert engine.sql(
+        f"SELECT count(*) AS n FROM db.tt VERSION AS OF {v1}").collect()[0]["n"] == 3
+    assert engine.sql(
+        "SELECT count(*) AS n FROM db.tt VERSION AS OF 'v1tag'").collect()[0]["n"] == 3
+    assert engine.sql(
+        "SELECT count(*) AS n FROM db.tt VERSION AS OF 'dev'").collect()[0]["n"] == 3
+    assert engine.sql(
+        f"SELECT count(*) AS n FROM db.tt FOR SYSTEM_VERSION AS OF {v1}"
+    ).collect()[0]["n"] == 3
+
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(ts_between, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f")
+    assert engine.sql(
+        f"SELECT count(*) AS n FROM db.tt TIMESTAMP AS OF '{iso}'"
+    ).collect()[0]["n"] == 3
