@@ -405,6 +405,25 @@ class Table:
             return self.metadata.resolve_ref(branch or tag)
         return self.metadata.current_snapshot()
 
+    def _eval_transform(self, p: PartitionField, literals: set[str]) -> set[str] | None:
+        """Partition-transform values for literal predicates, computed with
+        the SAME expression the write path uses (one tiny local job, no table
+        data touched) — exact even for hash buckets."""
+        try:
+            src_type = self.metadata.field_by_name(p.source).type
+            rows = self.spark.sql(
+                "SELECT CAST(x AS {t}) AS {s} FROM VALUES {v} AS tmp(x)".format(
+                    t=src_type, s=p.source,
+                    v=", ".join("('{}')".format(lit.replace("'", "''"))
+                                for lit in literals),
+                )
+            ).select(
+                _transform_expr(p.transform, p.source).cast("string").alias("tv")
+            ).collect()
+            return {r["tv"] for r in rows if r["tv"] is not None}
+        except Exception:
+            return None
+
     def _rel_path_expr(self) -> Column:
         """Data-file path relative to the table location, computed from
         ``_metadata.file_path`` (scheme-prefix agnostic: works for
@@ -755,40 +774,51 @@ class Table:
         return {r[_FILE_COL] for r in rows}
 
     def _prune_files(self, files: list[DataFile], cond_text: str | None) -> list[DataFile]:
-        """Driver-side partition pruning for identity-partitioned columns:
-        top-level conjuncts of the form ``col = 'lit'`` / ``col IN (...)``
-        restrict the candidate file set before any scan. At 100 TB this is
-        what turns a partition-aligned DELETE into an O(partition) operation
-        instead of O(table); transform-partition pruning (days/bucket) would
-        slot in here by evaluating the transform on the literal."""
+        """Driver-side partition pruning: top-level conjuncts of the form
+        ``col = 'lit'`` / ``col IN (...)`` on ANY partition source column
+        restrict the candidate file set before any scan. Identity values
+        match directly; transform partitions (days/bucket/truncate/...) are
+        handled by evaluating the transform ON THE LITERAL with a one-row
+        Spark job — exact for hash buckets too. At 100 TB this is what turns
+        a partition-aligned DELETE into an O(partition) operation instead of
+        O(table)."""
         if not cond_text or not self.metadata.partition_spec:
             return files
         import re as _re
 
         from iceberg_demo_spark.mv.parser import split_conjuncts
 
-        ident_cols = {
-            p.source.lower(): p.partition_col
-            for p in self.metadata.partition_spec
-            if p.transform == "identity"
-        }
-        if not ident_cols:
-            return files
+        by_source: dict[str, list[PartitionField]] = {}
+        for p in self.metadata.partition_spec:
+            by_source.setdefault(p.source.lower(), []).append(p)
         allowed: dict[str, set[str]] = {}
         try:
             conjuncts = split_conjuncts(cond_text)
         except Exception:
             return files
         for c in conjuncts:
+            vals: set[str] | None = None
             m = _re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", c) or \
                 _re.fullmatch(r"\s*(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*", c)
-            if m and m.group(1).lower() in ident_cols:
-                allowed.setdefault(ident_cols[m.group(1).lower()], set()).add(m.group(2))
+            if m:
+                vals = {m.group(2)}
+            else:
+                m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c, _re.IGNORECASE)
+                if m:
+                    vals = {v.strip().strip("'") for v in m.group(2).split(",")}
+            if m is None or vals is None or m.group(1).lower() not in by_source:
                 continue
-            m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c, _re.IGNORECASE)
-            if m and m.group(1).lower() in ident_cols:
-                vals = {v.strip().strip("'") for v in m.group(2).split(",")}
-                allowed.setdefault(ident_cols[m.group(1).lower()], set()).update(vals)
+            for p in by_source[m.group(1).lower()]:
+                if p.transform == "identity":
+                    tvals = vals
+                else:
+                    tvals = self._eval_transform(p, vals)
+                    if tvals is None:
+                        continue  # couldn't evaluate — no pruning on this field
+                if p.partition_col in allowed:
+                    allowed[p.partition_col] &= tvals
+                else:
+                    allowed[p.partition_col] = set(tvals)
         if not allowed:
             return files
         out = []

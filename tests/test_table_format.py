@@ -395,3 +395,31 @@ def test_partition_pruned_delete_never_scans_other_partitions(catalog, spark):
     assert t._prune_files(files_before, "category = 'x' OR amount > 5") == files_before
     t.delete_where("category = 'x' AND amount <= 10")
     assert {r["id"] for r in t.scan().collect()} == {2, 3}
+
+
+def test_transform_partition_pruning_in_dml(catalog, spark):
+    """Driver-side pruning evaluates transforms on literals: a bucket- and
+    days-partitioned table prunes DELETE candidates to matching partitions
+    only (no scan of other partitions' files)."""
+    t = catalog.create_table(
+        "db.prune", "id bigint, ts timestamp, v double",
+        partition_by=[("id", "bucket[4]"), ("ts", "days")],
+    )
+    rows = [(i, f"2024-01-0{1 + i % 3} 12:00:00", float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    t.append(df)
+    files = t.metadata.current_snapshot().files
+    # equality on the bucketed column prunes to one bucket's files
+    pruned = t._prune_files(files, "id = 7")
+    assert 0 < len(pruned) < len(files)
+    assert all(f.partition["_p_id_bucket"] ==
+               pruned[0].partition["_p_id_bucket"] for f in pruned)
+    # equality on the days-partitioned timestamp prunes to one day
+    pruned_ts = t._prune_files(files, "ts = '2024-01-02 12:00:00'")
+    assert 0 < len(pruned_ts) < len(files)
+    assert {f.partition["_p_ts_day"] for f in pruned_ts} == {"2024-01-02"}
+    # and the DELETE itself stays correct
+    t.delete_where("ts = '2024-01-02 12:00:00'")
+    remaining = t.scan().count()
+    assert remaining == 40 - len([r for r in rows if "01-02" in r[1]])
