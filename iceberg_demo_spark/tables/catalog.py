@@ -75,10 +75,11 @@ class Catalog:
             st = _parse_type(f"struct<{_ddl_to_struct(schema)}>")
             nn = _not_null_names(schema)
             for f in st.fields:
-                fields.append((f.name, f.dataType.simpleString(), f.name.lower() not in nn, None))
+                fields.append((f.name, _normalize_type(f.dataType.simpleString()),
+                               f.name.lower() not in nn, None))
         else:
             for item in schema:
-                name_, type_ = item[0], item[1]
+                name_, type_ = item[0], _normalize_type(item[1])
                 nullable = item[2] if len(item) > 2 else True
                 comment = item[3] if len(item) > 3 else None
                 fields.append((name_, type_, nullable, comment))
@@ -313,6 +314,17 @@ def _ddl_to_struct(ddl: str) -> str:
     import re
 
     return re.sub(r"\s+not\s+null", "", ddl, flags=re.IGNORECASE)
+
+
+def _normalize_type(t: str) -> str:
+    """char(n)/varchar(n) → string, the documented Iceberg conversion
+    (docs/spark-getting-started.md:141-196; iceberg_it.py:1024-1052 asserts
+    exactly this round-trip). Applied recursively via plain substitution so
+    nested struct/array element types normalize too."""
+    import re
+
+    return re.sub(r"\b(?:var)?char\s*\(\s*\d+\s*\)", "string", t,
+                  flags=re.IGNORECASE)
 
 
 def _not_null_names(ddl: str) -> set[str]:

@@ -131,7 +131,10 @@ class Table:
 
     def add_column(self, name: str, type_: str, comment: str | None = None,
                    nullable: bool = True) -> None:
+        from iceberg_demo_spark.tables.catalog import _normalize_type
+
         self.check_writable("ALTER TABLE ADD COLUMNS")
+        type_ = _normalize_type(type_)
         self.metadata.new_schema_version()
         if "." in name:  # nested struct field: parent.child
             parent, child = name.rsplit(".", 1)
