@@ -1159,3 +1159,39 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum(F.col("c_acctbal")).alias("totacctbal"))
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (multi-granularity aggregation in one pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_flag_status_qty",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+)
+def rollup_flag_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail rows + per-flag subtotals
+    + grand total in ONE aggregation pass (Spark expands grouping sets
+    map-side — no extra scan per granularity, which is the scale win over
+    running three GROUP BYs)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "sum_qty", "n",
+        )
+        .orderBy("flag", "status")
+    )
