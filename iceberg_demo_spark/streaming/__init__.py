@@ -7,6 +7,10 @@ from iceberg_demo_spark.streaming.pipeline import (
     stream_hourly_event_counts,
     stream_to_table,
 )
+from iceberg_demo_spark.streaming.pipeline import (
+    process_table_stream,
+    stream_table_appends,
+)
 from iceberg_demo_spark.streaming.stateful import first_seen, running_counts
 
 __all__ = [
@@ -15,4 +19,6 @@ __all__ = [
     "maintain_streaming_table",
     "first_seen",
     "running_counts",
+    "stream_table_appends",
+    "process_table_stream",
 ]

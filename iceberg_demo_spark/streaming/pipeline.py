@@ -118,3 +118,61 @@ def maintain_streaming_table(table: Table, older_than_ms: int | None = None,
         "expired_snapshots": expired["deleted_snapshots_count"],
         "orphans_removed": len(orphans),
     }
+
+
+# ---------------------------------------------------------------------------
+# Streaming FROM a table: incremental append-snapshot consumer
+# ---------------------------------------------------------------------------
+
+def stream_table_appends(table: Table, start_snapshot_id: int | None = None,
+                         skip_overwrite: bool = True):
+    """Incremental micro-batch read of a table's append snapshots — the
+    engine-side analogue of ``readStream.format("iceberg")`` with
+    stream-from-timestamp / skip-overwrite-snapshots semantics
+    (docs/spark-structured-streaming.md:29-37). Yields
+    ``(snapshot_id, DataFrame-of-added-rows)`` oldest→newest for every
+    append after ``start_snapshot_id`` (exclusive; None = from the
+    beginning). Each batch reads only that snapshot's ADDED files — work per
+    poll ∝ new data, never table size."""
+    table.refresh()
+    md = table.metadata
+    chain = list(reversed(md.ancestors()))  # oldest → newest
+    ids = [s.snapshot_id for s in chain]
+    lo = ids.index(start_snapshot_id) + 1 if start_snapshot_id in ids else 0
+    for snap in chain[lo:]:
+        if snap.operation != "append":
+            if skip_overwrite:
+                continue
+            raise ValueError(
+                f"stream hit non-append snapshot {snap.snapshot_id} "
+                f"({snap.operation}); pass skip_overwrite=True to skip")
+        by_path = {f.path: f for f in snap.files}
+        added = [by_path[p] for p in snap.added_files if p in by_path]
+        yield snap.snapshot_id, table._read_files(
+            added, table.metadata.current_schema_id)
+
+
+def process_table_stream(table: Table, checkpoint_path: str, fn,
+                         skip_overwrite: bool = True) -> int:
+    """Exactly-once incremental consumer: applies ``fn(batch_df,
+    snapshot_id)`` to each unseen append snapshot, committing the consumed
+    snapshot id to ``checkpoint_path`` AFTER each successful batch (the same
+    batch-id protocol the streaming sink uses). Re-running after a crash or
+    restart resumes from the checkpoint — already-processed snapshots are
+    never re-delivered. Returns the number of batches processed."""
+    import os
+
+    last = None
+    if os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as fh:
+            content = fh.read().strip()
+            last = int(content) if content else None
+    n = 0
+    for snap_id, df in stream_table_appends(table, last, skip_overwrite):
+        fn(df, snap_id)
+        tmp = checkpoint_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(snap_id))
+        os.replace(tmp, checkpoint_path)
+        n += 1
+    return n

@@ -172,3 +172,39 @@ def test_streaming_running_counts(spark, tmp_path, dup_stream_dir):
     for r in rows:
         final[r["doc_id"]] = max(final.get(r["doc_id"], 0), r["n"])
     assert final == {1: 1, 2: 2, 3: 2, 4: 2}
+
+
+# -- streaming FROM a table (incremental append consumer) -------------------
+
+def test_stream_table_appends_and_checkpoint(spark, tmp_path):
+    from iceberg_demo_spark.streaming import (
+        process_table_stream,
+        stream_table_appends,
+    )
+    from iceberg_demo_spark.tables import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh_src"))
+    t = catalog.create_table("db.src_stream", "id bigint, v double")
+    for lo in (0, 10, 20):
+        t.append(spark.createDataFrame(
+            [(lo + i, float(lo + i)) for i in range(5)], schema=t.schema()))
+
+    batches = list(stream_table_appends(t))
+    assert len(batches) == 3
+    assert [df.count() for _sid, df in batches] == [5, 5, 5]
+    # start-after semantics: only snapshots newer than the given id
+    tail = list(stream_table_appends(t, start_snapshot_id=batches[0][0]))
+    assert [sid for sid, _ in tail] == [sid for sid, _ in batches[1:]]
+
+    # exactly-once consumer with a checkpoint
+    ckpt = str(tmp_path / "consumer.ckpt")
+    seen: list[int] = []
+    n = process_table_stream(t, ckpt, lambda df, sid: seen.append(df.count()))
+    assert n == 3 and seen == [5, 5, 5]
+    # re-run: nothing new
+    assert process_table_stream(t, ckpt, lambda df, sid: seen.append(-1)) == 0
+    # new append + an overwrite (skipped), then resume picks up exactly one
+    t.append(spark.createDataFrame([(99, 9.9)], schema=t.schema()))
+    t.update_where({"v": "v + 1"}, "id = 0")  # non-append snapshot
+    assert process_table_stream(t, ckpt, lambda df, sid: seen.append(df.count())) == 1
+    assert seen == [5, 5, 5, 1]
