@@ -189,3 +189,101 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (subword-style pre-tokenizer counts)
+# ---------------------------------------------------------------------------
+
+#: GPT-2-style pre-tokenizer shape: letter runs | digit runs | single
+#: punctuation marks. Same regex dialect subset works in Java (Spark) and
+#: RE2 (DuckDB), so counts match bit-for-bit.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "doc_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_bpe_tokens,
+           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+           ROUND(CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DECIMAL(18,4))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 4) AS bpe_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counts next to whitespace words: the
+    tokens-per-word ratio is the classic tokenizer-cost estimator for
+    training-data budgeting. Pure regexp column work — JVM-side, no UDF."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)"))
+    ws = F.size(tokens_col())
+    return (
+        t["documents"]
+        .select("lang", bpe.alias("n_bpe"), ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.round(
+                F.sum(F.col("n_bpe").cast("decimal(18,4)")).cast("double")
+                / F.sum("n_ws"), 4).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint (windowed content hashes, stride-sampled)
+# ---------------------------------------------------------------------------
+
+_FP_WIDTH = 32
+_FP_STRIDE = 16
+
+
+@query(
+    "doc_rolling_fingerprints",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             list_min(list_transform(
+               range(1, greatest(2, n_chars - {_FP_WIDTH - 1}) + 1, {_FP_STRIDE}),
+               i -> md5(substring(text, CAST(i AS INT), {_FP_WIDTH}))
+             )) AS fingerprint
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(DISTINCT fingerprint) AS n_unique,
+           COUNT(*) AS n_docs,
+           MIN(fingerprint) AS min_fp
+    FROM fp
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed content fingerprint: hash every {width}-char window at
+    {stride}-char steps, keep the minimum (a winnowing-style robust
+    fingerprint — stable under small edits outside the minimal window,
+    unlike whole-document hashes). The rolling-hash formulation is the O(1)
+    incremental update of exactly these window hashes; with a fixed stride
+    the windowed form is equivalent and stays in whole-stage codegen."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    fp = F.expr(
+        f"array_min(transform(sequence(1, greatest(2, n_chars - {_FP_WIDTH - 1}), "
+        f"{_FP_STRIDE}), i -> md5(substring(text, i, {_FP_WIDTH}))))"
+    )
+    return (
+        t["documents"]
+        .select("lang", fp.alias("fingerprint"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("fingerprint").alias("n_unique"),
+            F.count("*").alias("n_docs"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("lang")
+    )
