@@ -169,3 +169,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize via mapInPandas (stubbed codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode (a real pipeline
+    would be PIL `Image.open(...).resize((w, h)).save(...)`; image libs are
+    unavailable in this container). Output length scales with the target
+    area and content derives from the source bytes, so tests can assert
+    real data flow through the Arrow boundary."""
+    if not payload:
+        raise ValueError("cannot resize empty payload")
+    n = max(1, (width * height) // 64)
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(docs_with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize: binary in, binary out, target dims as plain
+    columns — the batch shape a real codec UDF would use (whole record
+    batches per Python call, never per-row)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": [_fake_resize(p, width, height)
+                                for p in pdf["payload"]],
+                    "orig_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema=_RESIZE_SCHEMA)
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing summary (rows-only: Python-side fake codec): every
+    output payload must have exactly the target-area-derived size."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    resized = resize_images(with_binary_payload(t["documents"]), 128, 96)
+    expected = max(1, (128 * 96) // 64)
+    return resized.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.length("resized")).alias("total_resized_bytes"),
+        F.sum((F.length("resized") == expected).cast("int")).alias("n_exact"),
+        F.min("orig_bytes").alias("min_orig"),
+    )

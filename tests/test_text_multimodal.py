@@ -63,3 +63,11 @@ def test_payload_bytes_match_text_length(spark):
         .collect()
     )
     assert all(r["nb"] == r["mb"] for r in joined)
+
+
+def test_multimodal_resize_batch_shape(spark):
+    from tests.conftest import SF_SMALL
+    rows = registry.QUERIES["multimodal_resize"](spark, SF_SMALL).collect()[0]
+    assert rows["n_images"] > 0
+    assert rows["n_exact"] == rows["n_images"]  # every payload hit target size
+    assert rows["total_resized_bytes"] == rows["n_images"] * (128 * 96 // 64)
