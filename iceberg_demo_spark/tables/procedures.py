@@ -201,6 +201,32 @@ def rewrite_data_files(table: Table, strategy: str = "binpack",
     (coalesce only); sort pays one exchange per rewrite group.
     """
     table.check_writable("rewrite_data_files")
+    if isinstance(sort_order, str):
+        # SQL CALL form (docs/spark-procedures.md:430-435,461-465):
+        # 'zorder(c1, c2)' selects the zorder strategy; otherwise a sort
+        # spec like 'c1 ASC NULLS LAST, c2 DESC'.
+        import re as _re
+
+        m = _re.fullmatch(r"\s*zorder\s*\(([^)]*)\)\s*", sort_order, _re.IGNORECASE)
+        if m:
+            strategy = "zorder"
+            sort_order = [{"col": c.strip()} for c in m.group(1).split(",") if c.strip()]
+        else:
+            parsed = []
+            for part in sort_order.split(","):
+                toks = part.split()
+                if not toks:
+                    continue
+                spec = {"col": toks[0]}
+                low = [t.lower() for t in toks[1:]]
+                if "desc" in low:
+                    spec["dir"] = "desc"
+                if "nulls" in low:
+                    spec["nulls"] = low[low.index("nulls") + 1]
+                parsed.append(spec)
+            sort_order = parsed
+            if strategy == "binpack":
+                strategy = "sort"
     md = table.metadata
     head = md.current_snapshot()
     if head is None:

@@ -214,3 +214,60 @@ def test_mor_branch_isolation(catalog):
     t.delete_where("id <= 4", branch="audit")
     assert t.scan().count() == 8
     assert t.scan(branch="audit").count() == 4
+
+
+# -- property-based: CoW and MoR are observationally equivalent -------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _op = st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(100, 999), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.integers(0, 50)),
+        st.tuples(st.just("update"), st.integers(0, 50)),
+        st.tuples(st.just("merge"), st.lists(st.integers(1, 60),
+                                             min_size=1, max_size=3)),
+    )
+
+    @given(ops=st.lists(_op, min_size=1, max_size=4))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_property_cow_equals_mor(spark, tmp_path_factory, ops):
+        """Any DML sequence leaves identical table contents under
+        copy-on-write and merge-on-read storage."""
+        catalog = Catalog(spark, str(tmp_path_factory.mktemp("prop_wh")))
+        tables = []
+        for mode in ("copy-on-write", "merge-on-read"):
+            name = f"db.prop_{mode.replace('-', '_')}_{abs(hash(tuple(map(str, ops)))) % 10**6}"
+            t = catalog.create_table(
+                name, "id bigint, category string, amount double")
+            t.append(catalog.spark.createDataFrame(
+                [(i, "x" if i % 2 == 0 else "y", 10.0 * i) for i in range(1, 9)],
+                schema=t.schema()))
+            t.set_properties({k: mode for k in MOR_PROPS})
+            for op, arg in ops:
+                if op == "append":
+                    t.append(catalog.spark.createDataFrame(
+                        [(v, "z", float(v)) for v in arg], schema=t.schema()))
+                elif op == "delete":
+                    t.delete_where(f"id % 7 = {arg % 7}")
+                elif op == "update":
+                    t.update_where({"amount": "amount + 1"}, f"id > {arg}")
+                else:
+                    src = catalog.spark.createDataFrame(
+                        [(v, float(v)) for v in set(arg)], "key bigint, amt double")
+                    t.merge(src, on="t.id = s.key",
+                            matched=[{"action": "update", "set": {"amount": "s.amt"}}],
+                            not_matched=[{"values": {"id": "s.key", "category": "'m'",
+                                                     "amount": "s.amt"}}])
+            tables.append(sorted(map(tuple, t.scan().collect())))
+        assert tables[0] == tables[1]

@@ -423,3 +423,18 @@ def test_transform_partition_pruning_in_dml(catalog, spark):
     t.delete_where("ts = '2024-01-02 12:00:00'")
     remaining = t.scan().count()
     assert remaining == 40 - len([r for r in rows if "01-02" in r[1]])
+
+
+def test_rewrite_data_files_sql_sort_order_strings(catalog, spark):
+    """CALL-style sort_order strings: 'zorder(a, b)' and 'col DESC'."""
+    t = catalog.create_table("db.sortstr", "id bigint, v double")
+    for lo in (0, 100):
+        t.append(spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(50)], schema=t.schema()))
+    res = proc.rewrite_data_files(t, sort_order="id DESC", min_input_files=1)
+    assert res["rewritten_data_files_count"] >= 2
+    assert t.scan().count() == 100
+    res2 = proc.rewrite_data_files(t, sort_order="zorder(id, v)",
+                                   strategy="zorder", min_input_files=1)
+    assert res2["added_data_files_count"] >= 1
+    assert t.scan().count() == 100
