@@ -229,6 +229,25 @@ class Catalog:
         md.location = new_loc
         md.save()
 
+    def create_database(self, namespace: str, if_not_exists: bool = False) -> None:
+        """CREATE DATABASE (iceberg_it.py:185-187): namespaces are warehouse
+        directories; creating one just materializes the directory so it
+        lists before holding tables."""
+        root = os.path.join(self.warehouse, *namespace.split("."))
+        if os.path.isdir(root) and not if_not_exists:
+            raise TableAlreadyExistsError(f"database {namespace}")
+        os.makedirs(root, exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        """Top-level namespaces with at least a directory present."""
+        if not os.path.isdir(self.warehouse):
+            return []
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+            and not d.startswith("_") and not d.startswith(".")
+        )
+
     def drop_database(self, namespace: str, cascade: bool = False,
                       purge: bool = False) -> list[str]:
         """DROP DATABASE [CASCADE]. Without cascade, a non-empty database is

@@ -225,3 +225,15 @@ def test_time_type_round_trip_or_skip(catalog, spark):
     except Exception as e:
         pytest.skip(f"time type unsupported in this build: {e}")
     assert str(rows[0]["tcol"]) == "12:34:56"
+
+
+def test_create_list_drop_database(catalog):
+    catalog.create_database("salesdb")
+    catalog.create_database("salesdb", if_not_exists=True)  # idempotent
+    with pytest.raises(Exception, match="salesdb"):
+        catalog.create_database("salesdb")
+    catalog.create_table("salesdb.t1", "id bigint")
+    assert "salesdb" in catalog.list_databases()
+    assert catalog.list_tables("salesdb") == ["salesdb.t1"]
+    catalog.drop_database("salesdb", cascade=True, purge=True)
+    assert not catalog.table_exists("salesdb.t1")

@@ -85,6 +85,7 @@ def test_every_query_has_oracle_or_is_declared_rows_only(spark):
         "dedup_simhash_hamming_pairs",
         "multimodal_decode_features",
         "multimodal_frame_sample",
+        "multimodal_resize",
         "sim_ann_lsh_topk",
     }
     for name in registry.QUERIES:
