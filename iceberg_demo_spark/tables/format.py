@@ -166,6 +166,12 @@ class Snapshot:
         )
 
 
+class CommitConflictError(Exception):
+    """Another writer committed since this handle loaded the metadata —
+    refresh and retry (optimistic concurrency, the hadoop-catalog /
+    metastore-CAS behavior)."""
+
+
 class TableMetadata:
     """Full mutable metadata for one table. Persisted as
     ``metadata/v{N}.metadata.json`` + ``metadata/version-hint.text`` (the
@@ -317,10 +323,22 @@ class TableMetadata:
     def save(self) -> None:
         """Write v{N+1}.metadata.json then atomically swap version-hint.text.
 
-        Single-writer locally; a multi-writer deployment would CAS the hint
-        (or use a metastore pointer) for optimistic concurrency, as the
-        hadoop catalog does.
+        Optimistic concurrency: if the on-disk hint no longer matches the
+        version this handle was loaded at, another writer won the race —
+        raise CommitConflictError instead of clobbering its commit (the
+        caller refreshes and retries, exactly the hadoop-catalog / metastore
+        CAS discipline). The check-then-swap window is not atomic across
+        processes; a multi-writer deployment swaps this for a real CAS.
         """
+        hint_path = os.path.join(self.metadata_dir(), "version-hint.text")
+        if os.path.exists(hint_path):
+            with open(hint_path) as fh:
+                on_disk = int(fh.read().strip() or 0)
+            if on_disk != self.version:
+                raise CommitConflictError(
+                    f"{self.name}: metadata version moved {self.version} -> "
+                    f"{on_disk} since load; refresh() and retry"
+                )
         self.version += 1
         self.metadata_log.append({"timestamp_ms": now_ms(), "version": self.version})
         md = self.metadata_dir()

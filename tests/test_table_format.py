@@ -438,3 +438,18 @@ def test_rewrite_data_files_sql_sort_order_strings(catalog, spark):
                                    strategy="zorder", min_input_files=1)
     assert res2["added_data_files_count"] >= 1
     assert t.scan().count() == 100
+
+
+def test_optimistic_concurrency_conflict(catalog, spark):
+    """Two handles on one table: the slower writer's commit conflicts
+    instead of silently clobbering; refresh-and-retry succeeds."""
+    from iceberg_demo_spark.tables.format import CommitConflictError
+
+    t1 = _sample(catalog, "db.occ")
+    t2 = catalog.load_table("db.occ")
+    t1.append(spark.createDataFrame([(10, "j", "x", 1.0)], schema=t1.schema()))
+    with pytest.raises(CommitConflictError, match="refresh"):
+        t2.append(spark.createDataFrame([(11, "k", "y", 2.0)], schema=t2.schema()))
+    t2.refresh()
+    t2.append(spark.createDataFrame([(11, "k", "y", 2.0)], schema=t2.schema()))
+    assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2, 3, 10, 11]
