@@ -130,6 +130,20 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
     referenced by any surviving snapshot (docs/spark-procedures.md:255-302)."""
     table.check_writable("expire_snapshots")
     md = table.metadata
+    # RETAIN d DAYS on a ref: the ref itself expires after that age
+    # (docs/spark-ddl.md:476-554); expired refs are dropped here, and their
+    # snapshots become expirable below like any other unreferenced snapshot.
+    from iceberg_demo_spark.tables.format import now_ms as _now_ms
+
+    now = _now_ms()
+    expired_refs = [
+        name for name, r in md.refs.items()
+        if name != MAIN_BRANCH and r.get("max_ref_age_ms") is not None
+        and r.get("created_at_ms") is not None
+        and now - r["created_at_ms"] > r["max_ref_age_ms"]
+    ]
+    for name in expired_refs:
+        del md.refs[name]
     keep_ids = {r["snapshot_id"] for r in md.refs.values()}
     chain = md.ancestors(MAIN_BRANCH)
     keep_ids.update(s.snapshot_id for s in chain[: max(retain_last, 1)])
@@ -147,7 +161,10 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
         expire.update(s.snapshot_id for s in md.snapshots if s.timestamp_ms < older_than_ms)
     expire -= keep_ids
     if not expire:
-        return {"deleted_data_files_count": 0, "deleted_snapshots_count": 0}
+        if expired_refs:
+            md.save()  # persist the ref expiry even with no snapshots to drop
+        return {"deleted_data_files_count": 0, "deleted_snapshots_count": 0,
+                "deleted_refs_count": len(expired_refs)}
     survivors = [s for s in md.snapshots if s.snapshot_id not in expire]
     live_after = {f.path for s in survivors for f in s.files}
     live_after.update(f.path for s in survivors for f in s.delete_files)
@@ -163,7 +180,8 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
             s.parent_id = None
     md.save()
     return {"deleted_data_files_count": len(to_delete),
-            "deleted_snapshots_count": len(expire)}
+            "deleted_snapshots_count": len(expire),
+            "deleted_refs_count": len(expired_refs)}
 
 
 def remove_orphan_files(table: Table, older_than_ms: int | None = None,

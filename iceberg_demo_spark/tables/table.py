@@ -312,7 +312,8 @@ class Table:
             snapshot_id = cur.snapshot_id
         else:
             self.metadata.snapshot_by_id(snapshot_id)  # must exist
-        ref = {"snapshot_id": snapshot_id, "type": type_}
+        ref = {"snapshot_id": snapshot_id, "type": type_,
+               "created_at_ms": now_ms()}
         if retain_days is not None:
             ref["max_ref_age_ms"] = int(retain_days * 86_400_000)
         if retention_snapshots is not None:

@@ -218,3 +218,21 @@ def test_sql_time_travel_version_and_ref(engine, spark):
     assert engine.sql(
         f"SELECT count(*) AS n FROM db.tt TIMESTAMP AS OF '{iso}'"
     ).collect()[0]["n"] == 3
+
+
+def test_ref_retain_days_expiry(catalog, spark):
+    """RETAIN d DAYS on a tag/branch: expire_snapshots drops the aged-out
+    ref (and its snapshots become expirable); unaged refs survive."""
+    from iceberg_demo_spark.tables import procedures as proc
+
+    t = _sample(catalog, "db.refage")
+    t.create_tag("ephemeral", retain_days=1.0)
+    t.create_tag("durable")
+    # age the ephemeral tag artificially past its retention
+    t.metadata.refs["ephemeral"]["created_at_ms"] -= 2 * 86_400_000
+    t.metadata.save()
+    res = proc.expire_snapshots(t, older_than_ms=0, retain_last=1)
+    assert res["deleted_refs_count"] == 1
+    t.refresh()
+    assert "ephemeral" not in t.metadata.refs
+    assert "durable" in t.metadata.refs
