@@ -56,12 +56,76 @@ class Engine:
                 return self.mv.show()
             if kind == "call":
                 return self._call(groups.group(1), groups.group(2))
+        dml = self._try_sql_dml(text)
+        if dml is not None:
+            return dml
         text = self._rewrite_time_travel(text)
         res = self.rewriter.try_rewrite(text)
         if res is not None:
             self.last_rewrite = res
             return res.df
         return self.spark.sql(text)
+
+    # -- SQL DML over catalog tables (iceberg_it.py:1267-1349 surface) ------
+
+    _INSERT_RE = re.compile(
+        r"^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([\w.]+)\s+(values\s*\(.+|select\s+.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_RE = re.compile(
+        r"^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_sql_dml(self, text: str) -> DataFrame | None:
+        """INSERT INTO/OVERWRITE … VALUES|SELECT, DELETE FROM … WHERE,
+        UPDATE … SET … WHERE against catalog tables route to the Table API
+        (WAP-branch aware); everything else returns None and flows on to
+        plain Spark SQL."""
+        s = text.strip().rstrip(";")
+        m = self._INSERT_RE.match(s)
+        if m is not None and self.catalog.table_exists(m.group(2)):
+            t = self.catalog.load_table(m.group(2))
+            body = m.group(3)
+            if body.lower().startswith("values"):
+                df = self.spark.sql(f"SELECT * FROM {body}")
+            else:
+                df = self.sql(body)  # nested SELECT gets MV rewrite etc.
+            # SQL INSERT binds columns POSITIONALLY (not by name — a select
+            # item like `id + 100` must land in the first table column)
+            df = df.toDF(*[f.name for f in t.metadata.schema][: len(df.columns)])
+            branch = self.write_branch(t)
+            if m.group(1).lower() == "into":
+                t.append(df, branch=branch)
+                return self._status(f"inserted into {t.name}")
+            mode = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static").lower()
+            if mode == "dynamic" and t.metadata.partition_spec:
+                t.overwrite_dynamic(df, branch=branch)
+            else:
+                t.overwrite_all(df, branch=branch)
+            return self._status(f"overwrote {t.name}")
+        m = self._DELETE_RE.match(s)
+        if m is not None and self.catalog.table_exists(m.group(1)):
+            t = self.catalog.load_table(m.group(1))
+            t.delete_where(m.group(2) or "true", branch=self.write_branch(t))
+            return self._status(f"deleted from {t.name}")
+        m = self._UPDATE_RE.match(s)
+        if m is not None and self.catalog.table_exists(m.group(1)):
+            from iceberg_demo_spark.mv.parser import _split_top_level
+
+            t = self.catalog.load_table(m.group(1))
+            assignments = {}
+            for part in _split_top_level(m.group(2), ","):
+                col, _eq, expr = part.partition("=")
+                assignments[col.strip()] = expr.strip()
+            t.update_where(assignments, m.group(3), branch=self.write_branch(t))
+            return self._status(f"updated {t.name}")
+        return None
 
     #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR
     #: SYSTEM_VERSION / SYSTEM_TIME spellings) — docs/spark-queries.md:47-98

@@ -236,3 +236,37 @@ def test_ref_retain_days_expiry(catalog, spark):
     t.refresh()
     assert "ephemeral" not in t.metadata.refs
     assert "durable" in t.metadata.refs
+
+
+# -- SQL DML through Engine.sql --------------------------------------------
+
+def test_sql_dml_insert_delete_update(engine, spark):
+    t = engine.catalog.create_table(
+        "db.dml", "id bigint, name string, amount double")
+    engine.sql("INSERT INTO db.dml VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    engine.sql("INSERT INTO db.dml VALUES (3, 'c', 30.0)")
+    assert t.refresh().scan().count() == 3
+    engine.register("db.dml", "dml_src")
+    engine.sql("INSERT INTO db.dml SELECT id + 100, name, amount FROM dml_src")
+    assert t.refresh().scan().count() == 6
+    engine.sql("UPDATE db.dml SET amount = amount * 2, name = upper(name) "
+               "WHERE id <= 2")
+    rows = {r["id"]: (r["name"], r["amount"]) for r in t.refresh().scan().collect()}
+    assert rows[1] == ("A", 20.0) and rows[2] == ("B", 40.0)
+    assert rows[3] == ("c", 30.0)
+    engine.sql("DELETE FROM db.dml WHERE id > 100")
+    assert t.refresh().scan().count() == 3
+    engine.sql("INSERT OVERWRITE db.dml VALUES (9, 'z', 1.0)")
+    assert [r["id"] for r in t.refresh().scan().collect()] == [9]
+
+
+def test_sql_dml_respects_wap_branch(engine, spark):
+    t = engine.catalog.create_table("db.wapdml", "id bigint")
+    t.set_properties({"write.wap.enabled": "true"})
+    engine.sql("INSERT INTO db.wapdml VALUES (1), (2)")
+    engine.set_wap_branch("audit_stage")
+    engine.sql("INSERT INTO db.wapdml VALUES (3)")
+    t.refresh()
+    assert t.scan().count() == 2          # main unchanged
+    assert t.scan(branch="audit_stage").count() == 3
+    engine.set_wap_branch(None)
