@@ -81,12 +81,111 @@ class Engine:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _MERGE_HEAD_RE = re.compile(
+        r"^\s*merge\s+into\s+([\w.]+)(?:\s+(?:as\s+)?(\w+))?\s+using\s+(.+)$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _try_sql_merge(self, s: str) -> DataFrame | None:
+        """MERGE INTO <t> [alias] USING <src>|(<subquery>) [alias] ON <cond>
+        WHEN ... — the reference's four variants (iceberg_it.py:1286-1500):
+        multiple first-match-wins MATCHED clauses with AND conditions,
+        MATCHED DELETE, NOT MATCHED [AND] INSERT (cols) VALUES / INSERT *,
+        NOT MATCHED BY SOURCE UPDATE/DELETE. Arbitrary aliases normalize to
+        the engine's t/s."""
+        from iceberg_demo_spark.mv.parser import _split_top_level
+
+        m = self._MERGE_HEAD_RE.match(s)
+        if m is None or not self.catalog.table_exists(m.group(1)):
+            return None
+        t = self.catalog.load_table(m.group(1))
+        t_alias = m.group(2) or "t"
+        rest = m.group(3).strip()
+        # split USING part from ON at top level (subqueries may nest ONs)
+        using_on = _split_top_level(rest, " on ")
+        if len(using_on) < 2:
+            raise ValueError("MERGE: missing ON condition")
+        using_part = using_on[0].strip()
+        after_on = " on ".join(using_on[1:])
+        when_split = re.split(r"(?i)\bwhen\b", after_on)
+        on_cond = when_split[0].strip()
+        clauses_text = ["when " + c.strip() for c in when_split[1:]]
+        um = re.match(r"^(\((?:.|\n)*\)|[\w.]+)(?:\s+(?:as\s+)?(\w+))?$",
+                      using_part, re.DOTALL | re.IGNORECASE)
+        if um is None:
+            raise ValueError(f"MERGE: cannot parse USING: {using_part}")
+        src_ref, s_alias = um.group(1), um.group(2) or "s"
+        if src_ref.startswith("("):
+            source = self.sql(src_ref[1:-1])
+        elif self.catalog.table_exists(src_ref):
+            source = self.catalog.load_table(src_ref).scan()
+        else:
+            source = self.spark.table(src_ref)
+
+        def norm(expr: str | None) -> str | None:
+            if expr is None:
+                return None
+            out = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
+            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", out)
+
+        matched, not_matched, nmbs = [], [], []
+        for cl in clauses_text:
+            cm = re.match(
+                r"(?is)^when\s+matched(?:\s+and\s+(.+?))?\s+then\s+"
+                r"(?:delete|update\s+set\s+(.+))$", cl.strip())
+            if cm:
+                if cm.group(2) is None:
+                    matched.append({"condition": norm(cm.group(1)), "action": "delete"})
+                else:
+                    sets = {}
+                    for part in _split_top_level(cm.group(2), ","):
+                        col, _eq, expr = part.partition("=")
+                        col = col.strip()
+                        col = col.split(".")[-1]  # t.col = … → col
+                        sets[col] = norm(expr.strip())
+                    matched.append({"condition": norm(cm.group(1)),
+                                    "action": "update", "set": sets})
+                continue
+            cm = re.match(
+                r"(?is)^when\s+not\s+matched\s+by\s+source(?:\s+and\s+(.+?))?"
+                r"\s+then\s+(?:delete|update\s+set\s+(.+))$", cl.strip())
+            if cm:
+                if cm.group(2) is None:
+                    nmbs.append({"condition": norm(cm.group(1)), "action": "delete"})
+                else:
+                    sets = {}
+                    for part in _split_top_level(cm.group(2), ","):
+                        col, _eq, expr = part.partition("=")
+                        sets[col.strip().split(".")[-1]] = norm(expr.strip())
+                    nmbs.append({"condition": norm(cm.group(1)),
+                                 "action": "update", "set": sets})
+                continue
+            cm = re.match(
+                r"(?is)^when\s+not\s+matched(?:\s+and\s+(.+?))?\s+then\s+insert"
+                r"\s*(?:\*|\(([^)]*)\)\s*values\s*\((.+)\))$", cl.strip())
+            if cm:
+                if cm.group(2) is None:
+                    not_matched.append({"condition": norm(cm.group(1)), "values": None})
+                else:
+                    cols = [c.strip() for c in cm.group(2).split(",")]
+                    vals = [norm(v.strip()) for v in _split_top_level(cm.group(3), ",")]
+                    not_matched.append({"condition": norm(cm.group(1)),
+                                        "values": dict(zip(cols, vals))})
+                continue
+            raise ValueError(f"MERGE: cannot parse clause: {cl[:80]}")
+        t.merge(source, on=norm(on_cond), matched=matched,
+                not_matched=not_matched, not_matched_by_source=nmbs,
+                branch=self.write_branch(t))
+        return self._status(f"merged into {t.name}")
+
     def _try_sql_dml(self, text: str) -> DataFrame | None:
         """INSERT INTO/OVERWRITE … VALUES|SELECT, DELETE FROM … WHERE,
         UPDATE … SET … WHERE against catalog tables route to the Table API
         (WAP-branch aware); everything else returns None and flows on to
         plain Spark SQL."""
         s = text.strip().rstrip(";")
+        if re.match(r"^\s*merge\s+into\b", s, re.IGNORECASE):
+            return self._try_sql_merge(s)
         m = self._INSERT_RE.match(s)
         if m is not None and self.catalog.table_exists(m.group(2)):
             t = self.catalog.load_table(m.group(2))

@@ -270,3 +270,44 @@ def test_sql_dml_respects_wap_branch(engine, spark):
     assert t.scan().count() == 2          # main unchanged
     assert t.scan(branch="audit_stage").count() == 3
     engine.set_wap_branch(None)
+
+
+def test_sql_merge_into_all_variants(engine, spark):
+    """The reference's MERGE surface through SQL (iceberg_it.py:1286-1500):
+    conditional multi-clause MATCHED (first-match-wins), MATCHED DELETE,
+    NOT MATCHED INSERT (cols) VALUES, NOT MATCHED BY SOURCE UPDATE."""
+    t = engine.catalog.create_table("db.mrg", "id bigint, v string, amt double")
+    engine.sql("INSERT INTO db.mrg VALUES (1,'a',10.0), (2,'b',20.0), (3,'c',30.0)")
+    spark.createDataFrame(
+        [(1, 500.0), (2, 1.0), (9, 90.0)], "id bigint, amt double"
+    ).createOrReplaceTempView("mrg_src")
+    engine.sql("""
+        MERGE INTO db.mrg AS tgt USING mrg_src AS src ON tgt.id = src.id
+        WHEN MATCHED AND src.amt >= 100 THEN UPDATE SET amt = src.amt, v = 'big'
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (id, v, amt) VALUES (src.id, 'new', src.amt)
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(tgt.v, '_stale')
+    """)
+    rows = {r["id"]: (r["v"], r["amt"]) for r in
+            engine.catalog.load_table("db.mrg").scan().collect()}
+    assert rows[1] == ("big", 500.0)     # first matched clause
+    assert 2 not in rows                  # second matched clause deleted
+    assert rows[9] == ("new", 90.0)       # not matched insert
+    assert rows[3] == ("c_stale", 30.0)   # not matched by source
+    assert len(rows) == 3
+
+
+def test_sql_merge_insert_star_and_subquery_source(engine, spark):
+    t = engine.catalog.create_table("db.mrg2", "id bigint, v string")
+    engine.sql("INSERT INTO db.mrg2 VALUES (1, 'a')")
+    spark.createDataFrame([(1, "A"), (2, "B"), (2, "B")],
+                          "id bigint, v string").createOrReplaceTempView("m2src")
+    engine.sql("""
+        MERGE INTO db.mrg2 t USING (SELECT DISTINCT id, v FROM m2src) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    rows = {r["id"]: r["v"] for r in
+            engine.catalog.load_table("db.mrg2").scan().collect()}
+    assert rows == {1: "A", 2: "B"}
