@@ -56,6 +56,9 @@ class Engine:
                 return self.mv.show()
             if kind == "call":
                 return self._call(groups.group(1), groups.group(2))
+        ddl = self._try_sql_ddl(text)
+        if ddl is not None:
+            return ddl
         dml = self._try_sql_dml(text)
         if dml is not None:
             return dml
@@ -65,6 +68,177 @@ class Engine:
             self.last_rewrite = res
             return res.df
         return self.spark.sql(text)
+
+    # -- SQL DDL over catalog tables (iceberg_it.py:267-860 surface) --------
+
+    @staticmethod
+    def _parse_partition_spec(spec: str) -> list[tuple]:
+        """'days(ts), bucket(16, id), category, truncate(4, s)' → the
+        catalog's (source, transform) tuples (docs/spark-ddl.md:74-85)."""
+        from iceberg_demo_spark.mv.parser import _split_top_level
+
+        out = []
+        for part in _split_top_level(spec, ","):
+            m = re.fullmatch(r"(years?|months?|days?|hours?)\s*\(\s*(\w+)\s*\)",
+                             part.strip(), re.IGNORECASE)
+            if m:
+                base = m.group(1).lower().rstrip("s")
+                out.append((m.group(2), base + "s" if base != "identity" else base))
+                continue
+            m = re.fullmatch(r"(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)",
+                             part.strip(), re.IGNORECASE)
+            if m:
+                out.append((m.group(3), f"{m.group(1).lower()}[{m.group(2)}]"))
+                continue
+            out.append((part.strip(),))
+        return out
+
+    @staticmethod
+    def _parse_props(body: str) -> dict[str, str]:
+        return {
+            k: v for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body)
+        }
+
+    @staticmethod
+    def _balanced_slice(s: str, open_idx: int) -> tuple[str, str]:
+        """``s[open_idx] == '('`` → (content inside the matching parens,
+        remainder after the close)."""
+        depth = 0
+        for i in range(open_idx, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[open_idx + 1:i], s[i + 1:]
+        raise ValueError("unbalanced parentheses in DDL")
+
+    def _try_sql_ddl(self, text: str) -> DataFrame | None:
+        """CREATE/DROP TABLE, the ALTER TABLE matrix (properties, columns,
+        branches/tags, identifier fields), RENAME — routed to the catalog /
+        table APIs. Returns None for statements this engine doesn't own."""
+        s = text.strip().rstrip(";")
+        m = re.match(r"(?is)^create\s+table\s+(if\s+not\s+exists\s+)?([\w.]+)\s*\(", s)
+        if m:
+            cols, rest = self._balanced_slice(s, m.end() - 1)
+            um = re.match(r"(?is)^\s*using\s+\w+", rest)
+            if um:
+                rest = rest[um.end():]
+            partition_by = props = None
+            pm = re.match(r"(?is)^\s*partitioned\s+by\s*\(", rest)
+            if pm:
+                spec, rest = self._balanced_slice(rest, pm.end() - 1)
+                partition_by = self._parse_partition_spec(spec)
+            tm = re.match(r"(?is)^\s*tblproperties\s*\(", rest)
+            if tm:
+                body, rest = self._balanced_slice(rest, tm.end() - 1)
+                props = self._parse_props(body)
+            if rest.strip():
+                return None  # unrecognized tail (LOCATION etc.) → Spark
+            # column COMMENTs aren't part of the struct DDL grammar — strip
+            # for parsing, re-attach after create
+            comments = dict(re.findall(r"(?is)(\w+)\s+[\w()<>,\s]+?comment\s+'([^']*)'", cols))
+            cols = re.sub(r"(?is)\s+comment\s+'[^']*'", "", cols)
+            t = self.catalog.create_table(
+                m.group(2), cols, partition_by=partition_by,
+                properties=props, if_not_exists=bool(m.group(1)))
+            for col, comment in comments.items():
+                try:
+                    t.metadata.field_by_name(col).comment = comment
+                except KeyError:
+                    pass
+            if comments:
+                t.metadata.save()
+            return self._status(f"created table {m.group(2)}")
+        m = re.match(r"(?is)^drop\s+table\s+(if\s+exists\s+)?([\w.]+)(\s+purge)?$", s)
+        if m:
+            self.catalog.drop_table(m.group(2), purge=bool(m.group(3)),
+                                    if_exists=bool(m.group(1)))
+            return self._status(f"dropped table {m.group(2)}")
+        m = re.match(r"(?is)^alter\s+table\s+([\w.]+)\s+(.+)$", s)
+        if m and self.catalog.table_exists(m.group(1)):
+            return self._alter_table(m.group(1), m.group(2).strip())
+        return None
+
+    def _alter_table(self, name: str, action: str) -> DataFrame | None:
+        from iceberg_demo_spark.mv.parser import _split_top_level
+
+        t = self.catalog.load_table(name)
+        ok = self._status(f"altered {name}")
+        m = re.match(r"(?is)^set\s+tblproperties\s*\((.*)\)$", action)
+        if m:
+            t.set_properties(self._parse_props(m.group(1)))
+            return ok
+        m = re.match(r"(?is)^unset\s+tblproperties\s*\((.*)\)$", action)
+        if m:
+            t.unset_properties(re.findall(r"'([^']+)'", m.group(1)))
+            return ok
+        m = re.match(r"(?is)^add\s+columns?\s*\((.*)\)$", action)
+        if m:
+            for part in _split_top_level(m.group(1), ","):
+                cm = re.match(r"(?is)^\s*([\w.]+)\s+([\w()<>,\s]+?)"
+                              r"(?:\s+comment\s+'([^']*)')?\s*$", part)
+                t.add_column(cm.group(1), cm.group(2).strip(),
+                             comment=cm.group(3))
+            return ok
+        m = re.match(r"(?is)^drop\s+columns?\s+([\w.]+)$", action)
+        if m:
+            t.drop_column(m.group(1))
+            return ok
+        m = re.match(r"(?is)^rename\s+column\s+([\w.]+)\s+to\s+(\w+)$", action)
+        if m:
+            t.rename_column(m.group(1), m.group(2))
+            return ok
+        m = re.match(r"(?is)^alter\s+column\s+([\w.]+)\s+type\s+([\w()<>,]+)$", action)
+        if m:
+            t.alter_column_type(m.group(1), m.group(2))
+            return ok
+        m = re.match(r"(?is)^alter\s+column\s+([\w.]+)\s+drop\s+not\s+null$", action)
+        if m:
+            t.alter_column_nullable(m.group(1), True)
+            return ok
+        m = re.match(r"(?is)^alter\s+column\s+([\w.]+)\s+comment\s+'([^']*)'$", action)
+        if m:
+            t.alter_column_comment(m.group(1), m.group(2))
+            return ok
+        m = re.match(r"(?is)^rename\s+to\s+([\w.]+)$", action)
+        if m:
+            self.catalog.rename_table(name, m.group(1))
+            return ok
+        m = re.match(
+            r"(?is)^create\s+(branch|tag)\s+(?:(if\s+not\s+exists)\s+)?(\w+)"
+            r"(?:\s+as\s+of\s+version\s+(\d+))?(?:\s+retain\s+(\d+)\s+days)?$",
+            action)
+        if m:
+            kw = {"snapshot_id": int(m.group(4)) if m.group(4) else None,
+                  "if_not_exists": bool(m.group(2)),
+                  "retain_days": float(m.group(5)) if m.group(5) else None}
+            (t.create_branch if m.group(1).lower() == "branch" else t.create_tag)(
+                m.group(3), **kw)
+            return ok
+        m = re.match(r"(?is)^drop\s+(?:branch|tag)\s+(?:(if\s+exists)\s+)?(\w+)$",
+                     action)
+        if m:
+            t.drop_ref(m.group(2), if_exists=bool(m.group(1)))
+            return ok
+        m = re.match(r"(?is)^add\s+partition\s+field\s+(.+)$", action)
+        if m:
+            spec = self._parse_partition_spec(m.group(1))[0]
+            t.add_partition_field(spec[0], spec[1] if len(spec) > 1 else "identity")
+            return ok
+        m = re.match(r"(?is)^drop\s+partition\s+field\s+(\w+)$", action)
+        if m:
+            t.drop_partition_field(m.group(1))
+            return ok
+        m = re.match(r"(?is)^set\s+identifier\s+fields\s+(.+)$", action)
+        if m:
+            t.set_identifier_fields(*[c.strip() for c in m.group(1).split(",")])
+            return ok
+        m = re.match(r"(?is)^drop\s+identifier\s+fields\s+(.+)$", action)
+        if m:
+            t.drop_identifier_fields(*[c.strip() for c in m.group(1).split(",")])
+            return ok
+        return None  # unowned ALTER form → fall through to Spark
 
     # -- SQL DML over catalog tables (iceberg_it.py:1267-1349 surface) ------
 

@@ -311,3 +311,75 @@ def test_sql_merge_insert_star_and_subquery_source(engine, spark):
     rows = {r["id"]: r["v"] for r in
             engine.catalog.load_table("db.mrg2").scan().collect()}
     assert rows == {1: "A", 2: "B"}
+
+
+# -- SQL DDL through Engine.sql --------------------------------------------
+
+def test_sql_ddl_full_lifecycle(engine, spark):
+    engine.sql("""
+        CREATE TABLE db.ddlt (
+            id BIGINT NOT NULL,
+            data STRING,
+            ts TIMESTAMP
+        ) USING glacier
+        PARTITIONED BY (days(ts))
+        TBLPROPERTIES ('owner' = 'me', 'format-version' = '2')
+    """)
+    t = engine.catalog.load_table("db.ddlt")
+    assert not t.schema()["id"].nullable
+    assert t.properties["owner"] == "me"
+    assert [(p.source, p.transform) for p in t.metadata.partition_spec] == \
+        [("ts", "days")]
+    engine.sql("CREATE TABLE IF NOT EXISTS db.ddlt (x INT)")  # no-op
+    assert "data" in t.refresh().scan().columns
+
+    engine.sql("INSERT INTO db.ddlt VALUES (1, 'a', TIMESTAMP'2024-01-01 00:00:00')")
+    engine.sql("ALTER TABLE db.ddlt SET TBLPROPERTIES ('k1' = 'v1')")
+    engine.sql("ALTER TABLE db.ddlt ADD COLUMNS (score DOUBLE COMMENT 'the score')")
+    engine.sql("ALTER TABLE db.ddlt RENAME COLUMN data TO payload")
+    engine.sql("ALTER TABLE db.ddlt ALTER COLUMN id TYPE BIGINT")
+    t.refresh()
+    assert t.properties["k1"] == "v1"
+    assert "payload" in [f.name for f in t.metadata.schema]
+    assert "score" in [f.name for f in t.metadata.schema]
+
+    engine.sql("ALTER TABLE db.ddlt CREATE BRANCH audit RETAIN 7 DAYS")
+    engine.sql("ALTER TABLE db.ddlt CREATE TAG v1 AS OF VERSION 1")
+    t.refresh()
+    assert t.metadata.refs["audit"]["type"] == "branch"
+    assert t.metadata.refs["audit"]["max_ref_age_ms"] == 7 * 86_400_000
+    assert t.metadata.refs["v1"]["snapshot_id"] == 1
+    engine.sql("ALTER TABLE db.ddlt DROP BRANCH IF EXISTS audit")
+    assert "audit" not in t.refresh().metadata.refs
+
+    engine.sql("ALTER TABLE db.ddlt SET IDENTIFIER FIELDS id")
+    assert t.refresh().identifier_fields == ["id"]
+    engine.sql("ALTER TABLE db.ddlt DROP COLUMN score")
+    assert "score" not in [f.name for f in t.refresh().metadata.schema]
+    engine.sql("ALTER TABLE db.ddlt RENAME TO db.ddlt2")
+    assert engine.catalog.table_exists("db.ddlt2")
+    engine.sql("DROP TABLE IF EXISTS db.ddlt2 PURGE")
+    assert not engine.catalog.table_exists("db.ddlt2")
+
+
+def test_sql_ddl_bucket_truncate_partitions(engine):
+    engine.sql("""
+        CREATE TABLE db.ddlp (id BIGINT, s STRING, n INT)
+        PARTITIONED BY (bucket(8, id), truncate(3, s), n)
+    """)
+    t = engine.catalog.load_table("db.ddlp")
+    assert [(p.source, p.transform) for p in t.metadata.partition_spec] == [
+        ("id", "bucket[8]"), ("s", "truncate[3]"), ("n", "identity")]
+
+
+def test_sql_ddl_column_comments(engine):
+    engine.sql("""
+        CREATE TABLE db.cmt (
+            id BIGINT NOT NULL COMMENT 'unique id',
+            data STRING COMMENT 'payload'
+        )
+    """)
+    t = engine.catalog.load_table("db.cmt")
+    assert t.metadata.field_by_name("id").comment == "unique id"
+    assert t.metadata.field_by_name("data").comment == "payload"
+    assert not t.schema()["id"].nullable
