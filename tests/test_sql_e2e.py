@@ -1,0 +1,113 @@
+"""End-to-end SQL lifecycle in the reference's integration style
+(iceberg_it.py drives EVERYTHING through run_sql + count/scalar asserts):
+one scenario exercising DDL → DML → evolution → branches/WAP → MERGE →
+time travel → procedures → MV, entirely through Engine.sql."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_demo_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def _count(engine, sql: str) -> int:
+    return engine.sql(sql).collect()[0][0]
+
+
+def test_sql_only_lifecycle(engine, spark):
+    eng = engine
+
+    # DDL + initial load
+    eng.sql("""
+        CREATE TABLE db.orders_sql (
+            id BIGINT NOT NULL COMMENT 'order id',
+            category STRING,
+            amount DOUBLE
+        ) PARTITIONED BY (category)
+        TBLPROPERTIES ('write.wap.enabled' = 'true')
+    """)
+    eng.sql("INSERT INTO db.orders_sql VALUES "
+            "(1,'food',10.0), (2,'food',20.0), (3,'tech',30.0), (4,'tech',40.0)")
+    eng.register("db.orders_sql", "orders_sql")
+    assert _count(eng, "SELECT COUNT(*) FROM orders_sql") == 4
+
+    # row-level DML
+    eng.sql("UPDATE db.orders_sql SET amount = amount + 5 WHERE category = 'food'")
+    eng.sql("DELETE FROM db.orders_sql WHERE id = 4")
+    t = eng.catalog.load_table("db.orders_sql")
+    assert {r["id"]: r["amount"] for r in t.scan().collect()} == \
+        {1: 15.0, 2: 25.0, 3: 30.0}
+
+    # schema evolution + insert with the new column
+    eng.sql("ALTER TABLE db.orders_sql ADD COLUMNS (note STRING)")
+    eng.sql("INSERT INTO db.orders_sql VALUES (5, 'food', 50.0, 'rush')")
+    t.refresh()
+    rows = {r["id"]: r["note"] for r in t.scan().collect()}
+    assert rows[5] == "rush" and rows[1] is None  # old rows NULL for new col
+
+    # MERGE through SQL
+    spark.createDataFrame([(3, 333.0), (9, 99.0)], "id bigint, amt double") \
+        .createOrReplaceTempView("merge_src_sql")
+    eng.sql("""
+        MERGE INTO db.orders_sql t USING merge_src_sql s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET amount = s.amt
+        WHEN NOT MATCHED THEN INSERT (id, category, amount, note)
+             VALUES (s.id, 'misc', s.amt, NULL)
+    """)
+    t.refresh()
+    amounts = {r["id"]: r["amount"] for r in t.scan().collect()}
+    assert amounts[3] == 333.0 and amounts[9] == 99.0 and len(amounts) == 5
+
+    # WAP: stage on a branch, verify isolation, publish
+    pre_wap = t.metadata.current_snapshot().snapshot_id
+    eng.set_wap_branch("wap_stage")
+    eng.sql("INSERT INTO db.orders_sql VALUES (10, 'tech', 1.0, NULL)")
+    eng.set_wap_branch(None)
+    t.refresh()
+    assert t.scan().count() == 5                      # main unchanged
+    assert t.scan(branch="wap_stage").count() == 6    # staged
+    eng.sql("CALL system.fast_forward(table => 'db.orders_sql', "
+            "branch => 'main', to => 'wap_stage')")
+    assert t.refresh().scan().count() == 6            # published
+
+    # time travel back before the WAP publish
+    assert _count(
+        eng, f"SELECT COUNT(*) FROM db.orders_sql VERSION AS OF {pre_wap}") == 5
+
+    # tags + branch DDL through SQL
+    eng.sql("ALTER TABLE db.orders_sql CREATE TAG before_cleanup")
+    assert _count(
+        eng, "SELECT COUNT(*) FROM db.orders_sql VERSION AS OF 'before_cleanup'") == 6
+
+    # maintenance procedures through SQL
+    eng.sql("CALL system.rewrite_data_files(table => 'db.orders_sql')")
+    assert t.refresh().scan().count() == 6
+    res = eng.sql("CALL system.compute_table_stats(table => 'db.orders_sql')")
+    assert res.count() == 1
+
+    # MV over the SQL table with automatic rewrite
+    eng.register("db.orders_sql", "orders_sql")  # rebind to current state
+    eng.sql("CREATE MATERIALIZED VIEW sql_mv AS "
+            "SELECT category, sum(amount) AS total FROM orders_sql GROUP BY category")
+    out = eng.sql("SELECT category, sum(amount) AS total FROM orders_sql "
+                  "GROUP BY category")
+    assert eng.last_rewrite is not None
+    got = {r["category"]: r["total"] for r in out.collect()}
+    # tech: id3 (merged to 333.0) + id10 (1.0); misc: id9 (99.0)
+    assert got["tech"] == 334.0 and got["misc"] == 99.0
+    assert got["food"] == 90.0  # 15 + 25 + 50
+
+    # read-only guard blocks SQL DML
+    eng.sql("ALTER TABLE db.orders_sql SET TBLPROPERTIES ('hive-ext.readOnly' = 'true')")
+    from iceberg_demo_spark.tables.table import ReadOnlyTableError
+
+    with pytest.raises(ReadOnlyTableError):
+        eng.sql("DELETE FROM db.orders_sql WHERE id = 1")
+    eng.sql("ALTER TABLE db.orders_sql UNSET TBLPROPERTIES ('hive-ext.readOnly')")
+    eng.sql("DELETE FROM db.orders_sql WHERE id = 1")
+    assert t.refresh().scan().count() == 5
