@@ -150,6 +150,35 @@ class Engine:
             if comments:
                 t.metadata.save()
             return self._status(f"created table {m.group(2)}")
+        m = re.match(r"(?is)^show\s+tables(?:\s+in\s+([\w.]+))?$", s)
+        if m:
+            rows = [(n.rsplit(".", 1)[0] if "." in n else "", n.rsplit(".", 1)[-1])
+                    for n in self.catalog.list_tables(m.group(1))]
+            return self.spark.createDataFrame(
+                rows or [("", "")], "namespace string, tableName string"
+            ).filter("tableName != ''")
+        if re.match(r"(?is)^show\s+views$", s):
+            return self.spark.createDataFrame(
+                [(v,) for v in self.catalog.list_views()] or [("",)],
+                "viewName string").filter("viewName != ''")
+        m = re.match(r"(?is)^show\s+tblproperties\s+([\w.]+)$", s)
+        if m and self.catalog.table_exists(m.group(1)):
+            props = self.catalog.load_table(m.group(1)).properties
+            return self.spark.createDataFrame(
+                sorted(props.items()), "key string, value string")
+        m = re.match(r"(?is)^show\s+create\s+table\s+([\w.]+)$", s)
+        if m and self.catalog.table_exists(m.group(1)):
+            return self.spark.createDataFrame(
+                [(self.catalog.show_create_table(m.group(1)),)],
+                "createtab_stmt string")
+        m = re.match(r"(?is)^describe\s+(?:table\s+)?(extended\s+)?([\w.]+)$", s)
+        if m and self.catalog.table_exists(m.group(2)):
+            if m.group(1):
+                return self.catalog.describe_extended(m.group(2))
+            t = self.catalog.load_table(m.group(2))
+            return self.spark.createDataFrame(
+                [(f.name, f.type, f.comment or "") for f in t.metadata.schema],
+                "col_name string, data_type string, comment string")
         m = re.match(r"(?is)^drop\s+table\s+(if\s+exists\s+)?([\w.]+)(\s+purge)?$", s)
         if m:
             self.catalog.drop_table(m.group(2), purge=bool(m.group(3)),

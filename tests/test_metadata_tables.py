@@ -383,3 +383,20 @@ def test_sql_ddl_column_comments(engine):
     assert t.metadata.field_by_name("id").comment == "unique id"
     assert t.metadata.field_by_name("data").comment == "payload"
     assert not t.schema()["id"].nullable
+
+
+def test_sql_show_and_describe(engine):
+    engine.sql("CREATE TABLE db.showme (id BIGINT COMMENT 'pk', v STRING) "
+               "TBLPROPERTIES ('a' = '1')")
+    tables = {r["tableName"] for r in engine.sql("SHOW TABLES").collect()}
+    assert "showme" in tables
+    props = {r["key"]: r["value"]
+             for r in engine.sql("SHOW TBLPROPERTIES db.showme").collect()}
+    assert props["a"] == "1"
+    ddl = engine.sql("SHOW CREATE TABLE db.showme").collect()[0][0]
+    assert "CREATE TABLE db.showme" in ddl
+    desc = {r["col_name"]: (r["data_type"], r["comment"])
+            for r in engine.sql("DESCRIBE db.showme").collect()}
+    assert desc["id"] == ("bigint", "pk")
+    ext = {r["col_name"] for r in engine.sql("DESCRIBE EXTENDED db.showme").collect()}
+    assert "Provider" in ext
