@@ -548,6 +548,9 @@ class Engine:
                 target_file_size_bytes=kw.get("target_file_size_bytes")),
             "rewrite_manifests": lambda t: proc.rewrite_manifests(t),
             "rewrite_position_delete_files": lambda t: proc.rewrite_position_delete_files(t),
+            "rewrite_table_path": lambda t: proc.rewrite_table_path(
+                t, kw.get("target_location", args[0] if args else None),
+                staging_location=kw.get("staging_location")),
             "compute_table_stats": lambda t: proc.compute_table_stats(
                 t, columns=kw.get("columns")),
         }

@@ -400,3 +400,15 @@ def test_sql_show_and_describe(engine):
     assert desc["id"] == ("bigint", "pk")
     ext = {r["col_name"] for r in engine.sql("DESCRIBE EXTENDED db.showme").collect()}
     assert "Provider" in ext
+
+
+def test_call_rewrite_table_path(engine, tmp_path):
+    t = engine.catalog.create_table("db.rtp", "id bigint")
+    t.append(engine.spark.range(5).select(F.col("id")))
+    target = str(tmp_path / "replica")
+    res = engine.sql(
+        f"CALL system.rewrite_table_path(table => 'db.rtp', "
+        f"target_location => '{target}')").collect()[0]
+    assert res is not None
+    import os
+    assert os.path.isdir(target)
