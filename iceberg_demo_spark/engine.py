@@ -150,6 +150,18 @@ class Engine:
             if comments:
                 t.metadata.save()
             return self._status(f"created table {m.group(2)}")
+        m = re.match(
+            r"(?is)^create\s+(or\s+replace\s+)?view\s+(if\s+not\s+exists\s+)?"
+            r"([\w.]+)\s+(?:comment\s+'([^']*)'\s+)?as\s+(select\s+.+)$", s)
+        if m:
+            self.catalog.create_view(
+                m.group(3), m.group(5), or_replace=bool(m.group(1)),
+                if_not_exists=bool(m.group(2)), comment=m.group(4))
+            return self._status(f"created view {m.group(3)}")
+        m = re.match(r"(?is)^drop\s+view\s+(if\s+exists\s+)?([\w.]+)$", s)
+        if m and (m.group(1) or m.group(2) in self.catalog.views):
+            self.catalog.drop_view(m.group(2), if_exists=bool(m.group(1)))
+            return self._status(f"dropped view {m.group(2)}")
         m = re.match(r"(?is)^show\s+tables(?:\s+in\s+([\w.]+))?$", s)
         if m:
             rows = [(n.rsplit(".", 1)[0] if "." in n else "", n.rsplit(".", 1)[-1])

@@ -412,3 +412,17 @@ def test_call_rewrite_table_path(engine, tmp_path):
     assert res is not None
     import os
     assert os.path.isdir(target)
+
+
+def test_sql_view_lifecycle(engine, spark):
+    engine.sql("CREATE TABLE db.vt (id BIGINT, v STRING)")
+    engine.sql("INSERT INTO db.vt VALUES (1,'a'), (2,'b')")
+    engine.register("db.vt", "vt_src")
+    engine.sql("CREATE VIEW v_big COMMENT 'big ids' AS SELECT * FROM vt_src WHERE id > 1")
+    assert engine.catalog.view_df("v_big").count() == 1
+    assert "v_big" in {r["viewName"] for r in engine.sql("SHOW VIEWS").collect()}
+    engine.sql("CREATE OR REPLACE VIEW v_big AS SELECT * FROM vt_src")
+    assert engine.catalog.view_df("v_big").count() == 2
+    engine.sql("DROP VIEW v_big")
+    assert "v_big" not in engine.catalog.views
+    engine.sql("DROP VIEW IF EXISTS v_big")  # idempotent
