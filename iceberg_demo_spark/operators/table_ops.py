@@ -561,3 +561,82 @@ def incremental_read_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(reg.withColumn("key", F.col("key") + 100))
     t.append(reg.withColumn("key", F.col("key") + 200))
     return t.scan_incremental(start_snapshot_id=s1).orderBy("key")
+
+
+# -- partition evolution under the value gate -------------------------------
+
+@query(
+    "partition_evolution_read",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write half the rows unpartitioned, ADD PARTITION FIELD, write the
+    rest (new layout), then aggregate across both layouts — partition
+    evolution must be invisible to readers (iceberg_it.py:367-389)."""
+    t_in = load_tables(spark, sf_dir, ("orders",))
+    orders = t_in["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.ord_evo", "o_orderkey bigint, o_orderpriority string, o_totalprice double")
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.add_partition_field("o_orderpriority")  # evolve: later writes partitioned
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    # new files are partitioned, old are not — both must scan together
+    parts = {tuple(f.partition.keys())
+             for f in t.metadata.current_snapshot().files}
+    assert () in parts and ("_p_o_orderpriority",) in parts, parts
+    return (
+        t.scan()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# -- changelog UPDATE images under the value gate ---------------------------
+
+@query(
+    "changelog_update_images",
+    oracle="""
+    WITH updated AS (
+      SELECT * FROM part WHERE p_size > 40
+    )
+    SELECT 'UPDATE_AFTER' AS change_type, COUNT(*) AS n,
+           ROUND(SUM(p_retailprice * 1.1), 2) AS price_sum
+    FROM updated
+    UNION ALL
+    SELECT 'UPDATE_BEFORE', COUNT(*), ROUND(SUM(p_retailprice), 2)
+    FROM updated
+    ORDER BY change_type
+    """,
+)
+def changelog_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE with identifier fields set ⇒ the changelog pairs each change
+    as UPDATE_BEFORE/UPDATE_AFTER images whose value sums expose both the
+    pre- and post-update state (docs/spark-procedures.md:805-941)."""
+    t_in = load_tables(spark, sf_dir, ("part",))
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.part_cdc",
+        [("p_partkey", "bigint", False), ("p_retailprice", "double", True)])
+    t.append(t_in["part"].select("p_partkey", "p_retailprice"))
+    t.set_identifier_fields("p_partkey")
+    big = t_in["part"].filter(F.col("p_size") > 40).select("p_partkey")
+    t.update_where({"p_retailprice": "p_retailprice * 1.1"},
+                   f"p_partkey in ({','.join(str(r[0]) for r in big.collect())})")
+    cl = proc.create_changelog_view(t, "part_changes")
+    return (
+        cl.filter(F.col("_change_type").startswith("UPDATE"))
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("p_retailprice"), 2).alias("price_sum"))
+        .orderBy("change_type")
+    )
