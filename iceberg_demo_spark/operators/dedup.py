@@ -447,3 +447,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return embedding_near_dups(emb).orderBy("id_dup")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the dup-pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(id, cluster_root) for every node in ``edges(id_a, id_b)``: min-label
+    propagation until fixpoint — the iterative-DataFrame-algorithm shape
+    (each round = one shuffle join; rounds ≈ graph diameter, which for
+    near-dup clusters is tiny). Each iteration materializes through persist
+    so the plan lineage stays bounded."""
+    swapped = edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    bidir = edges.select("id_a", "id_b").union(swapped).persist()
+    labels = (
+        bidir.select(F.col("id_a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            bidir.join(labels, bidir["id_b"] == labels["id"])
+            .groupBy(bidir["id_a"].alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_root"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ), bidir AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+    ), lbl AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_root
+      FROM reach GROUP BY src
+    )
+    SELECT l.doc_id AS doc_id, l.cluster_root AS cluster_root,
+           c.n AS cluster_size
+    FROM lbl l
+    JOIN (SELECT cluster_root, COUNT(*) AS n FROM lbl GROUP BY cluster_root) c
+      ON c.cluster_root = l.cluster_root
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS (not just pairs): connected components over
+    the n-gram-Jaccard dup graph, labeled by the minimum doc id. Spark runs
+    iterative min-label propagation; the oracle computes the identical
+    transitive closure with a recursive CTE — dedup keeper policies act per
+    cluster, the final north-star dedup stage."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_root").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_root")
+        .select(F.col("id").alias("doc_id"), "cluster_root", "cluster_size")
+        .orderBy("doc_id")
+    )

@@ -66,3 +66,23 @@ def test_embedding_near_dups_keeper_semantics(spark):
         assert r["sim"] >= 0.40
     # one keeper decision per duplicate
     assert len({r["id_dup"] for r in rows}) == len(rows)
+
+
+def test_dedup_clusters_are_connected_components(spark):
+    from tests.conftest import SF_MED
+
+    pairs = registry.QUERIES["dedup_ngram_jaccard_pairs"](spark, SF_MED).collect()
+    clusters = registry.QUERIES["dedup_clusters"](spark, SF_MED).collect()
+    label = {r["doc_id"]: r["cluster_root"] for r in clusters}
+    # every edge endpoint got a label, and both endpoints share one
+    for p in pairs:
+        assert label[p["id_a"]] == label[p["id_b"]]
+    # the root is a member of its own cluster and is the minimum id
+    by_root = {}
+    for d, r in label.items():
+        by_root.setdefault(r, []).append(d)
+    for root, members in by_root.items():
+        assert min(members) == root
+    # sizes column consistent
+    for r in clusters:
+        assert r["cluster_size"] == len(by_root[r["cluster_root"]])
