@@ -50,7 +50,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_payloads,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MAX(octet_length(encode(text))) AS max_bytes,
            MIN(octet_length(encode(text))) AS min_bytes
     FROM documents

@@ -31,10 +31,10 @@ def tokens_col(col: str = "text"):
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(18,4))) AS DOUBLE)
                  / COUNT(*), 4) AS avg_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MAX(len(string_split(text, ' '))) AS max_tokens,
            MIN(len(string_split(text, ' '))) AS min_tokens
     FROM documents
@@ -78,7 +78,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(FLOOR(10.0 * n_stop / n_tok) AS INT) AS stop_decile,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
     FROM scored
     GROUP BY lang, stop_decile
     ORDER BY lang, stop_decile
@@ -205,8 +205,8 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     "doc_bpe_token_stats",
     oracle=f"""
     SELECT lang,
-           SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_bpe_tokens,
-           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
            ROUND(CAST(SUM(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DECIMAL(18,4))) AS DOUBLE)
                  / SUM(len(string_split(text, ' '))), 4) AS bpe_per_word
     FROM documents

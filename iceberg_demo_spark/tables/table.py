@@ -50,6 +50,7 @@ READONLY_PROP = "hive-ext.readOnly"
 _FILE_COL = "_g_file"
 _ROW_COL = "_g_row"
 _POS_COL = "_g_pos"
+_S_PRESENT_COL = "_g_s_present"
 
 #: schema of a position-delete file (Iceberg v2 position deletes)
 _DELETE_SCHEMA = "file_path string, pos bigint"
@@ -930,7 +931,13 @@ class Table:
 
         target = self._read_files(old, schema_id, with_file_col=True,
                                   delete_files=dels, with_pos_col=mor).alias("t")
-        src = source.alias("s")
+        # Row-presence marker: a matched source row must be detected by the
+        # JOIN producing it, not by the nullability of any data column (a
+        # matched row whose first column is NULL is still a match —
+        # Iceberg/Spark MERGE semantics). The non-null literal survives the
+        # left outer join iff the row matched; it never reaches projections
+        # because inserts/updates project by target-schema field names.
+        src = source.withColumn(_S_PRESENT_COL, F.lit(True)).alias("s")
         on_expr = F.expr(on)
 
         if check_cardinality and matched:
@@ -947,8 +954,7 @@ class Table:
                 )
 
         joined = target.join(src, on_expr, "left_outer")
-        s_first = src.columns[0]
-        has_match = F.col(f"s.{s_first}").isNotNull() if src.columns else F.lit(False)
+        has_match = F.col(f"s.{_S_PRESENT_COL}").isNotNull()
 
         if mor:
             return self._merge_mor(

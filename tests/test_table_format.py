@@ -172,6 +172,23 @@ def test_merge_not_matched_by_source(catalog, spark):
     assert rows == {1: "keep", 2: "archived", 3: "archived"}
 
 
+def test_merge_matched_row_with_null_first_column(catalog, spark):
+    """Match detection is row-presence, not first-column nullability: a
+    matched source row whose first column is NULL must still hit WHEN
+    MATCHED, and must NOT fall through to NOT MATCHED BY SOURCE DELETE."""
+    t = _sample(catalog, "db.m5")
+    src = spark.createDataFrame(
+        [(None, 2, "x", 2.0)], "data string, id bigint, category string, amount double"
+    )
+    t.merge(
+        src, on="t.id = s.id",
+        matched=[{"action": "update", "set": {"data": "coalesce(s.data, 'null-src')"}}],
+        not_matched_by_source=[{"action": "delete"}],
+    )
+    rows = {r["id"]: r["data"] for r in t.scan().collect()}
+    assert rows == {2: "null-src"}
+
+
 def test_merge_cardinality_violation(catalog, spark):
     t = _sample(catalog, "db.m4")
     src = spark.createDataFrame(

@@ -1,19 +1,30 @@
 """Local emulation of the driver's correctness gate.
 
 Runs every registered query on Spark and its oracle on DuckDB at the given
-scale factor, then compares row counts and order-insensitive values
-(columns sorted by name, rows sorted, floats compared exactly after the
-in-query rounding). Usage:
+scale factor, then compares row counts and order-insensitive TYPED values.
+
+Type discipline (calibrated against CORRECTNESS_r01): the driver's value
+hash is computed from Arrow-materialized results, so DuckDB HUGEINT
+(``SUM(<int>)`` → decimal128) fails against a Spark BIGINT even when the
+numbers are equal, while int32-vs-int64 width differences pass. We
+reproduce that by fetching the DuckDB side via Arrow (``rel.arrow()``,
+which surfaces HUGEINT as ``Decimal``) and tagging every value with its
+Python type class (bool/int/float/Decimal/str/date/datetime/bytes).
+Floats are compared exactly — queries are expected to round in-query.
+
+Usage:
 
     python tools/check_oracles.py [sf_dir] [name_filter ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import os
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
 
@@ -26,18 +37,36 @@ from iceberg_demo_spark.sources import TPCH_TABLES
 registry.load_all()
 
 
+_TYPE_TAGS = (
+    (bool, "bool"),
+    (int, "int"),
+    (float, "float"),
+    (Decimal, "decimal"),
+    (str, "str"),
+    (bytes, "bytes"),
+    (_dt.datetime, "datetime"),  # before date: datetime is a date subclass
+    (_dt.date, "date"),
+)
+
+
+def _tag(v):
+    """(type-class, value) pair mirroring the driver's type-sensitive hash."""
+    if v is None:
+        return ("null", None)
+    for cls, tag in _TYPE_TAGS:
+        if isinstance(v, cls):
+            if tag == "float" and math.isnan(v):
+                return ("float", "NaN")
+            if tag == "datetime":
+                return ("datetime", v.replace(tzinfo=None))
+            return (tag, v)
+    return (type(v).__name__, v)
+
+
 def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def norm_val(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return round(v, 9)
-        return v
-
-    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+    out = [tuple(_tag(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x[0], str(x[1])) for x in t))
 
 
 def main() -> int:
@@ -73,9 +102,9 @@ def main() -> int:
                 print(f"WARN {name}: rows-only query returned 0 rows")
             continue
         try:
-            rel = con.execute(oracle)
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            at = con.sql(oracle).arrow()
+            dcols = list(at.schema.names)
+            drows = [tuple(d[c] for c in dcols) for d in at.to_pylist()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
