@@ -288,11 +288,13 @@ class Engine:
         re.IGNORECASE | re.DOTALL,
     )
     _DELETE_RE = re.compile(
-        r"^\s*delete\s+from\s+([\w.]+)(?:\s+where\s+(.+))?\s*$",
+        r"^\s*delete\s+from\s+([\w.]+)(?:\s+(?:as\s+)?(?!where\b)(\w+))?"
+        r"(?:\s+where\s+(.+))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _UPDATE_RE = re.compile(
-        r"^\s*update\s+([\w.]+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$",
+        r"^\s*update\s+([\w.]+)(?:\s+(?:as\s+)?(?!set\b)(\w+))?"
+        r"\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
 
@@ -337,11 +339,22 @@ class Engine:
         else:
             source = self.spark.table(src_ref)
 
+        if t_alias.lower() == s_alias.lower():
+            raise ValueError(
+                f"MERGE: target and source share alias {t_alias!r}")
+        # Single-pass alternation: sequential re.sub passes would rewrite the
+        # first pass's output when the user's aliases are the engine's own
+        # t/s swapped (MERGE INTO tgt s USING src t).
+        alias_map = {t_alias.lower(): "t.", s_alias.lower(): "s."}
+        alias_re = re.compile(
+            rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\.",
+            re.IGNORECASE)
+
         def norm(expr: str | None) -> str | None:
             if expr is None:
                 return None
-            out = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
-            return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", out)
+            return alias_re.sub(
+                lambda m: alias_map[m.group(1).lower()], expr)
 
         matched, not_matched, nmbs = [], [], []
         for cl in clauses_text:
@@ -426,20 +439,201 @@ class Engine:
         m = self._DELETE_RE.match(s)
         if m is not None and self.catalog.table_exists(m.group(1)):
             t = self.catalog.load_table(m.group(1))
-            t.delete_where(m.group(2) or "true", branch=self.write_branch(t))
+            branch = self.write_branch(t)
+            kind, payload = self._dml_where(t, m.group(3), m.group(2))
+            if kind == "plain":
+                t.delete_where(payload or "true", branch=branch)
+            else:
+                source, on, extra = payload
+                t.merge(source, on=on,
+                        matched=[{"condition": extra, "action": "delete"}],
+                        branch=branch, check_cardinality=False)
             return self._status(f"deleted from {t.name}")
         m = self._UPDATE_RE.match(s)
         if m is not None and self.catalog.table_exists(m.group(1)):
             from iceberg_demo_spark.mv.parser import _split_top_level
 
             t = self.catalog.load_table(m.group(1))
+            t_alias = m.group(2)
             assignments = {}
-            for part in _split_top_level(m.group(2), ","):
+            for part in _split_top_level(m.group(3), ","):
                 col, _eq, expr = part.partition("=")
-                assignments[col.strip()] = expr.strip()
-            t.update_where(assignments, m.group(3), branch=self.write_branch(t))
+                assignments[col.strip().split(".")[-1]] = expr.strip()
+            branch = self.write_branch(t)
+            kind, payload = self._dml_where(t, m.group(4), t_alias)
+            if kind == "plain":
+                t.update_where(assignments, payload, branch=branch)
+            else:
+                source, on, extra = payload
+                tcols = {f.name for f in t.metadata.schema}
+                sets = {c: self._qualify(e, t_alias, None, tcols, set())
+                        for c, e in assignments.items()}
+                t.merge(source, on=on,
+                        matched=[{"condition": extra, "action": "update",
+                                  "set": sets}],
+                        branch=branch, check_cardinality=False)
             return self._status(f"updated {t.name}")
         return None
+
+    _EXISTS_RE = re.compile(r"(?is)^\s*exists\s*\(\s*(select\b.+)\)\s*$")
+    _SUBQ_SELECT_RE = re.compile(
+        r"(?is)^\s*select\s+.+?\s+from\s+([\w.]+)(?:\s+(?:as\s+)?(\w+))?"
+        r"(?:\s+where\s+(.+))?\s*$")
+    _SCALAR_SUBQ_RE = re.compile(
+        r"(?is)\(\s*(select\b[^()]*(?:\([^()]*\)[^()]*)*)\)")
+
+    _SQL_KEYWORDS = frozenset(
+        "and or not in is null true false between like exists select from "
+        "where case when then else end cast as distinct interval date "
+        "timestamp".split())
+
+    def _qualify(self, expr: str, t_alias: str | None, s_alias: str | None,
+                 t_cols: set[str], s_cols: set[str]) -> str:
+        """Rewrite alias-qualified refs to the engine's t./s. and qualify
+        bare column identifiers by schema lookup (target wins ties), leaving
+        string literals and function names untouched."""
+        t_low = {c.lower() for c in t_cols}
+        s_low = {c.lower() for c in s_cols}
+        tok_re = re.compile(r"[A-Za-z_]\w*(?:\s*\.\s*\w+)?")
+
+        def fix(seg: str) -> str:
+            out, pos = [], 0
+            for m in tok_re.finditer(seg):
+                out.append(seg[pos:m.start()])
+                pos = m.end()
+                tok = m.group(0)
+                if "." in tok:
+                    a, _, c = (p.strip() for p in tok.partition("."))
+                    if t_alias and a.lower() == t_alias.lower():
+                        out.append(f"t.{c}")
+                    elif s_alias and a.lower() == s_alias.lower():
+                        out.append(f"s.{c}")
+                    else:
+                        out.append(tok)
+                    continue
+                low = tok.lower()
+                is_func = seg[m.end():].lstrip().startswith("(")
+                if low in self._SQL_KEYWORDS or is_func:
+                    out.append(tok)
+                elif low in t_low:
+                    out.append(f"t.{tok}")
+                elif low in s_low:
+                    out.append(f"s.{tok}")
+                else:
+                    out.append(tok)
+            out.append(seg[pos:])
+            return "".join(out)
+
+        # split out '…'-quoted literals; rewrite only the code segments
+        parts = re.split(r"('(?:[^']|'')*')", expr)
+        return "".join(p if i % 2 else fix(p) for i, p in enumerate(parts))
+
+    def _dml_where(self, t, where: str | None, t_alias: str | None):
+        """Resolve a DELETE/UPDATE WHERE clause supporting the reference's
+        subquery-predicate forms (docs/spark-writes.md:170-199): plain
+        filters pass through; an uncorrelated scalar subquery is evaluated
+        to a literal (one value — bounded driver work); a correlated EXISTS
+        becomes a distributed MERGE join (never a collected key list).
+
+        Returns ``("plain", cond_text)`` or
+        ``("matching", (source_df, on, extra_cond))``."""
+        if where is None:
+            return "plain", None
+        from iceberg_demo_spark.mv.parser import split_conjuncts
+
+        try:
+            conjuncts = split_conjuncts(where)
+        except Exception:
+            conjuncts = [where]
+        exists_sub, plain = None, []
+        for c in conjuncts:
+            em = self._EXISTS_RE.match(c)
+            if em is not None and exists_sub is None:
+                exists_sub = em.group(1)
+            else:
+                plain.append(self._eval_scalar_subqueries(c, t_alias))
+        if exists_sub is None:
+            return "plain", " AND ".join(f"({c})" for c in plain) if plain else "true"
+        sm = self._SUBQ_SELECT_RE.match(exists_sub)
+        if sm is None:
+            raise ValueError(f"cannot parse EXISTS subquery: {exists_sub[:80]}")
+        src_name, s_alias, sub_where = sm.group(1), sm.group(2), sm.group(3)
+        t_cols = {f.name for f in t.metadata.schema}
+        local, corr = [], []
+        for c in split_conjuncts(sub_where) if sub_where else []:
+            if t_alias and re.search(rf"(?i)\b{re.escape(t_alias)}\s*\.", c):
+                corr.append(c)
+            else:
+                local.append(c)
+        if not corr:
+            raise ValueError(
+                "EXISTS subquery has no correlation to the target table")
+        if self.catalog.table_exists(src_name):
+            source = self.catalog.load_table(src_name).scan()
+            if local:
+                source = source.filter(" AND ".join(f"({c})" for c in local))
+        else:
+            source = self.sql(
+                f"SELECT * FROM {src_name}"
+                + (f" WHERE {' AND '.join(local)}" if local else ""))
+        s_cols = set(source.columns)
+        on = " AND ".join(
+            f"({self._qualify(c, t_alias, s_alias, t_cols, s_cols)})"
+            for c in corr)
+        extra = None
+        if plain:
+            extra = " AND ".join(
+                f"({self._qualify(c, t_alias, None, t_cols, set())})"
+                for c in plain)
+        return "matching", (source, on, extra)
+
+    def _eval_scalar_subqueries(self, cond: str, t_alias: str | None) -> str:
+        """Replace each uncorrelated ``(SELECT …)`` in ``cond`` with its
+        single value as a SQL literal."""
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        def lit(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float, _Dec)):
+                return str(v)
+            if isinstance(v, _dt.datetime):
+                return f"TIMESTAMP '{v}'"
+            if isinstance(v, _dt.date):
+                return f"DATE '{v}'"
+            return "'" + str(v).replace("'", "''") + "'"
+
+        def repl(m: re.Match) -> str:
+            sub = m.group(1)
+            if t_alias and re.search(rf"(?i)\b{re.escape(t_alias)}\s*\.", sub):
+                raise ValueError(
+                    "correlated scalar subqueries are not supported — "
+                    "use EXISTS or MERGE")
+            rows = self.sql(self._bind_catalog_refs(sub)).limit(2).collect()
+            if len(rows) != 1 or len(rows[0]) != 1:
+                raise ValueError(
+                    "scalar subquery must return exactly one row/column")
+            return lit(rows[0][0])
+
+        return self._SCALAR_SUBQ_RE.sub(repl, cond)
+
+    def _bind_catalog_refs(self, sql_text: str) -> str:
+        """Bind dotted catalog-table references after FROM/JOIN to temp
+        views so plain Spark SQL can resolve them (subqueries may name
+        catalog tables that were never ``register()``-ed)."""
+        def repl(m: re.Match) -> str:
+            name = m.group(2)
+            if self.catalog.table_exists(name):
+                view = "__sub_" + name.replace(".", "_")
+                self.catalog.load_table(name).scan() \
+                    .createOrReplaceTempView(view)
+                return m.group(1) + view
+            return m.group(0)
+
+        return re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, sql_text)
 
     #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR
     #: SYSTEM_VERSION / SYSTEM_TIME spellings) — docs/spark-queries.md:47-98

@@ -18,6 +18,11 @@ from iceberg_demo_spark.mv.parser import QueryInfo, parse_select, ParseError
 from iceberg_demo_spark.tables.catalog import Catalog
 from iceberg_demo_spark.tables.format import now_ms
 
+# Row-presence marker for the incremental-refresh backing MERGE: a
+# recomputed aggregate column may legitimately be NULL, so group presence
+# is carried by this always-true literal instead.
+_MV_PRESENT = "_g_mv_present"
+
 #: aggregate functions the incremental path can recompute per group (all of
 #: them — the partial-group strategy recomputes touched groups exactly, so
 #: even MIN/MAX/AVG/COUNT DISTINCT maintain correctly under deletes)
@@ -206,8 +211,9 @@ class MVManager:
         changelog carries only changed rows; the recompute scan is restricted
         by an IN-list on touched keys when they're few (collected driver-side
         → parquet min/max + partition pruning applies) or a broadcast
-        semi-join otherwise; the backing rewrite is proportional to the
-        backing table, which is the small side by construction."""
+        semi-join otherwise; the backing write is a keyed MERGE that only
+        rewrites files containing touched groups, so refresh cost is
+        O(changed groups), never O(|MV|)."""
         plan = self._maintenance_plan(mv.query)
         if plan is None:
             raise ParseError("not incrementally maintainable")
@@ -245,7 +251,14 @@ class MVManager:
         if len(keys) <= 1000 and len(key_cols) == 1:
             name0 = key_cols[0][0]
             vals = [r[name0] for r in keys]
-            src = src.filter(F.expr(key_cols[0][1]).isin(vals))
+            non_null = [v for v in vals if v is not None]
+            cond = (F.expr(key_cols[0][1]).isin(non_null)
+                    if non_null else F.lit(False))
+            if len(non_null) < len(vals):
+                # isin() never matches NULL — a touched NULL-key group must
+                # be recomputed too, or it silently vanishes from the MV.
+                cond = cond | F.expr(key_cols[0][1]).isNull()
+            src = src.filter(cond)
         else:
             cond = None
             for n, e in key_cols:
@@ -263,14 +276,39 @@ class MVManager:
             *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs) \
             .select(backing_cols)
 
-        # 3. carry over untouched groups, swap in recomputed ones
-        b = backing.scan()
-        cond = None
+        # 3. swap recomputed groups into the backing table with a keyed
+        #    MERGE: updated groups rewrite only the backing files that
+        #    contain them, vanished groups are deleted, new groups are
+        #    inserted — untouched backing data files are never rewritten,
+        #    so refresh cost is O(touched groups), not O(|MV|).
+        agg_cols = [backing_cols[i]
+                    for i, (fn, _e, _a) in enumerate(items) if fn != ""]
+        marked = recomputed.withColumn(_MV_PRESENT, F.lit(True)).alias("r")
+        tch = touched.alias("c")
+        jc = None
         for n, _e in key_cols:
-            eq = b[n].eqNullSafe(touched[n])
-            cond = eq if cond is None else (cond & eq)
-        kept = b.join(F.broadcast(touched), cond, "left_anti")
-        backing.overwrite_all(kept.unionByName(recomputed))
+            eq = F.col(f"c.{n}").eqNullSafe(F.col(f"r.{n}"))
+            jc = eq if jc is None else (jc & eq)
+        src = tch.join(marked, jc, "left").select(
+            *[F.col(f"c.{n}").alias(n) for n, _e in key_cols],
+            *[F.col(f"r.{a}").alias(a) for a in agg_cols],
+            F.col(f"r.{_MV_PRESENT}").alias(_MV_PRESENT))
+        on = " AND ".join(f"t.{n} <=> s.{n}" for n, _e in key_cols)
+        backing.merge(
+            src, on=on,
+            matched=[
+                {"condition": f"s.{_MV_PRESENT} IS NOT NULL",
+                 "action": "update", "set": {a: f"s.{a}" for a in agg_cols}},
+                # touched group with no recomputed row: all its source rows
+                # were deleted — drop it from the MV
+                {"condition": None, "action": "delete"},
+            ],
+            not_matched=[{"condition": f"s.{_MV_PRESENT} IS NOT NULL",
+                          "values": {c: f"s.{c}" for c in backing_cols}}],
+            # touched is distinct on the group keys, so a target row can
+            # match at most one source row — skip the cardinality-check job
+            check_cardinality=False,
+        )
         mv.source_snapshot_id = head.snapshot_id
         return self._finish_refresh(mv, backing)
 

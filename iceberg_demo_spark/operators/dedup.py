@@ -357,57 +357,75 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_DUP_THRESHOLD = 0.40
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD) -> DataFrame:
+def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
+                        rows_per_block: int = 65536) -> DataFrame:
     """(id_dup, id_keep, sim): rows whose embedding has cosine >= threshold
-    with a lower-id vector; keeper = the smallest such neighbor id.
+    with a lower-id vector; keeper = the smallest such neighbor id. EXACT
+    all-pairs (this is the oracle-gated semantic dedup; the approximate
+    scale-out family is sim_ann_lsh_topk / sim_ann_ivf_topk).
 
-    Shape: broadcast the (id, unit-vector) matrix, stream the corpus through
-    ``mapInPandas``, and compute each Arrow batch's sims against the
-    broadcast matrix as ONE BLAS matrix multiply — the vectorized-Pandas-UDF
-    pattern for embedding columns. A pair-expression formulation (self-join
-    + per-pair array fold) is ~25× slower at 2k vectors: the join
-    materializes n²·dim array copies and higher-order lambdas don't codegen.
+    Shape: blocked all-pairs. The corpus hashes into B ≈ n/rows_per_block
+    blocks; each row is replicated to the B block-pair groups (i,j), i<=j,
+    it participates in; one ``applyInPandas`` task per group computes the
+    block-i × block-j similarities as ONE BLAS matrix multiply. A
+    pair-expression formulation (self-join + per-pair array fold) is ~25×
+    slower at 2k vectors: the join materializes n²·dim array copies and
+    higher-order lambdas don't codegen.
 
-    Scale: the broadcast side is the bound (~10⁵ vectors × dim×8 B ≈ 50 MB
-    at dim 64). Past that, shard candidates with the LSH buckets
-    (sim_ann_lsh_topk) or IVF cells (sim_ann_ivf_topk) and run this same
-    block-multiply per bucket — pairs stay ∝ true duplicates, and each
-    bucket's matrix re-fits the broadcast budget."""
-    spark = emb.sparkSession
-    rows = emb.select("vec_id", "v").collect()  # build side of the broadcast
+    Scale: per-task memory is bounded by 2·rows_per_block vectors
+    (~2·64Ki·64dim·8B ≈ 64 MB) regardless of corpus size — no driver
+    collect, no broadcast of the corpus. Shuffle volume is n·B rows; the
+    quadratic block-pair count is the irreducible cost of EXACT all-pairs
+    and parallelizes across B·(B+1)/2 independent tasks."""
     import numpy as np
+    import pandas as pd
 
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
+    n = emb.count()
+    nb = max(1, -(-n // rows_per_block))  # ceil
 
-    def block(batches):
-        import pandas as pd
+    # every (i,j) block pair with i<=j, exactly once per row: for this
+    # row's block b, pair with x>=b as (b,x) and x<b as (x,b)
+    w = emb.select("vec_id", "v").withColumn(
+        "_b", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nb)))
+    g = w.withColumn(
+        "_g",
+        F.explode(F.expr(
+            f"transform(sequence(0, {nb - 1}), x -> "
+            "CASE WHEN x >= _b THEN struct(_b AS i, x AS j) "
+            "ELSE struct(x AS i, _b AS j) END)")))
 
-        c_ids, c_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["v"].values).astype(np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
-            sims = X @ c_mat.T  # (batch × corpus) in one BLAS call
-            row_ids = pdf["vec_id"].values.astype(np.int64)
-            # keep (corpus_id < row_id) & sim >= threshold: row is the dup
-            mask = (c_ids[None, :] < row_ids[:, None]) & (sims >= threshold)
-            bi, ci = np.nonzero(mask)
-            if len(bi) == 0:
-                continue
-            yield pd.DataFrame({
-                "id_dup": row_ids[bi],
-                "id_keep": c_ids[ci],
-                "sim": sims[bi, ci],
-            })
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(pdf["_i"].iloc[0]), int(pdf["_j"].iloc[0])
+        left = pdf[pdf["_b"] == i]
+        right = pdf[pdf["_b"] == j]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_dup": pd.Series(dtype="int64"),
+                                 "id_keep": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        L = np.stack(left["v"].values).astype(np.float64)
+        R = np.stack(right["v"].values).astype(np.float64)
+        L /= np.linalg.norm(L, axis=1, keepdims=True)
+        R /= np.linalg.norm(R, axis=1, keepdims=True)
+        sims = L @ R.T  # (|block i| × |block j|) in one BLAS call
+        lid = left["vec_id"].values.astype(np.int64)
+        rid = right["vec_id"].values.astype(np.int64)
+        mask = sims >= threshold
+        if i == j:
+            # L is R: strict < drops the diagonal and the mirrored half,
+            # leaving each unordered pair exactly once
+            mask &= lid[:, None] < rid[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = lid[li], rid[ri]
+        return pd.DataFrame({"id_dup": np.maximum(a, b),
+                             "id_keep": np.minimum(a, b),
+                             "sim": sims[li, ri]})
 
-    pairs = emb.select("vec_id", "v").mapInPandas(
-        block, "id_dup bigint, id_keep bigint, sim double")
+    pairs = (
+        g.select("vec_id", "v", "_b",
+                 F.col("_g.i").alias("_i"), F.col("_g.j").alias("_j"))
+        .groupBy("_i", "_j")
+        .applyInPandas(block_pair, "id_dup bigint, id_keep bigint, sim double")
+    )
     keepers = pairs.groupBy("id_dup").agg(F.min("id_keep").alias("id_keep"))
     return keepers.join(pairs, ["id_dup", "id_keep"]).select(
         "id_dup", "id_keep", F.round("sim", 4).alias("sim")
@@ -466,6 +484,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             bidir.join(labels, bidir["id_b"] == labels["id"])
@@ -484,8 +503,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     bidir.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations — labels would be silently wrong; raise max_iter "
+            "(rounds needed ≈ graph diameter)")
     return labels.select("id", F.col("label").alias("cluster_root"))
 
 

@@ -190,7 +190,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            # supplier grows with SF: no forced broadcast — AQE/Catalyst
+            # picks broadcast at small SF and shuffle join at scale
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -329,7 +331,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _rev_col()).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -705,7 +707,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            # double cast: TIMESTAMP_NTZ has no direct →long; the session
+            # timezone is pinned UTC so →timestamp is a reinterpretation
+            | (F.col("ts").cast("timestamp").cast("long")
+               - F.lag("ts").over(w).cast("timestamp").cast("long") > 1800),
             1,
         ).otherwise(0),
     )
@@ -986,7 +991,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(orders_in, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return (
@@ -1073,7 +1078,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
     return (
-        li.join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#1")),
+        li.join(t["part"].filter(F.col("p_brand") == "Brand#1"),
                 F.col("p_partkey") == F.col("l_partkey"))
         .join(thresholds, F.col("t_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
@@ -1114,7 +1119,7 @@ def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(dsum(_rev_col()).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
     )

@@ -630,8 +630,10 @@ def changelog_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(t_in["part"].select("p_partkey", "p_retailprice"))
     t.set_identifier_fields("p_partkey")
     big = t_in["part"].filter(F.col("p_size") > 40).select("p_partkey")
-    t.update_where({"p_retailprice": "p_retailprice * 1.1"},
-                   f"p_partkey in ({','.join(str(r[0]) for r in big.collect())})")
+    # DataFrame-predicate UPDATE: the key set stays distributed (a join in
+    # the MERGE plan), never a driver-side collect()→IN-list string.
+    t.update_matching({"p_retailprice": "t.p_retailprice * 1.1"},
+                      big, on="t.p_partkey = s.p_partkey")
     cl = proc.create_changelog_view(t, "part_changes")
     return (
         cl.filter(F.col("_change_type").startswith("UPDATE"))

@@ -25,6 +25,16 @@ from iceberg_demo_spark.registry import query
 from iceberg_demo_spark.sources import load_tables
 
 
+def _micros(c: Column | str) -> Column:
+    """Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ input.
+
+    Parquet event times arrive as TIMESTAMP_NTZ (isAdjustedToUTC=false),
+    which ``unix_micros`` rejects; the session timezone is pinned to UTC
+    (session.py), so the cast is a pure reinterpretation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               right_cols: list[str], tiebreak: str | None = None) -> DataFrame:
     """For every left row, attach ``right_cols`` from the latest right row
@@ -88,8 +98,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "click_id", "user_id",
         F.col("r_view_id").alias("view_id"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_vts")))
-        .alias("gap_us"),
+        (_micros("ts") - _micros("r_vts")).alias("gap_us"),
     ).orderBy("click_id")
 
 
@@ -101,8 +110,8 @@ def range_join_bins(points: DataFrame, intervals: DataFrame, key: str,
     on (key, bin), refine on exact bounds. ``bin_micros`` must be >= the
     maximum interval width so an interval spans at most 2 bins."""
     p = points.withColumn(
-        "_bin", F.floor(F.unix_micros(F.col(ts)) / F.lit(bin_micros)))
-    b0 = F.floor(F.unix_micros(F.col(t0)) / F.lit(bin_micros))
+        "_bin", F.floor(_micros(ts) / F.lit(bin_micros)))
+    b0 = F.floor(_micros(t0) / F.lit(bin_micros))
     iv = intervals.withColumn(
         "_bin", F.explode(F.array(b0, b0 + 1)))
     return (

@@ -35,14 +35,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> None:
-    """Import every operator module so registration side effects run."""
+    """Import every operator module so registration side effects run.
+
+    Import order IS registration order, and the driver evaluates ``queries()``
+    in registration order — so the modules whose gates most need external
+    verification (DML/time-travel/changelog/MV, temporal, skew, similarity)
+    register first, followed by the LLM-pipeline operators, with the
+    many-times-verified relational suite last.
+    """
     from iceberg_demo_spark.operators import (  # noqa: F401
-        dedup,
-        multimodal,
-        relational,
-        similarity,
-        skew,
         table_ops,
         temporal,
+        skew,
+        similarity,
+        multimodal,
         text,
+        dedup,
+        relational,
     )

@@ -112,7 +112,11 @@ def maintain_streaming_table(table: Table, older_than_ms: int | None = None,
     expired = proc.expire_snapshots(
         table, older_than_ms=now_ms() + 1 if older_than_ms is None else older_than_ms,
         retain_last=retain_last)
-    orphans = proc.remove_orphan_files(table)
+    # mirror the expire cutoff: this maintenance loop is explicitly
+    # aggressive (single-writer table), overriding the 3-day default
+    orphans = proc.remove_orphan_files(
+        table, older_than_ms=now_ms() + 1 if older_than_ms is None
+        else older_than_ms)
     return {
         "compacted_files": compacted["rewritten_data_files_count"],
         "expired_snapshots": expired["deleted_snapshots_count"],

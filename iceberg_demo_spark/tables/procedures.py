@@ -184,11 +184,21 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
             "deleted_refs_count": len(expired_refs)}
 
 
+#: Default orphan age cutoff: 3 days, matching the reference
+#: (docs/spark-procedures.md:313) — protects files of in-flight commits.
+_ORPHAN_DEFAULT_AGE_MS = 3 * 24 * 3600 * 1000
+
+
 def remove_orphan_files(table: Table, older_than_ms: int | None = None,
                         dry_run: bool = False) -> list[str]:
     """Files under data/ not referenced by ANY snapshot
-    (docs/spark-procedures.md:304-378)."""
+    (docs/spark-procedures.md:304-378). ``older_than_ms`` defaults to
+    now − 3 days — deleting younger files could race a concurrent
+    in-flight write whose commit hasn't landed yet."""
     table.check_writable("remove_orphan_files")
+    if older_than_ms is None:
+        import time as _time
+        older_than_ms = int(_time.time() * 1000) - _ORPHAN_DEFAULT_AGE_MS
     live = table.live_file_paths()
     orphans = []
     for root, _d, names in os.walk(table.data_dir()):

@@ -896,6 +896,37 @@ class Table:
         return self._commit("overwrite", kept + rewritten, rewritten, hit, branch,
                             {"operation-detail": "update"})
 
+    # -- DataFrame-predicate DML (subquery / EXISTS forms) ------------------
+
+    def delete_matching(self, source: DataFrame, on: str,
+                        branch: str = MAIN_BRANCH) -> Snapshot | None:
+        """DELETE FROM t WHERE EXISTS (SELECT … WHERE <on>) — the
+        subquery-predicate DELETE of docs/spark-writes.md:170-199, expressed
+        as MERGE WHEN MATCHED DELETE so matching rows are found by a
+        distributed join (never a driver-side key collection). ``on``
+        references the target as ``t`` and ``source`` as ``s``. Duplicate
+        source matches are EXISTS semantics — a target row matched by many
+        source rows is simply deleted — so no cardinality check runs."""
+        return self.merge(
+            source, on=on,
+            matched=[{"condition": None, "action": "delete"}],
+            branch=branch, check_cardinality=False)
+
+    def update_matching(self, assignments: dict[str, str | Column],
+                        source: DataFrame, on: str,
+                        branch: str = MAIN_BRANCH,
+                        check_cardinality: bool = True) -> Snapshot | None:
+        """UPDATE t SET … WHERE <key> IN (SELECT … ) — DataFrame-predicate
+        UPDATE as MERGE WHEN MATCHED UPDATE. ``assignments`` may reference
+        source columns as ``s.<col>`` (and target columns bare or as
+        ``t.<col>``); the cardinality check rejects a target row matching
+        multiple source rows, which would make the update ambiguous."""
+        return self.merge(
+            source, on=on,
+            matched=[{"condition": None, "action": "update",
+                      "set": dict(assignments)}],
+            branch=branch, check_cardinality=check_cardinality)
+
     # -- MERGE -------------------------------------------------------------
 
     def merge(
@@ -937,6 +968,10 @@ class Table:
         # Iceberg/Spark MERGE semantics). The non-null literal survives the
         # left outer join iff the row matched; it never reaches projections
         # because inserts/updates project by target-schema field names.
+        if _S_PRESENT_COL in source.columns:
+            raise ValueError(
+                f"MERGE: source column {_S_PRESENT_COL!r} collides with the "
+                "engine's reserved row-presence marker")
         src = source.withColumn(_S_PRESENT_COL, F.lit(True)).alias("s")
         on_expr = F.expr(on)
 

@@ -86,3 +86,34 @@ def test_dedup_clusters_are_connected_components(spark):
     # sizes column consistent
     for r in clusters:
         assert r["cluster_size"] == len(by_root[r["cluster_root"]])
+
+
+def test_embedding_near_dups_blocked_equals_single_block(spark):
+    """The blocked all-pairs must be EXACT: forcing many tiny blocks
+    (bounded per-task build side) yields identical pairs to one block."""
+    from iceberg_demo_spark.operators.dedup import embedding_near_dups
+
+    emb = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    )
+    one = {tuple(r) for r in
+           embedding_near_dups(emb, rows_per_block=1 << 30).collect()}
+    many = {tuple(r) for r in
+            embedding_near_dups(emb, rows_per_block=8).collect()}
+    assert one == many
+    assert one, "synthetic corpus should contain near-dup pairs"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+    from iceberg_demo_spark.operators.dedup import connected_components
+
+    # a length-6 path graph needs ~3 min-label rounds; max_iter=1 can't
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a bigint, id_b bigint")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+    # and with room it converges to a single cluster rooted at 0
+    labels = connected_components(edges, max_iter=10).collect()
+    assert {r["cluster_root"] for r in labels} == {0}

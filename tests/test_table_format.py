@@ -14,6 +14,7 @@ from iceberg_demo_spark.tables.table import (
     ReadOnlyTableError,
 )
 from iceberg_demo_spark.tables import procedures as proc
+from iceberg_demo_spark.tables.format import now_ms
 
 
 @pytest.fixture()
@@ -309,10 +310,15 @@ def test_remove_orphan_files(catalog, spark, tmp_path):
     spark.createDataFrame([(1,)], "x int").write.mode("overwrite").parquet(str(tmp_path / "o"))
     src = [p for p in os.listdir(str(tmp_path / "o")) if p.endswith(".parquet")][0]
     os.rename(str(tmp_path / "o" / src), orphan)
-    listed = proc.remove_orphan_files(t, dry_run=True)
+    # default cutoff is now-3d (docs/spark-procedures.md:313): a freshly
+    # written file is protected — it could belong to an in-flight commit
+    assert proc.remove_orphan_files(t) == []
+    assert os.path.exists(orphan)
+    cutoff = now_ms() + 1
+    listed = proc.remove_orphan_files(t, dry_run=True, older_than_ms=cutoff)
     assert listed == ["data/stray.parquet"]
     assert os.path.exists(orphan)
-    proc.remove_orphan_files(t)
+    proc.remove_orphan_files(t, older_than_ms=cutoff)
     assert not os.path.exists(orphan)
     assert t.scan().count() == 3
 

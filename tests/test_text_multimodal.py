@@ -71,3 +71,88 @@ def test_multimodal_resize_batch_shape(spark):
     assert rows["n_images"] > 0
     assert rows["n_exact"] == rows["n_images"]  # every payload hit target size
     assert rows["total_resized_bytes"] == rows["n_images"] * (128 * 96 // 64)
+
+
+# -- real image codec (pure-numpy PPM/BMP; PIL when available) --------------
+
+def _gradient(h, w):
+    import numpy as np
+    r = (np.arange(h * w) % 256).reshape(h, w)
+    g = (np.arange(h * w) * 7 % 256).reshape(h, w)
+    b = (np.arange(h * w) * 13 % 256).reshape(h, w)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _bmp_bytes(arr):
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (test-side)."""
+    import numpy as np
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\0\0\0\0"
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+              + b"\0" * 16)
+    return header + pix
+
+
+def test_ppm_roundtrip_pixel_exact():
+    import numpy as np
+    from iceberg_demo_spark.operators.multimodal import decode_image, encode_ppm
+
+    arr = _gradient(5, 7)
+    assert np.array_equal(decode_image(encode_ppm(arr)), arr)
+
+
+def test_bmp_decode_pixel_exact():
+    import numpy as np
+    from iceberg_demo_spark.operators.multimodal import decode_image
+
+    arr = _gradient(4, 6)
+    assert np.array_equal(decode_image(_bmp_bytes(arr)), arr)
+
+
+def test_resize_nearest_matches_reference():
+    import numpy as np
+    from iceberg_demo_spark.operators.multimodal import resize_nearest
+
+    arr = _gradient(8, 8)
+    out = resize_nearest(arr, 4, 4)
+    ref = arr[::2, ::2]  # 2x downscale picks rows/cols 0,2,4,6
+    assert np.array_equal(out, ref)
+
+
+def test_decode_unrecognized_raises():
+    from iceberg_demo_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"definitely not an image")
+    with pytest.raises(ValueError):
+        decode_image(b"")
+
+
+def test_spark_decode_and_resize_real_images(spark):
+    """End-to-end through the mapInPandas plumbing: true dimensions out of
+    decode, pixel-exact PPM out of resize."""
+    import numpy as np
+    from iceberg_demo_spark.operators.multimodal import (
+        decode_features, decode_image, encode_ppm, resize_images)
+
+    arr = _gradient(6, 10)
+    rows = [(1, bytearray(encode_ppm(arr))),
+            (2, bytearray(_bmp_bytes(arr)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    feats = {r["doc_id"]: r for r in decode_features(df).collect()}
+    assert feats[1]["fake_width"] == 10 and feats[1]["fake_height"] == 6
+    assert feats[2]["fake_width"] == 10 and feats[2]["fake_height"] == 6
+    assert feats[1]["checksum"] == int(arr.astype(np.uint64).sum())
+    resized = {r["doc_id"]: bytes(r["resized"])
+               for r in resize_images(df, 5, 3).collect()}
+    ref = arr[(np.arange(3) * 6 // 3)[:, None], (np.arange(5) * 10 // 5)[None, :]]
+    for doc in (1, 2):
+        assert np.array_equal(decode_image(resized[doc]), ref)

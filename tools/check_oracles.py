@@ -58,7 +58,13 @@ def _tag(v):
             if tag == "float" and math.isnan(v):
                 return ("float", "NaN")
             if tag == "datetime":
-                return ("datetime", v.replace(tzinfo=None))
+                # DuckDB Arrow yields tz-aware UTC TIMESTAMPTZ; Spark
+                # collect() yields naive session-local (UTC per session.py)
+                # datetimes — convert to UTC before stripping tzinfo so the
+                # wall-clock values actually agree
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return ("datetime", v)
             return (tag, v)
     return (type(v).__name__, v)
 
@@ -104,7 +110,10 @@ def main() -> int:
         try:
             at = con.sql(oracle).arrow()
             dcols = list(at.schema.names)
-            drows = [tuple(d[c] for c in dcols) for d in at.to_pylist()]
+            # positional extraction: a per-row dict would silently collapse
+            # duplicate output column names onto one value
+            dcol_vals = [c.to_pylist() for c in at.columns]
+            drows = list(zip(*dcol_vals)) if dcol_vals and at.num_rows else []
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
