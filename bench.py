@@ -6,10 +6,13 @@ local[$SPARK_GRAFT_CPUS] and prints
 
 Methodology: one untimed warmup execution per query (pays JVM JIT, codegen
 compilation, and parquet footer caching — one-time costs a long-running
-cluster amortizes to zero), then TWO timed executions per query reporting
-the minimum (shields the recorded number from transient host contention,
-which empirically inflates single runs up to 10x on this shared machine).
-Timing covers full query build + execution to a count-style action that
+cluster amortizes to zero), then THREE timed executions per query. The
+headline value is the per-query MINIMUM (shields the recorded number from
+transient host contention, which empirically inflates single runs up to
+10x on this shared machine); the per-query MEDIAN is reported alongside
+(queries_median / value_median) so contention is visible as a min↔median
+gap instead of silently polluting round-over-round comparisons. Timing
+covers full query build + execution to a count-style action that
 materializes every row without shipping them to Python. Set
 SPARK_GRAFT_BENCH_COLD=1 to skip the warmup pass and time single cold runs.
 """
@@ -69,17 +72,21 @@ def main() -> None:
 
     cold = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best, n = None, 0
-        for _rep in range(1 if cold else 2):
+        reps, n = [], 0
+        for _rep in range(1 if cold else 3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+            reps.append(time.time() - t0)
+        reps.sort()
+        timings[name] = round(reps[0], 3)
+        medians[name] = round(reps[len(reps) // 2], 3)
+        print(f"# {name}: {n} rows in {timings[name]}s "
+              f"(median {medians[name]}s over {len(reps)} reps)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
                 "sf": sf,
             }
         )

@@ -476,6 +476,8 @@ class Engine:
         return None
 
     _EXISTS_RE = re.compile(r"(?is)^\s*exists\s*\(\s*(select\b.+)\)\s*$")
+    _IN_SUBQ_RE = re.compile(
+        r"(?is)^\s*([\w.]+)\s+in\s*\(\s*(select\b.+)\)\s*$")
     _SUBQ_SELECT_RE = re.compile(
         r"(?is)^\s*select\s+.+?\s+from\s+([\w.]+)(?:\s+(?:as\s+)?(\w+))?"
         r"(?:\s+where\s+(.+))?\s*$")
@@ -545,13 +547,32 @@ class Engine:
             conjuncts = split_conjuncts(where)
         except Exception:
             conjuncts = [where]
-        exists_sub, plain = None, []
+        exists_sub, in_form, plain = None, None, []
         for c in conjuncts:
             em = self._EXISTS_RE.match(c)
-            if em is not None and exists_sub is None:
+            if em is not None and exists_sub is None and in_form is None:
                 exists_sub = em.group(1)
-            else:
-                plain.append(self._eval_scalar_subqueries(c, t_alias))
+                continue
+            im = self._IN_SUBQ_RE.match(c)
+            if (im is not None and exists_sub is None and in_form is None
+                    and not (t_alias and re.search(
+                        rf"(?i)\b{re.escape(t_alias)}\s*\.", im.group(2)))):
+                in_form = (im.group(1), im.group(2))
+                continue
+            plain.append(self._eval_scalar_subqueries(c, t_alias))
+        if in_form is not None:
+            # col IN (SELECT …): distinct the key set (set semantics) and
+            # join on it — stays a distributed plan, never a collected list
+            col, sub = in_form
+            source = self.sql(self._bind_catalog_refs(sub)).distinct()
+            if len(source.columns) != 1:
+                raise ValueError("IN subquery must produce exactly one column")
+            on = f"t.{col.split('.')[-1]} = s.{source.columns[0]}"
+            extra = " AND ".join(f"({c})" for c in plain) if plain else None
+            if extra is not None:
+                t_cols = {f.name for f in t.metadata.schema}
+                extra = self._qualify(extra, t_alias, None, t_cols, set())
+            return "matching", (source, on, extra)
         if exists_sub is None:
             return "plain", " AND ".join(f"({c})" for c in plain) if plain else "true"
         sm = self._SUBQ_SELECT_RE.match(exists_sub)

@@ -79,6 +79,11 @@ def stream_hourly_event_counts(
     Results land in a memory sink named ``query_name`` (test/bench surface);
     production would writeStream into a table like stream_to_table."""
     df = spark.readStream.schema(schema).parquet(source_dir)
+    # watermarks require TIMESTAMP; parquet event times arrive as
+    # TIMESTAMP_NTZ and the session timezone is pinned UTC (session.py),
+    # so the cast is a pure reinterpretation
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         df.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))

@@ -199,3 +199,22 @@ def test_incremental_refresh_keeps_untouched_backing_files(engine):
         {(f"r{i}", float(i), 1) for i in range(16)}
         | {(f"s{i}", 1001.0 if i == 3 else 1.0, 2 if i == 3 else 1)
            for i in range(8)})
+
+
+def test_sql_delete_in_subquery(engine):
+    """DELETE … WHERE col IN (SELECT …): distributed join, no key collect."""
+    t = _orders(engine)
+    engine.spark.createDataFrame(
+        [(1,), (2,), (2,)], "oid bigint").createOrReplaceTempView("in_keys")
+    engine.sql("DELETE FROM db.orders WHERE id IN (SELECT oid FROM in_keys)")
+    assert [r["id"] for r in t.refresh().scan().collect()] == [3]
+
+
+def test_sql_update_in_subquery_with_plain_conjunct(engine):
+    t = _orders(engine)
+    engine.spark.createDataFrame(
+        [(1,), (3,)], "oid bigint").createOrReplaceTempView("in_keys2")
+    engine.sql("UPDATE db.orders SET status = 'flagged' "
+               "WHERE id IN (SELECT oid FROM in_keys2) AND amt > 15")
+    got = {r["id"]: r["status"] for r in t.refresh().scan().collect()}
+    assert got == {1: "open", 2: "open", 3: "flagged"}
