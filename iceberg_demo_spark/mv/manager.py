@@ -248,17 +248,23 @@ class MVManager:
         if where is not None:
             src = src.filter(where)
         keys = touched.limit(1001).collect()
-        if len(keys) <= 1000 and len(key_cols) == 1:
+        few_keys = len(keys) <= 1000 and len(key_cols) == 1
+        backing_cond = None
+        if few_keys:
             name0 = key_cols[0][0]
             vals = [r[name0] for r in keys]
             non_null = [v for v in vals if v is not None]
-            cond = (F.expr(key_cols[0][1]).isin(non_null)
-                    if non_null else F.lit(False))
-            if len(non_null) < len(vals):
-                # isin() never matches NULL — a touched NULL-key group must
-                # be recomputed too, or it silently vanishes from the MV.
-                cond = cond | F.expr(key_cols[0][1]).isNull()
-            src = src.filter(cond)
+
+            def _key_cond(col):
+                c = col.isin(non_null) if non_null else F.lit(False)
+                if len(non_null) < len(vals):
+                    # isin() never matches NULL — a touched NULL-key group
+                    # must be recomputed too, or it silently vanishes.
+                    c = c | col.isNull()
+                return c
+
+            src = src.filter(_key_cond(F.expr(key_cols[0][1])))
+            backing_cond = _key_cond(F.col(name0))
         else:
             cond = None
             for n, e in key_cols:
@@ -276,11 +282,20 @@ class MVManager:
             *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs) \
             .select(backing_cols)
 
-        # 3. swap recomputed groups into the backing table with a keyed
-        #    MERGE: updated groups rewrite only the backing files that
-        #    contain them, vanished groups are deleted, new groups are
-        #    inserted — untouched backing data files are never rewritten,
-        #    so refresh cost is O(touched groups), not O(|MV|).
+        # 3. swap recomputed groups into the backing table keyed by the
+        #    touched group keys — untouched backing data files are never
+        #    rewritten, so refresh cost is O(touched groups), not O(|MV|).
+        if backing_cond is not None:
+            # few-keys fast path: one CoW delete of the touched-key rows +
+            # one append of their recomputed aggregates, a single commit.
+            # Vanished groups are deleted and simply not re-appended; new
+            # groups append. Only files containing touched keys rewrite.
+            backing.overwrite_where(recomputed, backing_cond)
+            mv.source_snapshot_id = head.snapshot_id
+            return self._finish_refresh(mv, backing)
+        # many/composite keys: keyed MERGE (update touched / delete
+        # vanished / insert new) — same file-level minimality, all
+        # matching done by distributed joins.
         agg_cols = [backing_cols[i]
                     for i, (fn, _e, _a) in enumerate(items) if fn != ""]
         marked = recomputed.withColumn(_MV_PRESENT, F.lit(True)).alias("r")

@@ -218,3 +218,22 @@ def test_sql_update_in_subquery_with_plain_conjunct(engine):
                "WHERE id IN (SELECT oid FROM in_keys2) AND amt > 15")
     got = {r["id"]: r["status"] for r in t.refresh().scan().collect()}
     assert got == {1: "open", 2: "open", 3: "flagged"}
+
+
+def test_incremental_refresh_composite_keys_merge_path(engine):
+    """Two group keys bypass the IN-list fast path: the keyed-MERGE backing
+    write must update / insert / delete groups correctly."""
+    t = _sales(engine, [("east", "w", 100.0), ("east", "g", 10.0),
+                        ("west", "w", 50.0), (None, "g", 5.0)])
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ck_mv AS "
+        "SELECT region, product, sum(amount) AS total, count(*) AS n "
+        "FROM db_sales GROUP BY region, product")
+    t.append(engine.spark.createDataFrame(
+        [("east", "w", 1.0), ("north", "w", 7.0), (None, "g", 2.0)],
+        "region string, product string, amount double"))
+    t.delete_where("region = 'west'")
+    engine.sql("REFRESH MATERIALIZED VIEW ck_mv INCREMENTAL")
+    assert _mv_rows(engine, "ck_mv") == {
+        ("east", "w", 101.0, 2), ("east", "g", 10.0, 1),
+        ("north", "w", 7.0, 1), (None, "g", 7.0, 2)}
