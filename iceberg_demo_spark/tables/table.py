@@ -52,6 +52,11 @@ _ROW_COL = "_g_row"
 _POS_COL = "_g_pos"
 _S_PRESENT_COL = "_g_s_present"
 
+#: Position-delete sets up to this size broadcast to executors (the Iceberg
+#: delete-file-distribution analogue); larger sets fall back to a
+#: Catalyst-chosen join so the build side can't OOM.
+_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
+
 #: schema of a position-delete file (Iceberg v2 position deletes)
 _DELETE_SCHEMA = "file_path string, pos bigint"
 
@@ -495,8 +500,14 @@ class Table:
             out = out.unionByName(p)
         if delete_files:
             dels = self._delete_entries_df(delete_files)
+            # broadcast while the delete set is comfortably small; past the
+            # threshold let Catalyst/AQE pick the join (shuffle at scale) —
+            # a forced broadcast of a huge delete set would OOM the build
+            # side, the first-failure mode called out in SCALE.md
+            if sum(d.bytes for d in delete_files) <= _DELETE_BROADCAST_BYTES:
+                dels = F.broadcast(dels)
             out = out.join(
-                F.broadcast(dels),
+                dels,
                 (out[_FILE_COL] == dels["file_path"]) & (out[_POS_COL] == dels["pos"]),
                 "left_anti",
             )

@@ -271,3 +271,19 @@ if _HAS_HYPOTHESIS:
                                                      "amount": "s.amt"}}])
             tables.append(sorted(map(tuple, t.scan().collect())))
         assert tables[0] == tables[1]
+
+
+def test_large_delete_set_skips_forced_broadcast(catalog, spark, monkeypatch):
+    """Past the broadcast budget the MoR read must not force-broadcast the
+    delete set (build-side OOM at scale); results stay identical."""
+    import iceberg_demo_spark.tables.table as tt
+
+    t = catalog.create_table("db.mor_big", "id bigint, v string")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.append(spark.range(0, 100).selectExpr("id", "concat('v', id) AS v"))
+    t.delete_where("id % 3 = 0")
+    expected = sorted(r["id"] for r in t.scan().collect())
+    monkeypatch.setattr(tt, "_DELETE_BROADCAST_BYTES", 0)
+    got = sorted(r["id"] for r in t.scan().collect())
+    assert got == expected
+    assert all(i % 3 != 0 for i in got) and len(got) == 66
