@@ -52,4 +52,5 @@ def load_all() -> None:
         text,
         dedup,
         relational,
+        sampling,
     )
