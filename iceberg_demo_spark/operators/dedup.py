@@ -358,7 +358,7 @@ _COS_DUP_THRESHOLD = 0.40
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
-                        rows_per_block: int = 65536) -> DataFrame:
+                        rows_per_block: int = 8192) -> DataFrame:
     """(id_dup, id_keep, sim): rows whose embedding has cosine >= threshold
     with a lower-id vector; keeper = the smallest such neighbor id. EXACT
     all-pairs (this is the oracle-gated semantic dedup; the approximate
@@ -373,10 +373,12 @@ def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
     higher-order lambdas don't codegen.
 
     Scale: per-task memory is bounded by 2·rows_per_block vectors
-    (~2·64Ki·64dim·8B ≈ 64 MB) regardless of corpus size — no driver
-    collect, no broadcast of the corpus. Shuffle volume is n·B rows; the
-    quadratic block-pair count is the irreducible cost of EXACT all-pairs
-    and parallelizes across B·(B+1)/2 independent tasks."""
+    (~2·8Ki·64dim·8B ≈ 8 MB; still ~128 MB at dim 1024) regardless of
+    corpus size — no driver collect, no broadcast of the corpus. Shuffle
+    volume is n·B rows; the quadratic block-pair count is the irreducible
+    cost of EXACT all-pairs and parallelizes across B·(B+1)/2 independent
+    tasks. Past ~10⁶ vectors exact all-pairs is the wrong tool regardless
+    of engine — use the LSH/IVF candidate generators (similarity.py)."""
     import numpy as np
     import pandas as pd
 
