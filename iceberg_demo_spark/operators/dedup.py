@@ -9,14 +9,16 @@ Scale design:
   and frequent-shingle skew is the known hazard (mitigated by dropping
   ubiquitous shingles — the `max_df` filter below — exactly as MinHash-LSH
   implementations do).
-- MinHash-LSH (no SQL oracle: hash functions aren't portable to DuckDB)
-  reduces pairwise comparison to band-bucket joins: candidates ∝ true pairs,
-  not n². xxhash64 is a built-in JVM function — zero Python in the hot path.
+- MinHash-LSH reduces pairwise comparison to band-bucket joins: candidates
+  ∝ true pairs, not n². The base hash is an md5 hex prefix — a JVM built-in
+  (zero Python in the hot path) that DuckDB computes bit-identically, so
+  the whole signature → band → candidate → estimate pipeline is
+  oracle-checked end to end, not just rows-counted.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
@@ -163,11 +165,18 @@ _BAND_SIZE = 4
 _PRIME = (1 << 31) - 1
 
 
+def _portable_hash(col) -> Column:
+    """60-bit integer from the md5 hex prefix — bit-identical in DuckDB
+    (``('0x' || substr(md5(x),1,15))::UBIGINT``), which is what makes the
+    MinHash/SimHash gates oracle-checkable instead of rows-only."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures, built-ins only.
 
-    Shape chosen for scale: explode distinct shingles → ONE xxhash64 per
-    shingle → the n_perm permutations (a_i*h + b_i) mod p as plain columns →
+    Shape chosen for scale: explode distinct shingles → ONE portable hash
+    per shingle → the n_perm permutations (a_i*h + b_i) mod p as columns →
     ``groupBy(doc_id).agg(min...)``. The mins combine map-side (partial agg),
     so the shuffle carries just n_perm longs per doc. The earlier
     array-expression formulation recomputed the shingle array once per
@@ -178,7 +187,7 @@ def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     at the explode, matching the pairwise semantics.
     """
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
-    h = F.abs(F.xxhash64("s")) % _PRIME
+    h = _portable_hash(F.col("s")) % _PRIME
     permed = sh.select(
         "doc_id",
         *[
@@ -194,11 +203,51 @@ def minhash_signatures(docs: DataFrame, n_perm: int = _N_PERM) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh_pairs")
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS s FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT)
+               % 2147483647 AS h
+      FROM sh
+    ), perms AS (
+      SELECT doc_id, i, MIN((h * (2*i + 3) + i*i + 1) % 2147483647) AS m
+      FROM h CROSS JOIN range(0, 32) r(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(m ORDER BY i) AS sig FROM perms GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b, list_slice(sig, b*4 + 1, b*4 + 4) AS key
+      FROM sig CROSS JOIN range(0, 8) rb(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), est AS (
+      SELECT id_a, id_b,
+             1.0 * len(list_filter(list_zip(sa.sig, sb.sig),
+                                   p -> p[1] = p[2])) / 32 AS ej
+      FROM cand
+      JOIN sig sa ON sa.doc_id = id_a
+      JOIN sig sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(ej, 4) AS est_jaccard
+    FROM est WHERE ej >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH, verified by signature
-    similarity. No oracle: hash family isn't reproducible in DuckDB; pytest
-    cross-checks against exact Jaccard (tests/test_dedup.py)."""
+    similarity. Fully oracle-checked: the md5-prefix base hash is
+    bit-identical in DuckDB, so the oracle replays signatures, banding,
+    candidate generation and the similarity estimate. (Band-bucket join on
+    xxhash64 of the band slice Spark-side ≡ joining on the slice itself —
+    bucket collisions can only add candidates whose estimate then fails the
+    ≥0.2 filter.) Pytest additionally cross-checks recall vs exact Jaccard
+    (tests/test_dedup.py)."""
     t = load_tables(spark, sf_dir, ("documents",))
     # Reused three times (band build + both join sides); persist so the
     # signature shuffle runs once. At cluster scale this would be a
@@ -272,20 +321,28 @@ _SIMHASH_BITS = 64
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sh: bigint) 64-bit SimHash of the token multiset.
 
-    Per token: xxhash64 → for each bit position, +1 if set else -1; sum over
+    Per token: a 64-bit hash read as the md5 hex digest's nibbles (bit b =
+    bit b%4 of hex char b//4 — engine-portable, so the gate is
+    oracle-checkable) → for each bit position, +1 if set else -1; sum over
     tokens; bit b of the simhash = 1 iff the sum is positive. Same
-    explode→wide-columns→groupBy shape as MinHash: one hash per token, 64
-    cheap bit-vote columns, map-side partial SUM — the shuffle carries 64
-    ints per doc. Token-less docs keep simhash 0 via explode_outer
-    (matching the fold-over-empty-array semantics).
+    explode→wide-columns→groupBy shape as MinHash: one md5 per token
+    (codegen CSEs the digest across the 64 votes), 64 cheap bit-vote
+    columns, map-side partial SUM — the shuffle carries 64 ints per doc.
+    Token-less docs keep simhash 0 via explode_outer (matching the
+    fold-over-empty-array semantics).
     """
     tok = docs.select("doc_id", F.explode_outer(tokens_col()).alias("t"))
-    h = F.xxhash64("t")
+    digest = F.md5("t")
+
+    def bit(b: int) -> Column:
+        nib = F.conv(F.substring(digest, 1 + b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(nib, b % 4).bitwiseAND(F.lit(1))
+
     votes = tok.select(
         "doc_id",
         *[
             F.when(F.col("t").isNull(), F.lit(0))
-            .when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .when(bit(b) == 1, F.lit(1))
             .otherwise(F.lit(-1))
             .alias(f"v{b}")
             for b in range(_SIMHASH_BITS)
@@ -303,11 +360,51 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", out.alias("sh"))
 
 
-@query("dedup_simhash_hamming_pairs")
+@query(
+    "dedup_simhash_hamming_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), votes AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN
+                   (CAST(('0x' || substr(md5(t), 1 + b.b // 4, 1))::UBIGINT
+                         AS BIGINT) >> (b.b % 4)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN range(0, 64) b(b)
+      GROUP BY doc_id, b.b
+    ), bits AS (
+      SELECT doc_id,
+             list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+      FROM votes GROUP BY doc_id
+    ), allbits AS (
+      -- docs with no rows in votes cannot occur (split('') = ['']), but
+      -- keep the join total over documents for safety
+      SELECT d.doc_id, COALESCE(bits, list_transform(range(64), x -> 0)) AS bits
+      FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+    ), chunks AS (
+      SELECT doc_id, bits, c.c AS chunk,
+             list_slice(bits, c.c*16 + 1, c.c*16 + 16) AS key
+      FROM allbits CROSS JOIN range(0, 4) c(c)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.bits AS ba, b.bits AS bb
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(list_zip(ba, bb), p -> p[1] <> p[2])) AS hamming
+    FROM cand
+    WHERE len(list_filter(list_zip(ba, bb), p -> p[1] <> p[2])) <= 16
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= 16, bucketed by the top 16 bits
-    to avoid the full n² comparison (same block-key trick production SimHash
-    dedup uses). Rows-only check."""
+    """Pairs with SimHash Hamming distance <= 16, bucketed by the 16-bit
+    chunks to avoid the full n² comparison (same block-key trick production
+    SimHash dedup uses). Fully oracle-checked — the oracle replays the
+    md5-nibble bit votes, chunk blocking and Hamming filter on bit lists
+    (single-bigint packing would overflow BIGINT at bit 63)."""
     t = load_tables(spark, sf_dir, ("documents",))
     docs = simhash_signatures(t["documents"].select("doc_id", "text")).persist()
     # Block on each of 4 16-bit chunks: near-identical docs agree on ≥1 chunk

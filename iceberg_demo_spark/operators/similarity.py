@@ -130,7 +130,8 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed ANN (rows-only: plane generation uses Spark-side hashing)
+# LSH-bucketed ANN (oracle-checked: planes are literal constants, and both
+# engines fold the projection left-to-right over identical doubles)
 # ---------------------------------------------------------------------------
 
 _N_PLANES = 8
@@ -147,21 +148,59 @@ def _plane(seed: int, dim: int = 64) -> list[float]:
     return vals
 
 
-@query("sim_ann_lsh_topk")
+_PLANES = [_plane(s) for s in range(_N_PLANES)]
+
+
+def _bucket_sql(vec: str) -> str:
+    """DuckDB spelling of the sign-bit bucket — plane values embedded as
+    exact (repr round-trip) double literals."""
+    terms = []
+    for i, p in enumerate(_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in p) + "]"
+        proj = _DOT_SQL.format(a=vec, b=lit)
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ), b AS (
+      SELECT vec_id, vec, {_bucket_sql('vec')} AS bucket FROM emb
+    ), q AS (
+      SELECT vec_id AS query_id, vec AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < 8
+    ), cand AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'e.vec')} AS sim
+      FROM q JOIN b e ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: bucket = sign bits of
     projections onto _N_PLANES fixed planes; candidates share a bucket.
-    Rows-only check; recall vs brute force asserted in tests/test_similarity.py.
+    Oracle-checked end to end (the planes are shared literals); recall vs
+    brute force additionally asserted in tests/test_similarity.py.
     """
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    planes = [_plane(s) for s in range(_N_PLANES)]
 
     def bucket_expr(vec_col):
         bits = []
-        for i, p in enumerate(planes):
+        for i, p in enumerate(_PLANES):
             proj = F.aggregate(
                 F.zip_with(
                     vec_col,
