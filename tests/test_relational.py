@@ -36,6 +36,7 @@ RELATIONAL = [
     "events_sessionization",
     "orders_above_customer_avg",
     "order_size_buckets",
+    "q15_top_supplier",
 ]
 
 
