@@ -141,13 +141,15 @@ def test_incremental_randomized_matches_full(engine):
     import random
 
     rng = random.Random(7)
-    t = _setup(engine, ROWS, "db.rand")
+    # seed a NULL-key group so every refresh handles it regardless of rng
+    t = _setup(engine, ROWS + [(None, "w", 5.0)], "db.rand")
     engine.register("db.rand")
     engine.sql(
         "CREATE MATERIALIZED VIEW rand_mv AS "
         "SELECT region, sum(amount) AS total, count(*) AS n, "
         "max(amount) AS hi FROM db_rand GROUP BY region")
-    regions = ["east", "west", "north", "south"]
+    # None exercises the NULL-group-key path (isin can't match NULL)
+    regions = ["east", "west", "north", "south", None]
     for step in range(6):
         op = rng.choice(["append", "delete", "update"])
         if op == "append":
@@ -155,10 +157,13 @@ def test_incremental_randomized_matches_full(engine):
                     for _ in range(rng.randint(1, 4))]
             t.append(engine.spark.createDataFrame(rows, schema=t.schema()))
         elif op == "delete":
-            t.delete_where(f"amount < {rng.randint(5, 40)} and region = '{rng.choice(regions)}'")
+            r = rng.choice(regions)
+            pred = "region IS NULL" if r is None else f"region = '{r}'"
+            t.delete_where(f"amount < {rng.randint(5, 40)} and {pred}")
         else:
-            t.update_where({"amount": "amount + 1"},
-                           f"region = '{rng.choice(regions)}'")
+            r = rng.choice(regions)
+            pred = "region IS NULL" if r is None else f"region = '{r}'"
+            t.update_where({"amount": "amount + 1"}, pred)
         engine.sql("REFRESH MATERIALIZED VIEW rand_mv INCREMENTAL")
         got = {tuple(r) for r in engine.mv.backing_df(
             engine.mv_catalog.get("rand_mv")).collect()}
