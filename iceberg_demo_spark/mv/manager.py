@@ -248,6 +248,11 @@ class MVManager:
         if where is not None:
             src = src.filter(where)
         keys = touched.limit(1001).collect()
+        if not keys:
+            # delta contained no rows in the MV's scope — advance the
+            # synchronized snapshot without touching the backing table
+            mv.source_snapshot_id = head.snapshot_id
+            return self._finish_refresh(mv, backing)
         few_keys = len(keys) <= 1000 and len(key_cols) == 1
         backing_cond = None
         if few_keys:

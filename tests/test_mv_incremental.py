@@ -194,3 +194,24 @@ def test_incremental_path_actually_taken(engine, monkeypatch):
     got = {tuple(r) for r in engine.mv.backing_df(
         engine.mv_catalog.get("strict_mv")).collect()}
     assert got == {("east", 301.0), ("west", 50.0), ("north", 10.0)}
+
+
+def test_incremental_refresh_out_of_scope_delta_is_metadata_only(engine):
+    """DML that the MV's WHERE filters out entirely must not rewrite any
+    backing file — only the synchronized snapshot advances."""
+    t = _setup(engine, ROWS, "db.scoped")
+    engine.register("db.scoped")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW scoped_mv AS "
+        "SELECT region, sum(amount) AS total FROM db_scoped "
+        "WHERE amount > 60 GROUP BY region")
+    backing = engine.catalog.load_table(
+        engine.mv_catalog.get("scoped_mv").backing_table)
+    snap_before = backing.metadata.current_snapshot().snapshot_id
+    t.append(engine.spark.createDataFrame(
+        [("east", "w", 1.0)], schema=t.schema()))  # below the WHERE cutoff
+    engine.sql("REFRESH MATERIALIZED VIEW scoped_mv INCREMENTAL")
+    assert backing.refresh().metadata.current_snapshot().snapshot_id \
+        == snap_before
+    assert engine.mv_catalog.get("scoped_mv").source_snapshot_id \
+        == t.metadata.current_snapshot().snapshot_id
