@@ -13,6 +13,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from iceberg_demo_spark.mv.catalog import MVCatalog
 from iceberg_demo_spark.mv.manager import MVManager
@@ -462,7 +463,10 @@ class Engine:
             branch = self.write_branch(t)
             kind, payload = self._dml_where(t, m.group(4), t_alias)
             if kind == "plain":
-                t.update_where(assignments, payload, branch=branch)
+                t.update_where(
+                    {c: self._dealias(e, t_alias)
+                     for c, e in assignments.items()},
+                    payload, branch=branch)
             else:
                 source, on, extra = payload
                 tcols = {f.name for f in t.metadata.schema}
@@ -530,6 +534,19 @@ class Engine:
         parts = re.split(r"('(?:[^']|'')*')", expr)
         return "".join(p if i % 2 else fix(p) for i, p in enumerate(parts))
 
+    @staticmethod
+    def _dealias(expr: str | None, alias: str | None) -> str | None:
+        """Strip ``alias.`` qualifiers so a plain-WHERE condition (or SET
+        right-hand side) resolves against the bare table scan:
+        ``DELETE FROM t AS a WHERE a.x > 5`` → condition ``x > 5``. String
+        literals are left untouched."""
+        if expr is None or not alias:
+            return expr
+        pat = re.compile(rf"(?i)\b{re.escape(alias)}\s*\.\s*(\w+)")
+        parts = re.split(r"('(?:[^']|'')*')", expr)
+        return "".join(
+            p if i % 2 else pat.sub(r"\1", p) for i, p in enumerate(parts))
+
     def _dml_where(self, t, where: str | None, t_alias: str | None):
         """Resolve a DELETE/UPDATE WHERE clause supporting the reference's
         subquery-predicate forms (docs/spark-writes.md:170-199): plain
@@ -549,12 +566,21 @@ class Engine:
             conjuncts = [where]
         exists_sub, in_form, plain = None, None, []
         for c in conjuncts:
+            if re.match(r"(?is)^\s*not\s+exists\s*\(", c):
+                raise ValueError(
+                    "NOT EXISTS predicates are not supported in DELETE/UPDATE"
+                    " — use MERGE WHEN NOT MATCHED BY SOURCE")
             em = self._EXISTS_RE.match(c)
-            if em is not None and exists_sub is None and in_form is None:
+            im = self._IN_SUBQ_RE.match(c)
+            if (em is not None or im is not None) and (
+                    exists_sub is not None or in_form is not None):
+                raise ValueError(
+                    "only one EXISTS/IN subquery predicate per DELETE/UPDATE"
+                    " statement is supported")
+            if em is not None:
                 exists_sub = em.group(1)
                 continue
-            im = self._IN_SUBQ_RE.match(c)
-            if (im is not None and exists_sub is None and in_form is None
+            if (im is not None
                     and not (t_alias and re.search(
                         rf"(?i)\b{re.escape(t_alias)}\s*\.", im.group(2)))):
                 in_form = (im.group(1), im.group(2))
@@ -574,7 +600,9 @@ class Engine:
                 extra = self._qualify(extra, t_alias, None, t_cols, set())
             return "matching", (source, on, extra)
         if exists_sub is None:
-            return "plain", " AND ".join(f"({c})" for c in plain) if plain else "true"
+            return "plain", " AND ".join(
+                f"({self._dealias(c, t_alias)})" for c in plain
+            ) if plain else "true"
         sm = self._SUBQ_SELECT_RE.match(exists_sub)
         if sm is None:
             raise ValueError(f"cannot parse EXISTS subquery: {exists_sub[:80]}")
@@ -601,6 +629,17 @@ class Engine:
         on = " AND ".join(
             f"({self._qualify(c, t_alias, s_alias, t_cols, s_cols)})"
             for c in corr)
+        # EXISTS semantics: a target row matched by MANY source rows is
+        # matched ONCE. The downstream MERGE join emits one output row per
+        # (target, source) match, so dedupe the source on exactly the
+        # columns the ON condition reads — otherwise duplicate correlated
+        # source rows would silently multiply target rows.
+        s_used = sorted({m.group(1) for m in re.finditer(r"\bs\.(\w+)", on)})
+        if s_used:
+            source = source.select(*s_used).distinct()
+        else:  # ON references no source column → any one source row suffices
+            source = source.limit(1).select(
+                F.lit(True).alias("__exists_probe"))
         extra = None
         if plain:
             extra = " AND ".join(
