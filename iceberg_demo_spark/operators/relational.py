@@ -71,6 +71,53 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier by quarterly revenue (scalar-max tie semantics)
+# ---------------------------------------------------------------------------
+# Note: q2/q9/q11/q16/q20/q21 are NOT implementable on this testdata — the
+# slimmed TPC-H schema has no partsupp table and no l_receiptdate /
+# l_commitdate columns. Q15 completes the set of schema-expressible queries.
+# Registered early (directly after the flagship) so it sits inside the
+# driver's 50-entry CORRECTNESS window — it was added late in round 3 and
+# had never been driver-verified.
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in 1996Q1 — the classic
+    view-plus-scalar-subquery query, expressed as agg → 1-row max →
+    broadcast equality join (ties preserved, matching the spec)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev_col()).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q1: pricing summary (wide aggregate, partial-agg friendly)
 # ---------------------------------------------------------------------------
 
@@ -1199,48 +1246,4 @@ def rollup_flag_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty", "n",
         )
         .orderBy("flag", "status")
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H Q15: top supplier by quarterly revenue (scalar-max tie semantics)
-# ---------------------------------------------------------------------------
-# Note: q2/q9/q11/q16/q20/q21 are NOT implementable on this testdata — the
-# slimmed TPC-H schema has no partsupp table and no l_receiptdate /
-# l_commitdate columns. Q15 completes the set of schema-expressible queries.
-
-@query(
-    "q15_top_supplier",
-    oracle=f"""
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate <  TIMESTAMP '1996-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    ORDER BY s_suppkey
-    """,
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supplier(s) with the maximum revenue in 1996Q1 — the classic
-    view-plus-scalar-subquery query, expressed as agg → 1-row max →
-    broadcast equality join (ties preserved, matching the spec)."""
-    t = load_tables(spark, sf_dir, ("lineitem", "supplier"))
-    rev = (
-        t["lineitem"]
-        .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
-        .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(_rev_col()).alias("total_revenue"))
-    )
-    mx = rev.agg(F.max("total_revenue").alias("m"))
-    return (
-        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
-        .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
     )

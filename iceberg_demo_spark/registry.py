@@ -39,18 +39,27 @@ def load_all() -> None:
 
     Import order IS registration order, and the driver evaluates ``queries()``
     in registration order — so the modules whose gates most need external
-    verification (DML/time-travel/changelog/MV, temporal, skew, similarity)
-    register first, followed by the LLM-pipeline operators, with the
-    many-times-verified relational suite last.
+    verification (DML/time-travel/changelog/MV, temporal, skew, sampling,
+    similarity) register first, followed by the LLM-pipeline operators, with
+    the many-times-verified relational suite last.
+
+    STANDING POLICY: any gate added mid-round must register inside the first
+    50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
+    registration order, so a gate registered past that point is never
+    externally verified. Counts as of round 4: table_ops 17, temporal 2,
+    skew 2, sampling 2, similarity 5, multimodal 4, text 6, dedup 7 (= 45),
+    leaving 5 window slots for the head of relational (q15 + flagship + q1 +
+    q3 + q5); the remaining relational gates were all driver-verified in
+    rounds 2-3.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
         temporal,
         skew,
+        sampling,
         similarity,
         multimodal,
         text,
         dedup,
         relational,
-        sampling,
     )
