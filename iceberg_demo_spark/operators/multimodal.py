@@ -197,12 +197,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic byte-derived (width, height, checksum) for payloads
     that aren't a recognized image format — the quarantine path keeping
     non-image rows flowing with stable, testable values. Raises on empty
-    payload like a real decoder would."""
+    payload like a real decoder would.
+
+    The checksum is the 60-bit md5-hex-prefix integer masked to 31 bits —
+    the same cross-engine base hash the dedup operators use, so DuckDB
+    recomputes it bit-identically:
+    ``('0x' || substr(md5(x),1,15))::UBIGINT & 2147483647``."""
     if not payload:
         raise ValueError("cannot decode empty payload")
-    checksum = 0
-    for b in payload[:256]:
-        checksum = (checksum * 131 + b) & 0x7FFFFFFF
+    import hashlib
+
+    checksum = int(hashlib.md5(payload).hexdigest()[:15], 16) & 0x7FFFFFFF
     width = 64 + checksum % 1024
     height = 64 + (checksum >> 10) % 1024
     return width, height, checksum
@@ -244,10 +249,32 @@ def decode_features(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features")
+@query(
+    "multimodal_decode_features",
+    # The corpus payloads are UTF-8 text bytes, never a parseable image
+    # (no document starts with a P6/BM header), so every row takes the
+    # deterministic quarantine path — whose md5-derived values DuckDB
+    # recomputes bit-identically. The real-image branch is pixel-checked
+    # in pytest (test_spark_decode_and_resize_real_images).
+    oracle="""
+    WITH d AS (
+      SELECT (CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)
+              & 2147483647) AS checksum,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_decoded,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(64 + checksum % 1024) AS INT) AS min_width,
+           CAST(MAX(64 + (checksum // 1024) % 1024) AS INT) AS max_height,
+           CAST(SUM(checksum) AS BIGINT) AS checksum_total
+    FROM d
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction summary over decoded payloads. Rows-only check:
-    the fake codec runs Python-side (not expressible in DuckDB SQL)."""
+    """Feature-extraction summary over decoded payloads (Arrow-batched
+    mapInPandas decode; value-oracled via the md5-derived quarantine
+    codec)."""
     t = load_tables(spark, sf_dir, ("documents",))
     feats = decode_features(with_binary_payload(t["documents"]))
     return (
@@ -261,24 +288,53 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(range(0, (octet_length(encode(text)) - 1) // 32 + 1, 4))
+                AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(
+                  range(0, (octet_length(encode(text)) - 1) // 32 + 1, 4),
+                  k -> least(32, octet_length(encode(text)) - 32 * k)))
+                AS BIGINT) AS sampled_bytes
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Frame sampling' pattern: explode a payload into fixed-size chunks
-    (stand-in for video frame extraction), keep every 4th chunk. JVM-side
-    (substring on binary) — shows chunking without Python. Rows-only."""
+    """'Frame sampling' pattern: explode a payload into fixed-size 32-byte
+    frames (stand-in for video frame extraction), keep every 4th frame.
+    The frame index set is generated JVM-side (sequence + explode — no
+    Python, no regex over the payload) and each frame's size is
+    ``least(32, n_bytes - 32*idx)``, so the whole pipeline stays in
+    whole-stage codegen."""
     t = load_tables(spark, sf_dir, ("documents",))
     payloads = with_binary_payload(t["documents"])
-    chunked = payloads.select(
-        "doc_id",
-        F.posexplode(
-            F.split(F.col("payload").cast("string"), "(?<=\\G.{32})")
-        ).alias("frame_idx", "frame"),
-    ).filter((F.col("frame_idx") % 4 == 0) & (F.length("frame") > 0))
+    frames = (
+        payloads.select("doc_id", F.octet_length("payload").alias("n_bytes"))
+        .filter(F.col("n_bytes") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr("CAST((n_bytes - 1) DIV 32 AS INT)"),
+                    F.lit(4),
+                )
+            ).alias("frame_idx"),
+        )
+    )
     return (
-        chunked.groupBy("doc_id")
+        frames.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_frames"),
-            F.sum(F.length("frame")).alias("sampled_chars"),
+            F.sum(
+                F.least(F.lit(32), F.col("n_bytes") - 32 * F.col("frame_idx"))
+            ).alias("sampled_bytes"),
         )
         .orderBy("doc_id")
         .limit(100)
@@ -346,10 +402,35 @@ def resize_images(docs_with_payload: DataFrame, width: int, height: int) -> Data
         batches, schema=_RESIZE_SCHEMA)
 
 
-@query("multimodal_resize")
+@query(
+    "multimodal_resize",
+    # Text payloads (the whole corpus — no image headers present) take the
+    # quarantine resize: output = payload repeated then truncated to
+    # (128*96)//64 = 192 bytes. The corpus is pure ASCII (verified: char
+    # length == octet length for every sf), so DuckDB's char-based
+    # repeat/substring reproduces the byte-exact output and min_fp keeps
+    # the oracle content-bearing, not just shape-bearing.
+    oracle="""
+    WITH r AS (
+      SELECT substring(repeat(text, CAST(ceil(192.0 / length(text)) AS INT)),
+                       1, 192) AS rz,
+             octet_length(encode(text)) AS orig_bytes
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT COUNT(*) AS n_images,
+           CAST(SUM(length(rz)) AS BIGINT) AS total_resized_bytes,
+           CAST(SUM(CASE WHEN length(rz) = 192 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           MIN(orig_bytes) AS min_orig,
+           MIN(md5(rz)) AS min_fp
+    FROM r
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing summary (rows-only: Python-side fake codec): every
-    output payload must have exactly the target-area-derived size."""
+    """Resize plumbing summary: every output payload must have exactly the
+    target-area-derived size, and min_fp hashes the resized bytes so the
+    oracle checks the content that crossed the Arrow boundary."""
     t = load_tables(spark, sf_dir, ("documents",))
     resized = resize_images(with_binary_payload(t["documents"]), 128, 96)
     expected = max(1, (128 * 96) // 64)
@@ -358,4 +439,5 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("resized")).alias("total_resized_bytes"),
         F.sum((F.length("resized") == expected).cast("int")).alias("n_exact"),
         F.min("orig_bytes").alias("min_orig"),
+        F.min(F.md5("resized")).alias("min_fp"),
     )
