@@ -152,6 +152,33 @@ class Engine:
                 t.metadata.save()
             return self._status(f"created table {m.group(2)}")
         m = re.match(
+            r"(?is)^(?:create(\s+or\s+replace)?|(replace))\s+table\s+"
+            r"(if\s+not\s+exists\s+)?([\w.]+)\s*(.*?)\s*as\s+(select\b.+)$", s)
+        if m:
+            return self._ctas(or_replace=bool(m.group(1)),
+                              replace_only=bool(m.group(2)),
+                              if_not_exists=bool(m.group(3)),
+                              name=m.group(4), options=m.group(5),
+                              select=m.group(6))
+        m = re.match(
+            r"(?is)^alter\s+view\s+([\w.]+)\s+set\s+tblproperties\s*\(", s)
+        if m:
+            body, rest = self._balanced_slice(s, m.end() - 1)
+            if rest.strip():
+                return None
+            self.catalog.alter_view_properties(
+                m.group(1), set_=self._parse_props(body))
+            return self._status(f"altered view {m.group(1)}")
+        m = re.match(
+            r"(?is)^alter\s+view\s+([\w.]+)\s+unset\s+tblproperties\s*\(", s)
+        if m:
+            body, rest = self._balanced_slice(s, m.end() - 1)
+            if rest.strip():
+                return None
+            self.catalog.alter_view_properties(
+                m.group(1), unset=re.findall(r"'([^']+)'", body))
+            return self._status(f"altered view {m.group(1)}")
+        m = re.match(
             r"(?is)^create\s+(or\s+replace\s+)?view\s+(if\s+not\s+exists\s+)?"
             r"([\w.]+)\s+(?:comment\s+'([^']*)'\s+)?as\s+(select\s+.+)$", s)
         if m:
@@ -201,6 +228,46 @@ class Engine:
         if m and self.catalog.table_exists(m.group(1)):
             return self._alter_table(m.group(1), m.group(2).strip())
         return None
+
+    def _ctas(self, or_replace: bool, replace_only: bool, if_not_exists: bool,
+              name: str, options: str, select: str) -> DataFrame | None:
+        """CREATE [OR REPLACE] / REPLACE TABLE … [USING …] [PARTITIONED BY …]
+        [TBLPROPERTIES …] AS SELECT — the reference's SQL-driven CTAS/RTAS
+        (iceberg_it.py:298-333; props-merge semantics docs/spark-ddl.md:107-132)
+        routed onto catalog.create_table_as / replace_table_as."""
+        partition_by = props = None
+        rest = options
+        um = re.match(r"(?is)^\s*using\s+\w+", rest)
+        if um:
+            rest = rest[um.end():]
+        pm = re.match(r"(?is)^\s*partitioned\s+by\s*\(", rest)
+        if pm:
+            spec, rest = self._balanced_slice(rest, pm.end() - 1)
+            partition_by = self._parse_partition_spec(spec)
+        tm = re.match(r"(?is)^\s*tblproperties\s*\(", rest)
+        if tm:
+            body, rest = self._balanced_slice(rest, tm.end() - 1)
+            props = self._parse_props(body)
+        if rest.strip():
+            return None  # unrecognized tail (LOCATION etc.) → Spark
+        df = self.sql(self._bind_catalog_refs(select))
+        if or_replace or replace_only:
+            if partition_by and self.catalog.table_exists(name):
+                raise ValueError(
+                    "REPLACE TABLE … PARTITIONED BY over an existing table "
+                    "is not supported — drop and recreate instead")
+            t = self.catalog.replace_table_as(
+                name, df, properties=props, create_if_missing=or_replace)
+            return self._status(f"replaced table {t.name}")
+        if self.catalog.table_exists(name):
+            if if_not_exists:
+                return self._status(f"table {name} already exists — skipped")
+            from iceberg_demo_spark.tables.catalog import TableAlreadyExistsError
+
+            raise TableAlreadyExistsError(name)
+        t = self.catalog.create_table_as(
+            name, df, partition_by=partition_by, properties=props)
+        return self._status(f"created table {t.name} as select")
 
     def _alter_table(self, name: str, action: str) -> DataFrame | None:
         from iceberg_demo_spark.mv.parser import _split_top_level

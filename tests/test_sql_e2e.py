@@ -111,3 +111,69 @@ def test_sql_only_lifecycle(engine, spark):
     eng.sql("ALTER TABLE db.orders_sql UNSET TBLPROPERTIES ('hive-ext.readOnly')")
     eng.sql("DELETE FROM db.orders_sql WHERE id = 1")
     assert t.refresh().scan().count() == 5
+
+
+def test_sql_ctas_rtas_lifecycle(engine):
+    """SQL-text CTAS/RTAS (iceberg_it.py:298-333): REPLACE keeps history
+    and MERGES properties (docs/spark-ddl.md:107-132)."""
+    eng = engine
+    eng.sql("CREATE TABLE db.src_ctas (id BIGINT, category STRING, v DOUBLE)")
+    eng.sql("INSERT INTO db.src_ctas VALUES "
+            "(1,'a',1.0), (2,'b',2.0), (3,'a',3.0)")
+
+    # CTAS with partitioning + properties, reading a catalog table
+    eng.sql("""
+        CREATE TABLE db.ctas_t USING glacier PARTITIONED BY (category)
+        TBLPROPERTIES ('k1' = 'v1')
+        AS SELECT id, category, v * 10 AS v10 FROM db.src_ctas
+    """)
+    t = eng.catalog.load_table("db.ctas_t")
+    assert t.properties.get("k1") == "v1"
+    assert [p.source for p in t.metadata.partition_spec] == ["category"]
+    assert {r["id"]: r["v10"] for r in t.scan().collect()} == \
+        {1: 10.0, 2: 20.0, 3: 30.0}
+
+    # CTAS IF NOT EXISTS over an existing table: no-op, no error
+    eng.sql("CREATE TABLE IF NOT EXISTS db.ctas_t AS SELECT 99 AS id")
+    assert t.refresh().scan().count() == 3
+
+    # bare CREATE over an existing table: loud error
+    from iceberg_demo_spark.tables.catalog import TableAlreadyExistsError
+    with pytest.raises(TableAlreadyExistsError):
+        eng.sql("CREATE TABLE db.ctas_t AS SELECT 99 AS id")
+
+    # RTAS: new schema + data; history preserved; properties MERGED
+    n_snaps_before = len(t.metadata.snapshots)
+    eng.sql("""
+        REPLACE TABLE db.ctas_t TBLPROPERTIES ('k2' = 'v2')
+        AS SELECT category, count(*) AS n FROM db.src_ctas GROUP BY category
+    """)
+    t = eng.catalog.load_table("db.ctas_t")
+    assert t.properties.get("k1") == "v1" and t.properties.get("k2") == "v2"
+    assert len(t.metadata.snapshots) > n_snaps_before  # history survives
+    assert {r["category"]: r["n"] for r in t.scan().collect()} == {"a": 2, "b": 1}
+
+    # REPLACE of a missing table: error; CREATE OR REPLACE: creates
+    from iceberg_demo_spark.tables.catalog import NoSuchTableError
+    with pytest.raises(NoSuchTableError):
+        eng.sql("REPLACE TABLE db.nope_t AS SELECT 1 AS x")
+    eng.sql("CREATE OR REPLACE TABLE db.cor_t AS "
+            "SELECT id FROM db.src_ctas WHERE id > 1")
+    assert eng.catalog.load_table("db.cor_t").scan().count() == 2
+
+
+def test_sql_alter_view_properties(engine):
+    """SQL-driven view property lifecycle (iceberg_it.py:569-612)."""
+    eng = engine
+    eng.spark.range(3).createOrReplaceTempView("nums_v")
+    eng.sql("CREATE VIEW v_props AS SELECT * FROM nums_v")
+    eng.sql("ALTER VIEW v_props SET TBLPROPERTIES ('owner' = 'etl', 'tier' = 'gold')")
+    assert eng.catalog.views["v_props"]["properties"] == \
+        {"owner": "etl", "tier": "gold"}
+    eng.sql("ALTER VIEW v_props SET TBLPROPERTIES ('tier' = 'silver')")
+    assert eng.catalog.views["v_props"]["properties"]["tier"] == "silver"
+    eng.sql("ALTER VIEW v_props UNSET TBLPROPERTIES ('owner', 'missing')")
+    assert eng.catalog.views["v_props"]["properties"] == {"tier": "silver"}
+    from iceberg_demo_spark.tables.catalog import NoSuchTableError
+    with pytest.raises(NoSuchTableError):
+        eng.sql("ALTER VIEW no_such_view SET TBLPROPERTIES ('a' = 'b')")
