@@ -408,18 +408,28 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Q18 shape: pre-aggregate lineitem by l_orderkey with the
+    HAVING filter FIRST — the qualifying order set is ~1000× smaller than
+    lineitem, so the orders/customer joins see a tiny build side (AQE picks
+    broadcast at runtime) instead of joining the full fact table before
+    aggregating. Grouping by l_orderkey is equivalent to the spec's
+    4-column GROUP BY because o_orderkey is the orders key and each order
+    has exactly one customer."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+    qual = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
         .agg(
             dsum(F.col("l_quantity")).alias("total_qty"),
             F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty_exact"),
         )
         .filter(F.col("_qty_exact") > 140)
         .drop("_qty_exact")
+    )
+    return (
+        qual.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     )
 
