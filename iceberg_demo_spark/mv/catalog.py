@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field
 
 
 @dataclass
@@ -29,6 +29,10 @@ class MaterializedView:
     # the query isn't incrementally maintainable)
     source_table: str = ""
     source_snapshot_id: int = -1
+    # join-MV bookkeeping: defining-query table ref → [catalog table,
+    # synchronized snapshot id] for EVERY base table ({} for single-table /
+    # non-maintainable views)
+    source_snapshots: dict = field(default_factory=dict)
 
 
 class MVCatalog:

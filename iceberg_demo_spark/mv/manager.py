@@ -121,18 +121,62 @@ class MVManager:
         snap = self.table_catalog.load_table(source).metadata.current_snapshot()
         return snap.snapshot_id if snap else -1
 
+    def _join_maintenance_plan(self, query: str) -> tuple[dict, QueryInfo] | None:
+        """({table_ref: catalog_table}, parsed query) when the defining query
+        is an incrementally maintainable JOIN aggregate: inner equi-joins over
+        distinct catalog tables, GROUP BY with plainly projected keys, agg
+        functions the partial-group strategy can recompute, no limit."""
+        try:
+            info = parse_select(query)
+        except ParseError:
+            return None
+        if len(info.base_tables) < 2 or info.limit is not None:
+            return None
+        if len(set(info.base_tables)) != len(info.base_tables):
+            return None  # self-join: per-ref view substitution can't express
+        if not info.group_by:
+            return None
+        for j in info.joins:
+            if j["type"] != "inner" or not j["condition"]:
+                return None
+        plain = {e for (fn, e, _a) in info.agg_items() if fn == ""}
+        if set(info.group_by) != plain:
+            return None
+        for fn, _arg, _a in info.agg_items():
+            if fn and fn not in _INCR_FNS:
+                return None
+        sources: dict[str, str] = {}
+        for ref in info.base_tables:
+            src = self._resolve_source(ref)
+            if src is None:
+                return None
+            sources[ref] = src
+        return sources, info
+
+    def _record_join_sources(self, mv: MaterializedView, sources: dict) -> None:
+        mv.source_snapshots = {
+            ref: [src, self._source_snapshot_id(src)]
+            for ref, src in sources.items()
+        }
+
     def create(self, name: str, query: str, if_not_exists: bool = False) -> MaterializedView:
         if self.mv_catalog.exists(name):
             if if_not_exists:
                 return self.mv_catalog.get(name)
             raise ValueError(f"Materialized view {name} already exists")
         plan = self._maintenance_plan(query)
+        jplan = None if plan else self._join_maintenance_plan(query)
         if plan and "." not in parse_select(query).base_tables[0]:
             # Bind the referenced view name to the catalog table's CURRENT
             # snapshot so the recorded source_snapshot_id matches the data
             # the backing table is built from.
             self.table_catalog.load_table(plan[0]).scan() \
                 .createOrReplaceTempView(parse_select(query).base_tables[0])
+        if jplan:
+            for ref, src in jplan[0].items():
+                if "." not in ref:
+                    self.table_catalog.load_table(src).scan() \
+                        .createOrReplaceTempView(ref)
         df = self._aliased(self._run_query(query), query)
         backing = self._backing_name(name)
         if self.table_catalog.table_exists(backing):
@@ -151,6 +195,8 @@ class MVManager:
             source_table=plan[0] if plan else "",
             source_snapshot_id=self._source_snapshot_id(plan[0]) if plan else -1,
         )
+        if jplan:
+            self._record_join_sources(mv, jplan[0])
         self.mv_catalog.register(mv)
         return mv
 
@@ -178,7 +224,7 @@ class MVManager:
         mv = self.mv_catalog.get(name)
         if mv is None:
             raise ValueError(f"Materialized view {name} does not exist")
-        if incremental and mv.source_table:
+        if incremental and (mv.source_table or mv.source_snapshots):
             try:
                 return self._refresh_incremental(mv)
             except Exception:
@@ -187,15 +233,23 @@ class MVManager:
 
     def _refresh_full(self, mv: MaterializedView) -> MaterializedView:
         plan = self._maintenance_plan(mv.query)
+        jplan = None if plan else self._join_maintenance_plan(mv.query)
         if plan and "." not in parse_select(mv.query).base_tables[0]:
             self.table_catalog.load_table(plan[0]).scan() \
                 .createOrReplaceTempView(parse_select(mv.query).base_tables[0])
+        if jplan:
+            for ref, src in jplan[0].items():
+                if "." not in ref:
+                    self.table_catalog.load_table(src).scan() \
+                        .createOrReplaceTempView(ref)
         df = self._aliased(self._run_query(mv.query), mv.query)
         t = self.table_catalog.load_table(mv.backing_table)
         t.overwrite_all(df)
         if plan:
             mv.source_table = plan[0]
             mv.source_snapshot_id = self._source_snapshot_id(plan[0])
+        if jplan:
+            self._record_join_sources(mv, jplan[0])
         return self._finish_refresh(mv, t)
 
     def _finish_refresh(self, mv: MaterializedView, t) -> MaterializedView:
@@ -216,7 +270,7 @@ class MVManager:
         O(changed groups), never O(|MV|)."""
         plan = self._maintenance_plan(mv.query)
         if plan is None:
-            raise ParseError("not incrementally maintainable")
+            return self._refresh_incremental_join(mv)
         source, info = plan
         from iceberg_demo_spark.tables import procedures as proc
 
@@ -290,30 +344,40 @@ class MVManager:
         # 3. swap recomputed groups into the backing table keyed by the
         #    touched group keys — untouched backing data files are never
         #    rewritten, so refresh cost is O(touched groups), not O(|MV|).
+        agg_cols = [backing_cols[i]
+                    for i, (fn, _e, _a) in enumerate(items) if fn != ""]
+        self._swap_groups(backing, backing_cols, [n for n, _e in key_cols],
+                          agg_cols, touched, recomputed, backing_cond)
+        mv.source_snapshot_id = head.snapshot_id
+        return self._finish_refresh(mv, backing)
+
+    def _swap_groups(self, backing, backing_cols: list[str],
+                     key_names: list[str], agg_cols: list[str],
+                     touched: DataFrame, recomputed: DataFrame,
+                     backing_cond) -> None:
+        """Swap recomputed groups into the backing table (shared by the
+        single-table and join incremental paths)."""
         if backing_cond is not None:
             # few-keys fast path: one CoW delete of the touched-key rows +
             # one append of their recomputed aggregates, a single commit.
             # Vanished groups are deleted and simply not re-appended; new
             # groups append. Only files containing touched keys rewrite.
             backing.overwrite_where(recomputed, backing_cond)
-            mv.source_snapshot_id = head.snapshot_id
-            return self._finish_refresh(mv, backing)
+            return
         # many/composite keys: keyed MERGE (update touched / delete
         # vanished / insert new) — same file-level minimality, all
         # matching done by distributed joins.
-        agg_cols = [backing_cols[i]
-                    for i, (fn, _e, _a) in enumerate(items) if fn != ""]
         marked = recomputed.withColumn(_MV_PRESENT, F.lit(True)).alias("r")
         tch = touched.alias("c")
         jc = None
-        for n, _e in key_cols:
+        for n in key_names:
             eq = F.col(f"c.{n}").eqNullSafe(F.col(f"r.{n}"))
             jc = eq if jc is None else (jc & eq)
         src = tch.join(marked, jc, "left").select(
-            *[F.col(f"c.{n}").alias(n) for n, _e in key_cols],
+            *[F.col(f"c.{n}").alias(n) for n in key_names],
             *[F.col(f"r.{a}").alias(a) for a in agg_cols],
             F.col(f"r.{_MV_PRESENT}").alias(_MV_PRESENT))
-        on = " AND ".join(f"t.{n} <=> s.{n}" for n, _e in key_cols)
+        on = " AND ".join(f"t.{n} <=> s.{n}" for n in key_names)
         backing.merge(
             src, on=on,
             matched=[
@@ -329,7 +393,160 @@ class MVManager:
             # match at most one source row — skip the cardinality-check job
             check_cardinality=False,
         )
-        mv.source_snapshot_id = head.snapshot_id
+
+    @staticmethod
+    def _sql_lit(v) -> str:
+        import datetime as _dt
+
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v}'"
+        if isinstance(v, _dt.date):
+            return f"DATE '{v}'"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    def _refresh_incremental_join(self, mv: MaterializedView) -> MaterializedView:
+        """Incremental refresh for inner-equi-join GROUP BY views — beyond
+        both the reference (full recompute) and round 3 (single-table only).
+
+        Touched-group detection handles changes on EVERY side: each changed
+        table's changelog window (old AND new row images) is joined against
+        the other tables' old ∪ current states, so a deleted fact row still
+        finds the dimension row it joined through, and a changed dimension
+        row surfaces every group it granted or revoked. The union of those
+        key sets is recomputed from the sources' current state — restricted
+        by a pushed-down IN-list when the touched keys are few (the filter
+        lands on whichever scan provides the key column and shrinks the
+        join), or a pre-aggregation broadcast semi-join otherwise — and
+        swapped in with the same file-minimal keyed MERGE as the
+        single-table path. Refresh cost stays O(touched groups)."""
+        plan = self._join_maintenance_plan(mv.query)
+        if plan is None:
+            raise ParseError("not incrementally maintainable")
+        sources, info = plan
+        from iceberg_demo_spark.tables import procedures as proc
+
+        tables = {ref: self.table_catalog.load_table(src)
+                  for ref, src in sources.items()}
+        heads = {}
+        for ref, t in tables.items():
+            h = t.metadata.current_snapshot()
+            if h is None:
+                raise ValueError(f"source {ref} has no snapshot")
+            heads[ref] = h
+        rec = mv.source_snapshots
+        if not rec or set(rec) != set(tables):
+            raise ValueError("no synchronized snapshots recorded")
+        backing = self.table_catalog.load_table(mv.backing_table)
+        changed = [ref for ref in tables
+                   if heads[ref].snapshot_id != rec[ref][1]]
+        if not changed:
+            return self._finish_refresh(mv, backing)
+
+        backing_cols = [f.name for f in backing.metadata.schema]
+        items = info.agg_items()
+        key_cols = [(backing_cols[i], e)
+                    for i, (fn, e, _a) in enumerate(items) if fn == ""]
+        agg_cols = [backing_cols[i]
+                    for i, (fn, _e, _a) in enumerate(items) if fn != ""]
+        key_sel = ", ".join(f"{e} AS {n}" for n, e in key_cols)
+        from_sql = info.base_tables[0] + "".join(
+            f" JOIN {j['right_table']} ON {j['condition']}" for j in info.joins)
+        where_sql = (" WHERE " + " AND ".join(f"({c})" for c in info.where)
+                     ) if info.where else ""
+        meta_cols = ("_change_type", "_change_ordinal", "_commit_snapshot_id")
+
+        # 1. touched group keys, one changelog pass per changed table
+        touched = None
+        for ref in changed:
+            cl = proc.create_changelog_view(
+                tables[ref],
+                f"__mv_jdelta_{mv.name.lower().replace('.', '_')}",
+                start_snapshot_id=rec[ref][1],
+                end_snapshot_id=heads[ref].snapshot_id)
+            cl.drop(*meta_cols).createOrReplaceTempView(ref)
+            for other in tables:
+                if other == ref:
+                    continue
+                state = tables[other].scan()
+                if heads[other].snapshot_id != rec[other][1]:
+                    state = state.union(
+                        tables[other].scan(snapshot_id=rec[other][1]))
+                state.createOrReplaceTempView(other)
+            k = self.spark.sql(
+                f"SELECT DISTINCT {key_sel} FROM {from_sql}{where_sql}")
+            touched = k if touched is None else touched.union(k)
+        touched = touched.distinct()
+
+        # rebind every ref to its current state for the recompute (and for
+        # any later reads through the session views)
+        for ref, t in tables.items():
+            t.scan().createOrReplaceTempView(ref)
+
+        keys = touched.limit(1001).collect()
+        if not keys:
+            self._record_join_sources(mv, sources)
+            return self._finish_refresh(mv, backing)
+        few_keys = len(keys) <= 1000 and len(key_cols) == 1
+        backing_cond = None
+        key_filter_sql = ""
+        if few_keys:
+            name0, expr0 = key_cols[0]
+            vals = [r[name0] for r in keys]
+            non_null = [v for v in vals if v is not None]
+
+            def _key_cond(col):
+                c = col.isin(non_null) if non_null else F.lit(False)
+                if len(non_null) < len(vals):
+                    c = c | col.isNull()
+                return c
+
+            backing_cond = _key_cond(F.col(name0))
+            parts = []
+            if non_null:
+                lits = ", ".join(self._sql_lit(v) for v in non_null)
+                parts.append(f"{expr0} IN ({lits})")
+            if len(non_null) < len(vals):
+                parts.append(f"{expr0} IS NULL")
+            key_filter_sql = (" AND " if where_sql else " WHERE ") \
+                + "(" + " OR ".join(parts) + ")"
+
+        # 2. recompute exactly those groups from current source state:
+        #    project group keys + aggregate arguments below the aggregation,
+        #    restrict, then aggregate
+        proj = [f"{e} AS {n}" for n, e in key_cols]
+        arg_specs = []  # (backing col, fn, projected arg name)
+        for i, (fn, e, _a) in enumerate(items):
+            if fn == "":
+                continue
+            an = f"__mv_a{i}"
+            arg_specs.append((backing_cols[i], fn, an))
+            proj.append(("1" if e.strip() == "*" else e) + f" AS {an}")
+        base = self.spark.sql(
+            f"SELECT {', '.join(proj)} FROM {from_sql}"
+            f"{where_sql}{key_filter_sql}")
+        if not few_keys:
+            b, k = base.alias("b"), touched.alias("k")
+            cond = None
+            for n, _e in key_cols:
+                eq = F.col(f"b.{n}").eqNullSafe(F.col(f"k.{n}"))
+                cond = eq if cond is None else (cond & eq)
+            base = b.join(F.broadcast(k), cond, "left_semi")
+        aggs = []
+        for col, fn, an in arg_specs:
+            basefn = fn[:-9] if fn.endswith("_distinct") else fn
+            inner = f"distinct {an}" if fn.endswith("_distinct") else an
+            aggs.append(F.expr(f"{basefn}({inner})").alias(col))
+        recomputed = base.groupBy(
+            *[F.col(n) for n, _e in key_cols]).agg(*aggs).select(backing_cols)
+
+        # 3. file-minimal swap, shared with the single-table path
+        self._swap_groups(backing, backing_cols, [n for n, _e in key_cols],
+                          agg_cols, touched, recomputed, backing_cond)
+        self._record_join_sources(mv, sources)
         return self._finish_refresh(mv, backing)
 
     def show(self) -> DataFrame:

@@ -98,26 +98,160 @@ def test_incremental_untouched_groups_not_recomputed(engine):
     assert after["west"] != before["west"]
 
 
-def test_join_mv_falls_back_to_full(engine):
+def _join_setup(engine):
     t = _setup(engine, ROWS)
-    engine.catalog.create_table("db.dim", "region string, zone string").append(
-        engine.spark.createDataFrame(
-            [("east", "z1"), ("west", "z2"), ("north", "z1")],
-            "region string, zone string"))
+    d = engine.catalog.create_table("db.dim", "region string, zone string")
+    d.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2"), ("north", "z1")],
+        "region string, zone string"))
     engine.register("db.dim")
     engine.sql(
         "CREATE MATERIALIZED VIEW join_mv AS "
         "SELECT d.zone, sum(s.amount) AS total FROM db_sales s "
         "JOIN db_dim d ON s.region = d.region GROUP BY d.zone")
+    return t, d
+
+
+def _join_expected(engine, t, d):
+    return {
+        tuple(r)
+        for r in t.scan().join(d.scan(), "region")
+        .groupBy("zone").agg(F.sum("amount").alias("total")).collect()
+    }
+
+
+def test_join_mv_incremental_fact_append(engine, monkeypatch):
+    """Round 4: join MVs refresh incrementally (no full-recompute
+    fallback) — fact-side appends touch only the joined-through groups."""
+    t, d = _join_setup(engine)
     mv = engine.mv_catalog.get("join_mv")
-    assert mv.source_table == ""  # not maintainable
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
     t.append(engine.spark.createDataFrame(
         [("east", "w", 1.0)], schema=t.schema()))
-    engine.register("db.sales")  # full refresh reads the temp view
-    engine.sql("REFRESH MATERIALIZED VIEW join_mv INCREMENTAL")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("join_mv", incremental=True)
     got = {tuple(r) for r in engine.mv.backing_df(
         engine.mv_catalog.get("join_mv")).collect()}
     assert got == {("z1", 311.0), ("z2", 50.0)}
+    assert got == _join_expected(engine, t, d)
+
+
+def test_join_mv_incremental_untouched_group_not_rewritten(engine):
+    """A fact append hitting z1 must leave z2's backing row carried over."""
+    t, d = _join_setup(engine)
+    before = {r["zone"]: tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("join_mv")).collect()}
+    t.append(engine.spark.createDataFrame(
+        [("north", "g", 4.0)], schema=t.schema()))
+    engine.sql("REFRESH MATERIALIZED VIEW join_mv INCREMENTAL")
+    after = {r["zone"]: tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("join_mv")).collect()}
+    assert after["z2"] == before["z2"]
+    assert after["z1"] == ("z1", 314.0)
+
+
+def test_join_mv_incremental_dimension_update_moves_group(engine, monkeypatch):
+    """Dimension-side change: re-zoning west z2→z3 must drop the z2 group
+    and create z3 — the deleted dim image finds the facts it used to join
+    through (old-state join), the new image finds them again."""
+    t, d = _join_setup(engine)
+    d.update_where({"zone": "'z3'"}, "region = 'west'")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("join_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("join_mv")).collect()}
+    assert got == {("z1", 310.0), ("z3", 50.0)}
+    assert got == _join_expected(engine, t, d)
+
+
+def test_join_mv_incremental_both_sides_change(engine):
+    """Deltas on BOTH tables in one window, including a fact row whose dim
+    partner is itself deleted in the window (needs old-state join to find
+    the touched group)."""
+    t, d = _join_setup(engine)
+    t.delete_where("region = 'north'")          # fact delete
+    d.delete_where("region = 'north'")          # its dim partner also goes
+    t.append(engine.spark.createDataFrame(
+        [("west", "g", 7.0)], schema=t.schema()))
+    d.append(engine.spark.createDataFrame(
+        [("south", "z4")], "region string, zone string"))
+    t.append(engine.spark.createDataFrame(
+        [("south", "w", 2.0)], schema=t.schema()))
+    engine.sql("REFRESH MATERIALIZED VIEW join_mv INCREMENTAL")
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("join_mv")).collect()}
+    assert got == _join_expected(engine, t, d)
+    assert got == {("z1", 300.0), ("z2", 57.0), ("z4", 2.0)}
+
+
+def test_join_mv_incremental_where_filter(engine):
+    t, d = _join_setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW join_filt_mv AS "
+        "SELECT d.zone, count(*) AS n, max(s.amount) AS hi FROM db_sales s "
+        "JOIN db_dim d ON s.region = d.region "
+        "WHERE s.amount > 20 GROUP BY d.zone")
+    t.append(engine.spark.createDataFrame(
+        [("north", "g", 15.0), ("north", "g", 100.0)], schema=t.schema()))
+    engine.sql("REFRESH MATERIALIZED VIEW join_filt_mv INCREMENTAL")
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("join_filt_mv")).collect()}
+    want = {
+        tuple(r)
+        for r in t.scan().filter("amount > 20").join(d.scan(), "region")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n"),
+                             F.max("amount").alias("hi")).collect()
+    }
+    assert got == want
+
+
+def test_join_mv_incremental_randomized_matches_full(engine):
+    """Randomized DML over both join sides: every incremental refresh must
+    equal a from-scratch recompute."""
+    import random
+
+    rng = random.Random(11)
+    t, d = _join_setup(engine)
+    regions = ["east", "west", "north", "south"]
+    zones = ["z1", "z2", "z3"]
+    for step in range(6):
+        side = rng.choice(["fact", "fact", "dim"])
+        if side == "fact":
+            op = rng.choice(["append", "delete", "update"])
+            if op == "append":
+                rows = [(rng.choice(regions), "p", float(rng.randint(1, 99)))
+                        for _ in range(rng.randint(1, 3))]
+                t.append(engine.spark.createDataFrame(rows, schema=t.schema()))
+            elif op == "delete":
+                t.delete_where(
+                    f"amount < {rng.randint(5, 40)} "
+                    f"and region = '{rng.choice(regions)}'")
+            else:
+                t.update_where({"amount": "amount + 1"},
+                               f"region = '{rng.choice(regions)}'")
+        else:
+            op = rng.choice(["append", "update"])
+            if op == "append":
+                r = rng.choice(regions)
+                d.append(engine.spark.createDataFrame(
+                    [(r + str(step), rng.choice(zones))],
+                    "region string, zone string"))
+            else:
+                d.update_where({"zone": f"'{rng.choice(zones)}'"},
+                               f"region = '{rng.choice(regions)}'")
+        engine.sql("REFRESH MATERIALIZED VIEW join_mv INCREMENTAL")
+        got = {tuple(r) for r in engine.mv.backing_df(
+            engine.mv_catalog.get("join_mv")).collect()}
+        assert got == _join_expected(engine, t, d), \
+            f"divergence at step {step} ({side} {op})"
 
 
 def test_incremental_with_where_filter(engine):
