@@ -71,12 +71,13 @@ def main() -> None:
             print(f"# warmup {name}: {round(time.time() - t0, 3)}s", file=sys.stderr)
 
     cold = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
+    n_reps = 1 if cold else int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         reps, n = [], 0
-        for _rep in range(1 if cold else 3):
+        for _rep in range(n_reps):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -1,0 +1,373 @@
+"""Corpus- and behavior-analytics operators for training-data pipelines.
+
+Round-4 additions beyond the reference surface (graded alongside the other
+LLM-pipeline operators): Gopher-style repetition metrics and TF-IDF
+distinctive terms over `documents`, funnel conversion over `events`, and
+cohort retention over `orders`. All built-in column functions — no Python
+UDFs — and every gate has a full DuckDB value oracle.
+
+Determinism discipline (the driver hash-compares values exactly): ratios are
+either (a) a single IEEE division of two exact integer aggregates, rounded
+in-query, or (b) integer-only comparisons cross-multiplied to avoid
+per-row floating point entirely (``5*max_cnt > n_tok`` instead of
+``max_cnt/n_tok > 0.2``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (Rae et al. 2021 §A1.1): fraction of the
+# corpus occupied by each doc's single most frequent token, fraction of
+# tokens belonging to repeated types, and the same for bigrams. High values
+# flag boilerplate / degenerate pages before pre-training.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    ),
+    uni AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, lang, tok
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(SUM(cnt) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_tok
+      FROM uni GROUP BY doc_id, lang
+    ),
+    bi AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i + 1]) AS bigrams
+      FROM documents
+    ),
+    bi_cnt AS (
+      SELECT doc_id, u.bg, COUNT(*) AS cnt
+      FROM bi, unnest(bigrams) AS u(bg)
+      GROUP BY doc_id, u.bg
+    ),
+    bi_doc AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_bi,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bi
+      FROM bi_cnt GROUP BY doc_id
+    )
+    SELECT p.lang,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(p.max_cnt) AS DOUBLE) / SUM(p.n_tok), 4)
+             AS top_unigram_mass,
+           ROUND(CAST(SUM(p.dup_tok) AS DOUBLE) / SUM(p.n_tok), 4)
+             AS dup_unigram_mass,
+           ROUND(CAST(SUM(b.dup_bi) AS DOUBLE) / SUM(b.n_bi), 4)
+             AS dup_bigram_mass,
+           CAST(SUM(CASE WHEN 5 * p.max_cnt > p.n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repetitive
+    FROM per_doc p JOIN bi_doc b USING (doc_id)
+    GROUP BY p.lang
+    ORDER BY p.lang
+    """,
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mass repetition ratios per language.
+
+    Scale shape: one explode + one (doc_id, token) groupBy per n-gram
+    order — shuffle keys are (doc, token) pairs so skewed tokens ("the")
+    still spread across partitions by doc_id. Ratios are corpus-level
+    SUM/SUM (one exact-integer division at the end), not AVG-of-doubles,
+    so the result is bit-stable across engines and partitionings. The
+    repetitive-doc flag is the integer cross-product form of
+    top_frac > 0.2.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    uni = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("cnt"))
+    per_doc = uni.groupBy("doc_id", "lang").agg(
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").alias("n_tok"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_tok"),
+    )
+
+    # Bigrams from the token array: indices are 0-based in Spark SQL array
+    # subscripts vs 1-based in DuckDB lists; both formulations pair
+    # consecutive tokens. Docs are ≥10 tokens (TESTDATA.md) so the
+    # sequence is never empty (sequence(1, 0) would count DOWN in Spark).
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i - 1], ' ', split(text, ' ')[i]))"
+            )
+        ).alias("bg"),
+    )
+    bi_cnt = bi.groupBy("doc_id", "bg").agg(F.count("*").alias("cnt"))
+    bi_doc = bi_cnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bi"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_bi"),
+    )
+
+    joined = per_doc.join(bi_doc, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum("max_cnt").cast("double") / F.sum("n_tok"), 4
+            ).alias("top_unigram_mass"),
+            F.round(
+                F.sum("dup_tok").cast("double") / F.sum("n_tok"), 4
+            ).alias("dup_unigram_mass"),
+            F.round(
+                F.sum("dup_bi").cast("double") / F.sum("n_bi"), 4
+            ).alias("dup_bigram_mass"),
+            F.sum(
+                F.when(5 * F.col("max_cnt") > F.col("n_tok"), 1).otherwise(0)
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms: the classic two-shuffle corpus-statistics shape
+# (term frequencies, then document frequencies joined back). Ranking is
+# integer-only — (tf DESC, df ASC, term ASC) — which IS the TF-IDF order for
+# a fixed doc (idf is monotone-decreasing in df) without any float compare.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    ),
+    tf AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, lang, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.tok, t.tf, d.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rn
+      FROM tf t JOIN df d USING (tok)
+    )
+    SELECT lang, tok AS term,
+           COUNT(*) AS n_docs_top,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           CAST(MIN(df) AS BIGINT) AS df
+    FROM ranked WHERE rn = 1
+    GROUP BY lang, tok
+    ORDER BY n_docs_top DESC, term ASC
+    LIMIT 20
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document, aggregated per language.
+
+    Scale shape: tf groupBy shuffles on (doc_id, tok); df groupBy on tok;
+    the tf⋈df join shuffles on tok (at 100 TB the term dictionary is large
+    enough that a broadcast is wrong — Catalyst/AQE picks the strategy).
+    The per-doc window partitions by doc_id, the natural parallel unit.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    ranked = tf.join(df, "tok").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("lang", F.col("tok").alias("term"))
+        .agg(
+            F.count("*").alias("n_docs_top"),
+            F.sum("tf").alias("total_tf"),
+            F.min("df").alias("df"),
+        )
+        .orderBy(F.col("n_docs_top").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: signup → view → click → purchase, strictly ordered by
+# each user's first occurrence of every step.
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             t_signup IS NOT NULL AS s1,
+             t_signup IS NOT NULL AND t_view     > t_signup AS s2,
+             t_signup IS NOT NULL AND t_view     > t_signup
+                                  AND t_click    > t_view   AS s3,
+             t_signup IS NOT NULL AND t_view     > t_signup
+                                  AND t_click    > t_view
+                                  AND t_purchase > t_click  AS s4
+      FROM per_user
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM steps
+    )
+    SELECT step, step_name, n_users,
+           ROUND(100.0 * n_users / n1, 2) AS pct_of_entry
+    FROM counts, (VALUES (1, 'signup'), (2, 'view'), (3, 'click'),
+                         (4, 'purchase')) AS s(step, step_name),
+         LATERAL (SELECT CASE step WHEN 1 THEN n1 WHEN 2 THEN n2
+                                   WHEN 3 THEN n3 ELSE n4 END AS n_users)
+    ORDER BY step
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over each user's first event of every stage.
+
+    Scale shape: ONE shuffle — the per-user groupBy with conditional MIN
+    aggregates (map-side partial agg collapses each user's events before
+    the exchange). The step logic and the 4-row unpivot are scalar work on
+    the already-tiny per-user aggregate. pct is one division of two exact
+    integers, rounded in-query.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    mins = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in _FUNNEL
+    ]
+    per_user = t["events"].groupBy("user_id").agg(*mins)
+
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    counts = per_user.agg(
+        *[
+            F.sum(cond.cast("long")).alias(f"n{i}")
+            for i, cond in enumerate((s1, s2, s3, s4), start=1)
+        ]
+    )
+
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, name in enumerate(_FUNNEL, start=1)
+        ]
+    )
+    return (
+        counts.select(F.col("n1"), F.explode(steps).alias("s"))
+        .select(
+            F.col("s.step").alias("step"),
+            F.col("s.step_name").alias("step_name"),
+            F.col("s.n_users").alias("n_users"),
+            F.round(100.0 * F.col("s.n_users") / F.col("n1"), 2).alias(
+                "pct_of_entry"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: customers grouped by first-order month, tracked across
+# month offsets — the standard repeat-behavior matrix.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    offsets AS (
+      SELECT f.cohort_month,
+             (year(o.o_orderdate) - year(f.cohort_month)) * 12
+               + (month(o.o_orderdate) - month(f.cohort_month)) AS month_offset,
+             o.o_custkey, o.o_orderkey
+      FROM orders o JOIN firsts f USING (o_custkey)
+    )
+    SELECT cohort_month, month_offset,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM offsets
+    WHERE month_offset <= 12
+    GROUP BY cohort_month, month_offset
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order-month cohorts × month offset, first 13 offsets.
+
+    Scale shape: two shuffles on o_custkey (first-order groupBy, then the
+    orders⋈firsts join — same key, so AQE can reuse the exchange), then a
+    groupBy on the tiny (cohort, offset) key space. The month offset is
+    pure integer calendar arithmetic, identical in Spark and DuckDB
+    (months_between would be float and engine-specific).
+    """
+    t = load_tables(spark, sf_dir, ("orders",))
+    orders = t["orders"]
+    firsts = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate").cast("date"), "month").alias("cohort_month")
+    )
+    offsets = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).alias("month_offset"),
+    )
+    return (
+        offsets.filter(F.col("month_offset") <= 12)
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -34,51 +34,15 @@ def _rev_col():
 
 
 # ---------------------------------------------------------------------------
-# Flagship: revenue by region (scan+filter+4-way join+agg+sort; SURVEY §7.1)
-# ---------------------------------------------------------------------------
-
-@query(
-    "flagship_revenue_by_region",
-    oracle=f"""
-    SELECT r_name,
-           {_REV} AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-    GROUP BY r_name
-    ORDER BY revenue DESC
-    """,
-)
-def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"].filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    return (
-        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name")
-        .agg(dsum(_rev_col()).alias("revenue"), F.count("*").alias("n_items"))
-        .orderBy(F.desc("revenue"))
-    )
-
-
-# ---------------------------------------------------------------------------
 # TPC-H Q15: top supplier by quarterly revenue (scalar-max tie semantics)
 # ---------------------------------------------------------------------------
 # Note: q2/q9/q11/q16/q20/q21 are NOT implementable on this testdata — the
 # slimmed TPC-H schema has no partsupp table and no l_receiptdate /
 # l_commitdate columns. Q15 completes the set of schema-expressible queries.
-# Registered early (directly after the flagship) so it sits inside the
+# Registered FIRST in this module so it takes the one remaining slot in the
 # driver's 50-entry CORRECTNESS window — it was added late in round 3 and
-# had never been driver-verified.
+# has never been driver-verified; every other relational gate has a green
+# round-2/round-3 driver row.
 
 @query(
     "q15_top_supplier",
@@ -114,6 +78,43 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue by region (scan+filter+4-way join+agg+sort; SURVEY §7.1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_revenue_by_region",
+    oracle=f"""
+    SELECT r_name,
+           {_REV} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY r_name
+    ORDER BY revenue DESC
+    """,
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(_rev_col()).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"))
     )
 
 

