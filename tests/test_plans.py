@@ -82,3 +82,37 @@ def test_asof_join_is_single_window_no_join(spark):
     plan = _plan(spark, "asof_click_attribution")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "doc_repetition_metrics", "doc_tfidf_top_terms",
+    "events_funnel_conversion", "orders_cohort_retention",
+])
+def test_analytics_plans_never_cartesian(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_is_joinless_single_user_shuffle(spark):
+    """The funnel is one conditional-MIN groupBy per user plus scalar work —
+    a join or a second wide shuffle would mean the shape regressed."""
+    plan = _plan(spark, "events_funnel_conversion")
+    assert "Join" not in plan
+    # partial+final for the per-user agg, then the global 4-counter agg
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_tfidf_ranks_with_window_per_doc(spark):
+    plan = _plan(spark, "doc_tfidf_top_terms")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never globally sorts
+
+
+def test_cohort_scan_prunes_to_two_columns(spark):
+    """Both orders scans must read only (o_custkey, o_orderdate)."""
+    plan = _plan(spark, "orders_cohort_retention")
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        schema_line = chunk.splitlines()[0]
+        assert "o_totalprice" not in schema_line
+        assert "o_orderstatus" not in schema_line
