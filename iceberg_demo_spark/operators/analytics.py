@@ -371,3 +371,181 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: GPT-style stream chunking. Documents are concatenated
+# per source in deterministic doc_id order and the token stream is cut into
+# fixed-budget training sequences; docs spanning a cut get split across two
+# sequences. The window cumsum is the distributed formulation — no driver
+# loop, no per-row Python.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    ),
+    flagged AS (
+      SELECT source, n_tok, cum,
+             CASE WHEN (cum - n_tok) // {_PACK_BUDGET}
+                       < (cum - 1) // {_PACK_BUDGET}
+                  THEN 1 ELSE 0 END AS boundary
+      FROM packed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MAX(cum) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) - 1) // {_PACK_BUDGET} + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(boundary) AS BIGINT) AS n_boundary_docs,
+           ROUND(100.0 * (MAX(cum) - ((MAX(cum) - 1) // {_PACK_BUDGET})
+                          * {_PACK_BUDGET}) / {_PACK_BUDGET}, 2) AS last_fill_pct
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing stats per source.
+
+    Scale shape: one shuffle (window partition by source; at 100 TB the
+    partition key would be (source, shard) with per-shard streams — the
+    cumsum itself is the linear-scan formulation every packing job uses).
+    Boundary detection is pure integer division: a doc spans a cut iff its
+    [start, end) token range crosses a budget multiple.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    b = _PACK_BUDGET
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        t["documents"]
+        .select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "boundary",
+            F.when(
+                F.expr(f"(cum - n_tok) DIV {b}") < F.expr(f"(cum - 1) DIV {b}"), 1
+            ).otherwise(0),
+        )
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("cum").alias("total_tokens"),
+            (F.expr(f"(max(cum) - 1) DIV {b}") + 1).alias("n_seqs"),
+            F.sum("boundary").alias("n_boundary_docs"),
+            F.round(
+                100.0
+                * (F.max("cum") - F.expr(f"(max(cum) - 1) DIV {b}") * b)
+                / b,
+                2,
+            ).alias("last_fill_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end quality pipeline: language gate + stopword-band + length band +
+# exact-dedup keeper, composed in one pass — the filter chain every
+# pre-training corpus goes through, with per-source survival rates.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_quality_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'and', 'of'))) AS n_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+             MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper_id
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, n_tok,
+             CASE WHEN n_en > 0
+                       AND n_tok BETWEEN 20 AND 1000
+                       AND 10 * n_stop >= n_tok
+                       AND 10 * n_stop < 9 * n_tok
+                       AND doc_id = keeper_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(100.0 * SUM(kept) / COUNT(*), 2) AS keep_rate_pct
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival stats for the composed quality filter chain.
+
+    Chain: English-marker gate → token-length band [20, 1000] → stopword
+    band (decile 1-8, integer cross-multiplied) → exact-dup keeper
+    (min doc_id per md5 fingerprint). One scan, one fingerprint window
+    shuffle, one per-source aggregate — the digest-only dedup shuffle of
+    operators/dedup.py composed with the zero-shuffle text scores of
+    operators/text.py.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n_en = F.size(F.filter(toks, lambda x: x.isin("the", "and", "of")))
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to"))
+    )
+    scored = t["documents"].select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        n_en.alias("n_en"),
+        n_stop.alias("n_stop"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.lower(F.col("text")))))
+        .alias("keeper_id"),
+    )
+    kept = (
+        (F.col("n_en") > 0)
+        & F.col("n_tok").between(20, 1000)
+        & (10 * F.col("n_stop") >= F.col("n_tok"))
+        & (10 * F.col("n_stop") < 9 * F.col("n_tok"))
+        & (F.col("doc_id") == F.col("keeper_id"))
+    ).cast("int")
+    flagged = scored.withColumn("kept", kept)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(
+                F.when(F.col("kept") == 1, F.col("n_tok")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.round(100.0 * F.sum("kept") / F.count("*"), 2).alias(
+                "keep_rate_pct"
+            ),
+        )
+        .orderBy("source")
+    )

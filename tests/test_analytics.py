@@ -98,3 +98,57 @@ def test_cohort_retention_offset0_covers_all_customers(spark):
     assert sum(r["n_customers"] for r in rows if r["month_offset"] == 0) == n_cust
     assert all(0 <= r["month_offset"] <= 12 for r in rows)
     assert all(r["n_orders"] >= r["n_customers"] for r in rows)
+
+
+def test_sequence_packing_totals_and_boundaries(spark):
+    rows = registry.QUERIES["doc_sequence_packing"](spark, SF_SMALL).collect()
+    docs = _docs(spark).select("source", "doc_id", "text").collect()
+    from iceberg_demo_spark.operators.analytics import _PACK_BUDGET as B
+    by_src: dict[str, list] = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], len(r["text"].split(" "))))
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(by_src)
+    for src, pairs in by_src.items():
+        pairs.sort()
+        total = sum(n for _, n in pairs)
+        cum, boundaries = 0, 0
+        for _, n in pairs:
+            start, end = cum, cum + n
+            if start // B < (end - 1) // B:
+                boundaries += 1
+            cum = end
+        r = got[src]
+        assert r["total_tokens"] == total
+        assert r["n_seqs"] == (total - 1) // B + 1
+        assert r["n_boundary_docs"] == boundaries
+        # last chunk fill derived from the same integers
+        fill = 100.0 * (total - ((total - 1) // B) * B) / B
+        assert abs(r["last_fill_pct"] - fill) < 0.01
+
+
+def test_quality_pipeline_kept_subset_manual(spark):
+    import hashlib
+    rows = {r["source"]: r for r in
+            registry.QUERIES["doc_quality_pipeline"](spark, SF_SMALL).collect()}
+    docs = _docs(spark).select("source", "doc_id", "text").collect()
+    keeper: dict[str, int] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        fp = hashlib.md5(r["text"].lower().encode()).hexdigest()
+        keeper.setdefault(fp, r["doc_id"])
+    kept_by_src: dict[str, int] = {}
+    total_by_src: dict[str, int] = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        n_tok = len(toks)
+        n_en = sum(1 for t in toks if t in ("the", "and", "of"))
+        n_stop = sum(1 for t in toks if t in ("the", "a", "of", "and", "to"))
+        fp = hashlib.md5(r["text"].lower().encode()).hexdigest()
+        ok = (n_en > 0 and 20 <= n_tok <= 1000
+              and 10 * n_stop >= n_tok and 10 * n_stop < 9 * n_tok
+              and keeper[fp] == r["doc_id"])
+        total_by_src[r["source"]] = total_by_src.get(r["source"], 0) + 1
+        kept_by_src[r["source"]] = kept_by_src.get(r["source"], 0) + (1 if ok else 0)
+    for src, r in rows.items():
+        assert r["n_total"] == total_by_src[src]
+        assert r["n_kept"] == kept_by_src[src]
