@@ -47,11 +47,10 @@ def load_all() -> None:
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
     externally verified. Counts as of round 4: table_ops 17, temporal 2,
-    skew 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 6,
-    dedup 7 (= 51) minus the 2 rotated-out gates below = 49, leaving 1
-    window slot for the head of relational (q15, the one relational gate
-    with no prior driver row); every other relational gate was
-    driver-verified green in rounds 2-3.
+    skew 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 8,
+    curation 6, dedup 7 (= 59) minus the 8 rotated-out gates below +
+    q15 (the one relational gate with no prior driver row) = 50 exactly;
+    every other relational gate was driver-verified green in rounds 2-3.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -62,6 +61,7 @@ def load_all() -> None:
         multimodal,
         text,
         analytics,
+        curation,
         dedup,
         relational,
     )
@@ -70,7 +70,17 @@ def load_all() -> None:
     # yield their slot to gates that have never been externally verified.
     # They stay registered (local oracle checks still cover them) but move
     # to the end of the driver's evaluation order.
-    for _name in ("dedup_exact", "dedup_exact_keepers"):
+    for _name in (
+        "dedup_exact",
+        "dedup_exact_keepers",
+        # rotated in round 4 to admit the curation module's 6 new gates:
+        "doc_token_stats",
+        "doc_quality_buckets",
+        "doc_langid_confusion",
+        "doc_fingerprints",
+        "doc_bpe_token_stats",
+        "doc_rolling_fingerprints",
+    ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)
             if _name in ORACLES:

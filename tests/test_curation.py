@@ -1,0 +1,182 @@
+"""Round-4 curation operators: redaction, mixture, shards, decontamination,
+int8 quantization, k-means."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from iceberg_demo_spark import registry
+from iceberg_demo_spark.operators import curation
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def _embs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _bucket(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 10_000
+
+
+def test_redaction_matches_python_recompute(spark):
+    rows = {r["source"]: r
+            for r in registry.QUERIES["doc_pii_redaction"](spark, SF_SMALL)
+            .collect()}
+    acc: dict[str, dict[str, int]] = defaultdict(
+        lambda: {"n": 0, "touched": 0, "red": 0, "after": 0})
+    for r in _docs(spark).collect():
+        hits = [t for t in r["text"].split(" ")
+                if t in curation._REDACT_TERMS]
+        a = acc[r["source"]]
+        a["n"] += 1
+        a["touched"] += bool(hits)
+        a["red"] += len(hits)
+        a["after"] += (r["n_chars"] - sum(len(t) for t in hits)
+                       + len(hits) * len(curation._REDACT_WITH))
+    assert set(rows) == set(acc)
+    for src, a in acc.items():
+        got = rows[src]
+        assert (got["n_docs"], got["n_docs_touched"], got["n_redactions"],
+                got["chars_after"]) == (a["n"], a["touched"], a["red"],
+                                        a["after"])
+
+
+def test_mixture_weights_sum_to_one_and_match_sqrt_law(spark):
+    rows = registry.QUERIES["doc_mixture_weights"](spark, SF_SMALL).collect()
+    toks = {r["source"]: 0 for r in rows}
+    for r in _docs(spark).collect():
+        toks[r["source"]] += len(r["text"].split(" "))
+    w = {s: math.floor(1e6 * math.sqrt(t)) for s, t in toks.items()}
+    total = sum(w.values())
+    for r in rows:
+        assert r["n_tokens"] == toks[r["source"]]
+        assert r["mixture_ppm"] == round(1e6 * w[r["source"]] / total)
+    # weights normalize to ~1e6 ppm (off-by-rounding at most #sources/2)
+    assert abs(sum(r["mixture_ppm"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_shard_assignment_is_deterministic_partition(spark):
+    rows = registry.QUERIES["doc_shard_assignment"](spark, SF_SMALL).collect()
+    exp: dict[int, list] = defaultdict(list)
+    for r in _docs(spark).collect():
+        exp[_bucket(r["doc_id"]) % curation._N_SHARDS].append(r)
+    assert sum(r["n_docs"] for r in rows) == sum(len(v) for v in exp.values())
+    for r in rows:
+        grp = exp[r["shard"]]
+        assert r["n_docs"] == len(grp)
+        assert r["shard_chars"] == sum(g["n_chars"] for g in grp)
+        assert r["min_doc_id"] == min(g["doc_id"] for g in grp)
+        assert r["max_doc_id"] == max(g["doc_id"] for g in grp)
+
+
+def test_decontamination_matches_python_shingle_overlap(spark):
+    n = curation._DECON_N
+    rows = {r["source"]: r
+            for r in registry.QUERIES["doc_decontamination"](spark, SF_SMALL)
+            .collect()}
+    bench: set[str] = set()
+    train: list = []
+    for r in _docs(spark).collect():
+        ts = r["text"].split(" ")
+        grams = {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+        if r["source"] in curation._BENCH_SOURCES:
+            bench |= grams
+        else:
+            train.append((r["source"], grams))
+    acc: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for src, grams in train:
+        acc[src][0] += 1
+        acc[src][1] += bool(grams & bench)
+    assert set(rows) == set(acc)
+    for src, (nd, nc) in acc.items():
+        assert rows[src]["n_docs"] == nd
+        assert rows[src]["n_contaminated"] == nc
+        assert rows[src]["n_clean"] == nd - nc
+
+
+def test_int8_quantization_codes_and_saturation(spark):
+    rows = {r["dim"]: r
+            for r in registry.QUERIES["emb_int8_quantization"](spark, SF_SMALL)
+            .collect()}
+    vecs = [r["embedding"] for r in _embs(spark).collect()]
+    dims = len(vecs[0])
+    assert set(rows) == set(range(1, dims + 1))
+    for d in range(dims):
+        xs = [float(v[d]) for v in vecs]
+        maxabs = max(abs(x) for x in xs)
+        # Python round is banker's; recompute with explicit half-away so a
+        # disagreement would surface as an off-by-one in the exact sums.
+        codes = [math.floor(x * 127 / maxabs + 0.5)
+                 if x >= 0 else math.ceil(x * 127 / maxabs - 0.5)
+                 for x in xs]
+        got = rows[d + 1]
+        assert got["n_vecs"] == len(xs)
+        assert got["sum_code"] == sum(codes)
+        assert got["sum_abs_code"] == sum(abs(c) for c in codes)
+        assert got["n_saturated"] == sum(1 for c in codes if abs(c) == 127)
+        assert abs(got["maxabs"] - maxabs) < 1e-6
+        err = sum(abs(x - c * maxabs / 127) for x, c in zip(xs, codes))
+        assert abs(got["avg_abs_err"] - err / len(xs)) < 1e-5
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int):
+    seeds = {c: vecs[c] for c in range(k)}
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                ((sum((float(a) - float(b)) ** 2 for a, b in zip(v, c)), cid)
+                 for cid, c in cents.items()))
+            out[vid] = (best[1], best[0])
+        return out
+
+    a1 = assign(seeds)
+    byc: dict[int, list] = defaultdict(list)
+    for vid, (cid, _) in a1.items():
+        byc[cid].append(vecs[vid])
+    c2 = {
+        cid: [round(sum(float(v[i]) for v in vs) / len(vs), 4)
+              for i in range(len(vs[0]))]
+        for cid, vs in byc.items()
+    }
+    return a1, assign(c2)
+
+
+def test_kmeans_two_iterations_match_python_lloyd(spark):
+    rows = {r["cluster_id"]: r
+            for r in registry.QUERIES["emb_kmeans_clusters"](spark, SF_SMALL)
+            .collect()}
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in _embs(spark).collect()}
+    a1, a2 = _py_kmeans(vecs, curation._K)
+    n1 = Counter(cid for cid, _ in a1.values())
+    n2 = Counter(cid for cid, _ in a2.values())
+    inertia = defaultdict(float)
+    for cid, d in a2.values():
+        inertia[cid] += d
+    assert set(rows) == set(range(curation._K))
+    for cid in range(curation._K):
+        got = rows[cid]
+        assert got["n_iter1"] == n1.get(cid, 0)
+        assert got["n_iter2"] == n2.get(cid, 0)
+        assert abs(got["inertia"] - inertia.get(cid, 0.0)) < 0.05
+
+
+def test_kmeans_iteration_reduces_total_inertia(spark):
+    # Lloyd guarantee: total inertia after the update+reassign step is no
+    # worse than assigning to the (quantized) iter-1 centroids would give —
+    # sanity-check monotonicity end to end vs the pure-Python recompute.
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in _embs(spark).collect()}
+    a1, a2 = _py_kmeans(vecs, curation._K)
+    assert (sum(d for _, d in a2.values())
+            <= sum(d for _, d in a1.values()) + 1e-6)
