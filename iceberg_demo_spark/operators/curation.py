@@ -508,6 +508,12 @@ _DIST_EXPR = (
 def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of k-means over the embedding table.
 
+    The iter-1 assignment subtree feeds two DAG branches (centroid update
+    and the size rollup), so the static plan computes it twice — a
+    production multi-iteration loop would ``persist()`` each assignment
+    (exactly MLlib's caching step); at two linear passes the recompute is
+    cheaper than pinning executor memory for this one-shot gate.
+
     Scale shape (the Spark MLlib KMeans shape, minus its driver sync):
     each assignment is a broadcast of k centroids against the corpus
     (k·dims doubles — trivially broadcastable at any corpus size) followed
@@ -557,8 +563,10 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         seeds.select(F.col("cid").alias("cluster_id"))
-        .join(n1, F.col("cluster_id") == n1.cid, "left").drop("cid")
-        .join(n2, F.col("cluster_id") == n2.cid, "left").drop("cid")
+        .join(F.broadcast(n1), F.col("cluster_id") == n1.cid, "left")
+        .drop("cid")
+        .join(F.broadcast(n2), F.col("cluster_id") == n2.cid, "left")
+        .drop("cid")
         .select(
             "cluster_id",
             F.coalesce("n_iter1", F.lit(0)).alias("n_iter1"),

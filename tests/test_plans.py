@@ -116,3 +116,47 @@ def test_cohort_scan_prunes_to_two_columns(spark):
         schema_line = chunk.splitlines()[0]
         assert "o_totalprice" not in schema_line
         assert "o_orderstatus" not in schema_line
+
+
+def test_redaction_is_joinless_single_source_shuffle(spark):
+    """Redaction is per-row higher-order functions + one groupBy(source)."""
+    plan = _plan(spark, "doc_pii_redaction")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one wide (hash) exchange — the source-key agg; the only other
+    # exchange is the 20-row range partition for the final ORDER BY
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_shard_assignment_is_joinless(spark):
+    plan = _plan(spark, "doc_shard_assignment")
+    assert "Join" not in plan
+
+
+def test_decontamination_broadcasts_benchmark_shingles(spark):
+    """The eval-suite shingle set must broadcast; a shuffled semi-join here
+    means the 100 TB train-side scan would shuffle on shingle."""
+    plan = _plan(spark, "doc_decontamination")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantization_broadcasts_dim_stats(spark):
+    """The 64-row per-dim maxabs aggregate joins back as a broadcast —
+    shuffling the exploded vectors on dim would be the wrong shape."""
+    plan = _plan(spark, "emb_int8_quantization")
+    assert "BroadcastHashJoin Inner" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignments_broadcast_centroids(spark):
+    """Both Lloyd assignment passes are BNLJ against k=8 centroid rows —
+    the deliberate broadcast-tiny-side shape (like sim_cosine_topk); a
+    CartesianProduct would mean the broadcast was lost. Three tree
+    occurrences, not two: the iter-1 assignment subtree feeds both the
+    centroid update and the cluster-size rollup (see docstring)."""
+    plan = _plan(spark, "emb_kmeans_clusters")
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # the 8-row rollup joins broadcast
