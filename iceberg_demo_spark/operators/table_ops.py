@@ -642,3 +642,133 @@ def changelog_update_images(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("p_retailprice"), 2).alias("price_sum"))
         .orderBy("change_type")
     )
+
+
+# -- custom stateful streaming under the value gate ------------------------
+
+_STREAM_SEQ = [0]
+
+
+def _dup_event_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write the events table as micro-batch file 000 and an EXACT duplicate
+    copy of the ``event_id % 5 = 0`` rows as file 001 (strictly newer
+    mtime, so the file source delivers it in a later trigger). Because the
+    re-delivered rows are byte-identical to their originals, every gate
+    built on this source is deterministic no matter which copy "wins".
+    Returns (source_dir, select-cols schema DDL)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "event_type", "value")
+    stage = tempfile.mkdtemp(prefix="glacier_stream_stage_")
+    out = tempfile.mkdtemp(prefix="glacier_stream_dup_")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage + "/f0")
+    ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.mode(
+        "overwrite").parquet(stage + "/f1")
+    now = _time.time()
+    for i in (0, 1):
+        part = _glob.glob(f"{stage}/f{i}/part-*.parquet")[0]
+        dst = f"{out}/{i:03d}.parquet"
+        _shutil.copy(part, dst)
+        _os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+    return out, "event_id bigint, user_id bigint, event_type string, value double"
+
+
+def _run_stateful(spark: SparkSession, src_dir: str, schema: str, op,
+                  output_mode: str) -> DataFrame:
+    """Feed src_dir through ``op`` one file per micro-batch into a memory
+    sink; return the sink contents."""
+    _STREAM_SEQ[0] += 1
+    name = f"glacier_state_sink_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    q = (
+        op(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="glacier_ck_"))
+        .outputMode(output_mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_stateful_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch streaming dedup via applyInPandasWithState.
+
+    20% of the events are re-delivered byte-identically in a LATER
+    micro-batch; ``first_seen`` state (keyed on event_id, partitioned
+    across the state store) must drop every re-delivery, so the rollup over
+    the sink equals plain batch SQL over the single-copy source — the gate
+    fails if even one duplicate leaks. The production sink would be an
+    append to a table (streaming/pipeline.py::stream_to_table); the memory
+    sink keeps the gate self-contained.
+
+    Scale shape: per batch, only that batch's rows shuffle to their state
+    partitions; state size ∝ distinct keys, not stream length.
+    """
+    from iceberg_demo_spark.streaming import first_seen
+
+    src, ddl = _dup_event_stream_dir(spark, sf_dir)
+    out = _run_stateful(
+        spark, src, ddl, lambda s: first_seen(s, "event_id"), "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "streaming_running_counts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) + SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS running_count
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT running_count, COUNT(*) AS n_users
+    FROM per_user
+    GROUP BY running_count
+    ORDER BY running_count
+    """,
+)
+def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key counts across micro-batches (update output mode).
+
+    ``running_counts`` emits one updated total per touched key per batch;
+    the final value per key (the max — totals are monotone) must equal the
+    batch count INCLUDING the re-delivered 20% (counting, unlike dedup,
+    sees every arrival). The histogram over final counts is compared
+    value-exactly against DuckDB.
+    """
+    from iceberg_demo_spark.streaming import running_counts
+
+    src, ddl = _dup_event_stream_dir(spark, sf_dir)
+    out = _run_stateful(
+        spark, src, ddl, lambda s: running_counts(s, "user_id"), "update")
+    return (
+        out.groupBy("user_id").agg(F.max("n").alias("running_count"))
+        .groupBy("running_count").agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("running_count")
+    )

@@ -46,11 +46,12 @@ def load_all() -> None:
     STANDING POLICY: any gate added mid-round must register inside the first
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
-    externally verified. Counts as of round 4: table_ops 17, temporal 2,
-    skew 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 8,
-    curation 6, dedup 7 (= 59) minus the 8 rotated-out gates below +
-    q15 (the one relational gate with no prior driver row) = 50 exactly;
-    every other relational gate was driver-verified green in rounds 2-3.
+    externally verified. Counts as of round 4: table_ops 19 (incl. the 2
+    stateful-streaming gates), temporal 2, skew 2, sampling 2,
+    similarity 5, multimodal 4, text 6, analytics 8, curation 6, dedup 7
+    (= 61) minus the 10 rotated-out gates below + q15 (the one relational
+    gate with no prior driver row) = 50 exactly; every other relational
+    gate was driver-verified green in rounds 2-3.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -80,6 +81,9 @@ def load_all() -> None:
         "doc_fingerprints",
         "doc_bpe_token_stats",
         "doc_rolling_fingerprints",
+        # rotated in round 4 to admit the 2 stateful-streaming gates:
+        "sim_cosine_topk",
+        "multimodal_payload_stats",
     ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)

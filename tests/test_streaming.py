@@ -208,3 +208,47 @@ def test_stream_table_appends_and_checkpoint(spark, tmp_path):
     t.update_where({"v": "v + 1"}, "id = 0")  # non-append snapshot
     assert process_table_stream(t, ckpt, lambda df, sid: seen.append(df.count())) == 1
     assert seen == [5, 5, 5, 1]
+
+
+# -- stateful gates under the driver contract -------------------------------
+
+def test_streaming_dedup_gate_equals_batch_rollup(spark):
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    got = {r["event_type"]: r for r in
+           registry.QUERIES["streaming_stateful_dedup"](spark, SF_SMALL)
+           .collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    exp = {r["event_type"]: r for r in
+           ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"))
+           .collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert (got[k]["n_events"], got[k]["n_users"],
+                got[k]["total_value"]) == (
+            exp[k]["n_events"], exp[k]["n_users"], exp[k]["total_value"])
+
+
+def test_streaming_running_counts_gate_sees_redelivery(spark):
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    got = {r["running_count"]: r["n_users"] for r in
+           registry.QUERIES["streaming_running_counts"](spark, SF_SMALL)
+           .collect()}
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg((F.count(F.lit(1))
+              + F.sum(F.when(F.col("event_id") % 5 == 0, 1).otherwise(0))
+              ).alias("rc"))
+    )
+    exp = {r["rc"]: r["n"] for r in
+           per_user.groupBy("rc").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exp
