@@ -47,9 +47,9 @@ def load_all() -> None:
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
     externally verified. Counts as of round 4: table_ops 19 (incl. the 2
-    stateful-streaming gates), temporal 2, skew 2, sampling 2,
+    stateful-streaming gates), temporal 2, skew 2, layout 2, sampling 2,
     similarity 5, multimodal 4, text 6, analytics 8, curation 6, dedup 7
-    (= 61) minus the 10 rotated-out gates below + q15 (the one relational
+    (= 63) minus the 12 rotated-out gates below + q15 (the one relational
     gate with no prior driver row) = 50 exactly; every other relational
     gate was driver-verified green in rounds 2-3.
     """
@@ -57,6 +57,7 @@ def load_all() -> None:
         table_ops,
         temporal,
         skew,
+        layout,
         sampling,
         similarity,
         multimodal,
@@ -84,6 +85,9 @@ def load_all() -> None:
         # rotated in round 4 to admit the 2 stateful-streaming gates:
         "sim_cosine_topk",
         "multimodal_payload_stats",
+        # rotated in round 4 to admit the 2 layout gates:
+        "dedup_ngram_jaccard_pairs",
+        "dedup_embedding_cosine",
     ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)

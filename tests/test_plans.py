@@ -160,3 +160,25 @@ def test_kmeans_assignments_broadcast_centroids(spark):
     assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 3
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # the 8-row rollup joins broadcast
+
+
+def test_bucketed_join_has_no_exchange_below_the_join(spark):
+    """Both sides are bucketed on the join key, so the sort-merge join must
+    run exchange-free — the entire point of the layout. Only the rollup
+    above the join may shuffle."""
+    plan = _plan(spark, "bucketed_colocated_join")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin Inner" in tree
+    join_at = tree.index("SortMergeJoin Inner")
+    assert "Exchange" not in tree[join_at:], "join input was shuffled"
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_partition_pruned_scan_prunes_directories(spark):
+    plan = _plan(spark, "partition_pruned_scan")
+    assert "PartitionFilters" in plan
+    assert "(l_returnflag" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # the partition column lives in directory names, not file bytes
+    for chunk in plan.split("ReadSchema: ")[1:]:
+        assert "l_returnflag" not in chunk.splitlines()[0]
