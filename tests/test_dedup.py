@@ -117,3 +117,43 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with room it converges to a single cluster rooted at 0
     labels = connected_components(edges, max_iter=10).collect()
     assert {r["cluster_root"] for r in labels} == {0}
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property test: iterative min-label propagation equals a classic
+    union-find over random edge sets (chains, stars, cycles, singletons)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n = rng.randint(2, 18)
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randint(1, 2 * n))]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(0, 1)]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {}
+        for v in sorted({v for e in edges for v in e}):
+            exp[v] = find(v)
+
+        from iceberg_demo_spark.operators.dedup import connected_components
+
+        edf = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a bigint, id_b bigint")
+        got = {r["id"]: r["cluster_root"]
+               for r in connected_components(edf, max_iter=40).collect()}
+        # min-label propagation labels components by their min member,
+        # which is also what the min-rooted union-find produces
+        assert got == exp, (trial, edges)
