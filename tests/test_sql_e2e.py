@@ -177,3 +177,23 @@ def test_sql_alter_view_properties(engine):
     from iceberg_demo_spark.tables.catalog import NoSuchTableError
     with pytest.raises(NoSuchTableError):
         eng.sql("ALTER VIEW no_such_view SET TBLPROPERTIES ('a' = 'b')")
+
+
+def test_plain_select_resolves_catalog_tables_without_register(engine, spark):
+    """`SELECT … FROM db.t` must resolve engine tables directly — the
+    reference's Spark-registered catalog behavior (docs/spark-queries.md) —
+    without an explicit register() call, including in joins and subqueries,
+    while temp views keep resolving untouched."""
+    eng = engine
+    eng.sql("CREATE TABLE db.sel_a (id BIGINT, v STRING)")
+    eng.sql("INSERT INTO db.sel_a VALUES (1, 'x'), (2, 'y')")
+    eng.sql("CREATE TABLE db.sel_b (id BIGINT, w BIGINT)")
+    eng.sql("INSERT INTO db.sel_b VALUES (1, 10), (3, 30)")
+    assert eng.sql("SELECT count(*) FROM db.sel_a").collect()[0][0] == 2
+    rows = eng.sql(
+        "SELECT a.id, a.v, b.w FROM db.sel_a a JOIN db.sel_b b ON a.id = b.id"
+    ).collect()
+    assert [(r["id"], r["v"], r["w"]) for r in rows] == [(1, "x", 10)]
+    # temp views still win their own names
+    spark.createDataFrame([(7,)], "z bigint").createOrReplaceTempView("plain_v")
+    assert eng.sql("SELECT z FROM plain_v").collect()[0][0] == 7
