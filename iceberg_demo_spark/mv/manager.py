@@ -123,9 +123,9 @@ class MVManager:
 
     def _join_maintenance_plan(self, query: str) -> tuple[dict, QueryInfo] | None:
         """({table_ref: catalog_table}, parsed query) when the defining query
-        is an incrementally maintainable JOIN aggregate: inner equi-joins over
-        distinct catalog tables, GROUP BY with plainly projected keys, agg
-        functions the partial-group strategy can recompute, no limit."""
+        is an incrementally maintainable JOIN aggregate: inner/left equi-joins
+        over distinct catalog tables, GROUP BY with plainly projected keys,
+        agg functions the partial-group strategy can recompute, no limit."""
         try:
             info = parse_select(query)
         except ParseError:
@@ -136,12 +136,36 @@ class MVManager:
             return None  # self-join: per-ref view substitution can't express
         if not info.group_by:
             return None
+        seen_left = False
         for j in info.joins:
-            if j["type"] != "inner" or not j["condition"]:
+            if j["type"] not in ("inner", "left") or not j["condition"]:
+                return None
+            if j["type"] == "left":
+                seen_left = True
+            elif seen_left:
+                # an INNER join below a LEFT join re-filters NULL-extended
+                # rows; touched-key reasoning for that shape is not
+                # implemented — fall back to full recompute
                 return None
         plain = {e for (fn, e, _a) in info.agg_items() if fn == ""}
         if set(info.group_by) != plain:
             return None
+        nullable = {j["right_table"] for j in info.joins if j["type"] == "left"}
+        for e in info.group_by:
+            for nt in nullable:
+                if re.search(rf"\b{re.escape(nt)}\.", e) and not re.fullmatch(
+                        rf"{re.escape(nt)}\.\w+", e):
+                    # a non-column key expr over a nullable table need not
+                    # NULL out on unmatch (e.g. coalesce) — can't form the
+                    # nulled-key probe exactly
+                    return None
+        for c in info.where:
+            for nt in nullable:
+                if re.search(rf"\b{re.escape(nt)}\.", c):
+                    # a WHERE over a nullable table may pass on NULL-extended
+                    # rows the matched-row probe never sees (IS NULL and
+                    # friends) — fall back rather than risk missing a group
+                    return None
         for fn, _arg, _a in info.agg_items():
             if fn and fn not in _INCR_FNS:
                 return None
@@ -409,8 +433,9 @@ class MVManager:
         return "'" + str(v).replace("'", "''") + "'"
 
     def _refresh_incremental_join(self, mv: MaterializedView) -> MaterializedView:
-        """Incremental refresh for inner-equi-join GROUP BY views — beyond
-        both the reference (full recompute) and round 3 (single-table only).
+        """Incremental refresh for inner/left-equi-join GROUP BY views —
+        beyond both the reference (full recompute) and round 3
+        (single-table only).
 
         Touched-group detection handles changes on EVERY side: each changed
         table's changelog window (old AND new row images) is joined against
@@ -453,8 +478,25 @@ class MVManager:
         agg_cols = [backing_cols[i]
                     for i, (fn, _e, _a) in enumerate(items) if fn != ""]
         key_sel = ", ".join(f"{e} AS {n}" for n, e in key_cols)
-        from_sql = info.base_tables[0] + "".join(
-            f" JOIN {j['right_table']} ON {j['condition']}" for j in info.joins)
+
+        def _from_sql(delta_ref: str | None = None) -> str:
+            """Join tree as written — except in the PROBE for a delta on a
+            left join's nullable side, where that one join flips to INNER:
+            a nullable-side row affects groups only through rows it matches,
+            and probing with LEFT there would preserve every left-side row
+            and degenerate the touched-key set to the whole table. Deltas on
+            the preserved side keep LEFT so NULL-extended groups (a new fact
+            row with no dimension match) are still caught."""
+            parts = [info.base_tables[0]]
+            for j in info.joins:
+                jt = j["type"]
+                if delta_ref is not None and j["right_table"] == delta_ref:
+                    jt = "inner"
+                kw = "JOIN" if jt == "inner" else f"{jt.upper()} JOIN"
+                parts.append(f" {kw} {j['right_table']} ON {j['condition']}")
+            return "".join(parts)
+
+        from_sql = _from_sql()
         where_sql = (" WHERE " + " AND ".join(f"({c})" for c in info.where)
                      ) if info.where else ""
         meta_cols = ("_change_type", "_change_ordinal", "_commit_snapshot_id")
@@ -477,8 +519,31 @@ class MVManager:
                         tables[other].scan(snapshot_id=rec[other][1]))
                 state.createOrReplaceTempView(other)
             k = self.spark.sql(
-                f"SELECT DISTINCT {key_sel} FROM {from_sql}{where_sql}")
+                f"SELECT DISTINCT {key_sel} FROM {_from_sql(delta_ref=ref)}"
+                f"{where_sql}")
             touched = k if touched is None else touched.union(k)
+            # Delta on a LEFT join's nullable side: the rows it matches also
+            # MOVE between their matched group and the NULL-extended group,
+            # so the same probe's keys with every nullable-derived key
+            # column nulled out are touched too (over-approximating across
+            # independent left joins is safe — extra keys only recompute
+            # unchanged groups).
+            nullable = {j["right_table"] for j in info.joins
+                        if j["type"] == "left"}
+            if ref in nullable and any(
+                    re.search(rf"\b{re.escape(nt)}\.", e)
+                    for nt in nullable for _n, e in key_cols):
+                types = {f.name: f.type for f in backing.metadata.schema}
+                null_sel = ", ".join(
+                    f"CAST(NULL AS {types[n]}) AS {n}"
+                    if any(re.search(rf"\b{re.escape(nt)}\.", e)
+                           for nt in nullable)
+                    else f"{e} AS {n}"
+                    for n, e in key_cols)
+                k2 = self.spark.sql(
+                    f"SELECT DISTINCT {null_sel} "
+                    f"FROM {_from_sql(delta_ref=ref)}{where_sql}")
+                touched = touched.union(k2)
         touched = touched.distinct()
 
         # rebind every ref to its current state for the recompute (and for

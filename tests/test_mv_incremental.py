@@ -349,3 +349,140 @@ def test_incremental_refresh_out_of_scope_delta_is_metadata_only(engine):
         == snap_before
     assert engine.mv_catalog.get("scoped_mv").source_snapshot_id \
         == t.metadata.current_snapshot().snapshot_id
+
+
+# -- LEFT-join incremental refresh (round 4, second half) -------------------
+
+def _left_join_setup(engine):
+    """dim lacks 'north' → north facts live in the NULL-extended group."""
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table("db.dim", "region string, zone string")
+    d.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2")], "region string, zone string"))
+    engine.register("db.dim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ljoin_mv AS "
+        "SELECT d.zone, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "GROUP BY d.zone")
+    return t, d
+
+
+def _left_join_expected(engine, t, d):
+    return {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("amount").alias("total"))
+        .collect()
+    }
+
+
+def _ljoin_rows(engine):
+    return {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("ljoin_mv")).collect()}
+
+
+def test_left_join_mv_incremental_unmatched_fact_append(engine, monkeypatch):
+    """A fact append with NO dim match must incrementally update the
+    NULL-extended group — the probe keeps the LEFT join for preserved-side
+    deltas exactly so this row isn't lost."""
+    t, d = _left_join_setup(engine)
+    assert _ljoin_rows(engine) == _left_join_expected(engine, t, d)
+    t.append(engine.spark.createDataFrame(
+        [("south", "w", 7.0)], schema=t.schema()))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("ljoin_mv", incremental=True)
+    got = _ljoin_rows(engine)
+    assert got == _left_join_expected(engine, t, d)
+    assert (None, 2, 17.0) in got  # north 10.0 + south 7.0
+
+
+def test_left_join_mv_incremental_dim_append_moves_rows_out_of_null_group(
+        engine, monkeypatch):
+    """Adding the missing dim row moves north facts from the NULL group to
+    z9 — the nulled-key probe must mark the NULL group touched, or its
+    stale row would survive."""
+    t, d = _left_join_setup(engine)
+    d.append(engine.spark.createDataFrame(
+        [("north", "z9")], "region string, zone string"))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("ljoin_mv", incremental=True)
+    got = _ljoin_rows(engine)
+    assert got == _left_join_expected(engine, t, d)
+    assert ("z9", 1, 10.0) in got
+    assert not any(z is None for z, _n, _t in got)  # NULL group emptied
+
+
+def test_left_join_mv_incremental_dim_delete_moves_rows_into_null_group(
+        engine, monkeypatch):
+    t, d = _left_join_setup(engine)
+    d.delete_where("region = 'west'")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("ljoin_mv", incremental=True)
+    got = _ljoin_rows(engine)
+    assert got == _left_join_expected(engine, t, d)
+    assert (None, 2, 60.0) in got  # west 50.0 joins north 10.0 in NULL group
+
+
+def test_left_join_mv_where_on_nullable_side_falls_back(engine):
+    """WHERE over the nullable table can pass on NULL-extended rows the
+    probe never sees — the plan must refuse and full refresh instead."""
+    t, d = _left_join_setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ljoin_guard_mv AS "
+        "SELECT d.zone, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_dim d ON s.region = d.region "
+        "WHERE d.zone IS NOT NULL GROUP BY d.zone")
+    mv = engine.mv_catalog.get("ljoin_guard_mv")
+    assert not mv.source_snapshots  # not enrolled for join-incremental
+
+
+def test_left_join_mv_incremental_randomized_matches_full(engine):
+    """Randomized DML on both sides of a LEFT join: every incremental
+    refresh equals a from-scratch recompute, NULL group included."""
+    import random
+
+    rng = random.Random(23)
+    t, d = _left_join_setup(engine)
+    regions = ["east", "west", "north", "south"]
+    zones = ["z1", "z2", "z3"]
+    for step in range(6):
+        side = rng.choice(["fact", "dim", "dim"])
+        if side == "fact":
+            op = rng.choice(["append", "delete"])
+            if op == "append":
+                rows = [(rng.choice(regions), "p", float(rng.randint(1, 99)))]
+                t.append(engine.spark.createDataFrame(rows, schema=t.schema()))
+            else:
+                t.delete_where(
+                    f"amount < {rng.randint(5, 60)} "
+                    f"and region = '{rng.choice(regions)}'")
+        else:
+            op = rng.choice(["append", "update", "delete"])
+            if op == "append":
+                d.append(engine.spark.createDataFrame(
+                    [(rng.choice(regions), rng.choice(zones))],
+                    "region string, zone string"))
+            elif op == "update":
+                d.update_where({"zone": f"'{rng.choice(zones)}'"},
+                               f"region = '{rng.choice(regions)}'")
+            else:
+                d.delete_where(f"region = '{rng.choice(regions)}'")
+        engine.sql("REFRESH MATERIALIZED VIEW ljoin_mv INCREMENTAL")
+        assert _ljoin_rows(engine) == _left_join_expected(engine, t, d), \
+            f"divergence at step {step} ({side} {op})"
