@@ -136,6 +136,16 @@ class MVManager:
             return None  # self-join: per-ref view substitution can't express
         if not info.group_by:
             return None
+        if (len(info.base_tables) == 2 and info.joins
+                and info.joins[0]["type"] == "right"):
+            # A RIGHT JOIN B ≡ B LEFT JOIN A (2-table; the normalized
+            # condition is order-insensitive) — canonicalize so the left
+            # machinery below maintains it
+            j0 = info.joins[0]
+            info.base_tables = [j0["right_table"], info.base_tables[0]]
+            info.joins = [{"type": "left",
+                           "right_table": info.base_tables[1],
+                           "condition": j0["condition"]}]
         seen_left = False
         for j in info.joins:
             if j["type"] not in ("inner", "left") or not j["condition"]:

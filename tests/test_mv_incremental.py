@@ -486,3 +486,41 @@ def test_left_join_mv_incremental_randomized_matches_full(engine):
         engine.sql("REFRESH MATERIALIZED VIEW ljoin_mv INCREMENTAL")
         assert _ljoin_rows(engine) == _left_join_expected(engine, t, d), \
             f"divergence at step {step} ({side} {op})"
+
+
+def test_right_join_mv_canonicalizes_to_left_and_refreshes(engine,
+                                                           monkeypatch):
+    """2-table RIGHT JOIN ≡ swapped LEFT JOIN: the MV enrolls for join-
+    incremental maintenance and a preserved-side (dim) delete that pushes
+    facts into the NULL-extended group refreshes without fallback."""
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table("db.dim", "region string, zone string")
+    d.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2"), ("south", "z5")],
+        "region string, zone string"))
+    engine.register("db.dim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rjoin_mv AS "
+        "SELECT d.zone, count(*) AS n FROM db_sales s "
+        "RIGHT JOIN db_dim d ON s.region = d.region GROUP BY d.zone")
+    mv = engine.mv_catalog.get("rjoin_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
+    t.append(engine.spark.createDataFrame(
+        [("south", "w", 3.0)], schema=t.schema()))
+    d.delete_where("region = 'west'")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("rjoin_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("rjoin_mv")).collect()}
+    want = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "right")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
