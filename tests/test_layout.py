@@ -63,3 +63,32 @@ def test_partition_pruned_scan_matches_filter(spark):
     for k in exp:
         assert got[k]["n_lines"] == exp[k]["n_lines"]
         assert abs(got[k]["total_qty"] - exp[k]["total_qty"]) < 0.02
+
+
+def test_bucket_pruning_on_key_filter(spark, tmp_path):
+    """A point filter on the bucket key must prune the scan to ONE bucket
+    (SelectedBucketsCount 1 out of N) — the read-side payoff of bucketing."""
+    import contextlib
+    import io
+
+    from iceberg_demo_spark.operators.layout import write_bucketed
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    write_bucketed(df, "k", "glacier_bk_prune", str(tmp_path / "bkp"),
+                   n_buckets=8)
+    # autoBucketedScan drops the bucketed layout when no join/agg exploits
+    # it, which also forfeits filter-time bucket pruning — a pure-filter
+    # read wants it kept
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        q = spark.table("glacier_bk_prune").filter(F.col("k") == 421)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        assert "SelectedBucketsCount: 1 out of 8" in buf.getvalue()
+        assert [r["v"] for r in q.collect()] == [421 % 7]
+    finally:
+        spark.conf.set(key, old)
