@@ -156,3 +156,104 @@ def range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("err_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow"))
         .orderBy("err_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill (LOCF): regularize each user's event
+# stream to an hourly grid, carrying the last observation forward across
+# gaps — the standard feature-store / sensor-data densification step Spark
+# has no built-in for.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_gap_fill_resample",
+    oracle="""
+    WITH per_hour AS (
+      SELECT user_id, h, v FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g.h
+      FROM bounds, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    filled AS (
+      SELECT g.user_id, g.h, p.v,
+             last_value(p.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS locf
+      FROM grid g
+      LEFT JOIN per_hour p ON g.user_id = p.user_id AND g.h = p.h
+    )
+    SELECT user_id,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_observed,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_hours,
+           ROUND(arg_max(locf, h), 2) AS end_value
+    FROM filled
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of each user's value series with last-observation-
+    carried-forward, then per-user densification stats.
+
+    Determinism: the per-hour representative is max_by(value,
+    struct(ts, event_id)) — a total order, so equal-timestamp events can't
+    flip the fill; LOCF itself is a window last(ignorenulls) over the
+    generated grid. No fp reductions anywhere (the only value columns are
+    picked, not summed).
+
+    Scale shape: one partial-aggregated groupBy to hours (output ∝ user ×
+    active-hours, not events), a sequence()-explode for the grid (∝ span,
+    generated not stored), one shuffle on user for the LOCF window. At
+    100 TB the window partitions by (user, month) with a carried seed per
+    partition boundary — the standard chunked-LOCF refinement; semantics
+    here are the per-user exact form.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    per_hour = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.expr("max_by(value, struct(ts, event_id))").alias("v"))
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(per_hour, ["user_id", "h"], "left")
+        .withColumn("locf", F.last("v", ignorenulls=True).over(w))
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias(
+                "n_observed"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias(
+                "n_gap_hours"),
+            F.round(F.expr("max_by(locf, h)"), 2).alias("end_value"),
+        )
+        .orderBy("user_id")
+    )

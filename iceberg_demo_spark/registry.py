@@ -90,6 +90,12 @@ def load_all() -> None:
         "dedup_embedding_cosine",
         # rotated in round 4 to admit the sql_ctas_rtas gate:
         "dedup_clusters",
+        # ROUND-5 ROTATION QUEUE: added late in round 4 with no rotation
+        # candidates left (every remaining in-window gate still awaits its
+        # first or second driver row). Locally oracle-green at sf0.01 and
+        # sf0.1; promote into the window in round 5 once this round's run
+        # double-verifies the current window.
+        "events_gap_fill_resample",
     ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)

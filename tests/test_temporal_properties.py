@@ -72,3 +72,40 @@ def test_range_join_bins_equals_naive_containment(spark, points, ivals):
            for j, (ik, s, w) in enumerate(ivals)
            if pk == ik and s < ps <= s + w}
     assert got == exp
+
+
+def test_gap_fill_matches_python_locf(spark):
+    """Gap-fill gate vs a pure-Python hourly LOCF recompute."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    got = {r["user_id"]: r for r in
+           registry.QUERIES["events_gap_fill_resample"](spark, SF_SMALL)
+           .collect()}
+    by_user = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMALL}/events.parquet").collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    assert set(got) == set(by_user)
+    for uid, evs in by_user.items():
+        hour = lambda t: t.replace(minute=0, second=0, microsecond=0)
+        per_hour = {}
+        for ts, eid, v in sorted(evs):
+            per_hour[hour(ts)] = v  # sorted ⇒ max (ts, event_id) wins
+        h0, h1 = hour(min(e[0] for e in evs)), hour(max(e[0] for e in evs))
+        n_hours = n_obs = 0
+        locf = None
+        h = h0
+        while h <= h1:
+            n_hours += 1
+            if h in per_hour:
+                n_obs += 1
+                locf = per_hour[h]
+            h += dt.timedelta(hours=1)
+        g = got[uid]
+        assert (g["n_hours"], g["n_observed"], g["n_gap_hours"]) == (
+            n_hours, n_obs, n_hours - n_obs)
+        assert abs(g["end_value"] - locf) < 0.01
