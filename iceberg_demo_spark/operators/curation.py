@@ -434,16 +434,6 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _K = 8
 
-#: sequential left-fold squared-L2 — bit-identical to DuckDB's
-#: list_sum(list_transform(...)) because the element order and double op
-#: sequence match exactly.
-_DIST_EXPR = (
-    "aggregate(zip_with({a}, {b}, (x, y) ->"
-    " (double(x) - double(y)) * (double(x) - double(y))),"
-    " 0D, (acc, v) -> acc + v)"
-)
-
-
 @query(
     "emb_kmeans_clusters",
     oracle=f"""
@@ -515,37 +505,51 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheaper than pinning executor memory for this one-shot gate.
 
     Scale shape (the Spark MLlib KMeans shape, minus its driver sync):
-    each assignment is a broadcast of k centroids against the corpus
-    (k·dims doubles — trivially broadcastable at any corpus size) followed
-    by a per-row argmin; the centroid update is one partial-aggregated
-    groupBy on (cluster, dim) — k·dims output rows. Nothing driver-side,
-    nothing all-pairs; iterations scale linearly in corpus bytes. The
-    4dp centroid quantization between iterations makes re-runs (and the
-    DuckDB oracle) bit-reproducible.
+    all k centroids travel as ONE broadcast row (an array of k structs,
+    k·dims doubles — trivially broadcastable at any corpus size) and the
+    per-row argmin is an inline fold over that array, so each assignment
+    pass is a pure map with ZERO shuffle of the corpus (the shuffle audit
+    drove this shape: the earlier crossJoin + window argmin shuffled the
+    corpus on vec_id three times). The centroid update is one
+    partial-aggregated groupBy on (cluster, dim) — k·dims output rows.
+    Nothing driver-side, nothing all-pairs; iterations scale linearly in
+    corpus bytes. The 4dp centroid quantization between iterations makes
+    re-runs (and the DuckDB oracle) bit-reproducible; the fold keeps a
+    strictly-smaller minimum over cid-sorted centroids, which reproduces
+    the oracle's ORDER BY dist, cid tie-break exactly.
     """
     t = load_tables(spark, sf_dir, ("embeddings",))
     pts = t["embeddings"].select("vec_id", F.col("embedding").alias("e"))
     seeds = (
         pts.filter(F.col("vec_id") < _K)
-        .select(F.col("vec_id").alias("cid"), F.col("e").alias("c"))
+        .select(F.col("vec_id").cast("bigint").alias("cid"),
+                F.col("e").alias("c"))
     )
 
+    _D = ("aggregate(zip_with(e, {c}, (x, y) ->"
+          " (double(x) - double(y)) * (double(x) - double(y))),"
+          " 0D, (a, v) -> a + v)")
+    _ARGMIN = (
+        "aggregate(cents,"
+        " named_struct('cid', CAST(-1 AS BIGINT), 'dist', double('Infinity')),"
+        f" (acc, s) -> CASE WHEN {_D.format(c='s.c')} < acc.dist"
+        f" THEN named_struct('cid', s.cid, 'dist', {_D.format(c='s.c')})"
+        " ELSE acc END)")
+
     def assign(centroids: DataFrame) -> DataFrame:
-        d = pts.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cid",
-            F.expr(_DIST_EXPR.format(a="e", b="c")).alias("dist"),
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        cents = centroids.agg(
+            F.expr("array_sort(collect_list(struct(cid, c)))").alias("cents"))
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", "e", F.expr(_ARGMIN).alias("asg"))
+            .select("vec_id", "e",
+                    F.col("asg.cid").alias("cid"),
+                    F.col("asg.dist").alias("dist"))
         )
 
     a1 = assign(seeds)
     cm = (
-        a1.join(pts, "vec_id")
-        .select("cid", F.posexplode("e").alias("pos", "xf"))
+        a1.select("cid", F.posexplode("e").alias("pos", "xf"))
         .groupBy("cid", "pos")
         .agg(F.round(F.avg(F.col("xf").cast("double")), 4).alias("m"))
     )

@@ -160,6 +160,10 @@ def test_kmeans_assignments_broadcast_centroids(spark):
     assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 3
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # the 8-row rollup joins broadcast
+    # the fold-argmin assignment is a pure map: the corpus is NEVER
+    # shuffled on vec_id and there is no window sort
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan
 
 
 def test_bucketed_join_has_no_exchange_below_the_join(spark):
