@@ -346,13 +346,17 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in for k-means so the oracle is pure SQL), probe the
     _IVF_NPROBE cells nearest each query, rank candidates exactly.
 
-    Scale shape: the centroid set is tiny and BROADCAST to both the
-    assignment and probe joins, so building the inverted lists is one
-    map-side pass over the corpus (no shuffle of vectors); the candidate
-    join then touches ~nprobe/cells of the data — this is the IVF recall/
-    cost dial. At 100 TB the assignment becomes a bucketed write
-    (cell_id as partition key) so repeated queries skip assignment
-    entirely and prune scans to probed cells."""
+    Scale shape: all centroids travel as ONE broadcast row (array of
+    structs) and each corpus vector folds over it inline, so building the
+    inverted lists is a pure map — the corpus is NEVER shuffled or
+    row-multiplied for assignment (the earlier broadcast-join + window
+    argmax expanded every vector ×cells and shuffled that on vec_id); the
+    candidate join then touches ~nprobe/cells of the data — this is the
+    IVF recall/cost dial. At 100 TB the assignment becomes a bucketed
+    write (cell_id as partition key) so repeated queries skip assignment
+    entirely and prune scans to probed cells. The fold keeps a
+    strictly-greater maximum over cell_id-sorted centroids — exactly the
+    oracle's ORDER BY csim DESC, cell_id tie-break."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -360,14 +364,31 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cell_id"))
+    dot_e = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D,"
+             " (acc2, w2) -> acc2 + w2)")
+    # centroid norms are hoisted into the broadcast row and the corpus
+    # vector's norm into its own column, so each (vector, centroid) pair
+    # costs exactly ONE fold; argmax = first index of the array max, which
+    # on cell_id-sorted centroids reproduces the oracle's
+    # ORDER BY csim DESC, cell_id tie-break (sqrt(na)*sqrt(nb) is the same
+    # op sequence as the oracle, so sims stay bit-identical)
+    cents = cent.select(
+        "cell_id", "cv",
+        F.expr(f"sqrt({dot_e.format(a='cv', b='cv')})").alias("ncv"),
+    ).agg(
+        F.expr("array_sort(collect_list(struct(cell_id, cv, ncv)))")
+        .alias("cents"))
+    sims_e = (f"transform(cents, s -> {dot_e.format(a='v', b='s.cv')}"
+              " / (nv * s.ncv))")
     assign = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "v", "cell_id", cosine_sim(F.col("v"), F.col("cv")).alias("csim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter("rn = 1")
-        .select("vec_id", "v", "cell_id")
+        emb.withColumn("nv", F.expr(f"sqrt({dot_e.format(a='v', b='v')})"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("sims", F.expr(sims_e))
+        .select(
+            "vec_id", "v",
+            F.expr("element_at(cents, CAST(array_position(sims,"
+                   " array_max(sims)) AS INT)).cell_id").alias("cell_id"),
+        )
     )
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

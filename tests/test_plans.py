@@ -186,3 +186,12 @@ def test_partition_pruned_scan_prunes_directories(spark):
     # the partition column lives in directory names, not file bytes
     for chunk in plan.split("ReadSchema: ")[1:]:
         assert "l_returnflag" not in chunk.splitlines()[0]
+
+
+def test_ivf_assignment_never_shuffles_the_corpus(spark):
+    """IVF cell assignment is a fold over one broadcast centroid row — the
+    corpus must not be row-multiplied and shuffled on vec_id (the audit
+    caught the earlier broadcast-join + window form doing exactly that).
+    Remaining exchanges are on query_id (8 rows)."""
+    plan = _plan(spark, "sim_ann_ivf_topk")
+    assert "hashpartitioning(vec_id" not in plan
