@@ -195,3 +195,16 @@ def test_ivf_assignment_never_shuffles_the_corpus(spark):
     Remaining exchanges are on query_id (8 rows)."""
     plan = _plan(spark, "sim_ann_ivf_topk")
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_q18_preaggregates_lineitem_below_the_joins(spark):
+    """The canonical Q18 shape: lineitem pre-aggregates to qualifying
+    orderkeys (HAVING filter) BEFORE joining orders/customer, shrinking the
+    join input ~1000x — the HashAggregate must sit below both joins and the
+    lineitem scan must read only (l_orderkey, l_quantity)."""
+    plan = _plan(spark, "q18_large_volume_orders")
+    tree = plan.split("\n\n")[0]
+    agg_at = tree.index("HashAggregate")
+    join_at = tree.index("BroadcastHashJoin")
+    assert join_at < agg_at  # joins appear ABOVE (before, in tree text)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
