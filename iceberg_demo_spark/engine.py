@@ -166,7 +166,7 @@ class Engine:
                               select=m.group(6))
         m = re.match(
             r"(?is)^alter\s+view\s+([\w.]+)\s+set\s+tblproperties\s*\(", s)
-        if m:
+        if m and m.group(1) in self.catalog.views:
             body, rest = self._balanced_slice(s, m.end() - 1)
             if rest.strip():
                 return None
@@ -175,7 +175,7 @@ class Engine:
             return self._status(f"altered view {m.group(1)}")
         m = re.match(
             r"(?is)^alter\s+view\s+([\w.]+)\s+unset\s+tblproperties\s*\(", s)
-        if m:
+        if m and m.group(1) in self.catalog.views:
             body, rest = self._balanced_slice(s, m.end() - 1)
             if rest.strip():
                 return None
@@ -260,6 +260,18 @@ class Engine:
                 raise ValueError(
                     "REPLACE TABLE … PARTITIONED BY over an existing table "
                     "is not supported — drop and recreate instead")
+            if not self.catalog.table_exists(name):
+                if not or_replace:
+                    from iceberg_demo_spark.tables.catalog import (
+                        NoSuchTableError)
+
+                    raise NoSuchTableError(name)
+                # CREATE half of CREATE OR REPLACE: a fresh table must keep
+                # its PARTITIONED BY spec (replace_table_as has no
+                # partition_by parameter — replacement preserves the spec)
+                t = self.catalog.create_table_as(
+                    name, df, partition_by=partition_by, properties=props)
+                return self._status(f"created table {t.name} as select")
             t = self.catalog.replace_table_as(
                 name, df, properties=props, create_if_missing=or_replace)
             return self._status(f"replaced table {t.name}")
@@ -705,7 +717,13 @@ class Engine:
         # (target, source) match, so dedupe the source on exactly the
         # columns the ON condition reads — otherwise duplicate correlated
         # source rows would silently multiply target rows.
-        s_used = sorted({m.group(1) for m in re.finditer(r"\bs\.(\w+)", on)})
+        # scan only code segments — an 's.xyz' inside a string literal in a
+        # correlated conjunct must not become a phantom source column
+        s_used = sorted({
+            m.group(1)
+            for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", on))
+            if i % 2 == 0
+            for m in re.finditer(r"\bs\.(\w+)", seg)})
         if s_used:
             source = source.select(*s_used).distinct()
         else:  # ON references no source column → any one source row suffices
@@ -764,7 +782,13 @@ class Engine:
                 return m.group(1) + view
             return m.group(0)
 
-        return re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, sql_text)
+        # never rewrite inside '…'-quoted literals ("… FROM db.t …" as a
+        # string value must survive verbatim)
+        parts = re.split(r"('(?:[^']|'')*')", sql_text)
+        return "".join(
+            p if i % 2
+            else re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, p)
+            for i, p in enumerate(parts))
 
     #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR
     #: SYSTEM_VERSION / SYSTEM_TIME spellings) — docs/spark-queries.md:47-98

@@ -132,6 +132,13 @@ class MVManager:
             return None
         if len(info.base_tables) < 2 or info.limit is not None:
             return None
+        if any("." in ref for ref in info.base_tables):
+            # the refresh binds each ref to changelog/state temp views by
+            # its literal name, and temp view names cannot contain dots —
+            # refuse here so the MV never enrolls and refresh() takes the
+            # full-recompute path deliberately instead of via a swallowed
+            # AnalysisException
+            return None
         if len(set(info.base_tables)) != len(info.base_tables):
             return None  # self-join: per-ref view substitution can't express
         if not info.group_by:
@@ -532,28 +539,40 @@ class MVManager:
                 f"SELECT DISTINCT {key_sel} FROM {_from_sql(delta_ref=ref)}"
                 f"{where_sql}")
             touched = k if touched is None else touched.union(k)
-            # Delta on a LEFT join's nullable side: the rows it matches also
-            # MOVE between their matched group and the NULL-extended group,
-            # so the same probe's keys with every nullable-derived key
-            # column nulled out are touched too (over-approximating across
-            # independent left joins is safe — extra keys only recompute
-            # unchanged groups).
+            # Delta on a LEFT join's nullable side: rows it matches also
+            # MOVE between groups — gaining/losing the ref match can null
+            # out the ref's key columns AND (transitively, when another
+            # nullable table joins through ref) other nullable tables'
+            # keys, while keys from still-matched tables keep their probed
+            # values. Statically we don't know which combination a given
+            # row lands on, so union one nulled-key variant per NON-EMPTY
+            # SUBSET of the key-referenced nullable tables — a sound
+            # over-approximation (extra keys only recompute unchanged
+            # groups); nulling everything at once (the first cut of this
+            # code) UNDER-approximated: a row moving to (z, NULL) was only
+            # probed as (NULL, NULL), leaving (z, NULL) stale.
             nullable = {j["right_table"] for j in info.joins
                         if j["type"] == "left"}
-            if ref in nullable and any(
-                    re.search(rf"\b{re.escape(nt)}\.", e)
-                    for nt in nullable for _n, e in key_cols):
+            null_tables = [
+                nt for nt in sorted(nullable)
+                if any(re.search(rf"\b{re.escape(nt)}\.", e)
+                       for _n, e in key_cols)]
+            if ref in nullable and null_tables:
+                from itertools import combinations
+
                 types = {f.name: f.type for f in backing.metadata.schema}
-                null_sel = ", ".join(
-                    f"CAST(NULL AS {types[n]}) AS {n}"
-                    if any(re.search(rf"\b{re.escape(nt)}\.", e)
-                           for nt in nullable)
-                    else f"{e} AS {n}"
-                    for n, e in key_cols)
-                k2 = self.spark.sql(
-                    f"SELECT DISTINCT {null_sel} "
-                    f"FROM {_from_sql(delta_ref=ref)}{where_sql}")
-                touched = touched.union(k2)
+                for r_ in range(1, len(null_tables) + 1):
+                    for subset in combinations(null_tables, r_):
+                        null_sel = ", ".join(
+                            f"CAST(NULL AS {types[n]}) AS {n}"
+                            if any(re.search(rf"\b{re.escape(nt)}\.", e)
+                                   for nt in subset)
+                            else f"{e} AS {n}"
+                            for n, e in key_cols)
+                        k2 = self.spark.sql(
+                            f"SELECT DISTINCT {null_sel} "
+                            f"FROM {_from_sql(delta_ref=ref)}{where_sql}")
+                        touched = touched.union(k2)
         touched = touched.distinct()
 
         # rebind every ref to its current state for the recompute (and for

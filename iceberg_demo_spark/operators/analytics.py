@@ -179,7 +179,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(df) AS BIGINT) AS df
     FROM ranked WHERE rn = 1
     GROUP BY lang, tok
-    ORDER BY n_docs_top DESC, term ASC
+    ORDER BY n_docs_top DESC, term ASC, lang ASC
     LIMIT 20
     """,
 )
@@ -209,7 +209,8 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tf").alias("total_tf"),
             F.min("df").alias("df"),
         )
-        .orderBy(F.col("n_docs_top").desc(), F.col("term").asc())
+        .orderBy(F.col("n_docs_top").desc(), F.col("term").asc(),
+                 F.col("lang").asc())
         .limit(20)
     )
 

@@ -524,3 +524,47 @@ def test_right_join_mv_canonicalizes_to_left_and_refreshes(engine,
         .groupBy("zone").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_two_left_joins_partial_null_group_move(engine, monkeypatch):
+    """Review regression: with TWO left joins and keys from both nullable
+    tables, deleting a c row moves facts from (zone, cat) to (zone, NULL) —
+    the probe must touch the PARTIALLY-nulled destination key, not just the
+    all-nulled one."""
+    t = _setup(engine, ROWS)
+    b = engine.catalog.create_table("db.bdim", "region string, zone string")
+    b.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2"), ("north", "z1")],
+        "region string, zone string"))
+    c = engine.catalog.create_table("db.cdim", "product string, cat string")
+    c.append(engine.spark.createDataFrame(
+        [("w", "tools"), ("g", "toys")], "product string, cat string"))
+    engine.register("db.bdim")
+    engine.register("db.cdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ll_mv AS "
+        "SELECT b.zone, c.cat, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_bdim b ON s.region = b.region "
+        "LEFT JOIN db_cdim c ON s.product = c.cat_key GROUP BY b.zone, c.cat"
+        .replace("c.cat_key", "c.product"))
+    c.delete_where("product = 'w'")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("ll_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("ll_mv")).collect()}
+    want = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(b.scan().alias("b"), F.col("s.region") == F.col("b.region"),
+              "left")
+        .join(c.scan().alias("c"), F.col("s.product") == F.col("c.product"),
+              "left")
+        .groupBy("zone", "cat").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # the moved facts landed in (zone, NULL) groups with zone NON-null
+    assert any(z is not None and cat is None for z, cat, _n in got)

@@ -174,8 +174,9 @@ def test_sql_alter_view_properties(engine):
     assert eng.catalog.views["v_props"]["properties"]["tier"] == "silver"
     eng.sql("ALTER VIEW v_props UNSET TBLPROPERTIES ('owner', 'missing')")
     assert eng.catalog.views["v_props"]["properties"] == {"tier": "silver"}
-    from iceberg_demo_spark.tables.catalog import NoSuchTableError
-    with pytest.raises(NoSuchTableError):
+    # a name the engine catalog doesn't own delegates to Spark, whose
+    # resolver raises its own (equally loud) error
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND"):
         eng.sql("ALTER VIEW no_such_view SET TBLPROPERTIES ('a' = 'b')")
 
 
@@ -197,3 +198,61 @@ def test_plain_select_resolves_catalog_tables_without_register(engine, spark):
     # temp views still win their own names
     spark.createDataFrame([(7,)], "z bigint").createOrReplaceTempView("plain_v")
     assert eng.sql("SELECT z FROM plain_v").collect()[0][0] == 7
+
+
+def test_create_or_replace_fresh_table_keeps_partition_spec(engine):
+    """Review regression: CREATE OR REPLACE TABLE ... PARTITIONED BY on a
+    table that does NOT yet exist must create it partitioned."""
+    eng = engine
+    eng.sql("CREATE TABLE db.src_p (id BIGINT, cat STRING)")
+    eng.sql("INSERT INTO db.src_p VALUES (1, 'a'), (2, 'b')")
+    eng.sql(
+        "CREATE OR REPLACE TABLE db.fresh_p PARTITIONED BY (cat) "
+        "AS SELECT id, cat FROM db.src_p")
+    t = eng.catalog.load_table("db.fresh_p")
+    assert t.metadata.partition_spec, "partition spec was dropped"
+    assert eng.sql("SELECT count(*) FROM db.fresh_p").collect()[0][0] == 2
+
+
+def test_string_literal_containing_from_table_ref_survives(engine, spark):
+    """Review regression: 'from db.x' inside a string literal must not be
+    rewritten by the catalog binder."""
+    eng = engine
+    eng.sql("CREATE TABLE db.lit_t (id BIGINT, note STRING)")
+    eng.sql("INSERT INTO db.lit_t VALUES (1, 'copied from db.lit_t')")
+    rows = eng.sql(
+        "SELECT note FROM db.lit_t WHERE note = 'copied from db.lit_t'"
+    ).collect()
+    assert [r["note"] for r in rows] == ["copied from db.lit_t"]
+
+
+def test_alter_view_on_non_engine_view_delegates_to_spark(engine, spark):
+    """Review regression: ALTER VIEW on a name the engine catalog doesn't
+    own must fall through to Spark (which raises its own error for temp
+    views) rather than NoSuchTableError from the engine catalog."""
+    import pytest as _pytest
+
+    from iceberg_demo_spark.tables.catalog import NoSuchTableError
+
+    spark.createDataFrame([(1,)], "x bigint").createOrReplaceTempView(
+        "spark_only_view")
+    with _pytest.raises(Exception) as ei:
+        engine.sql(
+            "ALTER VIEW spark_only_view SET TBLPROPERTIES ('a' = 'b')")
+    assert not isinstance(ei.value, NoSuchTableError)
+
+
+def test_exists_on_clause_literal_not_treated_as_source_column(engine):
+    """Review regression: an 's.'-prefixed token inside a string literal in
+    the correlated predicate must not become a phantom source column."""
+    eng = engine
+    eng.sql("CREATE TABLE db.ex_t (id BIGINT, note STRING)")
+    eng.sql("INSERT INTO db.ex_t VALUES (1, 's.flag'), (2, 'other')")
+    eng.sql("CREATE TABLE db.ex_src (oid BIGINT)")
+    eng.sql("INSERT INTO db.ex_src VALUES (1), (1)")
+    eng.sql(
+        "DELETE FROM db.ex_t t1 WHERE EXISTS ("
+        "SELECT 1 FROM db.ex_src WHERE oid = t1.id "
+        "AND t1.note = 's.flag')")
+    left = eng.sql("SELECT id FROM db.ex_t ORDER BY id").collect()
+    assert [r["id"] for r in left] == [2]
