@@ -46,12 +46,13 @@ def load_all() -> None:
     STANDING POLICY: any gate added mid-round must register inside the first
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
-    externally verified. Counts as of round 4: table_ops 20 (incl. the 2
-    stateful-streaming gates + SQL-text CTAS/RTAS), temporal 2, skew 2,
-    layout 2, sampling 2, similarity 5, multimodal 4, text 6, analytics 8,
-    curation 6, dedup 7 (= 64) minus the 13 rotated-out gates below + q15
-    (the one relational gate with no prior driver row) = 50 exactly; every
-    other relational gate was driver-verified green in rounds 2-3.
+    externally verified. End-of-round-4 window (exactly 50): table_ops 20
+    (incl. the 2 stateful-streaming gates + SQL-text CTAS/RTAS),
+    temporal 2, skew 2, layout 2, sampling 2, similarity 4, multimodal 3,
+    analytics 6, curation 6, dedup 2 (minhash, simhash) + q15 (the one
+    relational gate with no prior driver row) at position 50; the 13
+    rotated-out gates and the round-5 queue follow, then the long-verified
+    relational tail.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
