@@ -310,7 +310,11 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE array() END"
             )
         ).alias("g"),
-    ).distinct()
+    )
+    # NO corpus-wide distinct here: duplicate shingles within a doc only
+    # produce duplicate semi-join hits, which the doc-level distinct below
+    # removes anyway — a global (source, doc_id, g) dedup would shuffle the
+    # entire shingle set, the biggest exchange of the op at 100 TB
     is_bench = F.col("source").isin(*_BENCH_SOURCES)
     bench = grams.filter(is_bench).select("g").distinct()
     hits = (
