@@ -568,3 +568,73 @@ def test_two_left_joins_partial_null_group_move(engine, monkeypatch):
     assert got == want
     # the moved facts landed in (zone, NULL) groups with zone NON-null
     assert any(z is not None and cat is None for z, cat, _n in got)
+
+
+def test_two_left_joins_randomized_matches_full(engine):
+    """Randomized DML over fact + both nullable dims of a two-LEFT-join MV:
+    every incremental refresh must equal a from-scratch recompute — fuzzes
+    the subset-nulled-key probe across partial NULL-group transitions."""
+    import random
+
+    rng = random.Random(31)
+    t = _setup(engine, ROWS)
+    b = engine.catalog.create_table("db.bdim", "region string, zone string")
+    b.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2")], "region string, zone string"))
+    c = engine.catalog.create_table("db.cdim", "product string, cat string")
+    c.append(engine.spark.createDataFrame(
+        [("w", "tools")], "product string, cat string"))
+    engine.register("db.bdim")
+    engine.register("db.cdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ll_rand_mv AS "
+        "SELECT b.zone, c.cat, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_bdim b ON s.region = b.region "
+        "LEFT JOIN db_cdim c ON s.product = c.product "
+        "GROUP BY b.zone, c.cat")
+    regions = ["east", "west", "north", "south"]
+    products = ["w", "g", "p"]
+    zones = ["z1", "z2", "z3"]
+    cats = ["tools", "toys"]
+
+    def expected():
+        return {
+            tuple(r)
+            for r in t.scan().alias("s")
+            .join(b.scan().alias("b"),
+                  F.col("s.region") == F.col("b.region"), "left")
+            .join(c.scan().alias("c"),
+                  F.col("s.product") == F.col("c.product"), "left")
+            .groupBy("zone", "cat")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amount").alias("total")).collect()
+        }
+
+    for step in range(8):
+        side = rng.choice(["fact", "b", "c", "c"])
+        if side == "fact":
+            if rng.random() < 0.6:
+                t.append(engine.spark.createDataFrame(
+                    [(rng.choice(regions), rng.choice(products),
+                      float(rng.randint(1, 99)))], schema=t.schema()))
+            else:
+                t.delete_where(f"region = '{rng.choice(regions)}' "
+                               f"and amount < {rng.randint(10, 60)}")
+        elif side == "b":
+            if rng.random() < 0.5:
+                b.append(engine.spark.createDataFrame(
+                    [(rng.choice(regions), rng.choice(zones))],
+                    "region string, zone string"))
+            else:
+                b.delete_where(f"region = '{rng.choice(regions)}'")
+        else:
+            if rng.random() < 0.5:
+                c.append(engine.spark.createDataFrame(
+                    [(rng.choice(products), rng.choice(cats))],
+                    "product string, cat string"))
+            else:
+                c.delete_where(f"product = '{rng.choice(products)}'")
+        engine.sql("REFRESH MATERIALIZED VIEW ll_rand_mv INCREMENTAL")
+        got = {tuple(r) for r in engine.mv.backing_df(
+            engine.mv_catalog.get("ll_rand_mv")).collect()}
+        assert got == expected(), f"divergence at step {step} ({side})"
