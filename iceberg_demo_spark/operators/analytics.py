@@ -550,3 +550,78 @@ def doc_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile-bucket customers by recency / frequency /
+# monetary value — the standard behavioral segmentation every growth /
+# retention pipeline computes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT n_orders,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+             NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+      FROM cust
+    )
+    SELECT r_q, f_q, m_q,
+           COUNT(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+    FROM q
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM quartiles and the resulting segment sizes.
+
+    Determinism: every NTILE orders by (metric, o_custkey) — a total
+    order — and the monetary metric is the exact-decimal sum, so quartile
+    boundaries cannot flip between engines.
+
+    Scale shape: one partial-aggregated groupBy to per-customer rows
+    (∝ customers, orders-of-magnitude smaller than orders), then exact
+    global quartiles over that aggregate. The single-partition NTILE sort
+    is the exactness tier — at 100 TB you'd take approx_percentile
+    cutoffs from the same per-customer frame (one extra aggregate, fully
+    parallel) and join them back; the segment rollup is identical either
+    way.
+    """
+    from iceberg_demo_spark.functions import dsum
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    def quart(order_cols):
+        return F.ntile(4).over(Window.orderBy(*order_cols))
+    q = cust.select(
+        "n_orders",
+        quart([F.col("last_order").desc(), F.col("o_custkey")]).alias("r_q"),
+        quart([F.col("n_orders").desc(), F.col("o_custkey")]).alias("f_q"),
+        quart([F.col("monetary").desc(), F.col("o_custkey")]).alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum("n_orders").alias("total_orders"))
+        .orderBy("r_q", "f_q", "m_q")
+    )

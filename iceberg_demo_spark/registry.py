@@ -97,6 +97,7 @@ def load_all() -> None:
         # sf0.1; promote into the window in round 5 once this round's run
         # double-verifies the current window.
         "events_gap_fill_resample",
+        "orders_rfm_segments",
     ):
         if _name in QUERIES:
             QUERIES[_name] = QUERIES.pop(_name)

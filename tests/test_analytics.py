@@ -152,3 +152,41 @@ def test_quality_pipeline_kept_subset_manual(spark):
     for src, r in rows.items():
         assert r["n_total"] == total_by_src[src]
         assert r["n_kept"] == kept_by_src[src]
+
+
+def test_rfm_segments_match_python_quartiles(spark):
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["orders_rfm_segments"](spark, SF_SMALL).collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cust = {}
+    for o in orders:
+        c = cust.setdefault(o["o_custkey"],
+                            {"last": o["o_orderdate"], "n": 0, "m": 0.0})
+        c["last"] = max(c["last"], o["o_orderdate"])
+        c["n"] += 1
+        c["m"] += o["o_totalprice"]
+
+    def ntile4(keys):
+        n = len(keys)
+        out = {}
+        base, extra = divmod(n, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        i = 0
+        for b, size in enumerate(sizes, start=1):
+            for k in keys[i:i + size]:
+                out[k] = b
+            i += size
+        return out
+
+    ks = list(cust)
+    r_q = ntile4(sorted(ks, key=lambda k: (cust[k]["last"], -k),
+                        reverse=True))
+    f_q = ntile4(sorted(ks, key=lambda k: (cust[k]["n"], -k), reverse=True))
+    m_q = ntile4(sorted(ks, key=lambda k: (round(cust[k]["m"], 2), -k),
+                        reverse=True))
+    from collections import Counter
+    exp = Counter((r_q[k], f_q[k], m_q[k]) for k in ks)
+    got = {(r["r_q"], r["f_q"], r["m_q"]): r["n_customers"] for r in rows}
+    assert got == dict(exp)
+    assert sum(r["total_orders"] for r in rows) == len(orders)

@@ -78,6 +78,10 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    if name_filter == ["--window"]:
+        # emulate the driver's CORRECTNESS gate: exactly the first 50
+        # registered queries, in registration order
+        name_filter = list(registry.QUERIES)[:50]
 
     spark = get_spark("check_oracles")
     con = duckdb.connect()
