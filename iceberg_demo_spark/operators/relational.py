@@ -1258,3 +1258,80 @@ def rollup_flag_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "status")
     )
+
+
+@query(
+    "cube_flag_status_price",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY flag, status
+    """,
+)
+def cube_flag_status_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every granularity combination —
+    detail, per-flag, per-status, grand total — in one aggregation pass
+    (grouping sets expand map-side, same single-scan win as ROLLUP)."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_extendedprice")).alias("sum_price"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "sum_price", "n",
+        )
+        .orderBy("flag", "status")
+    )
+
+
+@query(
+    "quantity_percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           quantile_disc(l_quantity, 0.25) AS p25,
+           quantile_disc(l_quantity, 0.50) AS p50,
+           quantile_disc(l_quantity, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+)
+def quantity_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p25/p50/p75) of quantity per returnflag.
+
+    Discrete (not interpolated) quantiles return an actual data value, so
+    the cross-engine comparison is exact — no fp interpolation to diverge.
+    The quantile is expressed from first principles as the smallest value
+    whose cumulative rank covers ceil(p·n) (DuckDB quantile_disc
+    semantics), via one rank window + conditional MIN. Scale shape: one
+    shuffle on the flag key for the window; at 100 TB you'd switch to
+    approx_percentile (t-digest, mergeable sketches) and accept bounded
+    error — this gate is the exactness tier.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    # rank each value within its flag once, then pick the covering value
+    from pyspark.sql import Window as W
+    ranked = t["lineitem"].select("l_returnflag", "l_quantity").withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("l_returnflag").orderBy("l_quantity"))
+    ).withColumn(
+        "cnt", F.count(F.lit(1)).over(W.partitionBy("l_returnflag")))
+    agg = ranked.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.min(F.when(F.col("rk") >= F.ceil(0.25 * F.col("cnt")),
+                     F.col("l_quantity"))).alias("p25"),
+        F.min(F.when(F.col("rk") >= F.ceil(0.50 * F.col("cnt")),
+                     F.col("l_quantity"))).alias("p50"),
+        F.min(F.when(F.col("rk") >= F.ceil(0.75 * F.col("cnt")),
+                     F.col("l_quantity"))).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.orderBy("flag")

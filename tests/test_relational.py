@@ -92,3 +92,46 @@ def test_every_query_has_oracle_or_is_declared_rows_only(spark):
     for name in registry.QUERIES:
         if name not in rows_only:
             assert name in registry.ORACLES, f"{name} lacks a DuckDB oracle"
+
+
+def test_cube_covers_all_granularities(spark):
+    from tests.conftest import SF_SMALL
+
+    rows = {(r["flag"], r["status"]): r["n"] for r in
+            registry.QUERIES["cube_flag_status_price"](spark, SF_SMALL)
+            .collect()}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    total = li.count()
+    assert rows[("<all>", "<all>")] == total
+    # per-flag subtotals equal the sum of their detail rows
+    flags = {f for f, s in rows if f != "<all>"}
+    for f in flags:
+        detail = sum(n for (ff, ss), n in rows.items()
+                     if ff == f and ss != "<all>")
+        assert rows[(f, "<all>")] == detail
+    # per-status subtotals (the CUBE-only granularity ROLLUP lacks)
+    statuses = {s for f, s in rows if s != "<all>"}
+    for s in statuses:
+        detail = sum(n for (ff, ss), n in rows.items()
+                     if ss == s and ff != "<all>")
+        assert rows[("<all>", s)] == detail
+
+
+def test_discrete_percentiles_match_python(spark):
+    from tests.conftest import SF_SMALL
+    import math
+
+    rows = {r["flag"]: r for r in
+            registry.QUERIES["quantity_percentiles_by_flag"](spark, SF_SMALL)
+            .collect()}
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_quantity"])
+    for flag, vals in by_flag.items():
+        vals.sort()
+        got = rows[flag]
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            exp = vals[math.ceil(p * len(vals)) - 1]
+            assert got[col] == exp, (flag, p)
+        assert got["n"] == len(vals)
