@@ -558,6 +558,64 @@ def doc_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention pipeline computes.
 # ---------------------------------------------------------------------------
 
+def _exact_desc_ntile(
+    df: DataFrame,
+    metric: str,
+    n_total: int,
+    cuts: list,
+    k: int,
+    out: str,
+) -> DataFrame:
+    """Exact NTILE(k) OVER (ORDER BY metric DESC, o_custkey) — distributed.
+
+    No single-partition global sort anywhere. The scheme:
+
+    1. ``cuts`` are approx-quantile values of ``metric`` (computed once by
+       the caller and embedded as LITERALS, so every job that evaluates the
+       partition id sees identical boundaries — recompute-deterministic,
+       unlike ``repartitionByRange`` whose sampled boundaries can differ
+       between jobs). Row's range-partition id ``_pid`` = number of cuts
+       strictly greater-ordered, a pure column expression: monotone in the
+       DESC order, so partitions are contiguous rank ranges.
+    2. ``row_number`` within each ``_pid`` (hash-exchange on ``_pid``,
+       per-partition sort of ~1/P of the rows — the distributed sort).
+    3. Per-partition counts are a ≤P-row aggregate; the caller-visible
+       driver collect here is bounded by the partition count (a config
+       constant, not data). Cumulative offsets become a literal map:
+       global rank rk = offset[_pid] + local row_number.
+    4. NTILE bucket ends b_i = i*(n div k) + min(i, n mod k) are computed
+       from the exact ``n_total`` literal; bucket = 1 + Σ [rk > b_i].
+
+    Accuracy of the cuts affects only balance, never correctness. Caveat:
+    a single metric value holding ≫1/P of the rows (possible for the
+    small-domain frequency metric) concentrates its partition; still ≤ the
+    value's share of rows, vs 100% for a global-sort NTILE.
+    """
+    order = [F.col(metric).desc(), F.col("o_custkey")]
+    pid = F.lit(0)
+    for c in cuts:
+        pid = pid + F.when(F.col(metric) < F.lit(c), 1).otherwise(0)
+    with_pid = df.withColumn("_pid", pid.cast("int"))
+    sizes = {
+        r["_pid"]: r["c"]
+        for r in with_pid.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    }
+    off, offsets = 0, {}
+    for p in sorted(sizes):
+        offsets[p] = off
+        off += sizes[p]
+    off_map = F.create_map(
+        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])])
+    rk = (off_map[F.col("_pid")]
+          + F.row_number().over(Window.partitionBy("_pid").orderBy(*order)))
+    q, r = divmod(n_total, k)
+    tile = F.lit(1)
+    for i in range(1, k):
+        tile = tile + F.when(rk > F.lit(i * q + min(i, r)), 1).otherwise(0)
+    return with_pid.withColumn(out, tile.cast("int")).drop("_pid")
+
+
 @query(
     "orders_rfm_segments",
     oracle="""
@@ -592,12 +650,14 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries cannot flip between engines.
 
     Scale shape: one partial-aggregated groupBy to per-customer rows
-    (∝ customers, orders-of-magnitude smaller than orders), then exact
-    global quartiles over that aggregate. The single-partition NTILE sort
-    is the exactness tier — at 100 TB you'd take approx_percentile
-    cutoffs from the same per-customer frame (one extra aggregate, fully
-    parallel) and join them back; the segment rollup is identical either
-    way.
+    (∝ customers, orders-of-magnitude smaller than orders), then EXACT
+    quartiles computed distributed via ``_exact_desc_ntile`` — literal
+    approx-quantile range boundaries, per-range ``row_number``, literal
+    partition offsets, literal NTILE bucket ends. No global
+    ``Window.orderBy`` (single-partition sort) anywhere in the plan; the
+    per-metric sorts each cover ~1/P of the per-customer frame. The only
+    driver materializations are the 1-row cuts/count aggregate and three
+    ≤P-row partition-size frames.
     """
     from iceberg_demo_spark.functions import dsum
 
@@ -610,15 +670,26 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("monetary"),
         )
+        # timestamps aren't numeric for percentile_approx; rank by epoch
+        # micros (a monotone mapping, so the DESC order is unchanged)
+        .withColumn(
+            "last_order_d",
+            F.expr("unix_micros(cast(last_order as timestamp))"),
+        )
+        .drop("last_order")
     )
-    def quart(order_cols):
-        return F.ntile(4).over(Window.orderBy(*order_cols))
-    q = cust.select(
-        "n_orders",
-        quart([F.col("last_order").desc(), F.col("o_custkey")]).alias("r_q"),
-        quart([F.col("n_orders").desc(), F.col("o_custkey")]).alias("f_q"),
-        quart([F.col("monetary").desc(), F.col("o_custkey")]).alias("m_q"),
-    )
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    fracs = [i / nparts for i in range(1, nparts)]
+    stats = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("last_order_d", fracs, 10000).alias("rc"),
+        F.percentile_approx("n_orders", fracs, 10000).alias("fc"),
+        F.percentile_approx("monetary", fracs, 10000).alias("mc"),
+    ).first()
+    n_total = stats["n"]
+    q = _exact_desc_ntile(cust, "last_order_d", n_total, stats["rc"], 4, "r_q")
+    q = _exact_desc_ntile(q, "n_orders", n_total, stats["fc"], 4, "f_q")
+    q = _exact_desc_ntile(q, "monetary", n_total, stats["mc"], 4, "m_q")
     return (
         q.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"),

@@ -1310,28 +1310,40 @@ def quantity_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Discrete (not interpolated) quantiles return an actual data value, so
     the cross-engine comparison is exact — no fp interpolation to diverge.
-    The quantile is expressed from first principles as the smallest value
-    whose cumulative rank covers ceil(p·n) (DuckDB quantile_disc
-    semantics), via one rank window + conditional MIN. Scale shape: one
-    shuffle on the flag key for the window; at 100 TB you'd switch to
-    approx_percentile (t-digest, mergeable sketches) and accept bounded
-    error — this gate is the exactness tier.
+    DuckDB quantile_disc semantics: the smallest value whose cumulative
+    row count covers ceil(p·n).
+
+    Scale shape (value-counts formulation): ``l_quantity`` is a discrete
+    low-cardinality domain (1–50), so we first aggregate to per-(flag,
+    quantity) counts — a map-side-combined groupBy whose output is ~150
+    rows at ANY input scale — then run the cumulative-coverage window over
+    that tiny frame only. The smallest value v with cum(v) >= ceil(p·n)
+    is exactly the value at rank ceil(p·n), so semantics are identical to
+    the row-level rank formulation, but no fact-wide window exists in the
+    plan: the only window sorts ≤50 rows per flag. For a continuous
+    (non-discrete) column at 100 TB you'd switch to approx_percentile
+    (t-digest, mergeable sketches); for discrete domains this IS the
+    100 TB-safe exact shape.
     """
     t = load_tables(spark, sf_dir, ("lineitem",))
-    # rank each value within its flag once, then pick the covering value
     from pyspark.sql import Window as W
-    ranked = t["lineitem"].select("l_returnflag", "l_quantity").withColumn(
-        "rk", F.row_number().over(
-            W.partitionBy("l_returnflag").orderBy("l_quantity"))
-    ).withColumn(
-        "cnt", F.count(F.lit(1)).over(W.partitionBy("l_returnflag")))
-    agg = ranked.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.min(F.when(F.col("rk") >= F.ceil(0.25 * F.col("cnt")),
+    # 1 shuffle: partial-aggregated value counts, ~150 output rows total.
+    vc = (
+        t["lineitem"]
+        .groupBy(F.col("l_returnflag").alias("flag"), "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Windows over the ~150-row counts frame (≤50 rows per flag partition).
+    cum = vc.withColumn(
+        "cum", F.sum("c").over(W.partitionBy("flag").orderBy("l_quantity"))
+    ).withColumn("n", F.sum("c").over(W.partitionBy("flag")))
+    agg = cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") >= F.ceil(0.25 * F.col("n")),
                      F.col("l_quantity"))).alias("p25"),
-        F.min(F.when(F.col("rk") >= F.ceil(0.50 * F.col("cnt")),
+        F.min(F.when(F.col("cum") >= F.ceil(0.50 * F.col("n")),
                      F.col("l_quantity"))).alias("p50"),
-        F.min(F.when(F.col("rk") >= F.ceil(0.75 * F.col("cnt")),
+        F.min(F.when(F.col("cum") >= F.ceil(0.75 * F.col("n")),
                      F.col("l_quantity"))).alias("p75"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("n"),
     )
     return agg.orderBy("flag")

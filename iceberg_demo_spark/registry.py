@@ -46,13 +46,15 @@ def load_all() -> None:
     STANDING POLICY: any gate added mid-round must register inside the first
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
-    externally verified. End-of-round-4 window (exactly 50): table_ops 20
-    (incl. the 2 stateful-streaming gates + SQL-text CTAS/RTAS),
-    temporal 2, skew 2, layout 2, sampling 2, similarity 4, multimodal 3,
-    analytics 6, curation 6, dedup 2 (minhash, simhash) + q15 (the one
-    relational gate with no prior driver row) at position 50; the 13
-    rotated-out gates and the round-5 queue follow, then the long-verified
-    relational tail.
+    externally verified. Round-5 window (exactly 50): the round-4 window
+    minus 4 table_ops gates green in BOTH r3 and r4 (rotated out:
+    dml_overwrite_dynamic, tt_snapshot_counts, insert_overwrite_static,
+    incremental_read_appends), plus the 4 gates that have never had a
+    driver row — cube_flag_status_price, quantity_percentiles_by_flag,
+    events_gap_fill_resample, orders_rfm_segments — at positions 46-49.
+    Green rows for those 4 complete 99/99 gates driver-verified at least
+    once. The rotated-out gates and the long-verified relational tail
+    follow (local oracle checks still cover them every round).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -69,11 +71,20 @@ def load_all() -> None:
         relational,
     )
 
-    # Window rotation: gates with green driver rows in BOTH rounds 2 and 3
-    # yield their slot to gates that have never been externally verified.
-    # They stay registered (local oracle checks still cover them) but move
-    # to the end of the driver's evaluation order.
-    for _name in (
+    # Window rotation: gates with green driver rows in TWO rounds yield
+    # their slot to gates that have never been externally verified. They
+    # stay registered (local oracle checks still cover them) but move to
+    # the end of the driver's evaluation order.
+    _promoted = (
+        # ROUND 5: the 4 gates added late in round 4 with no driver row
+        # yet — placed at window positions 46-49 so the driver's first-50
+        # run finally verifies them (→ 99/99 gates driver-verified).
+        "cube_flag_status_price",
+        "quantity_percentiles_by_flag",
+        "events_gap_fill_resample",
+        "orders_rfm_segments",
+    )
+    _rotated_out = (
         "dedup_exact",
         "dedup_exact_keepers",
         # rotated in round 4 to admit the curation module's 6 new gates:
@@ -91,15 +102,22 @@ def load_all() -> None:
         "dedup_embedding_cosine",
         # rotated in round 4 to admit the sql_ctas_rtas gate:
         "dedup_clusters",
-        # ROUND-5 ROTATION QUEUE: added late in round 4 with no rotation
-        # candidates left (every remaining in-window gate still awaits its
-        # first or second driver row). Locally oracle-green at sf0.01 and
-        # sf0.1; promote into the window in round 5 once this round's run
-        # double-verifies the current window.
-        "events_gap_fill_resample",
-        "orders_rfm_segments",
-    ):
-        if _name in QUERIES:
-            QUERIES[_name] = QUERIES.pop(_name)
-            if _name in ORACLES:
-                ORACLES[_name] = ORACLES.pop(_name)
+        # rotated in round 5 (green in BOTH r3 and r4) to admit the 4
+        # promoted gates above:
+        "dml_overwrite_dynamic",
+        "tt_snapshot_counts",
+        "insert_overwrite_static",
+        "incremental_read_appends",
+    )
+    _names = [n for n in QUERIES
+              if n not in _rotated_out and n not in _promoted]
+    _order = (
+        _names[: 50 - len(_promoted)]
+        + [n for n in _promoted if n in QUERIES]
+        + _names[50 - len(_promoted):]
+        + [n for n in _rotated_out if n in QUERIES]
+    )
+    for _name in _order:
+        QUERIES[_name] = QUERIES.pop(_name)
+        if _name in ORACLES:
+            ORACLES[_name] = ORACLES.pop(_name)

@@ -208,3 +208,30 @@ def test_q18_preaggregates_lineitem_below_the_joins(spark):
     join_at = tree.index("BroadcastHashJoin")
     assert join_at < agg_at  # joins appear ABOVE (before, in tree text)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_percentiles_window_sits_above_value_counts_aggregate(spark):
+    """Round-5 reshape: the discrete-percentile gate must run its
+    cumulative-coverage window over the ~150-row (flag, quantity)
+    value-counts frame, never over the fact table — the fact-wide
+    aggregate therefore sits BELOW every Window in the tree."""
+    plan = _plan(spark, "quantity_percentiles_by_flag")
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    # deepest HashAggregate (the value-counts pass) is below the window
+    assert tree.index("Window") < tree.rindex("HashAggregate")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "flag" in line  # partitioned — never a global window
+
+
+def test_rfm_quartiles_have_no_global_window(spark):
+    """Round-5 reshape: NTILE is computed distributed (literal range
+    boundaries + per-range row_number + literal offsets); the plan must
+    contain no ntile and no window without a partition spec."""
+    plan = _plan(spark, "orders_rfm_segments")
+    assert "ntile" not in plan
+    wsd = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(wsd) == 3  # one row_number per metric
+    for line in wsd:
+        assert "_pid" in line  # every window partitions by the range-pid
