@@ -53,6 +53,13 @@ HEADLINE = [
     "mv_incremental_refresh",
     "skew_salted_agg",
     "compaction_preserves_table",
+    # round-5 additions: cover the round-4 operator families (physical
+    # layout, curation, analytics) so round-over-round perf tracking sees
+    # them — VERDICT r4 ask #4.
+    "bucketed_colocated_join",
+    "doc_decontamination",
+    "emb_kmeans_clusters",
+    "doc_sequence_packing",
 ]
 
 

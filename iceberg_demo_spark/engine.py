@@ -782,13 +782,34 @@ class Engine:
                 return m.group(1) + view
             return m.group(0)
 
+        # Non-relational FROMs — extract(epoch FROM x), substring(s FROM 1),
+        # trim([BOTH] ch FROM s), overlay(s PLACING y FROM 3) — must not be
+        # rewritten even when the operand collides with a catalog table
+        # name (round-5 ADVICE fix). They are recognizable by shape:
+        # '(' [BOTH|LEADING|TRAILING]? <operand> FROM, or PLACING <operand>
+        # FROM; mask that FROM with a \x00 sentinel first (on the raw text,
+        # so quoted operands like trim('x' FROM s) are seen whole) and
+        # strip the sentinel at the end. A sentinel landing inside a string
+        # literal is stripped identically — net zero change.
+        masked = re.sub(
+            r"(?is)((?:\(\s*(?:(?:both|leading|trailing)\s+)?"
+            r"|placing\s+)(?:'(?:[^']|'')*'|[\w.]+)\s+)(from)\b",
+            lambda m: m.group(1) + "\x00" + m.group(2) + "\x00",
+            sql_text)
         # never rewrite inside '…'-quoted literals ("… FROM db.t …" as a
-        # string value must survive verbatim)
-        parts = re.split(r"('(?:[^']|'')*')", sql_text)
-        return "".join(
-            p if i % 2
-            else re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, p)
-            for i, p in enumerate(parts))
+        # string value must survive verbatim) or in '--' comments
+        parts = re.split(r"('(?:[^']|'')*')", masked)
+        out = []
+        for i, p in enumerate(parts):
+            if i % 2:
+                out.append(p)
+                continue
+            segs = re.split(r"(--[^\n]*)", p)
+            out.append("".join(
+                s if j % 2
+                else re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, s)
+                for j, s in enumerate(segs)))
+        return "".join(out).replace("\x00", "")
 
     #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR
     #: SYSTEM_VERSION / SYSTEM_TIME spellings) — docs/spark-queries.md:47-98

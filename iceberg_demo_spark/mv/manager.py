@@ -31,6 +31,42 @@ _INCR_FNS = {"sum", "count", "min", "max", "avg",
              "avg_distinct"}
 
 
+#: tokens _unqualified_idents must not mistake for column references:
+#: SQL keywords/operators plus CAST type names that appear bare in exprs
+_NON_COLUMN_WORDS = {
+    "and", "or", "not", "null", "is", "in", "like", "between", "case",
+    "when", "then", "else", "end", "true", "false", "distinct", "as",
+    "asc", "desc", "exists", "all", "any", "some", "escape", "interval",
+    "bigint", "int", "integer", "smallint", "tinyint", "long", "short",
+    "byte", "double", "float", "real", "decimal", "numeric", "string",
+    "varchar", "char", "boolean", "binary", "date", "timestamp",
+    "timestamp_ntz",
+}
+
+
+def _unqualified_idents(expr: str) -> set[str]:
+    """Bare (table-unqualified) column identifiers in a SQL expression.
+
+    Skips string-literal contents, ``a.b`` qualified chains (one token with
+    the dot, dropped), function-call names (identifier followed by ``(``)
+    and the keyword/type-name vocabulary above. Used by the left-join MV
+    enrollment guard: parse_select does NOT qualify bare columns, so
+    ownership must be resolved against the base tables' schemas.
+    """
+    s = re.sub(r"'(?:[^']|'')*'", "''", expr)
+    out: set[str] = set()
+    for m in re.finditer(r"[A-Za-z_][\w.]*", s):
+        tok = m.group(0)
+        if "." in tok:
+            continue
+        if s[m.end():].lstrip()[:1] == "(":
+            continue  # function call
+        if tok.lower() in _NON_COLUMN_WORDS:
+            continue
+        out.add(tok.lower())
+    return out
+
+
 class MVManager:
     def __init__(self, spark: SparkSession, table_catalog: Catalog,
                  mv_catalog: MVCatalog, rewriter=None):
@@ -167,6 +203,15 @@ class MVManager:
         plain = {e for (fn, e, _a) in info.agg_items() if fn == ""}
         if set(info.group_by) != plain:
             return None
+        for fn, _arg, _a in info.agg_items():
+            if fn and fn not in _INCR_FNS:
+                return None
+        sources: dict[str, str] = {}
+        for ref in info.base_tables:
+            src = self._resolve_source(ref)
+            if src is None:
+                return None
+            sources[ref] = src
         nullable = {j["right_table"] for j in info.joins if j["type"] == "left"}
         for e in info.group_by:
             for nt in nullable:
@@ -183,15 +228,28 @@ class MVManager:
                     # rows the matched-row probe never sees (IS NULL and
                     # friends) — fall back rather than risk missing a group
                     return None
-        for fn, _arg, _a in info.agg_items():
-            if fn and fn not in _INCR_FNS:
-                return None
-        sources: dict[str, str] = {}
-        for ref in info.base_tables:
-            src = self._resolve_source(ref)
-            if src is None:
-                return None
-            sources[ref] = src
+        if nullable:
+            # The qualified-ref guards above can't see BARE columns
+            # (parse_select does not qualify them), so resolve ownership
+            # against the base tables' schemas: an unqualified group-by /
+            # WHERE identifier that belongs to a nullable table — or isn't
+            # provably a column of a non-nullable table — would enroll the
+            # MV with null_tables empty and silently skip the nulled-key
+            # probes on dimension-side deltas. Refuse enrollment instead
+            # (refresh() then takes the always-correct full recompute).
+            safe_cols: set[str] = set()
+            nullable_cols: set[str] = set()
+            for ref, src in sources.items():
+                cols = {f.name.lower() for f in
+                        self.table_catalog.load_table(src).schema().fields}
+                if ref in nullable:
+                    nullable_cols |= cols
+                else:
+                    safe_cols |= cols
+            for e in list(info.group_by) + list(info.where):
+                for ident in _unqualified_idents(e):
+                    if ident in nullable_cols or ident not in safe_cols:
+                        return None
         return sources, info
 
     def _record_join_sources(self, mv: MaterializedView, sources: dict) -> None:
@@ -207,17 +265,11 @@ class MVManager:
             raise ValueError(f"Materialized view {name} already exists")
         plan = self._maintenance_plan(query)
         jplan = None if plan else self._join_maintenance_plan(query)
-        if plan and "." not in parse_select(query).base_tables[0]:
-            # Bind the referenced view name to the catalog table's CURRENT
-            # snapshot so the recorded source_snapshot_id matches the data
-            # the backing table is built from.
-            self.table_catalog.load_table(plan[0]).scan() \
-                .createOrReplaceTempView(parse_select(query).base_tables[0])
-        if jplan:
-            for ref, src in jplan[0].items():
-                if "." not in ref:
-                    self.table_catalog.load_table(src).scan() \
-                        .createOrReplaceTempView(ref)
+        # Bind every referenced view name to the catalog table's CURRENT
+        # snapshot so the recorded source_snapshot_id matches the data the
+        # backing table is built from (and non-enrolled MVs build from
+        # head, not a stale registration-time scan).
+        self._rebind_sources(query)
         df = self._aliased(self._run_query(query), query)
         backing = self._backing_name(name)
         if self.table_catalog.table_exists(backing):
@@ -272,17 +324,29 @@ class MVManager:
                 pass  # fall through to full recompute
         return self._refresh_full(mv)
 
+    def _rebind_sources(self, query: str) -> None:
+        """Bind every resolvable base-table view name in the defining query
+        to the catalog table's CURRENT snapshot. Recompute paths must never
+        read a stale registration-time scan — including for join MVs the
+        incremental planners REFUSE (round-5 fix: the refusal previously
+        skipped rebinding, so a full refresh after source DML silently
+        recomputed from the old snapshot)."""
+        try:
+            info = parse_select(query)
+        except ParseError:
+            return
+        for ref in info.base_tables:
+            if "." in ref:
+                continue
+            src = self._resolve_source(ref)
+            if src is not None:
+                self.table_catalog.load_table(src).scan() \
+                    .createOrReplaceTempView(ref)
+
     def _refresh_full(self, mv: MaterializedView) -> MaterializedView:
         plan = self._maintenance_plan(mv.query)
         jplan = None if plan else self._join_maintenance_plan(mv.query)
-        if plan and "." not in parse_select(mv.query).base_tables[0]:
-            self.table_catalog.load_table(plan[0]).scan() \
-                .createOrReplaceTempView(parse_select(mv.query).base_tables[0])
-        if jplan:
-            for ref, src in jplan[0].items():
-                if "." not in ref:
-                    self.table_catalog.load_table(src).scan() \
-                        .createOrReplaceTempView(ref)
+        self._rebind_sources(mv.query)
         df = self._aliased(self._run_query(mv.query), mv.query)
         t = self.table_catalog.load_table(mv.backing_table)
         t.overwrite_all(df)

@@ -374,7 +374,8 @@ _DIMS = 64
            CAST(SUM(ABS(code)) AS BIGINT) AS sum_abs_code,
            CAST(SUM(CASE WHEN ABS(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_saturated,
-           ROUND(SUM(ABS(err)) / COUNT(*), 6) AS avg_abs_err
+           ROUND(SUM(CAST(ROUND(ABS(err) * 100000000) AS BIGINT))
+                 / (100000000.0 * COUNT(*)), 6) AS avg_abs_err
     FROM codes
     GROUP BY dim
     ORDER BY dim
@@ -387,10 +388,10 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the (posexplode'd) vectors — at 100 TB that is one cheap
     stats pass + one map-side join, the exact two-pass shape every
     quantizer (FAISS SQ8, for one) uses. Code sums/saturation counts are
-    integer aggregates (exact, order-independent); the only rounded floats
-    are maxabs (an order-independent MAX) and the mean |error| at 6dp.
-    `x*127/maxabs` is the same double op sequence in both engines, so the
-    codes are bit-identical.
+    integer aggregates (exact, order-independent); maxabs is an
+    order-independent MAX; the mean |error| sums 1e-8 fixed-point bigints
+    (exact) and performs one division + round. `x*127/maxabs` is the same
+    double op sequence in both engines, so the codes are bit-identical.
     """
     t = load_tables(spark, sf_dir, ("embeddings",))
     expl = t["embeddings"].select(
@@ -421,8 +422,13 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs("code")).alias("sum_abs_code"),
             F.sum(F.when(F.abs("code") == 127, 1).otherwise(0)).alias(
                 "n_saturated"),
-            F.round(F.sum(F.abs("err")) / F.count("*"), 6).alias(
-                "avg_abs_err"),
+            # round-5 ADVICE fix: SUM over double |err| is order-dependent;
+            # quantize per value to 1e-8 fixed point (deterministic in both
+            # engines — |err| is the same double op sequence), sum exactly
+            # as bigints, divide + round once.
+            F.round(
+                F.sum(F.round(F.abs("err") * 1e8).cast("bigint"))
+                / (F.lit(1e8) * F.count(F.lit(1))), 6).alias("avg_abs_err"),
         )
         .orderBy("dim")
     )
@@ -463,7 +469,9 @@ _K = 8
         FROM d1) WHERE rn = 1
     ),
     cm AS (
-      SELECT a1.cid, i, ROUND(AVG(CAST(p.e[i] AS DOUBLE)), 4) AS m
+      SELECT a1.cid, i,
+             ROUND(SUM(CAST(ROUND(CAST(p.e[i] AS DOUBLE) * 1000000)
+                            AS BIGINT)) / (1000000.0 * COUNT(*)), 4) AS m
       FROM a1 JOIN pts p USING (vec_id),
            unnest(generate_series(1, {_DIMS})) AS t(i)
       GROUP BY a1.cid, i
@@ -487,7 +495,8 @@ _K = 8
     ),
     n1 AS (SELECT cid, COUNT(*) AS n_iter1 FROM a1 GROUP BY cid),
     n2 AS (SELECT cid, COUNT(*) AS n_iter2,
-                  ROUND(SUM(dist), 2) AS inertia
+                  ROUND(SUM(CAST(ROUND(dist * 1000000) AS BIGINT))
+                        / 1000000.0, 2) AS inertia
            FROM a2 GROUP BY cid)
     SELECT s.cid AS cluster_id,
            COALESCE(n1.n_iter1, 0) AS n_iter1,
@@ -552,10 +561,19 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a1 = assign(seeds)
+    # Centroid mean kept EXACT across rows (round-5 ADVICE fix): AVG over
+    # doubles is an order-dependent reduction that can flip the 4dp
+    # rounding cross-engine; instead each component quantizes to a 1e-6
+    # fixed-point bigint (per-value, deterministic in both engines), the
+    # SUM is exact integer arithmetic, and ONE division + round follow.
+    # Overflow headroom: |x|≲1 → ≤1e6/component → safe past 9e12
+    # rows/cluster.
     cm = (
         a1.select("cid", F.posexplode("e").alias("pos", "xf"))
         .groupBy("cid", "pos")
-        .agg(F.round(F.avg(F.col("xf").cast("double")), 4).alias("m"))
+        .agg(F.round(
+            F.sum(F.round(F.col("xf").cast("double") * 1e6).cast("bigint"))
+            / (F.lit(1e6) * F.count(F.lit(1))), 4).alias("m"))
     )
     c2 = cm.groupBy("cid").agg(
         F.transform(
@@ -565,9 +583,13 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = assign(c2)
     n1 = a1.groupBy("cid").agg(F.count("*").alias("n_iter1"))
+    # Same exact-reduction treatment for inertia: per-row dist is the same
+    # sequential in-array fold in both engines (bit-identical), quantized
+    # to 1e-6 fixed point, summed exactly, divided/rounded once.
     n2 = a2.groupBy("cid").agg(
         F.count("*").alias("n_iter2"),
-        F.round(F.sum("dist"), 2).alias("inertia"),
+        F.round(F.sum(F.round(F.col("dist") * 1e6).cast("bigint"))
+                / F.lit(1e6), 2).alias("inertia"),
     )
     return (
         seeds.select(F.col("cid").alias("cluster_id"))

@@ -11,6 +11,7 @@ not just pytest.
 
 from __future__ import annotations
 
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -661,10 +662,20 @@ def _dup_event_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import shutil as _shutil
     import time as _time
 
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    # Deterministic per-sf paths (round-5 ADVICE fix — mkdtemp leaked a
+    # fresh dir and rewrote the parquet on every bench rep / oracle
+    # re-check): the content is a pure function of sf_dir, so a previously
+    # staged source dir is reused as-is, mtime stagger included.
+    tag = re.sub(r"\W", "_", sf_dir.strip("/").replace("/", "_"))
+    out = _os.path.join(tempfile.gettempdir(), f"glacier_stream_dup_{tag}")
+    if all(_os.path.exists(f"{out}/{i:03d}.parquet") for i in (0, 1)):
+        return out, ddl
+    stage = _os.path.join(tempfile.gettempdir(),
+                          f"glacier_stream_stage_{tag}")
+    _os.makedirs(out, exist_ok=True)
     ev = load_tables(spark, sf_dir, ("events",))["events"].select(
         "event_id", "user_id", "event_type", "value")
-    stage = tempfile.mkdtemp(prefix="glacier_stream_stage_")
-    out = tempfile.mkdtemp(prefix="glacier_stream_dup_")
     ev.coalesce(1).write.mode("overwrite").parquet(stage + "/f0")
     ev.filter(F.col("event_id") % 5 == 0).coalesce(1).write.mode(
         "overwrite").parquet(stage + "/f1")
@@ -674,15 +685,30 @@ def _dup_event_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         dst = f"{out}/{i:03d}.parquet"
         _shutil.copy(part, dst)
         _os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
-    return out, "event_id bigint, user_id bigint, event_type string, value double"
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out, ddl
 
 
 def _run_stateful(spark: SparkSession, src_dir: str, schema: str, op,
-                  output_mode: str) -> DataFrame:
+                  output_mode: str, label: str = "op") -> DataFrame:
     """Feed src_dir through ``op`` one file per micro-batch into a memory
-    sink; return the sink contents."""
+    sink; return the sink contents.
+
+    The checkpoint lives at a deterministic per-(label, source) path and is
+    cleared before each start (round-5 ADVICE fix: mkdtemp leaked a dir per
+    invocation across bench reps). It cannot be REUSED across invocations —
+    a retained checkpoint would mark every source file already-processed
+    while the fresh memory sink starts empty — so clean-then-recreate is
+    the correct lifecycle, bounding residue to one dir per gate."""
+    import os as _os
+    import shutil as _shutil
+
     _STREAM_SEQ[0] += 1
     name = f"glacier_state_sink_{_STREAM_SEQ[0]}"
+    ck = _os.path.join(
+        tempfile.gettempdir(),
+        f"glacier_ck_{label}_" + re.sub(r"\W", "_", src_dir.strip("/")))
+    _shutil.rmtree(ck, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src_dir)
@@ -690,7 +716,7 @@ def _run_stateful(spark: SparkSession, src_dir: str, schema: str, op,
     q = (
         op(stream)
         .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="glacier_ck_"))
+        .option("checkpointLocation", ck)
         .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination()
@@ -727,7 +753,8 @@ def streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, ddl = _dup_event_stream_dir(spark, sf_dir)
     out = _run_stateful(
-        spark, src, ddl, lambda s: first_seen(s, "event_id"), "append")
+        spark, src, ddl, lambda s: first_seen(s, "event_id"), "append",
+        label="dedup")
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -766,7 +793,8 @@ def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src, ddl = _dup_event_stream_dir(spark, sf_dir)
     out = _run_stateful(
-        spark, src, ddl, lambda s: running_counts(s, "user_id"), "update")
+        spark, src, ddl, lambda s: running_counts(s, "user_id"), "update",
+        label="counts")
     return (
         out.groupBy("user_id").agg(F.max("n").alias("running_count"))
         .groupBy("running_count").agg(F.count(F.lit(1)).alias("n_users"))

@@ -1,0 +1,157 @@
+"""Round-5 ADVICE regressions.
+
+high — mv/manager.py left-join MV guards only matched ``table.``-qualified
+references while parse_select leaves bare columns unqualified, so an MV
+like ``SELECT zone, ... FROM fact LEFT JOIN dim ... GROUP BY zone`` (zone
+from the nullable side, unqualified) enrolled for incremental refresh with
+null_tables empty: dimension-side deltas never probed the NULL-extended
+group and left silently-stale rows. Enrollment now resolves every bare
+group-by/WHERE identifier against the base tables' schemas and refuses
+when one belongs to — or is not provably outside — a nullable table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+ROWS = [("east", "w", 100.0), ("east", "g", 200.0),
+        ("west", "w", 50.0), ("north", "w", 10.0)]
+
+
+def _setup(engine):
+    """dim lacks 'north' → north facts live in the NULL-extended group."""
+    t = engine.catalog.create_table(
+        "db.sales", "region string, product string, amount double")
+    t.append(engine.spark.createDataFrame(ROWS, schema=t.schema()))
+    engine.register("db.sales")
+    d = engine.catalog.create_table("db.dim", "region string, zone string")
+    d.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2")], "region string, zone string"))
+    engine.register("db.dim")
+    return t, d
+
+
+def _mv_rows(engine, name):
+    return {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get(name)).collect()}
+
+
+def test_unqualified_nullable_group_key_refuses_enrollment(engine):
+    """The exact ADVICE scenario: bare ``zone`` belongs to the left-joined
+    (nullable) dim — the MV must NOT enroll for join-incremental refresh."""
+    _setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW uq_mv AS "
+        "SELECT zone, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_dim d ON s.region = d.region GROUP BY zone")
+    assert not engine.mv_catalog.get("uq_mv").source_snapshots
+
+
+def test_unqualified_nullable_group_key_stays_correct_via_full_refresh(engine):
+    """Dimension-side delta on the refused MV: REFRESH INCREMENTAL falls
+    back to full recompute and the NULL-extended group is maintained —
+    before the fix this left a stale NULL-group row."""
+    t, d = _setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW uq_mv AS "
+        "SELECT zone, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_dim d ON s.region = d.region GROUP BY zone")
+    d.append(engine.spark.createDataFrame(
+        [("north", "z9")], "region string, zone string"))
+    engine.sql("REFRESH MATERIALIZED VIEW uq_mv INCREMENTAL")
+    got = _mv_rows(engine, "uq_mv")
+    expected = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+    assert ("z9", 1) in got
+    assert not any(z is None for z, _n in got)  # NULL group emptied
+
+
+def test_unqualified_where_on_nullable_side_refuses_enrollment(engine):
+    _setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW uqw_mv AS "
+        "SELECT d.zone, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_dim d ON s.region = d.region "
+        "WHERE zone IS NOT NULL GROUP BY d.zone")
+    assert not engine.mv_catalog.get("uqw_mv").source_snapshots
+
+
+def test_unqualified_fact_owned_key_still_enrolls(engine, monkeypatch):
+    """Positive control: a bare column provably owned by the preserved
+    (non-nullable) side keeps incremental enrollment — the guard must not
+    over-refuse."""
+    t, d = _setup(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW uqf_mv AS "
+        "SELECT product, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "GROUP BY product")
+    mv = engine.mv_catalog.get("uqf_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
+    t.append(engine.spark.createDataFrame(
+        [("south", "q", 7.0)], schema=t.schema()))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("uqf_mv", incremental=True)
+    got = _mv_rows(engine, "uqf_mv")
+    expected = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .groupBy("product").agg(F.count(F.lit(1)).alias("n"),
+                                F.sum("amount").alias("total")).collect()
+    }
+    assert got == expected
+    assert ("q", 1, 7.0) in got
+
+
+# -- low: engine._bind_catalog_refs rewrote non-relational FROMs ------------
+
+def test_bind_refs_skips_extract_from(engine):
+    """extract(epoch FROM x): the operand collides with a catalog table
+    name but must NOT be rebound to a temp view."""
+    t = engine.catalog.create_table("x", "a bigint")
+    t.append(engine.spark.createDataFrame([(1,)], "a bigint"))
+    got = engine.sql(
+        "SELECT extract(year FROM x) AS y FROM (SELECT DATE'2020-03-04' AS x)"
+    ).collect()
+    assert got[0]["y"] == 2020
+
+
+def test_bind_refs_skips_substring_and_trim_from(engine):
+    t = engine.catalog.create_table("s", "a bigint")
+    t.append(engine.spark.createDataFrame([(1,)], "a bigint"))
+    got = engine.sql(
+        "SELECT substring(s FROM 2 FOR 2) AS mid, "
+        "trim(BOTH 'd' FROM s) AS trimmed "
+        "FROM (SELECT 'abcd' AS s)").collect()
+    assert got[0]["mid"] == "bc"
+    assert got[0]["trimmed"] == "abc"
+
+
+def test_bind_refs_skips_comments_but_still_binds_real_tables(engine):
+    t = engine.catalog.create_table("db.ct", "a bigint")
+    t.append(engine.spark.createDataFrame([(7,)], "a bigint"))
+    got = engine.sql(
+        "SELECT a -- not really FROM db.ct here\n"
+        "FROM db.ct").collect()
+    assert [r["a"] for r in got] == [7]
