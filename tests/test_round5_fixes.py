@@ -155,3 +155,69 @@ def test_bind_refs_skips_comments_but_still_binds_real_tables(engine):
         "SELECT a -- not really FROM db.ct here\n"
         "FROM db.ct").collect()
     assert [r["a"] for r in got] == [7]
+
+
+# -- stretch: MV rewrite must provably SKIP cube/window/percentile shapes ---
+
+@pytest.fixture()
+def tempting_mv(engine):
+    """An MV whose groups/aggs look answerable for naive matching: any
+    mis-rewrite of the richer shapes below would silently return it."""
+    t = engine.catalog.create_table(
+        "db.li", "flag string, status string, qty double")
+    t.append(engine.spark.createDataFrame(
+        [("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 3.0), ("R", "F", 4.0)],
+        schema=t.schema()))
+    engine.register("db.li")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW li_mv AS "
+        "SELECT flag, status, sum(qty) AS s, count(*) AS n "
+        "FROM db_li GROUP BY flag, status")
+    return engine
+
+
+def test_rewriter_skips_cube_query(tempting_mv):
+    engine = tempting_mv
+    sql = ("SELECT flag, status, sum(qty) AS s "
+           "FROM db_li GROUP BY CUBE (flag, status)")
+    assert engine.rewriter.try_rewrite(sql) is None
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    exp = {tuple(r) for r in engine.spark.sql(sql).collect()}
+    assert got == exp
+    assert len(got) == 8  # 3 detail + 2 per-flag + 2 per-status + 1 grand
+
+
+def test_rewriter_skips_window_ntile_query(tempting_mv):
+    engine = tempting_mv
+    sql = ("SELECT flag, qty, ntile(2) OVER (ORDER BY qty, flag) AS t "
+           "FROM db_li")
+    assert engine.rewriter.try_rewrite(sql) is None
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    exp = {tuple(r) for r in engine.spark.sql(sql).collect()}
+    assert got == exp
+
+
+def test_rewriter_skips_row_number_over_groups(tempting_mv):
+    engine = tempting_mv
+    sql = ("SELECT flag, status, "
+           "row_number() OVER (PARTITION BY flag ORDER BY qty) AS rn "
+           "FROM db_li")
+    assert engine.rewriter.try_rewrite(sql) is None
+
+
+def test_rewriter_skips_percentile_query(tempting_mv):
+    engine = tempting_mv
+    sql = "SELECT flag, percentile(qty, 0.5) AS p FROM db_li GROUP BY flag"
+    assert engine.rewriter.try_rewrite(sql) is None
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    exp = {tuple(r) for r in engine.spark.sql(sql).collect()}
+    assert got == exp
+
+
+def test_rewriter_still_rewrites_the_plain_aggregate(tempting_mv):
+    """Positive control: the exact-group aggregate DOES rewrite to li_mv."""
+    engine = tempting_mv
+    res = engine.rewriter.try_rewrite(
+        "SELECT flag, status, sum(qty) AS s, count(*) AS n "
+        "FROM db_li GROUP BY flag, status")
+    assert res is not None and res.mv_name == "li_mv"
