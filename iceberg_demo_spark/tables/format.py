@@ -5,13 +5,18 @@ Mirrors the capability surface of the reference's Iceberg tables
 :1938-2041 snapshots/time-travel) without the Iceberg runtime: a table is a
 directory of parquet data files plus a JSON metadata log.
 
-Scale notes. Snapshots here embed their full data-file list in the metadata
-JSON; production Iceberg splits this into manifest files so that planning a
-100 TB table (~10^6 files) streams instead of loading one document — the
-moment file counts exceed ~10^5 this model must grow a manifest layer. All
-other mechanics (field-id schema evolution, hidden partition transforms,
-copy-on-write deltas, ref pointers) are scale-independent driver-side
-metadata and match the production design.
+Scale notes. Small snapshots embed their data-file list in the metadata
+JSON; past ``write.metadata.manifest-min-files`` (default 1000) the list
+spills to IMMUTABLE manifest files (round 5) — the metadata JSON then
+stores per-manifest summaries only, commits write one delta manifest plus
+rewrites of removal-affected manifests (O(delta) I/O), and scan planning
+lazily loads manifests through a process-wide cache. This mirrors
+production Iceberg's manifest design (docs/spark-queries.md:215-472
+exposes it through the metadata tables) minus manifest-list files and
+per-manifest column stats. All other mechanics (field-id schema
+evolution, hidden partition transforms, copy-on-write deltas, ref
+pointers) are scale-independent driver-side metadata and match the
+production design.
 """
 
 from __future__ import annotations
@@ -123,46 +128,196 @@ class DeleteFile:
         return DeleteFile(d["path"], d["records"], d["bytes"])
 
 
-@dataclass
+#: loaded-manifest cache. Manifest files are IMMUTABLE once written (new
+#: file-set states always get new manifest files), so a process-wide cache
+#: keyed on absolute path is safe and makes repeat commit planning / scan
+#: planning O(delta) reads instead of re-reading carried manifests.
+_MANIFEST_CACHE: dict[str, list[DataFile]] = {}
+
+
+def load_manifest(location: str, rel_path: str) -> list[DataFile]:
+    ap = os.path.join(location, rel_path)
+    cached = _MANIFEST_CACHE.get(ap)
+    if cached is None:
+        with open(ap) as fh:
+            cached = [DataFile.from_json(f) for f in json.load(fh)]
+        _MANIFEST_CACHE[ap] = cached
+    return cached
+
+
+def write_changes(location: str, added: list[str], removed: list[str],
+                  tag: str) -> str:
+    """Persist a large commit's added/removed path lists as an immutable
+    sidecar (same motivation as manifests: the lists are O(delta) for THIS
+    commit, but inline they would be re-serialized into every subsequent
+    metadata JSON save — O(total history))."""
+    md = os.path.join(location, "metadata")
+    os.makedirs(md, exist_ok=True)
+    name = f"changes-{tag}-{uuid.uuid4().hex[:12]}.json"
+    path = os.path.join(md, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"added": added, "removed": removed}, fh)
+    os.rename(tmp, path)
+    rel = os.path.join("metadata", name)
+    _CHANGES_CACHE[path] = (list(added), list(removed))
+    return rel
+
+
+_CHANGES_CACHE: dict[str, tuple[list[str], list[str]]] = {}
+
+
+def load_changes(location: str, rel_path: str) -> tuple[list[str], list[str]]:
+    ap = os.path.join(location, rel_path)
+    cached = _CHANGES_CACHE.get(ap)
+    if cached is None:
+        with open(ap) as fh:
+            d = json.load(fh)
+        cached = (d.get("added", []), d.get("removed", []))
+        _CHANGES_CACHE[ap] = cached
+    return cached
+
+
+def write_manifest(location: str, files: list[DataFile], tag: str) -> dict:
+    """Persist one immutable manifest (a JSON array of data-file entries)
+    under metadata/ and return its snapshot-embeddable summary entry. The
+    summary carries counts so metadata-table reads and size rollups never
+    need to open the manifest."""
+    md = os.path.join(location, "metadata")
+    os.makedirs(md, exist_ok=True)
+    name = f"manifest-{tag}-{uuid.uuid4().hex[:12]}.json"
+    path = os.path.join(md, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([f.to_json() for f in files], fh)
+    os.rename(tmp, path)
+    rel = os.path.join("metadata", name)
+    _MANIFEST_CACHE[path] = list(files)
+    return {
+        "path": rel,
+        "n_files": len(files),
+        "n_records": sum(f.records for f in files),
+        "n_bytes": sum(f.bytes for f in files),
+    }
+
+
 class Snapshot:
-    snapshot_id: int
-    parent_id: int | None
-    timestamp_ms: int
-    operation: str  # append | overwrite | delete | replace
-    schema_id: int
-    files: list[DataFile]
-    added_files: list[str] = field(default_factory=list)
-    removed_files: list[str] = field(default_factory=list)
-    summary: dict[str, str] = field(default_factory=dict)
-    delete_files: list[DeleteFile] = field(default_factory=list)
+    """One committed table state.
+
+    Two storage modes for the file list (the round-5 manifest layer —
+    production Iceberg's design, simplified):
+
+    - **inline** (small tables): ``files`` serialized into the metadata
+      JSON, exactly the original single-document model.
+    - **manifest-backed** (past ``write.metadata.manifest-min-files``):
+      the metadata JSON stores only ``manifests`` — a list of immutable
+      manifest-file summaries — and the file list loads lazily (and
+      cached) on first ``.files`` access. Commits then append ONE delta
+      manifest and rewrite only removal-affected manifests, so commit
+      I/O is O(delta), not O(total files); see Table._plan_manifests.
+    """
+
+    def __init__(self, snapshot_id: int, parent_id: int | None,
+                 timestamp_ms: int, operation: str, schema_id: int,
+                 files: list[DataFile] | None = None,
+                 added_files: list[str] | None = None,
+                 removed_files: list[str] | None = None,
+                 summary: dict[str, str] | None = None,
+                 delete_files: list[DeleteFile] | None = None,
+                 manifests: list[dict] | None = None,
+                 location: str | None = None,
+                 changes_path: str | None = None):
+        self.snapshot_id = snapshot_id
+        self.parent_id = parent_id
+        self.timestamp_ms = timestamp_ms
+        self.operation = operation
+        self.schema_id = schema_id
+        self._files = list(files) if files is not None else None
+        self._added_files = (list(added_files)
+                             if added_files is not None else None)
+        self._removed_files = (list(removed_files)
+                               if removed_files is not None else None)
+        self.summary = dict(summary or {})
+        self.delete_files = list(delete_files or [])
+        self.manifests = list(manifests or [])
+        self._location = location
+        self.changes_path = changes_path
+        if self._files is None and not self.manifests:
+            self._files = []
+        if self.changes_path is None:
+            self._added_files = self._added_files or []
+            self._removed_files = self._removed_files or []
+
+    @property
+    def files(self) -> list[DataFile]:
+        if self._files is None:
+            self._files = [
+                f for m in self.manifests
+                for f in load_manifest(self._location, m["path"])
+            ]
+        return self._files
+
+    @property
+    def added_files(self) -> list[str]:
+        if self._added_files is None:
+            self._added_files, self._removed_files = load_changes(
+                self._location, self.changes_path)
+        return self._added_files
+
+    @property
+    def removed_files(self) -> list[str]:
+        if self._removed_files is None:
+            self._added_files, self._removed_files = load_changes(
+                self._location, self.changes_path)
+        return self._removed_files
+
+    @property
+    def n_data_files(self) -> int:
+        """File count without forcing a manifest load."""
+        if self.manifests and self._files is None:
+            return sum(m["n_files"] for m in self.manifests)
+        return len(self.files)
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "timestamp_ms": self.timestamp_ms,
             "operation": self.operation,
             "schema_id": self.schema_id,
-            "files": [f.to_json() for f in self.files],
-            "added_files": self.added_files,
-            "removed_files": self.removed_files,
             "summary": self.summary,
             "delete_files": [f.to_json() for f in self.delete_files],
         }
+        if self.changes_path:
+            d["changes"] = self.changes_path
+        else:
+            d["added_files"] = self.added_files
+            d["removed_files"] = self.removed_files
+        if self.manifests:
+            d["manifests"] = self.manifests
+        else:
+            d["files"] = [f.to_json() for f in self.files]
+        return d
 
     @staticmethod
-    def from_json(d: dict) -> "Snapshot":
+    def from_json(d: dict, location: str | None = None) -> "Snapshot":
+        manifests = d.get("manifests") or []
+        changes_path = d.get("changes")
         return Snapshot(
             d["snapshot_id"],
             d.get("parent_id"),
             d["timestamp_ms"],
             d["operation"],
             d["schema_id"],
-            [DataFile.from_json(f) for f in d["files"]],
-            d.get("added_files", []),
-            d.get("removed_files", []),
+            ([DataFile.from_json(f) for f in d["files"]]
+             if not manifests else None),
+            (d.get("added_files", []) if not changes_path else None),
+            (d.get("removed_files", []) if not changes_path else None),
             d.get("summary", {}),
             [DeleteFile.from_json(f) for f in d.get("delete_files", [])],
+            manifests=manifests,
+            location=location,
+            changes_path=changes_path,
         )
 
 
@@ -308,7 +463,8 @@ class TableMetadata:
         m.partition_spec = [PartitionField.from_json(p) for p in d.get("partition_spec", [])]
         m.sort_order = d.get("sort_order", [])
         m.identifier_field_names = d.get("identifier_field_names", [])
-        m.snapshots = [Snapshot.from_json(s) for s in d.get("snapshots", [])]
+        m.snapshots = [Snapshot.from_json(s, location=m.location)
+                       for s in d.get("snapshots", [])]
         m.refs = dict(d.get("refs", {}))
         m.metadata_log = list(d.get("metadata_log", []))
         m.last_snapshot_id = d.get("last_snapshot_id", 0)

@@ -616,23 +616,80 @@ class Table:
                 out.append(DataFile(rel, num_rows, os.path.getsize(ap), schema_id, partition))
         return out
 
+    def _plan_manifests(self, parent: Snapshot | None, files: list[DataFile],
+                        added: list[DataFile],
+                        removed: list[DataFile]) -> list[dict]:
+        """Manifest set for a spilled commit, O(delta) write I/O.
+
+        Carried manifests are reused by reference; manifests containing a
+        removed path are rewritten with survivors only; added files land in
+        one fresh delta manifest. A parent still on the inline model seals
+        its list into a first manifest (one-time O(n) spill). The union is
+        verified against ``files`` (the authoritative list every caller
+        computes) — any mismatch, e.g. a compaction that rewrote paths in
+        place, falls back to one full manifest rather than persisting a
+        wrong file set."""
+        from iceberg_demo_spark.tables.format import load_manifest, write_manifest
+
+        tag = f"s{self.metadata.last_snapshot_id + 1}"
+        removed_paths = {f.path for f in removed}
+        parent_manifests = list(parent.manifests) if parent else []
+        if parent is not None and not parent_manifests and parent.files:
+            parent_manifests = [
+                write_manifest(self.location, parent.files,
+                               f"seal{parent.snapshot_id}")]
+        entries: list[dict] = []
+        for m in parent_manifests:
+            mfiles = load_manifest(self.location, m["path"])
+            if not removed_paths or not any(
+                    f.path in removed_paths for f in mfiles):
+                entries.append(m)
+                continue
+            survivors = [f for f in mfiles if f.path not in removed_paths]
+            if survivors:
+                entries.append(write_manifest(self.location, survivors, tag))
+        if added:
+            entries.append(write_manifest(self.location, added, tag))
+        expect = {f.path for f in files}
+        got: set[str] = set()
+        for e in entries:
+            got.update(f.path for f in load_manifest(self.location, e["path"]))
+        if got != expect:
+            entries = [write_manifest(self.location, files, tag)]
+        return entries
+
     def _commit(self, operation: str, files: list[DataFile], added: list[DataFile],
                 removed: list[DataFile], branch: str, summary: dict | None = None,
                 delete_files: list[DeleteFile] | None = None) -> Snapshot:
         parent = self.metadata.current_snapshot(branch)
         if delete_files is None:  # inherit the branch head's position deletes
             delete_files = list(parent.delete_files) if parent else []
+        spill_at = int(self.metadata.properties.get(
+            "write.metadata.manifest-min-files", "1000"))
+        manifests = (self._plan_manifests(parent, files, added, removed)
+                     if len(files) > spill_at else None)
+        added_paths = [f.path for f in added]
+        removed_paths = [f.path for f in removed]
+        changes_path = None
+        if len(added_paths) + len(removed_paths) > spill_at:
+            from iceberg_demo_spark.tables.format import write_changes
+            changes_path = write_changes(
+                self.location, added_paths, removed_paths,
+                f"s{self.metadata.last_snapshot_id + 1}")
         snap = Snapshot(
             snapshot_id=self.metadata.next_snapshot_id(),
             parent_id=parent.snapshot_id if parent else None,
             timestamp_ms=now_ms(),
             operation=operation,
             schema_id=self.metadata.current_schema_id,
-            files=files,
-            added_files=[f.path for f in added],
-            removed_files=[f.path for f in removed],
+            files=files,  # cached in-memory; persisted via manifests if spilled
+            added_files=added_paths,
+            removed_files=removed_paths,
             summary=dict(summary or {}),
             delete_files=delete_files,
+            manifests=manifests,
+            location=self.location,
+            changes_path=changes_path,
         )
         snap.summary.setdefault("added-data-files", str(len(added)))
         snap.summary.setdefault("removed-data-files", str(len(removed)))
@@ -1294,13 +1351,23 @@ class Table:
         return self.spark.createDataFrame(rows, self._ENTRIES_SCHEMA)
 
     def manifests_df(self) -> DataFrame:
-        """The ``manifests`` metadata table. This format embeds the file list
-        in the snapshot record (one logical manifest per snapshot — see
-        format.py's scale note on growing a real manifest layer), so each row
-        describes the current snapshot's embedded manifest."""
+        """The ``manifests`` metadata table. A manifest-backed snapshot
+        (spilled past write.metadata.manifest-min-files) lists its REAL
+        manifest files with their summary counts; an inline snapshot
+        reports the metadata JSON as its single embedded manifest."""
         snap = self.metadata.current_snapshot()
         rows = []
-        if snap is not None:
+        if snap is not None and snap.manifests:
+            added = set(snap.added_files)
+            for m in snap.manifests:
+                ap = os.path.join(self.location, m["path"])
+                length = os.path.getsize(ap) if os.path.exists(ap) else 0
+                from iceberg_demo_spark.tables.format import load_manifest
+                mfiles = load_manifest(self.location, m["path"])
+                n_added = sum(1 for f in mfiles if f.path in added)
+                rows.append((m["path"], length, 0, snap.snapshot_id,
+                             n_added, m["n_files"] - n_added, 0))
+        elif snap is not None:
             path = os.path.join("metadata", f"v{self.metadata.version}.metadata.json")
             ap = os.path.join(self.location, path)
             length = os.path.getsize(ap) if os.path.exists(ap) else 0

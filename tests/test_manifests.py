@@ -1,0 +1,159 @@
+"""Manifest-layer metadata (round 5): past write.metadata.manifest-min-files
+the snapshot file list spills to immutable manifest files, keeping commit
+I/O and metadata-JSON size O(delta) — the growth point format.py's scale
+note named (production Iceberg's manifest design, simplified).
+
+Synthetic DataFile entries drive the metadata layer directly (no parquet
+writes), so a 10^5-file table commits in bounded time/memory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from iceberg_demo_spark.tables import Catalog
+from iceberg_demo_spark.tables.format import DataFile, TableMetadata
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "warehouse"))
+
+
+def _mk_files(start: int, n: int, schema_id: int = 0) -> list[DataFile]:
+    return [DataFile(f"data/f{i:07d}.parquet", 100, 4096, schema_id)
+            for i in range(start, start + n)]
+
+
+def _meta_json_bytes(t) -> int:
+    p = os.path.join(t.location, "metadata",
+                     f"v{t.metadata.version}.metadata.json")
+    return os.path.getsize(p)
+
+
+def _manifest_names(t) -> set[str]:
+    md = os.path.join(t.location, "metadata")
+    return {n for n in os.listdir(md) if n.startswith("manifest-")}
+
+
+def test_100k_file_commit_is_bounded_and_incremental(catalog):
+    t = catalog.create_table("db.big", "id bigint")
+    base = _mk_files(0, 100_000)
+    t0 = time.time()
+    t._commit("append", base, base, [], "main")
+    first_commit_s = time.time() - t0
+
+    snap1 = t.metadata.current_snapshot()
+    assert snap1.manifests, "100k-file commit must spill to manifests"
+    assert snap1.n_data_files == 100_000
+    # metadata JSON carries manifest summaries, not 100k file entries
+    assert _meta_json_bytes(t) < 64 * 1024
+    with open(os.path.join(t.location, "metadata",
+                           f"v{t.metadata.version}.metadata.json")) as fh:
+        doc = json.load(fh)
+    assert "files" not in doc["snapshots"][-1]
+    big_manifests = {m["path"] for m in snap1.manifests}
+
+    # O(delta) append: carried manifest reused BY REFERENCE, one tiny delta
+    delta = _mk_files(100_000, 10)
+    t1 = time.time()
+    t._commit("append", base + delta, delta, [], "main")
+    append_s = time.time() - t1
+    snap2 = t.metadata.current_snapshot()
+    assert snap2.n_data_files == 100_010
+    assert big_manifests <= {m["path"] for m in snap2.manifests}
+    new = [m for m in snap2.manifests if m["path"] not in big_manifests]
+    assert len(new) == 1 and new[0]["n_files"] == 10
+    # the delta commit must not rewrite the 100k manifest: small + fast
+    assert append_s < max(5.0, 3 * first_commit_s)
+    assert _meta_json_bytes(t) < 64 * 1024
+
+
+def test_removal_rewrites_only_affected_manifests(catalog):
+    t = catalog.create_table(
+        "db.rm", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    base = _mk_files(0, 500)
+    t._commit("append", base, base, [], "main")
+    extra = _mk_files(500, 50)
+    t._commit("append", base + extra, extra, [], "main")
+    snap2 = t.metadata.current_snapshot()
+    base_manifest = snap2.manifests[0]["path"]
+    # remove 5 of the extra files: only the 50-file delta manifest rewrites
+    removed = extra[:5]
+    survivors = base + extra[5:]
+    t._commit("delete", survivors, [], removed, "main")
+    snap3 = t.metadata.current_snapshot()
+    paths = [m["path"] for m in snap3.manifests]
+    assert base_manifest in paths  # untouched manifest carried by reference
+    assert snap3.n_data_files == 545
+    sizes = sorted(m["n_files"] for m in snap3.manifests)
+    assert sizes == [45, 500]
+
+
+def test_manifest_backed_table_reloads_from_disk(catalog):
+    t = catalog.create_table(
+        "db.reload", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    base = _mk_files(0, 250)
+    t._commit("append", base, base, [], "main")
+    # cold reload (fresh metadata object, lazy manifest load)
+    m = TableMetadata.load(t.location)
+    snap = m.current_snapshot()
+    assert snap.manifests and snap._files is None  # not loaded yet
+    assert snap.n_data_files == 250  # summary-only, still no load
+    assert len(snap.files) == 250  # lazy load materializes
+    assert {f.path for f in snap.files} == {f.path for f in base}
+
+
+def test_inline_stays_inline_below_threshold(catalog):
+    t = catalog.create_table("db.small", "id bigint")
+    files = _mk_files(0, 50)
+    t._commit("append", files, files, [], "main")
+    snap = t.metadata.current_snapshot()
+    assert not snap.manifests
+    with open(os.path.join(t.location, "metadata",
+                           f"v{t.metadata.version}.metadata.json")) as fh:
+        doc = json.load(fh)
+    assert len(doc["snapshots"][-1]["files"]) == 50
+
+
+def test_manifests_metadata_table_lists_real_manifests(catalog):
+    t = catalog.create_table(
+        "db.mt", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    base = _mk_files(0, 150)
+    t._commit("append", base, base, [], "main")
+    extra = _mk_files(150, 20)
+    t._commit("append", base + extra, extra, [], "main")
+    rows = t.manifests_df().collect()
+    assert len(rows) == 2
+    by_count = sorted(rows, key=lambda r: r["added_data_files_count"])
+    assert by_count[0]["added_data_files_count"] == 0  # carried 150
+    assert by_count[0]["existing_data_files_count"] == 150
+    assert by_count[1]["added_data_files_count"] == 20
+    for r in rows:
+        assert r["path"].startswith("metadata/manifest-")
+        assert r["length"] > 0
+
+
+def test_mixed_history_time_travel_across_spill(catalog):
+    """A table whose early snapshots are inline and later ones
+    manifest-backed time-travels correctly across the boundary."""
+    t = catalog.create_table(
+        "db.mix", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    small = _mk_files(0, 10)
+    t._commit("append", small, small, [], "main")
+    s1 = t.metadata.current_snapshot().snapshot_id
+    big = _mk_files(10, 200)
+    t._commit("append", small + big, big, [], "main")
+    m = TableMetadata.load(t.location)
+    assert len(m.snapshot_by_id(s1).files) == 10  # inline ancestor intact
+    assert not m.snapshot_by_id(s1).manifests
+    head = m.current_snapshot()
+    assert head.manifests and head.n_data_files == 210
