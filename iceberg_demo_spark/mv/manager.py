@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.mv.catalog import MaterializedView, MVCatalog
-from iceberg_demo_spark.mv.parser import QueryInfo, parse_select, ParseError
+from iceberg_demo_spark.mv.parser import (
+    QueryInfo, parse_select, ParseError, _split_top_level,
+)
 from iceberg_demo_spark.tables.catalog import Catalog
 from iceberg_demo_spark.tables.format import now_ms
 
@@ -42,6 +44,64 @@ _NON_COLUMN_WORDS = {
     "varchar", "char", "boolean", "binary", "date", "timestamp",
     "timestamp_ntz",
 }
+
+
+#: single-column functions for which f(..., NULL, ...) IS NULL in both
+#: Spark and DuckDB — a group key built from one of these over a nullable
+#: table's column still NULLs out on unmatched rows, so the nulled-key
+#: probe machinery stays exact (round-5 fallback narrowing).
+_NULL_PROP_FNS = {
+    "date_trunc", "trunc", "year", "month", "day", "hour", "minute",
+    "second", "upper", "lower", "substr", "substring", "abs", "floor",
+    "ceil", "round", "trim", "ltrim", "rtrim", "to_date", "date", "cast",
+}
+
+
+def _null_propagating_over(expr: str, nt: str) -> bool:
+    """True when ``expr`` provably evaluates to NULL whenever every column
+    of nullable table ``nt`` is NULL: a plain ``nt.col``, or one
+    whitelisted null-propagating function whose column arguments are all
+    ``nt.col`` refs and whose other arguments are literals."""
+    e = expr.strip().lower()
+    col = rf"{re.escape(nt)}\.\w+"
+    if re.fullmatch(col, e):
+        return True
+    m = re.fullmatch(r"(\w+)\s*\((.*)\)", e, re.DOTALL)
+    if not m or m.group(1) not in _NULL_PROP_FNS:
+        return False
+    inner = m.group(2).strip()
+    if m.group(1) == "cast":
+        return re.fullmatch(
+            rf"({col})\s+as\s+\w+(\(\d+(,\s*\d+)?\))?", inner) is not None
+    saw_col = False
+    for a in _split_top_level(inner, ","):
+        a = a.strip()
+        if re.fullmatch(col, a):
+            saw_col = True
+        elif not re.fullmatch(r"'[^']*'|-?\d+(\.\d+)?", a):
+            return False
+    return saw_col
+
+
+def _null_rejecting(cond: str, nt: str) -> bool:
+    """True when the WHERE conjunct provably evaluates to non-true on a
+    NULL-extended row of ``nt`` (so it can never ADMIT a row the
+    matched-row probes don't see): ``nt.col <op> literal`` and friends.
+    Anything else referencing ``nt`` (IS NULL, coalesce, OR, refs to other
+    tables in the same conjunct) stays refused."""
+    c = cond.strip().lower()
+    col = rf"{re.escape(nt)}\.\w+"
+    lit = r"(?:'[^']*'|-?\d+(?:\.\d+)?|true|false)"
+    op = r"(?:=|<>|!=|<=|>=|<|>)"
+    pats = [
+        rf"{col}\s*{op}\s*{lit}",
+        rf"{lit}\s*{op}\s*{col}",
+        rf"{col}\s+in\s*\(\s*{lit}(?:\s*,\s*{lit})*\s*\)",
+        rf"{col}\s+between\s+{lit}\s+and\s+{lit}",
+        rf"{col}\s+(?:not\s+)?like\s+{lit}",
+        rf"{col}\s+is\s+not\s+null",
+    ]
+    return any(re.fullmatch(p, c) for p in pats)
 
 
 def _unqualified_idents(expr: str) -> set[str]:
@@ -179,16 +239,21 @@ class MVManager:
             return None  # self-join: per-ref view substitution can't express
         if not info.group_by:
             return None
-        if (len(info.base_tables) == 2 and info.joins
-                and info.joins[0]["type"] == "right"):
-            # A RIGHT JOIN B ≡ B LEFT JOIN A (2-table; the normalized
-            # condition is order-insensitive) — canonicalize so the left
-            # machinery below maintains it
+        if info.joins and info.joins[0]["type"] == "right":
+            # A RIGHT JOIN B ≡ B LEFT JOIN A (the normalized condition is
+            # order-insensitive) — canonicalize so the left machinery below
+            # maintains it. Round 5: valid for ANY chain length, because
+            # the left-deep tree's FIRST join is a self-contained subtree —
+            # (A ⟖ B) ⋈ C ≡ (B ⟕ A) ⋈ C; later joins are untouched. A
+            # RIGHT join at position >0 nulls an accumulated subtree and
+            # has no flat left-deep equivalent — those still fall back via
+            # the type check below.
             j0 = info.joins[0]
-            info.base_tables = [j0["right_table"], info.base_tables[0]]
-            info.joins = [{"type": "left",
-                           "right_table": info.base_tables[1],
-                           "condition": j0["condition"]}]
+            first = info.base_tables[0]
+            info.base_tables = ([j0["right_table"], first]
+                                + info.base_tables[2:])
+            info.joins = [{"type": "left", "right_table": first,
+                           "condition": j0["condition"]}] + info.joins[1:]
         seen_left = False
         for j in info.joins:
             if j["type"] not in ("inner", "left") or not j["condition"]:
@@ -215,18 +280,24 @@ class MVManager:
         nullable = {j["right_table"] for j in info.joins if j["type"] == "left"}
         for e in info.group_by:
             for nt in nullable:
-                if re.search(rf"\b{re.escape(nt)}\.", e) and not re.fullmatch(
-                        rf"{re.escape(nt)}\.\w+", e):
-                    # a non-column key expr over a nullable table need not
-                    # NULL out on unmatch (e.g. coalesce) — can't form the
-                    # nulled-key probe exactly
+                if re.search(rf"\b{re.escape(nt)}\.", e) and \
+                        not _null_propagating_over(e, nt):
+                    # a non-null-propagating key expr over a nullable table
+                    # need not NULL out on unmatch (e.g. coalesce) — can't
+                    # form the nulled-key probe exactly. Whitelisted
+                    # null-propagating expressions (date_trunc etc.) are
+                    # admitted since round 5.
                     return None
         for c in info.where:
             for nt in nullable:
-                if re.search(rf"\b{re.escape(nt)}\.", c):
+                if re.search(rf"\b{re.escape(nt)}\.", c) and \
+                        not _null_rejecting(c, nt):
                     # a WHERE over a nullable table may pass on NULL-extended
                     # rows the matched-row probe never sees (IS NULL and
-                    # friends) — fall back rather than risk missing a group
+                    # friends) — fall back rather than risk missing a group.
+                    # Provably null-REJECTING conjuncts (col <op> literal)
+                    # are admitted since round 5: they can only REMOVE
+                    # NULL-extended rows, which the probes model exactly.
                     return None
         if nullable:
             # The qualified-ref guards above can't see BARE columns

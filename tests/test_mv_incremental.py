@@ -638,3 +638,171 @@ def test_two_left_joins_randomized_matches_full(engine):
         got = {tuple(r) for r in engine.mv.backing_df(
             engine.mv_catalog.get("ll_rand_mv")).collect()}
         assert got == expected(), f"divergence at step {step} ({side})"
+
+
+# -- round-5 fallback narrowing ---------------------------------------------
+
+def _left_join_setup_no_mv(engine):
+    """Same tables as _left_join_setup, no MV created."""
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table("db.dim", "region string, zone string")
+    d.append(engine.spark.createDataFrame(
+        [("east", "z1"), ("west", "z2")], "region string, zone string"))
+    engine.register("db.dim")
+    return t, d
+
+
+def test_left_join_mv_date_trunc_key_incremental(engine, monkeypatch):
+    """A null-propagating expression key (date_trunc over the nullable
+    dim's column) enrolls for join-incremental refresh since round 5 —
+    date_trunc(NULL) IS NULL, so the nulled-key probes stay exact."""
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table(
+        "db.ddim", "region string, since timestamp")
+    d.append(engine.spark.sql(
+        "SELECT 'east' AS region, timestamp'2024-01-15 00:00:00' AS since "
+        "UNION ALL SELECT 'west', timestamp'2024-02-20 00:00:00'"))
+    engine.register("db.ddim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW dt_mv AS "
+        "SELECT date_trunc('month', d.since) AS m, count(*) AS n, "
+        "sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_ddim d ON s.region = d.region "
+        "GROUP BY date_trunc('month', d.since)")
+    mv = engine.mv_catalog.get("dt_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_ddim"}
+
+    # dim append moves 'north' facts out of the NULL-month group
+    d.append(engine.spark.sql(
+        "SELECT 'north' AS region, timestamp'2024-03-05 00:00:00' AS since"))
+    t.append(engine.spark.createDataFrame(
+        [("south", "w", 7.0)], schema=t.schema()))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("dt_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("dt_mv")).collect()}
+    expected = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .groupBy(F.date_trunc("month", F.col("d.since")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+        .collect()
+    }
+    assert got == expected
+    assert any(m is None for m, _n, _t in got)  # south 7.0 is unmatched
+
+
+def test_left_join_mv_null_rejecting_where_incremental(engine, monkeypatch):
+    """WHERE d.zone <> literal (null-rejecting) enrolls since round 5: it
+    can only REMOVE NULL-extended rows, which the probes model exactly."""
+    t, d = _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW nr_mv AS "
+        "SELECT d.zone, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "WHERE d.zone <> 'z9' GROUP BY d.zone")
+    mv = engine.mv_catalog.get("nr_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
+
+    d.delete_where("region = 'west'")          # z2 group shrinks away
+    d.append(engine.spark.createDataFrame(
+        [("north", "z9")], "region string, zone string"))  # filtered out
+    t.append(engine.spark.createDataFrame(
+        [("east", "w", 5.0)], schema=t.schema()))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("nr_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("nr_mv")).collect()}
+    expected = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .filter(F.col("d.zone") != "z9")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("amount").alias("total"))
+        .collect()
+    }
+    assert got == expected
+    assert not any(z is None for z, _n, _t in got)  # WHERE rejects NULLs
+
+
+def test_left_join_mv_is_null_where_still_refuses(engine):
+    _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW isn_mv AS "
+        "SELECT d.zone, count(*) AS n FROM db_sales s "
+        "LEFT JOIN db_dim d ON s.region = d.region "
+        "WHERE d.zone IS NULL GROUP BY d.zone")
+    assert not engine.mv_catalog.get("isn_mv").source_snapshots
+
+
+def test_right_join_three_table_mv_enrolls_and_refreshes(engine, monkeypatch):
+    """N-table RIGHT canonicalization (round 5): the FIRST join of a
+    left-deep chain is a self-contained subtree, so A RIGHT JOIN B ... ≡
+    B LEFT JOIN A ... regardless of what follows."""
+    t, d = _left_join_setup_no_mv(engine)
+    p = engine.catalog.create_table("db.pdim", "product string, cat string")
+    p.append(engine.spark.createDataFrame(
+        [("w", "widget")], "product string, cat string"))
+    engine.register("db.pdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rj3_mv AS "
+        "SELECT d.zone, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s RIGHT JOIN db_dim d ON s.region = d.region "
+        "LEFT JOIN db_pdim p ON s.product = p.product "
+        "GROUP BY d.zone")
+    mv = engine.mv_catalog.get("rj3_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim", "db_pdim"}
+
+    t.append(engine.spark.createDataFrame(
+        [("east", "g", 9.0)], schema=t.schema()))
+    p.append(engine.spark.createDataFrame(
+        [("g", "gadget")], "product string, cat string"))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("rj3_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("rj3_mv")).collect()}
+    expected = {
+        tuple(r)
+        for r in d.scan().alias("d")
+        .join(t.scan().alias("s"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .join(p.scan().alias("p"), F.col("s.product") == F.col("p.product"),
+              "left")
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n"),
+                             F.sum("amount").alias("total"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_right_join_past_position_zero_still_refuses(engine):
+    """A RIGHT join that nulls an accumulated subtree has no flat
+    canonical form — must fall back, never enroll."""
+    _left_join_setup_no_mv(engine)
+    p = engine.catalog.create_table("db.qdim", "product string, cat string")
+    p.append(engine.spark.createDataFrame(
+        [("w", "widget")], "product string, cat string"))
+    engine.register("db.qdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rjz_mv AS "
+        "SELECT q.cat, count(*) AS n "
+        "FROM db_sales s INNER JOIN db_dim d ON s.region = d.region "
+        "RIGHT JOIN db_qdim q ON s.product = q.product "
+        "GROUP BY q.cat")
+    assert not engine.mv_catalog.get("rjz_mv").source_snapshots
