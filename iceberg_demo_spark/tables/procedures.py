@@ -174,6 +174,27 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
         p = os.path.join(table.location, rel)
         if os.path.exists(p):
             os.remove(p)
+    # Manifest-layer cleanup (round 5): manifest/changes sidecars referenced
+    # ONLY by expired snapshots are dead metadata — remove them (and their
+    # cache entries) so spilled tables don't accrete unreferenced manifests.
+    live_meta: set[str] = set()
+    for s in survivors:
+        live_meta.update(m["path"] for m in s.manifests)
+        if s.changes_path:
+            live_meta.add(s.changes_path)
+    dead_meta: set[str] = set()
+    for s in md.snapshots:
+        if s.snapshot_id in expire:
+            dead_meta.update(m["path"] for m in s.manifests)
+            if s.changes_path:
+                dead_meta.add(s.changes_path)
+    from iceberg_demo_spark.tables import format as _fmt
+    for rel in dead_meta - live_meta:
+        p = os.path.join(table.location, rel)
+        if os.path.exists(p):
+            os.remove(p)
+        _fmt._MANIFEST_CACHE.pop(p, None)
+        _fmt._CHANGES_CACHE.pop(p, None)
     md.snapshots = survivors
     for s in md.snapshots:
         if s.parent_id in expire:

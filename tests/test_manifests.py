@@ -16,7 +16,7 @@ import time
 import pytest
 
 from iceberg_demo_spark.tables import Catalog
-from iceberg_demo_spark.tables.format import DataFile, TableMetadata
+from iceberg_demo_spark.tables.format import DataFile, TableMetadata, now_ms
 
 
 @pytest.fixture()
@@ -157,3 +157,28 @@ def test_mixed_history_time_travel_across_spill(catalog):
     assert not m.snapshot_by_id(s1).manifests
     head = m.current_snapshot()
     assert head.manifests and head.n_data_files == 210
+
+
+def test_expire_snapshots_cleans_dead_manifests(catalog):
+    from iceberg_demo_spark.tables import procedures as proc
+
+    t = catalog.create_table(
+        "db.exp", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    base = _mk_files(0, 300)
+    t._commit("append", base, base, [], "main")
+    # overwrite everything: snapshot 2's manifest replaces snapshot 1's
+    repl = _mk_files(1000, 300)
+    t._commit("overwrite", repl, repl, base, "main")
+    before = _manifest_names(t)
+    assert len(before) >= 2
+    res = proc.expire_snapshots(t, older_than_ms=now_ms() + 10_000,
+                                retain_last=1)
+    assert res["deleted_snapshots_count"] == 1
+    after = _manifest_names(t)
+    # snapshot 1's (now-unreferenced) manifest deleted; head's kept
+    head_paths = {os.path.basename(m["path"])
+                  for m in t.metadata.current_snapshot().manifests}
+    assert head_paths <= after
+    assert len(after) < len(before)
+    assert len(t.metadata.current_snapshot().files) == 300
