@@ -97,6 +97,10 @@ def main() -> None:
               file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # rounds 1-4 benched the first 19 queries; report that subtotal too so
+    # round-over-round comparisons stay apples-to-apples after the round-5
+    # headline extension
+    r4_set = HEADLINE[:19]
     print(
         json.dumps(
             {
@@ -106,6 +110,8 @@ def main() -> None:
                 "queries": timings,
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
+                "value_r4_comparable": round(
+                    sum(timings[q] for q in r4_set), 3),
                 "sf": sf,
             }
         )
