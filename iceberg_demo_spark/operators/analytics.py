@@ -687,9 +687,12 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("monetary", fracs, 10000).alias("mc"),
     ).first()
     n_total = stats["n"]
-    q = _exact_desc_ntile(cust, "last_order_d", n_total, stats["rc"], 4, "r_q")
-    q = _exact_desc_ntile(q, "n_orders", n_total, stats["fc"], 4, "f_q")
-    q = _exact_desc_ntile(q, "monetary", n_total, stats["mc"], 4, "m_q")
+    # empty input: percentile_approx yields NULL cut arrays; every ntile
+    # frame is empty anyway, so substitute no-cuts (single range partition)
+    q = _exact_desc_ntile(cust, "last_order_d", n_total,
+                          stats["rc"] or [], 4, "r_q")
+    q = _exact_desc_ntile(q, "n_orders", n_total, stats["fc"] or [], 4, "f_q")
+    q = _exact_desc_ntile(q, "monetary", n_total, stats["mc"] or [], 4, "m_q")
     return (
         q.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"),
