@@ -439,9 +439,11 @@ def test_left_join_mv_incremental_dim_delete_moves_rows_into_null_group(
     assert (None, 2, 60.0) in got  # west 50.0 joins north 10.0 in NULL group
 
 
-def test_left_join_mv_where_on_nullable_side_falls_back(engine):
-    """WHERE over the nullable table can pass on NULL-extended rows the
-    probe never sees — the plan must refuse and full refresh instead."""
+def test_left_join_mv_where_on_nullable_side(engine, monkeypatch):
+    """Round 4 refused EVERY WHERE over the nullable table; round 5 admits
+    provably null-REJECTING conjuncts (they can only remove NULL-extended
+    rows, which the probes model exactly) — IS NOT NULL now enrolls and
+    maintains incrementally; IS NULL still refuses (covered separately)."""
     t, d = _left_join_setup(engine)
     engine.sql(
         "CREATE MATERIALIZED VIEW ljoin_guard_mv AS "
@@ -449,7 +451,26 @@ def test_left_join_mv_where_on_nullable_side_falls_back(engine):
         "LEFT JOIN db_dim d ON s.region = d.region "
         "WHERE d.zone IS NOT NULL GROUP BY d.zone")
     mv = engine.mv_catalog.get("ljoin_guard_mv")
-    assert not mv.source_snapshots  # not enrolled for join-incremental
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
+    d.delete_where("region = 'west'")
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("ljoin_guard_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("ljoin_guard_mv")).collect()}
+    expected = {
+        tuple(r)
+        for r in t.scan().alias("s")
+        .join(d.scan().alias("d"), F.col("s.region") == F.col("d.region"),
+              "left")
+        .filter(F.col("d.zone").isNotNull())
+        .groupBy("zone").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == expected
+    assert not any(z is None for z, _n in got)
 
 
 def test_left_join_mv_incremental_randomized_matches_full(engine):
