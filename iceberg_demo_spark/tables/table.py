@@ -357,10 +357,19 @@ class Table:
         branch: str | None = None,
         tag: str | None = None,
         with_file_col: bool = False,
+        where: str | Column | None = None,
     ) -> DataFrame:
         """Time-travel-aware read (the 4 syntaxes of docs/spark-queries.md:47-98
         map here: VERSION AS OF -> snapshot_id or branch/tag name,
-        TIMESTAMP AS OF -> as_of_timestamp_ms)."""
+        TIMESTAMP AS OF -> as_of_timestamp_ms).
+
+        ``where`` (round 5): a predicate applied to the scan. When given as
+        SQL text, its partition-aligned conjuncts drive driver-side FILE
+        pruning via the hidden partition spec (`_prune_files`) BEFORE the
+        read — the Iceberg scan-planning behavior — so a partition-aligned
+        read opens O(partition) files at any table size; the full predicate
+        is then still applied row-wise, so semantics never depend on how
+        much pruning applied."""
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch, tag)
         if snap is None:
             return self.spark.createDataFrame([], self.schema())
@@ -371,8 +380,14 @@ class Table:
             x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
         )
         out_schema = snap.schema_id if time_travel else self.metadata.current_schema_id
-        return self._read_files(snap.files, out_schema, with_file_col,
-                                delete_files=snap.delete_files)
+        files = snap.files
+        if where is not None and isinstance(where, str):
+            files = self._prune_files(files, where)
+        df = self._read_files(files, out_schema, with_file_col,
+                              delete_files=snap.delete_files)
+        if where is not None:
+            df = df.filter(_col(where))
+        return df
 
     def to_df(self) -> DataFrame:
         return self.scan()

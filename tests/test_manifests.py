@@ -182,3 +182,31 @@ def test_expire_snapshots_cleans_dead_manifests(catalog):
     assert head_paths <= after
     assert len(after) < len(before)
     assert len(t.metadata.current_snapshot().files) == 300
+
+
+def test_scan_where_prunes_partition_files(catalog):
+    """scan(where=...) drives driver-side FILE pruning from the hidden
+    partition spec before the read, then applies the full predicate."""
+    t = catalog.create_table(
+        "db.pp", "id bigint, cat string, v double",
+        partition_by=[("cat",)])
+    rows = [(i, c, float(i)) for i, c in enumerate(["x", "y", "z"] * 4)]
+    t.append(catalog.spark.createDataFrame(rows, schema=t.schema()))
+    full = t.metadata.current_snapshot().files
+    x_files = [f for f in full if f.partition.get("_p_cat") == "x"]
+    assert 0 < len(x_files) < len(full)
+
+    seen = {}
+    orig = t._read_files
+
+    def spy(files, *a, **k):
+        seen["n"] = len(files)
+        return orig(files, *a, **k)
+
+    t._read_files = spy
+    got = t.scan(where="cat = 'x' AND v >= 3").collect()
+    t._read_files = orig
+    assert seen["n"] == len(x_files)  # only the x-partition files opened
+    assert {r["id"] for r in got} == {i for i, c in
+                                      enumerate(["x", "y", "z"] * 4)
+                                      if c == "x" and i >= 3}
