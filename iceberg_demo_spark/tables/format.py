@@ -193,12 +193,27 @@ def write_manifest(location: str, files: list[DataFile], tag: str) -> dict:
     os.rename(tmp, path)
     rel = os.path.join("metadata", name)
     _MANIFEST_CACHE[path] = list(files)
-    return {
+    entry = {
         "path": rel,
         "n_files": len(files),
         "n_records": sum(f.records for f in files),
         "n_bytes": sum(f.bytes for f in files),
     }
+    # Per-manifest partition summary (Iceberg's manifest-pruning analog):
+    # a partition column appears only when EVERY file carries it and its
+    # distinct-value set is small; scan planning can then skip a whole
+    # manifest whose summary proves no file matches.
+    parts: dict[str, set] = {}
+    counts: dict[str, int] = {}
+    for f in files:
+        for k, v in f.partition.items():
+            parts.setdefault(k, set()).add(v)
+            counts[k] = counts.get(k, 0) + 1
+    psum = {k: sorted(v) for k, v in parts.items()
+            if counts[k] == len(files) and len(v) <= 64}
+    if psum:
+        entry["partitions"] = psum
+    return entry
 
 
 class Snapshot:

@@ -380,9 +380,10 @@ class Table:
             x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
         )
         out_schema = snap.schema_id if time_travel else self.metadata.current_schema_id
-        files = snap.files
         if where is not None and isinstance(where, str):
-            files = self._prune_files(files, where)
+            files = self._pruned_snapshot_files(snap, where)
+        else:
+            files = snap.files
         df = self._read_files(files, out_schema, with_file_col,
                               delete_files=snap.delete_files)
         if where is not None:
@@ -870,8 +871,17 @@ class Table:
         Spark job — exact for hash buckets too. At 100 TB this is what turns
         a partition-aligned DELETE into an O(partition) operation instead of
         O(table)."""
-        if not cond_text or not self.metadata.partition_spec:
+        allowed = self._partition_allowed(cond_text)
+        if not allowed:
             return files
+        return self._apply_partition_filter(files, allowed)
+
+    def _partition_allowed(self, cond_text: str | None) -> dict[str, set[str]]:
+        """Partition-col → admissible value set, derived from the
+        predicate's top-level equality/IN conjuncts; empty dict when no
+        pruning applies."""
+        if not cond_text or not self.metadata.partition_spec:
+            return {}
         import re as _re
 
         from iceberg_demo_spark.mv.parser import split_conjuncts
@@ -883,7 +893,7 @@ class Table:
         try:
             conjuncts = split_conjuncts(cond_text)
         except Exception:
-            return files
+            return {}
         for c in conjuncts:
             vals: set[str] | None = None
             m = _re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", c) or \
@@ -907,8 +917,11 @@ class Table:
                     allowed[p.partition_col] &= tvals
                 else:
                     allowed[p.partition_col] = set(tvals)
-        if not allowed:
-            return files
+        return allowed
+
+    @staticmethod
+    def _apply_partition_filter(files: list[DataFile],
+                                allowed: dict[str, set[str]]) -> list[DataFile]:
         out = []
         for f in files:
             keep = True
@@ -919,6 +932,29 @@ class Table:
             if keep:
                 out.append(f)
         return out
+
+    def _pruned_snapshot_files(self, snap: Snapshot,
+                               cond_text: str) -> list[DataFile]:
+        """Partition-pruned file list for a snapshot; on a manifest-backed
+        snapshot not yet materialized, whole manifests whose partition
+        summary proves no match are SKIPPED without loading — scan planning
+        on a spilled table reads O(matching manifests), not O(all)."""
+        allowed = self._partition_allowed(cond_text)
+        if not allowed:
+            return snap.files
+        if snap._files is None and snap.manifests:
+            from iceberg_demo_spark.tables import format as _fmt
+
+            files: list[DataFile] = []
+            for m in snap.manifests:
+                psum = m.get("partitions") or {}
+                if any(col in psum and not (vals & set(psum[col]))
+                       for col, vals in allowed.items()):
+                    continue  # no file in this manifest can match
+                files.extend(_fmt.load_manifest(self.location, m["path"]))
+        else:
+            files = snap.files
+        return self._apply_partition_filter(files, allowed)
 
     def update_where(self, assignments: dict[str, str | Column],
                      condition: str | Column | None = None,

@@ -210,3 +210,41 @@ def test_scan_where_prunes_partition_files(catalog):
     assert {r["id"] for r in got} == {i for i, c in
                                       enumerate(["x", "y", "z"] * 4)
                                       if c == "x" and i >= 3}
+
+
+def test_scan_where_skips_whole_manifests(catalog, monkeypatch):
+    """On a spilled table, a partition-aligned scan loads only manifests
+    whose partition summary can match — the others are never opened."""
+    from iceberg_demo_spark.tables import format as fmt
+
+    t = catalog.create_table(
+        "db.msk", "id bigint, cat string",
+        partition_by=[("cat",)],
+        properties={"write.metadata.manifest-min-files": "10"})
+    a = catalog.spark.createDataFrame(
+        [(i, "x") for i in range(40)], schema=t.schema())
+    b = catalog.spark.createDataFrame(
+        [(i, "y") for i in range(40, 80)], schema=t.schema())
+    t.append(a)
+    t.append(b)
+
+    m = TableMetadata.load(t.location)
+    snap = m.current_snapshot()
+    assert snap._files is None and len(snap.manifests) >= 2
+    # bind a fresh Table handle around the cold metadata
+    t2 = type(t)(catalog.spark, m)
+
+    loaded = []
+    orig = fmt.load_manifest
+
+    def spy(location, rel):
+        loaded.append(rel)
+        return orig(location, rel)
+
+    monkeypatch.setattr(fmt, "load_manifest", spy)
+    got = t2.scan(where="cat = 'y'").collect()
+    assert {r["id"] for r in got} == set(range(40, 80))
+    x_manifests = {mm["path"] for mm in snap.manifests
+                   if (mm.get("partitions") or {}).get("_p_cat") == ["x"]}
+    assert x_manifests  # the x-only manifest exists with a summary
+    assert not (set(loaded) & x_manifests)  # and was never opened
