@@ -248,3 +248,50 @@ def test_scan_where_skips_whole_manifests(catalog, monkeypatch):
                    if (mm.get("partitions") or {}).get("_p_cat") == ["x"]}
     assert x_manifests  # the x-only manifest exists with a summary
     assert not (set(loaded) & x_manifests)  # and was never opened
+
+
+def test_randomized_commit_sequences_match_inline_shadow(catalog):
+    """Randomized appends/deletes/overwrites on a low-threshold (spilling)
+    table: after every commit, the manifest-backed file set equals a
+    plain-python shadow model, both hot and after a cold reload."""
+    import random
+
+    rng = random.Random(51)
+    t = catalog.create_table(
+        "db.rand", "id bigint",
+        properties={"write.metadata.manifest-min-files": "20"})
+    shadow: dict[str, DataFile] = {}
+    next_id = 0
+    for step in range(30):
+        op = rng.choice(["append", "append", "delete", "overwrite"])
+        live = list(shadow.values())
+        if op == "append" or not live:
+            n = rng.randint(1, 60)
+            added = _mk_files(next_id, n)
+            next_id += n
+            for f in added:
+                shadow[f.path] = f
+            t._commit("append", list(shadow.values()), added, [], "main")
+        elif op == "delete":
+            removed = rng.sample(live, rng.randint(1, min(25, len(live))))
+            for f in removed:
+                del shadow[f.path]
+            t._commit("delete", list(shadow.values()), [], removed, "main")
+        else:  # overwrite: replace a random subset with fresh files
+            removed = rng.sample(live, rng.randint(1, min(25, len(live))))
+            for f in removed:
+                del shadow[f.path]
+            n = rng.randint(1, 30)
+            added = _mk_files(next_id, n)
+            next_id += n
+            for f in added:
+                shadow[f.path] = f
+            t._commit("overwrite", list(shadow.values()), added, removed,
+                      "main")
+        got = {f.path for f in t.metadata.current_snapshot().files}
+        assert got == set(shadow), f"hot mismatch at step {step} ({op})"
+    cold = TableMetadata.load(t.location)
+    assert {f.path for f in cold.current_snapshot().files} == set(shadow)
+    # every historical snapshot still loads consistently
+    for s in cold.snapshots:
+        assert len(s.files) == s.n_data_files
