@@ -668,9 +668,13 @@ class Table:
             entries.append(write_manifest(self.location, added, tag))
         expect = {f.path for f in files}
         got: set[str] = set()
+        total = 0
         for e in entries:
             got.update(f.path for f in load_manifest(self.location, e["path"]))
-        if got != expect:
+            total += e["n_files"]
+        # count check catches duplicates across manifests that the set
+        # union alone would hide (a duplicated entry = rows read twice)
+        if got != expect or total != len(files):
             entries = [write_manifest(self.location, files, tag)]
         return entries
 

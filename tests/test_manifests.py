@@ -295,3 +295,24 @@ def test_randomized_commit_sequences_match_inline_shadow(catalog):
     # every historical snapshot still loads consistently
     for s in cold.snapshots:
         assert len(s.files) == s.n_data_files
+
+
+def test_plan_manifests_falls_back_on_duplicate_added_paths(catalog):
+    """If a caller passes `added` overlapping a carried manifest (no
+    current caller does, but cherry-pick-style flows could), the union
+    set-check alone would hide the duplicate; the count check must force
+    the single-full-manifest fallback so no file is listed twice."""
+    t = catalog.create_table(
+        "db.dup", "id bigint",
+        properties={"write.metadata.manifest-min-files": "50"})
+    base = _mk_files(0, 120)
+    t._commit("append", base, base, [], "main")
+    # pathological commit: re-adds 10 files already present
+    again = base[:10]
+    t._commit("append", base, again, [], "main")
+    snap = t.metadata.current_snapshot()
+    assert sum(m["n_files"] for m in snap.manifests) == 120
+    assert len(snap.files) == 120
+    cold = TableMetadata.load(t.location)
+    paths = [f.path for f in cold.current_snapshot().files]
+    assert len(paths) == len(set(paths)) == 120
