@@ -699,3 +699,90 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_orders").alias("total_orders"))
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: the classic association-mining pair count +
+# lift — which parts ship together more often than chance. (Round 5.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items
+    ),
+    pn AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS np
+      FROM items GROUP BY l_partkey
+    ),
+    joint AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY p1, p2
+    )
+    SELECT j.p1, j.p2, j.n_both, p1n.np AS n_p1, p2n.np AS n_p2,
+           ROUND(CAST(j.n_both AS DOUBLE) * t.n_orders
+                 / (p1n.np * p2n.np), 4) AS lift
+    FROM joint j
+    JOIN pn p1n ON j.p1 = p1n.l_partkey
+    JOIN pn p2n ON j.p2 = p2n.l_partkey, tot t
+    ORDER BY n_both DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring part pairs with lift.
+
+    Scale shape: ONE exchange on l_orderkey builds per-order sorted
+    distinct baskets (collect_set — bounded by basket size, ≤7 items in
+    TPC-H), shared by all three downstream aggregates via exchange reuse;
+    pair expansion is a JVM higher-order transform over the basket array
+    (≤21 pairs/order ⇒ |pairs| ∝ |orders|, never |parts|²), not a
+    self-join. The per-part counts join on p1/p2 (dictionary-sized;
+    Catalyst/AQE picks broadcast vs shuffle), the order total is a 1-row
+    broadcast. Lift is ONE double division of exact integer aggregates,
+    rounded in-query — bit-stable cross-engine.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    baskets = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pn = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("np"))
+    )
+    joint = (
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps) - i - 1), "
+            "y -> struct(x AS p1, y AS p2))))"
+        )).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        joint
+        .join(pn.withColumnRenamed("l_partkey", "p1")
+                .withColumnRenamed("np", "n_p1"), "p1")
+        .join(pn.withColumnRenamed("l_partkey", "p2")
+                .withColumnRenamed("np", "n_p2"), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1", "p2", "n_both", "n_p1", "n_p2",
+            F.round(F.col("n_both").cast("double") * F.col("n_orders")
+                    / (F.col("n_p1") * F.col("n_p2")), 4).alias("lift"),
+        )
+        .orderBy(F.col("n_both").desc(), "p1", "p2")
+        .limit(20)
+    )

@@ -605,3 +605,77 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension feature normalization stats: the mean/std/min/max pass every
+# whitening / standard-scaling pipeline computes before training. (Round 5.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_feature_norm_stats",
+    oracle=f"""
+    WITH expl AS (
+      SELECT i AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+                 AS fx
+      FROM embeddings, unnest(generate_series(1, {_DIMS})) AS t(i)
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(fx) AS BIGINT) AS s,
+             CAST(SUM(fx * fx) AS BIGINT) AS ssq,
+             ROUND(MIN(x), 6) AS min_x,
+             ROUND(MAX(x), 6) AS max_x
+      FROM expl GROUP BY dim
+    )
+    SELECT dim, n_vecs,
+           ROUND(CAST(s AS DOUBLE) / (10000.0 * n_vecs), 4) AS mean_x,
+           ROUND(SQRT(GREATEST(
+                 CAST(ssq AS DOUBLE) / n_vecs
+                 - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs),
+                 0.0)) / 10000.0, 4) AS std_x,
+           min_x, max_x
+    FROM agg
+    ORDER BY dim
+    """,
+)
+def emb_feature_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / population std / min / max of the embeddings.
+
+    Scale shape: one posexplode + one partial-aggregated groupBy on dim —
+    {_DIMS} output rows at any corpus size; nothing driver-side. Exactness
+    discipline: components quantize per value to 1e-4 fixed point
+    (deterministic in both engines), the sum and sum-of-squares are exact
+    BIGINT aggregates (order-independent; fx² ≤ ~4e8 ⇒ safe past 2e10
+    rows/dim), and mean/std derive from the SAME double expression in
+    both engines — identical IEEE ops on identical inputs. min/max on the
+    raw doubles are order-independent exact aggregates. The reported
+    stats are those of the quantized values (≪ the 4dp output precision).
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    expl = t["embeddings"].select(
+        (F.posexplode("embedding")).alias("pos", "xf"),
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    ).withColumn("fx", F.round(F.col("x") * 10000).cast("bigint"))
+    agg = expl.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("fx").alias("s"),
+        F.sum(F.col("fx") * F.col("fx")).alias("ssq"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+    sn = F.col("s").cast("double") / F.col("n_vecs")
+    return agg.select(
+        "dim", "n_vecs",
+        F.round(F.col("s").cast("double")
+                / (F.lit(10000.0) * F.col("n_vecs")), 4).alias("mean_x"),
+        F.round(F.sqrt(F.greatest(
+            F.col("ssq").cast("double") / F.col("n_vecs") - sn * sn,
+            F.lit(0.0))) / F.lit(10000.0), 4).alias("std_x"),
+        "min_x", "max_x",
+    ).orderBy("dim")

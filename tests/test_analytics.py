@@ -190,3 +190,51 @@ def test_rfm_segments_match_python_quartiles(spark):
     got = {(r["r_q"], r["f_q"], r["m_q"]): r["n_customers"] for r in rows}
     assert got == dict(exp)
     assert sum(r["total_orders"] for r in rows) == len(orders)
+
+
+def test_market_basket_matches_python_recompute(spark):
+    rows = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey").collect()
+    baskets: dict[int, set[int]] = {}
+    for r in rows:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    joint: Counter = Counter()
+    part_n: Counter = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        part_n.update(s)
+        for i, p1 in enumerate(s):
+            for p2 in s[i + 1:]:
+                joint[(p1, p2)] += 1
+    n_orders = len(baskets)
+    expected = sorted(joint.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = registry.QUERIES["orders_market_basket"](spark, SF_SMALL).collect()
+    assert [(r["p1"], r["p2"]) for r in got] == [k for k, _ in expected]
+    for r in got:
+        k = (r["p1"], r["p2"])
+        assert r["n_both"] == joint[k]
+        assert r["n_p1"] == part_n[r["p1"]]
+        assert r["n_p2"] == part_n[r["p2"]]
+        assert r["lift"] == round(
+            joint[k] * n_orders / (part_n[r["p1"]] * part_n[r["p2"]]), 4)
+
+
+def test_feature_norm_stats_match_numpy(spark):
+    import math
+
+    vecs = [r["embedding"] for r in spark.read.parquet(
+        f"{SF_SMALL}/embeddings.parquet").select("embedding").collect()]
+    got = registry.QUERIES["emb_feature_norm_stats"](spark, SF_SMALL).collect()
+    assert len(got) == 64
+    for r in got[:8]:
+        d = r["dim"] - 1
+        xs = [float(v[d]) for v in vecs]
+        fx = [round(x * 10000) for x in xs]
+        n = len(xs)
+        assert r["n_vecs"] == n
+        s, ssq = sum(fx), sum(v * v for v in fx)
+        assert r["mean_x"] == round(s / (10000.0 * n), 4)
+        var = max(ssq / n - (s / n) ** 2, 0.0)
+        assert abs(r["std_x"] - round(math.sqrt(var) / 10000.0, 4)) <= 1e-4
+        assert r["min_x"] == round(min(xs), 6)
+        assert r["max_x"] == round(max(xs), 6)
