@@ -235,3 +235,25 @@ def test_rfm_quartiles_have_no_global_window(spark):
     assert len(wsd) == 3  # one row_number per metric
     for line in wsd:
         assert "_pid" in line  # every window partitions by the range-pid
+
+
+def test_market_basket_has_no_cartesian_and_single_basket_key(spark):
+    """Pair expansion must be the JVM transform over per-order baskets —
+    never a parts×parts cartesian; final top-k is TakeOrderedAndProject."""
+    plan = _plan(spark, "orders_market_basket")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" in plan  # the explode of basket pairs
+    # every join is broadcast (dictionary-sized sides at this SF)
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_norm_stats_is_single_dim_exchange(spark):
+    """One partial-aggregated groupBy on dim (64 output rows at any corpus
+    size) + the final order — nothing else may shuffle."""
+    plan = _plan(spark, "emb_feature_norm_stats")
+    tree = plan.split("\n\n")[0]
+    import re as _re
+    n_exchange = len(_re.findall(r"\+- Exchange|:- Exchange", tree))
+    assert n_exchange == 2  # hash(dim) + final range sort
+    assert "partial_count" in plan or "HashAggregate" in tree
