@@ -316,3 +316,26 @@ def test_plan_manifests_falls_back_on_duplicate_added_paths(catalog):
     cold = TableMetadata.load(t.location)
     paths = [f.path for f in cold.current_snapshot().files]
     assert len(paths) == len(set(paths)) == 120
+
+
+def test_branch_commits_on_spilled_table_stay_isolated(catalog):
+    t = catalog.create_table(
+        "db.br", "id bigint",
+        properties={"write.metadata.manifest-min-files": "100"})
+    base = _mk_files(0, 200)
+    t._commit("append", base, base, [], "main")
+    head = t.metadata.current_snapshot().snapshot_id
+    t.metadata.refs["dev"] = {"snapshot_id": head, "type": "branch"}
+    extra = _mk_files(200, 150)
+    t._commit("append", base + extra, extra, [], "dev")
+    # main untouched; dev extended; both manifest-backed and disjoint heads
+    cold = TableMetadata.load(t.location)
+    main_files = {f.path for f in cold.current_snapshot("main").files}
+    dev_files = {f.path for f in cold.current_snapshot("dev").files}
+    assert len(main_files) == 200 and len(dev_files) == 350
+    assert main_files < dev_files
+    assert cold.current_snapshot("dev").manifests
+    # the dev commit reused main's sealed/base manifests by reference
+    main_m = {m["path"] for m in cold.current_snapshot("main").manifests}
+    dev_m = {m["path"] for m in cold.current_snapshot("dev").manifests}
+    assert main_m <= dev_m
