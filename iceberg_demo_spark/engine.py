@@ -772,13 +772,32 @@ class Engine:
     def _bind_catalog_refs(self, sql_text: str) -> str:
         """Bind dotted catalog-table references after FROM/JOIN to temp
         views so plain Spark SQL can resolve them (subqueries may name
-        catalog tables that were never ``register()``-ed)."""
+        catalog tables that were never ``register()``-ed).
+
+        Round 5: for a single-table query (no JOIN, no set ops, exactly
+        one WHERE) the WHERE text rides along as ``prune_where`` so the
+        bound scan drops partition-unmatchable files driver-side — the
+        hidden-partition pruning an Iceberg catalog gives Spark SQL.
+        Pruning is purely subtractive and regex-conservative
+        (`_partition_allowed`): anything it can't prove keeps its files,
+        and the SQL WHERE still filters row-wise, so semantics are
+        unchanged in every case."""
+        prune_where = None
+        if (not re.search(r"(?i)\b(join|union|intersect|except)\b", sql_text)
+                and len(re.findall(r"(?i)\bwhere\b", sql_text)) == 1):
+            m = re.search(
+                r"(?is)\bwhere\b(.*?)"
+                r"(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|$)",
+                sql_text)
+            if m:
+                prune_where = m.group(1).strip() or None
+
         def repl(m: re.Match) -> str:
             name = m.group(2)
             if self.catalog.table_exists(name):
                 view = "__sub_" + name.replace(".", "_")
-                self.catalog.load_table(name).scan() \
-                    .createOrReplaceTempView(view)
+                self.catalog.load_table(name).scan(
+                    prune_where=prune_where).createOrReplaceTempView(view)
                 return m.group(1) + view
             return m.group(0)
 

@@ -358,6 +358,7 @@ class Table:
         tag: str | None = None,
         with_file_col: bool = False,
         where: str | Column | None = None,
+        prune_where: str | None = None,
     ) -> DataFrame:
         """Time-travel-aware read (the 4 syntaxes of docs/spark-queries.md:47-98
         map here: VERSION AS OF -> snapshot_id or branch/tag name,
@@ -369,7 +370,12 @@ class Table:
         read — the Iceberg scan-planning behavior — so a partition-aligned
         read opens O(partition) files at any table size; the full predicate
         is then still applied row-wise, so semantics never depend on how
-        much pruning applied."""
+        much pruning applied.
+
+        ``prune_where``: pruning ONLY — the caller re-applies the real
+        predicate itself (Engine.sql's SELECT path, where the SQL WHERE
+        filters row-wise). Purely subtractive and conservative, so a text
+        the pruner can't parse simply prunes nothing."""
         snap = self._resolve_snapshot(snapshot_id, as_of_timestamp_ms, branch, tag)
         if snap is None:
             return self.spark.createDataFrame([], self.schema())
@@ -380,8 +386,9 @@ class Table:
             x is not None for x in (snapshot_id, as_of_timestamp_ms, tag)
         )
         out_schema = snap.schema_id if time_travel else self.metadata.current_schema_id
-        if where is not None and isinstance(where, str):
-            files = self._pruned_snapshot_files(snap, where)
+        prune_text = where if isinstance(where, str) else prune_where
+        if prune_text is not None:
+            files = self._pruned_snapshot_files(snap, prune_text)
         else:
             files = snap.files
         df = self._read_files(files, out_schema, with_file_col,

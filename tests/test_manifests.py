@@ -339,3 +339,42 @@ def test_branch_commits_on_spilled_table_stay_isolated(catalog):
     main_m = {m["path"] for m in cold.current_snapshot("main").manifests}
     dev_m = {m["path"] for m in cold.current_snapshot("dev").manifests}
     assert main_m <= dev_m
+
+
+def test_engine_sql_where_prunes_partition_files(catalog, spark, tmp_path):
+    """Engine.sql('SELECT … FROM db.t WHERE cat = …') drives driver-side
+    partition pruning through the bound scan; a UNION query must not."""
+    from iceberg_demo_spark.engine import Engine
+    from iceberg_demo_spark.tables import table as table_mod
+
+    eng = Engine(spark, str(tmp_path / "wh_sqlprune"))
+    t = eng.catalog.create_table(
+        "db.sp", "id bigint, cat string", partition_by=[("cat",)])
+    rows = [(i, c) for i, c in enumerate(["x", "y", "z"] * 5)]
+    t.append(spark.createDataFrame(rows, schema=t.schema()))
+    n_total = len(t.metadata.current_snapshot().files)
+    n_x = len([f for f in t.metadata.current_snapshot().files
+               if f.partition.get("_p_cat") == "x"])
+    assert 0 < n_x < n_total
+
+    seen = []
+    orig = table_mod.Table._read_files
+
+    def spy(self, files, *a, **k):
+        seen.append(len(files))
+        return orig(self, files, *a, **k)
+
+    table_mod.Table._read_files = spy
+    try:
+        got = eng.sql("SELECT id FROM db.sp WHERE cat = 'x' AND id >= 3")
+        ids = {r["id"] for r in got.collect()}
+        assert seen and seen[0] == n_x
+        assert ids == {i for i, c in enumerate(["x", "y", "z"] * 5)
+                       if c == "x" and i >= 3}
+        seen.clear()
+        u = eng.sql("SELECT id FROM db.sp WHERE cat = 'x' "
+                    "UNION ALL SELECT id FROM db.sp WHERE cat = 'y'")
+        assert len(u.collect()) == 10
+        assert seen and seen[0] == n_total  # set-op query: no pruning
+    finally:
+        table_mod.Table._read_files = orig
