@@ -883,9 +883,10 @@ class Table:
         a partition-aligned DELETE into an O(partition) operation instead of
         O(table)."""
         allowed = self._partition_allowed(cond_text)
-        if not allowed:
+        ranges = self._partition_range_cons(cond_text)
+        if not allowed and not ranges:
             return files
-        return self._apply_partition_filter(files, allowed)
+        return self._apply_partition_filter(files, allowed, ranges)
 
     def _partition_allowed(self, cond_text: str | None) -> dict[str, set[str]]:
         """Partition-col → admissible value set, derived from the
@@ -930,9 +931,101 @@ class Table:
                     allowed[p.partition_col] = set(tvals)
         return allowed
 
+    #: transforms monotone non-decreasing in the source value — safe to
+    #: prune with range predicates at the transform level (bucket is NOT)
+    _MONOTONE = ("identity", "year", "years", "month", "months", "day",
+                 "days", "hour", "hours")
+    _NUMERIC_TYPES = ("tinyint", "smallint", "int", "integer", "bigint",
+                      "long", "float", "double", "real", "decimal")
+
+    def _partition_range_cons(
+            self, cond_text: str | None
+    ) -> dict[str, list[tuple[str, str, bool]]]:
+        """Range pruning constraints (round 5): partition-col →
+        [(op∈{ge,le}, transformed bound, numeric?)] derived from top-level
+        ``col >/>=/</<= lit`` and ``col BETWEEN a AND b`` conjuncts on
+        MONOTONE transforms (identity + the time transforms; year/month/
+        day/hour render fixed-width date strings, so lexicographic order
+        IS value order). Strict ops weaken to inclusive at the transform
+        level — monotone transforms aren't injective — which is exactly
+        the conservative direction: pruning may keep extra files, never
+        drop a matching one."""
+        if not cond_text or not self.metadata.partition_spec:
+            return {}
+        import re as _re
+
+        from iceberg_demo_spark.mv.parser import split_conjuncts
+
+        by_source: dict[str, list[PartitionField]] = {}
+        for p in self.metadata.partition_spec:
+            if p.transform in self._MONOTONE or p.transform.startswith(
+                    "truncate["):
+                by_source.setdefault(p.source.lower(), []).append(p)
+        if not by_source:
+            return {}
+        lit = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
+        cons: dict[str, list[tuple[str, str, bool]]] = {}
+
+        # BETWEEN's own AND would be split as a conjunct boundary —
+        # rewrite `col BETWEEN a AND b` to the two comparisons first
+        # (leaving NOT BETWEEN untouched).
+        def _unbetween(m: _re.Match) -> str:
+            if m.group(2):  # NOT BETWEEN: negated range — don't rewrite
+                return m.group(0)
+            col = m.group(1)
+            lo = f"'{m.group(3)}'" if m.group(3) is not None else m.group(4)
+            hi = f"'{m.group(5)}'" if m.group(5) is not None else m.group(6)
+            return f"{col} >= {lo} AND {col} <= {hi}"
+
+        cond_text = _re.sub(
+            rf"(?i)\b(\w+)\s+(not\s+)?between\s+{lit}\s+and\s+{lit}",
+            _unbetween, cond_text)
+        try:
+            conjuncts = split_conjuncts(cond_text)
+        except Exception:
+            return {}
+
+        def add(col: str, op: str, raw: str) -> None:
+            for p in by_source.get(col.lower(), []):
+                tv = self._eval_transform(p, {raw})
+                if not tv:
+                    continue
+                numeric = (p.transform == "identity"
+                           or p.transform.startswith("truncate[")) and any(
+                    self.metadata.field_by_name(p.source).type.lower()
+                    .startswith(t) for t in self._NUMERIC_TYPES)
+                cons.setdefault(p.partition_col, []).append(
+                    (op, next(iter(tv)), numeric))
+
+        for c in conjuncts:
+            m = _re.fullmatch(rf"\s*(\w+)\s*(>=|<=|>|<)\s*{lit}\s*", c)
+            if m:
+                raw = m.group(3) if m.group(3) is not None else m.group(4)
+                add(m.group(1), "ge" if m.group(2)[0] == ">" else "le", raw)
+        return cons
+
     @staticmethod
-    def _apply_partition_filter(files: list[DataFile],
-                                allowed: dict[str, set[str]]) -> list[DataFile]:
+    def _passes_ranges(value: str,
+                       cons: list[tuple[str, str, bool]]) -> bool:
+        for op, bound, numeric in cons:
+            if numeric:
+                try:
+                    v, b = float(value), float(bound)
+                except (TypeError, ValueError):
+                    continue  # can't prove a violation — keep
+            else:
+                v, b = value, bound
+            if op == "ge" and not v >= b:
+                return False
+            if op == "le" and not v <= b:
+                return False
+        return True
+
+    @classmethod
+    def _apply_partition_filter(
+            cls, files: list[DataFile], allowed: dict[str, set[str]],
+            ranges: dict[str, list[tuple[str, str, bool]]] | None = None,
+    ) -> list[DataFile]:
         out = []
         for f in files:
             keep = True
@@ -940,6 +1033,12 @@ class Table:
                 if pcol in f.partition and f.partition[pcol] not in vals:
                     keep = False
                     break
+            if keep and ranges:
+                for pcol, cons in ranges.items():
+                    if pcol in f.partition and not cls._passes_ranges(
+                            f.partition[pcol], cons):
+                        keep = False
+                        break
             if keep:
                 out.append(f)
         return out
@@ -951,7 +1050,8 @@ class Table:
         summary proves no match are SKIPPED without loading — scan planning
         on a spilled table reads O(matching manifests), not O(all)."""
         allowed = self._partition_allowed(cond_text)
-        if not allowed:
+        ranges = self._partition_range_cons(cond_text)
+        if not allowed and not ranges:
             return snap.files
         if snap._files is None and snap.manifests:
             from iceberg_demo_spark.tables import format as _fmt
@@ -962,10 +1062,14 @@ class Table:
                 if any(col in psum and not (vals & set(psum[col]))
                        for col, vals in allowed.items()):
                     continue  # no file in this manifest can match
+                if any(col in psum and not any(
+                        self._passes_ranges(v, cons) for v in psum[col])
+                       for col, cons in ranges.items()):
+                    continue  # every summarized value is out of range
                 files.extend(_fmt.load_manifest(self.location, m["path"]))
         else:
             files = snap.files
-        return self._apply_partition_filter(files, allowed)
+        return self._apply_partition_filter(files, allowed, ranges)
 
     def update_where(self, assignments: dict[str, str | Column],
                      condition: str | Column | None = None,

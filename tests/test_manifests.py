@@ -378,3 +378,68 @@ def test_engine_sql_where_prunes_partition_files(catalog, spark, tmp_path):
         assert seen and seen[0] == n_total  # set-op query: no pruning
     finally:
         table_mod.Table._read_files = orig
+
+
+def test_range_pruning_on_time_transform_partitions(catalog, spark):
+    """col >= / BETWEEN range predicates prune day-transform partitions:
+    the transform renders fixed-width date strings, so lexicographic
+    order IS value order (strict ops conservatively weaken to inclusive)."""
+    from iceberg_demo_spark.tables import table as table_mod
+
+    t = catalog.create_table(
+        "db.rng", "id bigint, ts timestamp",
+        partition_by=[("ts", "days")])
+    t.append(spark.sql(
+        "SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,"
+        "CAST(id AS INT),0,0,0) AS ts FROM range(10) AS r(id)"))
+    files = t.metadata.current_snapshot().files
+    days = sorted({f.partition["_p_ts_day"] for f in files})
+    assert days[0] == "2024-03-01" and days[-1] == "2024-03-10"
+
+    seen = []
+    orig = table_mod.Table._read_files
+
+    def spy(self, fl, *a, **k):
+        seen.append({f.partition["_p_ts_day"] for f in fl})
+        return orig(self, fl, *a, **k)
+
+    table_mod.Table._read_files = spy
+    try:
+        got = t.scan(where="ts >= '2024-03-08 00:00:00'").collect()
+        assert {r["id"] for r in got} == {7, 8, 9}
+        assert seen[0] == {"2024-03-08", "2024-03-09", "2024-03-10"}
+        seen.clear()
+        got = t.scan(
+            where="ts BETWEEN '2024-03-03 00:00:00' AND "
+                  "'2024-03-05 23:59:59'").collect()
+        assert {r["id"] for r in got} == {2, 3, 4}
+        assert seen[0] == {"2024-03-03", "2024-03-04", "2024-03-05"}
+    finally:
+        table_mod.Table._read_files = orig
+
+
+def test_range_pruning_numeric_identity_partition(catalog, spark):
+    """Numeric identity partitions compare numerically, not
+    lexicographically ('9' vs '10')."""
+    from iceberg_demo_spark.tables import table as table_mod
+
+    t = catalog.create_table(
+        "db.rngn", "id bigint, bucket bigint", partition_by=[("bucket",)])
+    t.append(spark.createDataFrame(
+        [(i, b) for i, b in enumerate([2, 9, 10, 11])],
+        schema=t.schema()))
+
+    seen = []
+    orig = table_mod.Table._read_files
+
+    def spy(self, fl, *a, **k):
+        seen.append({f.partition["_p_bucket"] for f in fl})
+        return orig(self, fl, *a, **k)
+
+    table_mod.Table._read_files = spy
+    try:
+        got = t.scan(where="bucket >= 9").collect()
+        assert {r["id"] for r in got} == {1, 2, 3}
+        assert seen[0] == {"9", "10", "11"}  # '2' pruned, '10' kept
+    finally:
+        table_mod.Table._read_files = orig
