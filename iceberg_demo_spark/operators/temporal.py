@@ -257,3 +257,89 @@ def events_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly volume anomaly detection: flag hours whose event count deviates
+# from the type's mean by more than 2 sigma — in PURE INTEGER arithmetic.
+# (Round 5.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ssq,
+             CAST(MAX(c) AS BIGINT) AS peak_count
+      FROM hourly GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT h.event_type,
+             CAST(SUM(CASE WHEN (h.c * t.n_hours - t.s)
+                                * (h.c * t.n_hours - t.s)
+                             > 4 * (t.n_hours * t.ssq - t.s * t.s)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+      FROM hourly h JOIN stats t USING (event_type)
+      GROUP BY h.event_type
+    )
+    SELECT t.event_type, t.n_hours, t.s AS total_events, f.n_anomalous,
+           CAST((SELECT MIN(h2.h) FROM hourly h2
+                 WHERE h2.event_type = t.event_type
+                   AND h2.c = t.peak_count) AS TIMESTAMP) AS peak_hour,
+           t.peak_count
+    FROM stats t JOIN flagged f USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly volume outliers: hours with |c − μ| > 2σ.
+
+    Determinism: the 2σ test is the integer cross-multiplied form —
+    (c·n − s)² > 4·(n·ssq − s²) — so NO floating point exists anywhere in
+    the gate; every aggregate, product, and comparison is exact BIGINT in
+    both engines (identical overflow posture: ANSI Spark and DuckDB both
+    error rather than wrap; magnitudes here are ≪ 2⁶³ — at true 100 TB
+    hourly volumes the comparison upgrades to decimal128). A constant
+    series has rhs = 0 and lhs = 0: nothing flags.
+
+    Scale shape: the hourly rollup is ONE partial-aggregated shuffle on
+    (event_type, hour); everything after runs on the types×hours frame —
+    KB-sized at any event volume. Peak hour ties break to the earliest
+    hour via a conditional MIN, not a sort.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        F.max("c").alias("peak_count"),
+    )
+    j = hourly.join(stats, "event_type")
+    dev = F.col("c") * F.col("n_hours") - F.col("s")
+    agg = j.groupBy("event_type").agg(
+        F.sum(F.when(
+            dev * dev > 4 * (F.col("n_hours") * F.col("ssq")
+                             - F.col("s") * F.col("s")), 1
+        ).otherwise(0)).alias("n_anomalous"),
+        F.min(F.when(F.col("c") == F.col("peak_count"),
+                     F.col("h"))).alias("peak_hour"),
+    )
+    return (
+        stats.join(agg, "event_type")
+        .select("event_type", "n_hours", F.col("s").alias("total_events"),
+                "n_anomalous", "peak_hour", "peak_count")
+        .orderBy("event_type")
+    )

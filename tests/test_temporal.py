@@ -73,3 +73,33 @@ def test_range_join_bins_equals_naive(spark):
         & (F.col("p.ts") > F.col("e.t0")) & (F.col("p.ts") <= F.col("e.t1")))
     want = {(r["err_id"], r["pt_id"]) for r in naive.collect()}
     assert got == want and got
+
+
+def test_hourly_anomalies_match_python_recompute(spark):
+    from collections import Counter
+
+    from tests.conftest import SF_SMALL
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts").collect()
+    hourly: Counter = Counter(
+        (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        for r in rows)
+    by_type: dict[str, list[tuple]] = {}
+    for (et, h), c in hourly.items():
+        by_type.setdefault(et, []).append((h, c))
+    got = {r["event_type"]: r for r in registry.QUERIES[
+        "events_hourly_anomalies"](spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, hcs in by_type.items():
+        n = len(hcs)
+        s = sum(c for _h, c in hcs)
+        ssq = sum(c * c for _h, c in hcs)
+        n_anom = sum(1 for _h, c in hcs
+                     if (c * n - s) ** 2 > 4 * (n * ssq - s * s))
+        peak = max(c for _h, c in hcs)
+        peak_hour = min(h for h, c in hcs if c == peak)
+        r = got[et]
+        assert (r["n_hours"], r["total_events"], r["n_anomalous"]) == \
+            (n, s, n_anom)
+        assert r["peak_count"] == peak and r["peak_hour"] == peak_hour
