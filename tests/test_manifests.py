@@ -443,3 +443,28 @@ def test_range_pruning_numeric_identity_partition(catalog, spark):
         assert seen[0] == {"9", "10", "11"}  # '2' pruned, '10' kept
     finally:
         table_mod.Table._read_files = orig
+
+
+def test_pruning_is_safe_across_partition_evolution(catalog, spark):
+    """Files written under an OLDER partition spec lack the new partition
+    column — pruning must keep them (conservative) while still pruning
+    new-generation files; results stay exact either way."""
+    t = catalog.create_table(
+        "db.pe", "id bigint, cat string, d string",
+        partition_by=[("cat",)])
+    t.append(spark.createDataFrame(
+        [(0, "x", "a"), (1, "y", "a")], schema=t.schema()))
+    t.add_partition_field("d")
+    t.append(spark.createDataFrame(
+        [(2, "x", "b"), (3, "y", "b")], schema=t.schema()))
+
+    got = t.scan(where="cat = 'x'").collect()
+    assert {r["id"] for r in got} == {0, 2}
+    # pruning on the NEW field keeps gen-1 files (no _p_d) but prunes
+    # gen-2 files outside the value
+    files_seen = t._pruned_snapshot_files(
+        t.metadata.current_snapshot(), "d = 'b'")
+    assert all(f.partition.get("_p_d") in (None, "b") for f in files_seen)
+    assert any("_p_d" not in f.partition for f in files_seen)  # gen-1 kept
+    got = t.scan(where="d = 'b'").collect()
+    assert {r["id"] for r in got} == {2, 3}
