@@ -343,3 +343,72 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_anomalous", "peak_hour", "peak_count")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix: per-user consecutive event pairs — the
+# Markov-chain estimate behind next-action prediction and funnel design.
+# (Round 5.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    outdeg AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS out_n
+      FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / o.out_n, 4) AS p_next
+    FROM pairs p JOIN outdeg o USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts and conditional probabilities.
+
+    Determinism: the per-user sequence orders by (ts, event_id) — a total
+    order — so LAG pairs are identical in both engines; counts are exact
+    integers and each probability is ONE double division of two exact
+    integer aggregates, rounded in-query.
+
+    Scale shape: the LAG window partitions by user_id (the natural
+    parallel unit — millions of small partitions, no global sort), then
+    two partial-aggregated groupBys on type pairs (≤|types|² output
+    rows). The outdegree join runs on the tiny pair frame. This is the
+    100 TB-safe sequence-mining shape: state lives per user, results are
+    type-cardinality-bounded.
+    """
+    t = load_tables(spark, sf_dir, ("events",))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = t["events"].select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = pairs.groupBy("prev_type").agg(F.sum("n").alias("out_n"))
+    return (
+        pairs.join(outdeg, "prev_type")
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(F.col("n").cast("double") / F.col("out_n"), 4)
+            .alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -47,15 +47,17 @@ def load_all() -> None:
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
     externally verified. Round-5 window (exactly 50): the round-4 window
-    minus 7 gates green in BOTH r3 and r4 (rotated out: 4 table_ops —
+    minus 8 gates green in BOTH r3 and r4 (rotated out: 4 table_ops —
     dml_overwrite_dynamic, tt_snapshot_counts, insert_overwrite_static,
     incremental_read_appends — 2 similarity — sim_threshold_pairs,
-    sim_ann_lsh_topk — and asof_click_attribution), plus 7 promoted at positions 43-49: the 4 gates
+    sim_ann_lsh_topk — asof_click_attribution and
+    range_join_error_window), plus 8 promoted at positions 42-49: the 4 gates
     that never had a driver row (cube_flag_status_price,
     quantity_percentiles_by_flag, events_gap_fill_resample,
-    orders_rfm_segments) and the 3 new round-5 operators
+    orders_rfm_segments) and the 4 new round-5 operators
     (orders_market_basket, emb_feature_norm_stats,
-    events_hourly_anomalies). Green rows for the 7 complete 102/102 gates driver-verified at least once. The rotated-out
+    events_hourly_anomalies, events_type_transitions). Green rows for
+    the 8 complete 103/103 gates driver-verified at least once. The rotated-out
     gates and the long-verified relational tail follow (local oracle
     checks still cover them every round).
     """
@@ -80,9 +82,9 @@ def load_all() -> None:
     # the end of the driver's evaluation order.
     _promoted = (
         # ROUND 5: the 4 gates added late in round 4 with no driver row
-        # yet, plus the 3 new round-5 operators — placed at window
-        # positions 43-49 so the driver's first-50 run verifies them
-        # (→ 102 gates, 99 with a prior driver row + these 7 in-window).
+        # yet, plus the 4 new round-5 operators — placed at window
+        # positions 42-49 so the driver's first-50 run verifies them
+        # (→ 103 gates, 99 with a prior driver row + these 8 in-window).
         "cube_flag_status_price",
         "quantity_percentiles_by_flag",
         "events_gap_fill_resample",
@@ -90,6 +92,7 @@ def load_all() -> None:
         "orders_market_basket",
         "emb_feature_norm_stats",
         "events_hourly_anomalies",
+        "events_type_transitions",
     )
     _rotated_out = (
         "dedup_exact",
@@ -109,7 +112,7 @@ def load_all() -> None:
         "dedup_embedding_cosine",
         # rotated in round 4 to admit the sql_ctas_rtas gate:
         "dedup_clusters",
-        # rotated in round 5 (green in BOTH r3 and r4) to admit the 7
+        # rotated in round 5 (green in BOTH r3 and r4) to admit the 8
         # promoted gates above:
         "dml_overwrite_dynamic",
         "tt_snapshot_counts",
@@ -118,6 +121,7 @@ def load_all() -> None:
         "sim_threshold_pairs",
         "sim_ann_lsh_topk",
         "asof_click_attribution",
+        "range_join_error_window",
     )
     _names = [n for n in QUERIES
               if n not in _rotated_out and n not in _promoted]

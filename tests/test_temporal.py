@@ -103,3 +103,31 @@ def test_hourly_anomalies_match_python_recompute(spark):
         assert (r["n_hours"], r["total_events"], r["n_anomalous"]) == \
             (n, s, n_anom)
         assert r["peak_count"] == peak and r["peak_hour"] == peak_hour
+
+
+def test_type_transitions_match_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    from tests.conftest import SF_SMALL
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"],
+                                      r["event_type"]))
+    pairs: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] += 1
+    outdeg: Counter = Counter()
+    for (a, _b), n in pairs.items():
+        outdeg[a] += n
+    got = registry.QUERIES["events_type_transitions"](
+        spark, SF_SMALL).collect()
+    assert {(r["prev_type"], r["next_type"]) for r in got} == set(pairs)
+    for r in got:
+        k = (r["prev_type"], r["next_type"])
+        assert r["n"] == pairs[k]
+        assert r["p_next"] == round(pairs[k] / outdeg[k[0]], 4)
