@@ -792,14 +792,16 @@ class Engine:
             if m:
                 prune_where = m.group(1).strip() or None
 
-        def repl(m: re.Match) -> str:
-            name = m.group(2)
-            if self.catalog.table_exists(name):
-                view = "__sub_" + name.replace(".", "_")
-                self.catalog.load_table(name).scan(
-                    prune_where=prune_where).createOrReplaceTempView(view)
-                return m.group(1) + view
-            return m.group(0)
+        def bind(name: str, pruned: bool) -> str:
+            # distinct view names per pruning mode: the same table can be
+            # referenced both at top level (pruned) and inside a subquery
+            # (NOT pruned — the outer WHERE doesn't constrain its rows);
+            # one shared name would let the last binding win for both.
+            view = "__sub_" + name.replace(".", "_") + ("_p" if pruned else "")
+            self.catalog.load_table(name).scan(
+                prune_where=prune_where if pruned else None
+            ).createOrReplaceTempView(view)
+            return view
 
         # Non-relational FROMs — extract(epoch FROM x), substring(s FROM 1),
         # trim([BOTH] ch FROM s), overlay(s PLACING y FROM 3) — must not be
@@ -816,18 +818,34 @@ class Engine:
             lambda m: m.group(1) + "\x00" + m.group(2) + "\x00",
             sql_text)
         # never rewrite inside '…'-quoted literals ("… FROM db.t …" as a
-        # string value must survive verbatim) or in '--' comments
+        # string value must survive verbatim) or in '--' comments. Build a
+        # LENGTH-PRESERVING "flat" shadow (literals neutralized, comments
+        # blanked) so matches can be located and paren-depth computed on
+        # the shadow while the original text is spliced: prune_where
+        # applies ONLY to depth-0 references — a table named only inside
+        # an IN/EXISTS/scalar subquery is not constrained by the outer
+        # WHERE and must NOT be pruned by it (round-5 review fix).
         parts = re.split(r"('(?:[^']|'')*')", masked)
+        flat = "".join(
+            ("'" + "\x02" * (len(p) - 2) + "'") if i % 2
+            else re.sub(r"--[^\n]*", lambda m: " " * len(m.group(0)), p)
+            for i, p in enumerate(parts))
+        orig = "".join(parts)
         out = []
-        for i, p in enumerate(parts):
-            if i % 2:
-                out.append(p)
-                continue
-            segs = re.split(r"(--[^\n]*)", p)
-            out.append("".join(
-                s if j % 2
-                else re.sub(r"(?is)\b(from\s+|join\s+)([\w.]+)", repl, s)
-                for j, s in enumerate(segs)))
+        last = 0
+        for m in re.finditer(r"(?is)\b(from\s+|join\s+)([\w.]+)", flat):
+            name = orig[m.start(2):m.end(2)]
+            out.append(orig[last:m.start()])
+            if self.catalog.table_exists(name):
+                depth = (flat[:m.start()].count("(")
+                         - flat[:m.start()].count(")"))
+                view = bind(name, pruned=(depth == 0
+                                          and prune_where is not None))
+                out.append(orig[m.start(1):m.end(1)] + view)
+            else:
+                out.append(orig[m.start():m.end()])
+            last = m.end()
+        out.append(orig[last:])
         return "".join(out).replace("\x00", "")
 
     #: ``tbl VERSION AS OF v`` / ``tbl TIMESTAMP AS OF 'ts'`` (+ the FOR

@@ -558,62 +558,25 @@ def doc_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention pipeline computes.
 # ---------------------------------------------------------------------------
 
-def _exact_desc_ntile(
-    df: DataFrame,
-    metric: str,
-    n_total: int,
-    cuts: list,
-    k: int,
-    out: str,
-) -> DataFrame:
-    """Exact NTILE(k) OVER (ORDER BY metric DESC, o_custkey) — distributed.
-
-    No single-partition global sort anywhere. The scheme:
-
-    1. ``cuts`` are approx-quantile values of ``metric`` (computed once by
-       the caller and embedded as LITERALS, so every job that evaluates the
-       partition id sees identical boundaries — recompute-deterministic,
-       unlike ``repartitionByRange`` whose sampled boundaries can differ
-       between jobs). Row's range-partition id ``_pid`` = number of cuts
-       strictly greater-ordered, a pure column expression: monotone in the
-       DESC order, so partitions are contiguous rank ranges.
-    2. ``row_number`` within each ``_pid`` (hash-exchange on ``_pid``,
-       per-partition sort of ~1/P of the rows — the distributed sort).
-    3. Per-partition counts are a ≤P-row aggregate; the caller-visible
-       driver collect here is bounded by the partition count (a config
-       constant, not data). Cumulative offsets become a literal map:
-       global rank rk = offset[_pid] + local row_number.
-    4. NTILE bucket ends b_i = i*(n div k) + min(i, n mod k) are computed
-       from the exact ``n_total`` literal; bucket = 1 + Σ [rk > b_i].
-
-    Accuracy of the cuts affects only balance, never correctness. Caveat:
-    a single metric value holding ≫1/P of the rows (possible for the
-    small-domain frequency metric) concentrates its partition; still ≤ the
-    value's share of rows, vs 100% for a global-sort NTILE.
-    """
-    order = [F.col(metric).desc(), F.col("o_custkey")]
+def _pid_expr(metric: str, cuts: list):
+    """Deterministic value-range partition id: number of cuts strictly
+    greater-ordered than the row (cuts ascend, order is DESC) — a pure
+    column expression, so every job that evaluates it sees identical
+    boundaries (unlike repartitionByRange's per-job sampling)."""
     pid = F.lit(0)
     for c in cuts:
         pid = pid + F.when(F.col(metric) < F.lit(c), 1).otherwise(0)
-    with_pid = df.withColumn("_pid", pid.cast("int"))
-    sizes = {
-        r["_pid"]: r["c"]
-        for r in with_pid.groupBy("_pid").agg(
-            F.count(F.lit(1)).alias("c")).collect()
-    }
-    off, offsets = 0, {}
-    for p in sorted(sizes):
-        offsets[p] = off
-        off += sizes[p]
-    off_map = F.create_map(
-        *[F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])])
-    rk = (off_map[F.col("_pid")]
-          + F.row_number().over(Window.partitionBy("_pid").orderBy(*order)))
+    return pid.cast("int")
+
+
+def _ntile_from_rank(rk, n_total: int, k: int):
+    """Exact NTILE(k) from a global 1-based rank and the exact total:
+    bucket ends b_i = i*(n div k) + min(i, n mod k) are literals."""
     q, r = divmod(n_total, k)
     tile = F.lit(1)
     for i in range(1, k):
         tile = tile + F.when(rk > F.lit(i * q + min(i, r)), 1).otherwise(0)
-    return with_pid.withColumn(out, tile.cast("int")).drop("_pid")
+    return tile.cast("int")
 
 
 @query(
@@ -651,13 +614,26 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one partial-aggregated groupBy to per-customer rows
     (∝ customers, orders-of-magnitude smaller than orders), then EXACT
-    quartiles computed distributed via ``_exact_desc_ntile`` — literal
-    approx-quantile range boundaries, per-range ``row_number``, literal
-    partition offsets, literal NTILE bucket ends. No global
-    ``Window.orderBy`` (single-partition sort) anywhere in the plan; the
-    per-metric sorts each cover ~1/P of the per-customer frame. The only
-    driver materializations are the 1-row cuts/count aggregate and three
-    ≤P-row partition-size frames.
+    quartiles computed DISTRIBUTED — no single-partition global sort
+    anywhere (plan-asserted):
+
+    1. approx-quantile cuts for all three metrics + the exact count in
+       ONE aggregate (driver-read 1 row; cut accuracy affects only
+       balance, never correctness).
+    2. per-metric range-partition ids from the cuts as LITERAL column
+       expressions (recompute-deterministic), all three added up-front.
+    3. ONE melted aggregate yields every (metric, pid) partition size —
+       ≤3·P rows driver-read — from which cumulative offsets and NTILE
+       bucket ends become literals.
+    4. per-metric rank = offset[pid] + row_number within pid (each window
+       sorts ~1/P of the per-customer frame), bucket via literal ends.
+
+    Total driver materializations: 1 stats row + ≤3·P size rows; the
+    per-customer lineage is evaluated 3× (stats, sizes, final plan) with
+    AQE exchange reuse inside each job. Caveat: a single metric value
+    holding ≫1/P of the rows (possible for the small-domain frequency
+    metric) concentrates its partition — still ≤ that value's share of
+    rows, vs 100% for a global-sort NTILE.
     """
     from iceberg_demo_spark.functions import dsum
 
@@ -680,19 +656,50 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     fracs = [i / nparts for i in range(1, nparts)]
-    stats = cust.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("last_order_d", fracs, 10000).alias("rc"),
-        F.percentile_approx("n_orders", fracs, 10000).alias("fc"),
-        F.percentile_approx("monetary", fracs, 10000).alias("mc"),
-    ).first()
-    n_total = stats["n"]
-    # empty input: percentile_approx yields NULL cut arrays; every ntile
-    # frame is empty anyway, so substitute no-cuts (single range partition)
-    q = _exact_desc_ntile(cust, "last_order_d", n_total,
-                          stats["rc"] or [], 4, "r_q")
-    q = _exact_desc_ntile(q, "n_orders", n_total, stats["fc"] or [], 4, "f_q")
-    q = _exact_desc_ntile(q, "monetary", n_total, stats["mc"] or [], 4, "m_q")
+    if fracs:
+        stats = cust.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("last_order_d", fracs, 10000).alias("rc"),
+            F.percentile_approx("n_orders", fracs, 10000).alias("fc"),
+            F.percentile_approx("monetary", fracs, 10000).alias("mc"),
+        ).first()
+        n_total = stats["n"]
+        # empty input: percentile_approx yields NULL cut arrays; every
+        # frame is empty anyway, so substitute no-cuts
+        cuts = {"r": stats["rc"] or [], "f": stats["fc"] or [],
+                "m": stats["mc"] or []}
+    else:
+        # shuffle.partitions == 1: a single range partition, no cuts
+        n_total = cust.count()
+        cuts = {"r": [], "f": [], "m": []}
+    metric_of = {"r": "last_order_d", "f": "n_orders", "m": "monetary"}
+    pids = cust
+    for tag, metric in metric_of.items():
+        pids = pids.withColumn(f"_pid_{tag}", _pid_expr(metric, cuts[tag]))
+    melt = None
+    for tag in metric_of:
+        sel = pids.select(F.lit(tag).alias("mk"),
+                          F.col(f"_pid_{tag}").alias("p"))
+        melt = sel if melt is None else melt.unionByName(sel)
+    counts: dict[tuple[str, int], int] = {
+        (r["mk"], r["p"]): r["c"]
+        for r in melt.groupBy("mk", "p").agg(
+            F.count(F.lit(1)).alias("c")).collect()
+    }
+    q = pids
+    for tag, metric in metric_of.items():
+        sizes = {p: c for (mk, p), c in counts.items() if mk == tag}
+        off, offsets = 0, {}
+        for p_ in sorted(sizes):
+            offsets[p_] = off
+            off += sizes[p_]
+        off_map = F.create_map(
+            *[F.lit(x) for p_ in sorted(offsets) for x in (p_, offsets[p_])])
+        rk = (off_map[F.col(f"_pid_{tag}")]
+              + F.row_number().over(
+                  Window.partitionBy(f"_pid_{tag}")
+                  .orderBy(F.col(metric).desc(), F.col("o_custkey"))))
+        q = q.withColumn(f"{tag}_q", _ntile_from_rank(rk, n_total, 4))
     return (
         q.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"),

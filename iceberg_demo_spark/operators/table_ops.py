@@ -667,7 +667,9 @@ def _dup_event_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # fresh dir and rewrote the parquet on every bench rep / oracle
     # re-check): the content is a pure function of sf_dir, so a previously
     # staged source dir is reused as-is, mtime stagger included.
-    tag = re.sub(r"\W", "_", sf_dir.strip("/").replace("/", "_"))
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    tag = _sf_tag(sf_dir)
     out = _os.path.join(tempfile.gettempdir(), f"glacier_stream_dup_{tag}")
     if all(_os.path.exists(f"{out}/{i:03d}.parquet") for i in (0, 1)):
         return out, ddl
@@ -705,9 +707,10 @@ def _run_stateful(spark: SparkSession, src_dir: str, schema: str, op,
 
     _STREAM_SEQ[0] += 1
     name = f"glacier_state_sink_{_STREAM_SEQ[0]}"
-    ck = _os.path.join(
-        tempfile.gettempdir(),
-        f"glacier_ck_{label}_" + re.sub(r"\W", "_", src_dir.strip("/")))
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    ck = _os.path.join(tempfile.gettempdir(),
+                       f"glacier_ck_{label}_{_sf_tag(src_dir)}")
     _shutil.rmtree(ck, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)

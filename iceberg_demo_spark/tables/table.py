@@ -888,11 +888,34 @@ class Table:
             return files
         return self._apply_partition_filter(files, allowed, ranges)
 
+    @staticmethod
+    def _has_top_level_or(cond_text: str) -> bool:
+        """A depth-0 OR makes every AND-split 'conjunct' conditional —
+        split_conjuncts has no OR-precedence awareness, so treating the
+        pieces as required constraints would prune files that satisfy only
+        the other OR branch (round-5 review fix: pruning must bail)."""
+        import re as _re
+
+        s = _re.sub(r"'(?:[^']|'')*'", "''", cond_text)
+        depth = 0
+        for m in _re.finditer(r"[()]|\bor\b", s, _re.IGNORECASE):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return True
+        return False
+
     def _partition_allowed(self, cond_text: str | None) -> dict[str, set[str]]:
         """Partition-col → admissible value set, derived from the
         predicate's top-level equality/IN conjuncts; empty dict when no
-        pruning applies."""
+        pruning applies (including any depth-0 OR — see
+        _has_top_level_or)."""
         if not cond_text or not self.metadata.partition_spec:
+            return {}
+        if self._has_top_level_or(cond_text):
             return {}
         import re as _re
 
@@ -908,23 +931,39 @@ class Table:
             return {}
         for c in conjuncts:
             vals: set[str] | None = None
-            m = _re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", c) or \
-                _re.fullmatch(r"\s*(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*", c)
+            any_unquoted = False
+            m = _re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", c)
             if m:
                 vals = {m.group(2)}
             else:
-                m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c, _re.IGNORECASE)
+                m = _re.fullmatch(r"\s*(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*", c)
                 if m:
-                    vals = {v.strip().strip("'") for v in m.group(2).split(",")}
+                    vals = {m.group(2)}
+                    any_unquoted = True
+                else:
+                    m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c,
+                                      _re.IGNORECASE)
+                    if m:
+                        items = [v.strip() for v in m.group(2).split(",")]
+                        any_unquoted = any(not v.startswith("'")
+                                           for v in items)
+                        vals = {v.strip("'") for v in items}
             if m is None or vals is None or m.group(1).lower() not in by_source:
                 continue
             for p in by_source[m.group(1).lower()]:
-                if p.transform == "identity":
-                    tvals = vals
-                else:
-                    tvals = self._eval_transform(p, vals)
-                    if tvals is None:
-                        continue  # couldn't evaluate — no pruning on this field
+                src_t = self.metadata.field_by_name(p.source).type.lower()
+                if any_unquoted and src_t.startswith(
+                        ("string", "varchar", "char")):
+                    # `stringcol = 5` coerces the COLUMN numerically in
+                    # SQL ('05' = 5 is true); string-compare pruning is
+                    # unsound — keep all files (round-5 review fix)
+                    continue
+                # ALWAYS canonicalize through the typed cast (identity
+                # included): '5.0' = a bigint partition must match the
+                # directory value "5", not the literal's spelling
+                tvals = self._eval_transform(p, vals)
+                if tvals is None:
+                    continue  # couldn't evaluate — no pruning on this field
                 if p.partition_col in allowed:
                     allowed[p.partition_col] &= tvals
                 else:
@@ -951,6 +990,8 @@ class Table:
         the conservative direction: pruning may keep extra files, never
         drop a matching one."""
         if not cond_text or not self.metadata.partition_spec:
+            return {}
+        if self._has_top_level_or(cond_text):
             return {}
         import re as _re
 
@@ -985,23 +1026,32 @@ class Table:
         except Exception:
             return {}
 
-        def add(col: str, op: str, raw: str) -> None:
+        def add(col: str, op: str, raw: str, quoted: bool) -> None:
             for p in by_source.get(col.lower(), []):
+                src_t = self.metadata.field_by_name(p.source).type.lower()
+                if not quoted and src_t.startswith(
+                        ("string", "varchar", "char")):
+                    # `stringcol > 5` coerces the COLUMN numerically in
+                    # SQL; a lexicographic prune against '5' would drop
+                    # numerically-matching files like '10' (round-5
+                    # review fix) — keep all files for this conjunct
+                    continue
                 tv = self._eval_transform(p, {raw})
                 if not tv:
                     continue
                 numeric = (p.transform == "identity"
                            or p.transform.startswith("truncate[")) and any(
-                    self.metadata.field_by_name(p.source).type.lower()
-                    .startswith(t) for t in self._NUMERIC_TYPES)
+                    src_t.startswith(t) for t in self._NUMERIC_TYPES)
                 cons.setdefault(p.partition_col, []).append(
                     (op, next(iter(tv)), numeric))
 
         for c in conjuncts:
             m = _re.fullmatch(rf"\s*(\w+)\s*(>=|<=|>|<)\s*{lit}\s*", c)
             if m:
-                raw = m.group(3) if m.group(3) is not None else m.group(4)
-                add(m.group(1), "ge" if m.group(2)[0] == ">" else "le", raw)
+                quoted = m.group(3) is not None
+                raw = m.group(3) if quoted else m.group(4)
+                add(m.group(1), "ge" if m.group(2)[0] == ">" else "le",
+                    raw, quoted)
         return cons
 
     @staticmethod

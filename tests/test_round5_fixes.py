@@ -221,3 +221,86 @@ def test_rewriter_still_rewrites_the_plain_aggregate(tempting_mv):
         "SELECT flag, status, sum(qty) AS s, count(*) AS n "
         "FROM db_li GROUP BY flag, status")
     assert res is not None and res.mv_name == "li_mv"
+
+
+# -- round-5 self-review fixes ----------------------------------------------
+
+def test_sql_prune_where_does_not_prune_subquery_tables(engine):
+    """The outer WHERE must not prune a table referenced only inside a
+    subquery — its rows are not constrained by that predicate."""
+    ev = engine.catalog.create_table(
+        "db.ev", "user_id bigint, ds string", partition_by=[("ds",)])
+    ev.append(engine.spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2")], schema=ev.schema()))
+    fl = engine.catalog.create_table(
+        "db.flagged", "user_id bigint, ds string", partition_by=[("ds",)])
+    # the flagged row lives in a DIFFERENT partition than the outer filter
+    fl.append(engine.spark.createDataFrame(
+        [(1, "d9")], schema=fl.schema()))
+    got = engine.sql(
+        "SELECT user_id FROM db.ev WHERE ds = 'd1' AND user_id IN "
+        "(SELECT user_id FROM db.flagged)").collect()
+    assert [r["user_id"] for r in got] == [1]
+
+
+def test_pruning_bails_on_top_level_or(engine):
+    """'a OR b AND c' has no unconditional conjuncts — pruning must keep
+    every file (the AND-piece is conditional on the OR branch)."""
+    t = engine.catalog.create_table(
+        "db.orp", "id bigint, cat string, st string",
+        partition_by=[("cat",)])
+    t.append(engine.spark.createDataFrame(
+        [(0, "x", "open"), (1, "y", "open"), (2, "z", "closed")],
+        schema=t.schema()))
+    got = t.scan(where="st = 'open' OR cat = 'z'").collect()
+    assert {r["id"] for r in got} == {0, 1, 2}
+    # DELETE with a disjunction must remove BOTH branches' rows
+    t.delete_where("st = 'closed' OR cat = 'x'")
+    assert {r["id"] for r in t.scan().collect()} == {1}
+    # parenthesized OR under a top-level AND still prunes via the other
+    # conjunct — and stays correct
+    got = t.scan(where="cat = 'y' AND (st = 'open' OR st = 'closed')")
+    assert {r["id"] for r in got.collect()} == {1}
+
+
+def test_pruning_skips_string_column_vs_numeric_literal(engine):
+    """`stringcol > 5` coerces the COLUMN numerically in SQL; a
+    lexicographic prune would drop the '10' partition."""
+    t = engine.catalog.create_table(
+        "db.strp", "id bigint, code string", partition_by=[("code",)])
+    t.append(engine.spark.createDataFrame(
+        [(0, "2"), (1, "5"), (2, "10")], schema=t.schema()))
+    got = t.scan(where="code > 5").collect()
+    assert {r["id"] for r in got} == {2}  # only '10' > 5 numerically
+    got = t.scan(where="code = 5").collect()
+    assert {r["id"] for r in got} == {1}
+
+
+def test_pruning_canonicalizes_numeric_literal_spelling(engine):
+    """'5.0' against a bigint identity partition must match the directory
+    value '5' (typed-cast canonicalization, not string equality)."""
+    t = engine.catalog.create_table(
+        "db.nump", "id bigint, b bigint", partition_by=[("b",)])
+    t.append(engine.spark.createDataFrame(
+        [(0, 5), (1, 7)], schema=t.schema()))
+    got = t.scan(where="b = 5.0").collect()
+    assert {r["id"] for r in got} == {0}
+
+
+def test_rfm_survives_single_shuffle_partition(engine):
+    """shuffle.partitions=1 → no quantile cuts → one range partition;
+    the gate must still run and stay correct."""
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    spark = engine.spark
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        df = registry.QUERIES["orders_rfm_segments"](
+            spark, "/root/testdata/sf0.001")
+        rows = df.collect()
+        assert sum(r["n_customers"] for r in rows) > 0
+        assert all(1 <= r["r_q"] <= 4 for r in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
