@@ -679,3 +679,71 @@ def emb_feature_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0))) / F.lit(10000.0), 4).alias("std_x"),
         "min_x", "max_x",
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Dominant-dimension distribution: which dimension carries each vector's
+# largest component — the standard embedding-health diagnostic (a skewed
+# histogram flags dimension collapse / rogue features). (Round 5.)
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_dominant_dims",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, {_DIMS})) AS t(i)
+    ),
+    am AS (
+      SELECT vec_id, (ARRAY_AGG(i ORDER BY x DESC, i ASC))[1] AS dim,
+             MAX(x) AS top_v
+      FROM e GROUP BY vec_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM am)
+    SELECT am.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(1000000.0 * COUNT(*) / t.n) / 10000 AS pct,
+           ROUND(MAX(am.top_v), 6) AS max_component
+    FROM am, tot t
+    GROUP BY am.dim, t.n
+    ORDER BY n_vecs DESC, dim
+    LIMIT 20
+    """,
+)
+def emb_dominant_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each vector's argmax dimension (top 20).
+
+    Determinism: the argmax is a strict-``>`` left fold over the array —
+    the FIRST maximum wins, i.e. ties break to the lowest index, exactly
+    DuckDB's ``ORDER BY x DESC, i ASC`` pick; the compared doubles are
+    identical casts, no arithmetic. pct is one exact-int division rounded
+    in-query; max_component is an order-independent MAX.
+
+    Scale shape: a pure per-row column fold (zero shuffle) + one
+    partial-aggregated groupBy with ≤{_DIMS} keys + a 1-row total
+    broadcast — trivially 100 TB-safe.
+    """
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    am = t["embeddings"].select(
+        F.expr(
+            f"aggregate(zip_with(embedding, sequence(1, {_DIMS}),"
+            " (x, i) -> struct(double(x) AS v, i AS i)),"
+            " struct(double('-Infinity') AS v, 0 AS i),"
+            " (acc, s) -> IF(s.v > acc.v, s, acc))"
+        ).alias("am")
+    ).select(F.col("am.i").alias("dim"), F.col("am.v").alias("top_v"))
+    tot = am.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        am.groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.round(F.max("top_v"), 6).alias("max_component"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim", "n_vecs",
+            (F.round(1000000.0 * F.col("n_vecs") / F.col("n")) / 10000)
+            .alias("pct"),
+            "max_component",
+        )
+        .orderBy(F.col("n_vecs").desc(), "dim")
+        .limit(20)
+    )

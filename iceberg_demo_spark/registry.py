@@ -47,17 +47,19 @@ def load_all() -> None:
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
     externally verified. Round-5 window (exactly 50): the round-4 window
-    minus 8 gates green in BOTH r3 and r4 (rotated out: 4 table_ops —
+    minus 9 gates green in BOTH r3 and r4 (rotated out: 4 table_ops —
     dml_overwrite_dynamic, tt_snapshot_counts, insert_overwrite_static,
     incremental_read_appends — 2 similarity — sim_threshold_pairs,
-    sim_ann_lsh_topk — asof_click_attribution and
-    range_join_error_window), plus 8 promoted at positions 42-49: the 4 gates
+    sim_ann_lsh_topk — asof_click_attribution,
+    range_join_error_window and sim_label_centroid_norms), plus 9
+    promoted at positions 41-49: the 4 gates
     that never had a driver row (cube_flag_status_price,
     quantity_percentiles_by_flag, events_gap_fill_resample,
-    orders_rfm_segments) and the 4 new round-5 operators
+    orders_rfm_segments) and the 5 new round-5 operators
     (orders_market_basket, emb_feature_norm_stats,
-    events_hourly_anomalies, events_type_transitions). Green rows for
-    the 8 complete 103/103 gates driver-verified at least once. The rotated-out
+    events_hourly_anomalies, events_type_transitions,
+    emb_dominant_dims). Green rows for the 9 complete 104/104 gates
+    driver-verified at least once. The rotated-out
     gates and the long-verified relational tail follow (local oracle
     checks still cover them every round).
     """
@@ -82,9 +84,9 @@ def load_all() -> None:
     # the end of the driver's evaluation order.
     _promoted = (
         # ROUND 5: the 4 gates added late in round 4 with no driver row
-        # yet, plus the 4 new round-5 operators — placed at window
-        # positions 42-49 so the driver's first-50 run verifies them
-        # (→ 103 gates, 99 with a prior driver row + these 8 in-window).
+        # yet, plus the 5 new round-5 operators — placed at window
+        # positions 41-49 so the driver's first-50 run verifies them
+        # (→ 104 gates, 99 with a prior driver row + these 9 in-window).
         "cube_flag_status_price",
         "quantity_percentiles_by_flag",
         "events_gap_fill_resample",
@@ -93,6 +95,7 @@ def load_all() -> None:
         "emb_feature_norm_stats",
         "events_hourly_anomalies",
         "events_type_transitions",
+        "emb_dominant_dims",
     )
     _rotated_out = (
         "dedup_exact",
@@ -112,7 +115,7 @@ def load_all() -> None:
         "dedup_embedding_cosine",
         # rotated in round 4 to admit the sql_ctas_rtas gate:
         "dedup_clusters",
-        # rotated in round 5 (green in BOTH r3 and r4) to admit the 8
+        # rotated in round 5 (green in BOTH r3 and r4) to admit the 9
         # promoted gates above:
         "dml_overwrite_dynamic",
         "tt_snapshot_counts",
@@ -122,6 +125,7 @@ def load_all() -> None:
         "sim_ann_lsh_topk",
         "asof_click_attribution",
         "range_join_error_window",
+        "sim_label_centroid_norms",
     )
     _names = [n for n in QUERIES
               if n not in _rotated_out and n not in _promoted]

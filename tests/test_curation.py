@@ -180,3 +180,29 @@ def test_kmeans_iteration_reduces_total_inertia(spark):
     a1, a2 = _py_kmeans(vecs, curation._K)
     assert (sum(d for _, d in a2.values())
             <= sum(d for _, d in a1.values()) + 1e-6)
+
+
+def test_dominant_dims_match_python_argmax(spark):
+    from collections import Counter
+
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    vecs = [r["embedding"] for r in spark.read.parquet(
+        f"{SF_SMALL}/embeddings.parquet").select("embedding").collect()]
+    hist: Counter = Counter()
+    top_v: dict[int, float] = {}
+    for v in vecs:
+        xs = [float(x) for x in v]
+        m = max(xs)
+        d = xs.index(m) + 1  # first (lowest-index) max, 1-based
+        hist[d] += 1
+        top_v[d] = max(top_v.get(d, float("-inf")), m)
+    n = len(vecs)
+    expected = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = registry.QUERIES["emb_dominant_dims"](spark, SF_SMALL).collect()
+    assert [(r["dim"], r["n_vecs"]) for r in got] == expected
+    for r in got:
+        assert r["pct"] == round(1000000.0 * hist[r["dim"]] / n) / 10000
+        assert r["max_component"] == round(top_v[r["dim"]], 6)
