@@ -781,16 +781,15 @@ class Engine:
         Pruning is purely subtractive and regex-conservative
         (`_partition_allowed`): anything it can't prove keeps its files,
         and the SQL WHERE still filters row-wise, so semantics are
-        unchanged in every case."""
+        unchanged in every case.
+
+        Round 6 (ADVICE fix): the WHERE is located on the flat shadow
+        and must sit at paren depth 0 — a WHERE belonging to a scalar
+        subquery in the SELECT list is NOT the outer table's predicate
+        and must never prune it. The capture ends only at a depth-0
+        GROUP BY/ORDER BY/LIMIT and the captured text must be
+        paren-balanced, else pruning is skipped entirely."""
         prune_where = None
-        if (not re.search(r"(?i)\b(join|union|intersect|except)\b", sql_text)
-                and len(re.findall(r"(?i)\bwhere\b", sql_text)) == 1):
-            m = re.search(
-                r"(?is)\bwhere\b(.*?)"
-                r"(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|$)",
-                sql_text)
-            if m:
-                prune_where = m.group(1).strip() or None
 
         def bind(name: str, pruned: bool) -> str:
             # distinct view names per pruning mode: the same table can be
@@ -831,6 +830,25 @@ class Engine:
             else re.sub(r"--[^\n]*", lambda m: " " * len(m.group(0)), p)
             for i, p in enumerate(parts))
         orig = "".join(parts)
+        # prune_where extraction on the shadow: depth-0 WHERE only.
+        if not re.search(r"(?i)\b(join|union|intersect|except)\b", flat):
+            depth0_wheres = [
+                m for m in re.finditer(r"(?i)\bwhere\b", flat)
+                if flat[:m.start()].count("(") == flat[:m.start()].count(")")
+            ]
+            if len(depth0_wheres) == 1:
+                wm = depth0_wheres[0]
+                end = len(flat)
+                for tm in re.finditer(
+                        r"(?is)\bgroup\s+by\b|\border\s+by\b|\blimit\b",
+                        flat[wm.end():]):
+                    seg = flat[wm.end():wm.end() + tm.start()]
+                    if seg.count("(") == seg.count(")"):
+                        end = wm.end() + tm.start()
+                        break
+                cand = orig[wm.end():end].replace("\x00", "").strip()
+                if cand and cand.count("(") == cand.count(")"):
+                    prune_where = cand
         out = []
         last = 0
         for m in re.finditer(r"(?is)\b(from\s+|join\s+)([\w.]+)", flat):

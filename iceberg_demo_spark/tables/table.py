@@ -962,8 +962,14 @@ class Table:
                 # included): '5.0' = a bigint partition must match the
                 # directory value "5", not the literal's spelling
                 tvals = self._eval_transform(p, vals)
-                if tvals is None:
-                    continue  # couldn't evaluate — no pruning on this field
+                if not tvals:
+                    # None (couldn't evaluate) and empty (every literal
+                    # cast to NULL — possible with ansi.enabled=false and
+                    # an unparsed IN-subquery string) both mean "no
+                    # provable constraint"; an empty set must NOT become
+                    # allowed[pcol] = set(), which would prune every file
+                    # (round-6 ADVICE fix)
+                    continue
                 if p.partition_col in allowed:
                     allowed[p.partition_col] &= tvals
                 else:
@@ -979,13 +985,13 @@ class Table:
 
     def _partition_range_cons(
             self, cond_text: str | None
-    ) -> dict[str, list[tuple[str, str, bool]]]:
+    ) -> dict[str, list[tuple[str, str, str]]]:
         """Range pruning constraints (round 5): partition-col →
         [(op∈{ge,le}, transformed bound, numeric?)] derived from top-level
         ``col >/>=/</<= lit`` and ``col BETWEEN a AND b`` conjuncts on
         MONOTONE transforms (identity + the time transforms; year/month/
-        day/hour render fixed-width date strings, so lexicographic order
-        IS value order). Strict ops weaken to inclusive at the transform
+        day/hour values are compared as parsed integer tuples, so order
+        holds for any year width). Strict ops weaken to inclusive at the transform
         level — monotone transforms aren't injective — which is exactly
         the conservative direction: pruning may keep extra files, never
         drop a matching one."""
@@ -1005,7 +1011,7 @@ class Table:
         if not by_source:
             return {}
         lit = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
-        cons: dict[str, list[tuple[str, str, bool]]] = {}
+        cons: dict[str, list[tuple[str, str, str]]] = {}
 
         # BETWEEN's own AND would be split as a conjunct boundary —
         # rewrite `col BETWEEN a AND b` to the two comparisons first
@@ -1039,11 +1045,20 @@ class Table:
                 tv = self._eval_transform(p, {raw})
                 if not tv:
                     continue
-                numeric = (p.transform == "identity"
-                           or p.transform.startswith("truncate[")) and any(
-                    src_t.startswith(t) for t in self._NUMERIC_TYPES)
+                if (p.transform == "identity"
+                        or p.transform.startswith("truncate[")) and any(
+                        src_t.startswith(t) for t in self._NUMERIC_TYPES):
+                    kind = "num"
+                elif p.transform in ("year", "years", "month", "months",
+                                     "day", "days", "hour", "hours"):
+                    # time transforms render yyyy[-MM[-dd[-HH]]]; compare
+                    # as integer tuples, not lexicographically, so a
+                    # 5-digit year can't sort before '9999' (ADVICE fix)
+                    kind = "time"
+                else:
+                    kind = "str"
                 cons.setdefault(p.partition_col, []).append(
-                    (op, next(iter(tv)), numeric))
+                    (op, next(iter(tv)), kind))
 
         for c in conjuncts:
             m = _re.fullmatch(rf"\s*(\w+)\s*(>=|<=|>|<)\s*{lit}\s*", c)
@@ -1056,13 +1071,22 @@ class Table:
 
     @staticmethod
     def _passes_ranges(value: str,
-                       cons: list[tuple[str, str, bool]]) -> bool:
-        for op, bound, numeric in cons:
-            if numeric:
+                       cons: list[tuple[str, str, str]]) -> bool:
+        import re as _re
+
+        for op, bound, kind in cons:
+            if kind == "num":
                 try:
                     v, b = float(value), float(bound)
                 except (TypeError, ValueError):
                     continue  # can't prove a violation — keep
+            elif kind == "time":
+                # yyyy[-MM[-dd[-HH]]] → ordered int tuples; shapes that
+                # don't parse identically can't prove a violation — keep
+                v = tuple(int(g) for g in _re.findall(r"\d+", value or ""))
+                b = tuple(int(g) for g in _re.findall(r"\d+", bound or ""))
+                if not v or len(v) != len(b):
+                    continue
             else:
                 v, b = value, bound
             if op == "ge" and not v >= b:
@@ -1074,7 +1098,7 @@ class Table:
     @classmethod
     def _apply_partition_filter(
             cls, files: list[DataFile], allowed: dict[str, set[str]],
-            ranges: dict[str, list[tuple[str, str, bool]]] | None = None,
+            ranges: dict[str, list[tuple[str, str, str]]] | None = None,
     ) -> list[DataFile]:
         out = []
         for f in files:
