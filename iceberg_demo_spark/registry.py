@@ -46,22 +46,17 @@ def load_all() -> None:
     STANDING POLICY: any gate added mid-round must register inside the first
     50 entries — the driver's CORRECTNESS window runs exactly the first 50 in
     registration order, so a gate registered past that point is never
-    externally verified. Round-5 window (exactly 50): the round-4 window
-    minus 9 gates green in BOTH r3 and r4 (rotated out: 4 table_ops —
-    dml_overwrite_dynamic, tt_snapshot_counts, insert_overwrite_static,
-    incremental_read_appends — 2 similarity — sim_threshold_pairs,
-    sim_ann_lsh_topk — asof_click_attribution,
-    range_join_error_window and sim_label_centroid_norms), plus 9
-    promoted at positions 41-49: the 4 gates
-    that never had a driver row (cube_flag_status_price,
-    quantity_percentiles_by_flag, events_gap_fill_resample,
-    orders_rfm_segments) and the 5 new round-5 operators
-    (orders_market_basket, emb_feature_norm_stats,
-    events_hourly_anomalies, events_type_transitions,
-    emb_dominant_dims). Green rows for the 9 complete 104/104 gates
-    driver-verified at least once. The rotated-out
-    gates and the long-verified relational tail follow (local oracle
-    checks still cover them every round).
+    externally verified.
+
+    ROUND-6 WINDOW — stalest-first freshness rotation (VERDICT r5 #1).
+    After round 5 every one of the 104 gates has at least one driver-green
+    row and zero red rows ever; the external-verification risk is now
+    STALENESS, so the window is an explicit list ordered by each gate's
+    last driver-green round: the 25 gates last green in round 2, the 20
+    last green in round 3, 3 of the 9 last green in round 4, and the new
+    round-6 gates. Everything green in round 5 rotates out (local oracle
+    checks — tools/check_oracles.py, emitted as ORACLES_LOCAL_r{N}.json —
+    still cover all 104 every round).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -78,63 +73,67 @@ def load_all() -> None:
         relational,
     )
 
-    # Window rotation: gates with green driver rows in TWO rounds yield
-    # their slot to gates that have never been externally verified. They
-    # stay registered (local oracle checks still cover them) but move to
-    # the end of the driver's evaluation order.
-    _promoted = (
-        # ROUND 5: the 4 gates added late in round 4 with no driver row
-        # yet, plus the 5 new round-5 operators — placed at window
-        # positions 41-49 so the driver's first-50 run verifies them
-        # (→ 104 gates, 99 with a prior driver row + these 9 in-window).
-        "cube_flag_status_price",
-        "quantity_percentiles_by_flag",
-        "events_gap_fill_resample",
-        "orders_rfm_segments",
-        "orders_market_basket",
-        "emb_feature_norm_stats",
-        "events_hourly_anomalies",
-        "events_type_transitions",
-        "emb_dominant_dims",
-    )
-    _rotated_out = (
-        "dedup_exact",
-        "dedup_exact_keepers",
-        # rotated in round 4 to admit the curation module's 6 new gates:
-        "doc_token_stats",
-        "doc_quality_buckets",
+    # Round-6 window: explicit, stalest-first (see docstring). Derived
+    # from CORRECTNESS_r01..r05 — each gate's LAST driver-green round.
+    _window = (
+        # -- last driver-green in round 2 (25 gates) --
+        "q14_promo_revenue_share",
+        "q18_large_volume_orders",
+        "top3_customers_per_nation",
+        "revenue_rollup_region_nation",
+        "nations_customers_and_suppliers",
+        "nations_customers_only",
+        "customers_without_orders",
+        "suppliers_in_rich_nations",
+        "distinct_parts_per_flag",
+        "nation_balance_full_outer",
+        "events_hourly_stats",
+        "orders_above_customer_avg",
+        "order_size_buckets",
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "setops_customer_supplier_nations",
+        "dedup_first_agg",
+        "q8_market_share",
+        "q13_order_count_distribution",
+        "q17_small_quantity_revenue",
+        "q19_brand_size_revenue",
+        "q22_idle_customers",
+        "rollup_flag_status_qty",
+        "events_json_extract",
+        "events_sessionization",
+        # -- last driver-green in round 3 (20 gates) --
         "doc_langid_confusion",
         "doc_fingerprints",
-        "doc_bpe_token_stats",
         "doc_rolling_fingerprints",
-        # rotated in round 4 to admit the 2 stateful-streaming gates:
-        "sim_cosine_topk",
-        "multimodal_payload_stats",
-        # rotated in round 4 to admit the 2 layout gates:
+        "dedup_exact",
+        "dedup_exact_keepers",
         "dedup_ngram_jaccard_pairs",
         "dedup_embedding_cosine",
-        # rotated in round 4 to admit the sql_ctas_rtas gate:
         "dedup_clusters",
-        # rotated in round 5 (green in BOTH r3 and r4) to admit the 9
-        # promoted gates above:
+        "flagship_revenue_by_region",
+        "q1_pricing_summary",
+        "q3_top_unshipped_orders",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q12_late_shipments_by_priority",
+        "sim_cosine_topk",
+        "doc_token_stats",
+        "doc_quality_buckets",
+        "doc_bpe_token_stats",
+        "multimodal_payload_stats",
+        # -- last driver-green in round 4 (3 of 9; the other 6 queue for
+        #    round 7) --
         "dml_overwrite_dynamic",
         "tt_snapshot_counts",
-        "insert_overwrite_static",
         "incremental_read_appends",
-        "sim_threshold_pairs",
-        "sim_ann_lsh_topk",
-        "asof_click_attribution",
-        "range_join_error_window",
-        "sim_label_centroid_norms",
+        # -- new round-6 gates --
+        "stats_pruned_scan",
+        "sim_ann_ivf_bucketed",
     )
-    _names = [n for n in QUERIES
-              if n not in _rotated_out and n not in _promoted]
-    _order = (
-        _names[: 50 - len(_promoted)]
-        + [n for n in _promoted if n in QUERIES]
-        + _names[50 - len(_promoted):]
-        + [n for n in _rotated_out if n in QUERIES]
-    )
+    _order = ([n for n in _window if n in QUERIES]
+              + [n for n in QUERIES if n not in _window])
     for _name in _order:
         QUERIES[_name] = QUERIES.pop(_name)
         if _name in ORACLES:
