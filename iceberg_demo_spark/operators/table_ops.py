@@ -845,3 +845,59 @@ def sql_ctas_rtas(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert t.properties.get("stage") == "rtas", "RTAS props not replaced"
     assert len(t.metadata.snapshots) >= 2, "RTAS must preserve history"
     return eng.sql("SELECT * FROM db.region_stats ORDER BY region")
+
+
+@query(
+    "stats_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column min/max file skipping on a NON-partition predicate (round 6).
+
+    The table is written key-clustered (repartitionByRange on o_orderkey,
+    one file per range) with NO partition spec; the write path harvests
+    per-file lower/upper bounds from the parquet footers into the
+    manifest entries — the reference's ``lower_bounds``/``upper_bounds``
+    (docs/spark-queries.md:320-326). The BETWEEN predicate then prunes
+    files driver-side purely from those bounds (asserted here: the plan
+    must touch fewer files than the table holds), which partition pruning
+    cannot do for this layout.
+
+    Scale shape: this is THE 100 TB lever for selective point/range
+    queries on clustered keys — candidate files ∝ predicate range, not
+    table size, before any Spark job runs. Write-time clustering costs
+    one range shuffle; every subsequent selective read skips cold files
+    entirely (and with manifest-backed snapshots, whole manifests).
+    """
+    t_in = load_tables(spark, sf_dir, ("orders",))
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.ord_clustered",
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    t.append(
+        t_in["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey"))
+    cond = "o_orderkey BETWEEN 1000 AND 5000"
+    all_files = t._branch_files("main")
+    kept = t._prune_files(all_files, cond)
+    assert len(kept) < len(all_files), (
+        "stats pruning must skip files on the clustered key")
+    from iceberg_demo_spark.functions import dsum
+
+    return (
+        t.scan(where=cond)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("total_price"))
+        .orderBy("o_orderstatus")
+    )

@@ -28,6 +28,11 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI store assignment like the reference session (iceberg_it.py:38).
     "spark.sql.storeAssignmentPolicy": "ANSI",
+    # INT64 micros instead of legacy INT96: parquet footers then carry
+    # min/max statistics for timestamp columns (INT96 has none), which
+    # the table format harvests into manifest lower/upper bounds for
+    # file skipping. Matches what Iceberg's own parquet writer produces.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }

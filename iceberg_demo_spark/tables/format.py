@@ -86,26 +86,49 @@ class PartitionField:
 
 @dataclass
 class DataFile:
-    """One parquet data file tracked by a snapshot."""
+    """One parquet data file tracked by a snapshot.
+
+    ``lower``/``upper`` are per-column min/max bounds harvested from the
+    parquet footer at write time (no data read), keyed by STRING FIELD ID
+    so they survive column renames — the manifest-entry
+    ``lower_bounds``/``upper_bounds`` of production Iceberg
+    (docs/spark-queries.md:320-326). Values are canonical strings; only
+    stats-safe types are recorded (see Table._HARVEST_STATS_TYPES — float
+    and double are deliberately absent because parquet min/max exclude
+    NaN while Spark orders NaN above every number, so bounds on them
+    cannot soundly prune). ``nulls`` carries per-column null counts.
+    Absent keys always mean "unknown — cannot prune"."""
 
     path: str  # relative to table location
     records: int
     bytes: int
     schema_id: int
     partition: dict[str, str] = field(default_factory=dict)  # partition_col -> string value
+    lower: dict[str, str] = field(default_factory=dict)  # field_id -> min bound
+    upper: dict[str, str] = field(default_factory=dict)  # field_id -> max bound
+    nulls: dict[str, int] = field(default_factory=dict)  # field_id -> null count
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "records": self.records,
             "bytes": self.bytes,
             "schema_id": self.schema_id,
             "partition": self.partition,
         }
+        if self.lower:
+            d["lower"] = self.lower
+        if self.upper:
+            d["upper"] = self.upper
+        if self.nulls:
+            d["nulls"] = self.nulls
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["records"], d["bytes"], d["schema_id"], d.get("partition", {}))
+        return DataFile(d["path"], d["records"], d["bytes"], d["schema_id"],
+                        d.get("partition", {}), d.get("lower", {}),
+                        d.get("upper", {}), d.get("nulls", {}))
 
 
 @dataclass
@@ -213,6 +236,43 @@ def write_manifest(location: str, files: list[DataFile], tag: str) -> dict:
             if counts[k] == len(files) and len(v) <= 64}
     if psum:
         entry["partitions"] = psum
+    # Per-manifest column-bound summary: [min of lowers, max of uppers]
+    # for a field id only when EVERY file carries bounds for it (a file
+    # with unknown bounds could hold any value, so the manifest range
+    # would be unsound). Lets scan planning skip a whole manifest on a
+    # non-partition comparison predicate without loading it. Ordering:
+    # numeric when every bound string parses as a number (always true
+    # for numeric source columns — their canonical bounds are str(int)/
+    # str(Decimal)), else lexicographic (string and fixed-width time
+    # renderings). Prune-time manifest checks re-derive the same kind
+    # before trusting these (Table._manifest_bounds_admit), so the two
+    # levels can never disagree on ordering.
+    lo_all: dict[str, list[str]] = {}
+    hi_all: dict[str, list[str]] = {}
+    for f in files:
+        for k, v in f.lower.items():
+            lo_all.setdefault(k, []).append(v)
+        for k, v in f.upper.items():
+            hi_all.setdefault(k, []).append(v)
+    bounds: dict[str, list[str]] = {}
+    for k in sorted(lo_all)[:64]:
+        if k not in hi_all or len(lo_all[k]) != len(files) \
+                or len(hi_all[k]) != len(files):
+            continue
+        vals = lo_all[k] + hi_all[k]
+        try:
+            from decimal import Decimal
+
+            key = Decimal  # exact numeric ordering when everything parses
+            for v in vals:
+                if Decimal(v).is_nan():
+                    raise ValueError(v)
+        except Exception:
+            def key(v):  # lexicographic fallback
+                return v
+        bounds[k] = [min(lo_all[k], key=key), max(hi_all[k], key=key)]
+    if bounds:
+        entry["bounds"] = bounds
     return entry
 
 

@@ -627,8 +627,13 @@ class Table:
                     if "=" in comp:
                         k, v = comp.split("=", 1)
                         partition[k] = unquote(v)
+                lower: dict[str, str] = {}
+                upper: dict[str, str] = {}
+                nulls: dict[str, int] = {}
                 try:
-                    num_rows = pq.ParquetFile(ap).metadata.num_rows
+                    pf = pq.ParquetFile(ap)
+                    num_rows = pf.metadata.num_rows
+                    lower, upper, nulls = self._harvest_stats(pf, schema_id)
                 except Exception:
                     # pyarrow can't parse some newer logical types (e.g.
                     # variant) — fall back to a footer-only Spark count.
@@ -636,8 +641,138 @@ class Table:
                 if num_rows == 0:
                     os.remove(ap)
                     continue
-                out.append(DataFile(rel, num_rows, os.path.getsize(ap), schema_id, partition))
+                out.append(DataFile(rel, num_rows, os.path.getsize(ap),
+                                    schema_id, partition, lower, upper, nulls))
         return out
+
+    #: declared-type prefix → stats kind. float/double are DELIBERATELY
+    #: absent: parquet min/max exclude NaN while Spark orders NaN above
+    #: every number, so bounds on them cannot soundly prune (Iceberg
+    #: needs nan_value_counts for the same reason). boolean and complex
+    #: types are skipped as useless/unsupported for range pruning.
+    _STATS_KINDS = (
+        ("tinyint", "num"), ("smallint", "num"), ("integer", "num"),
+        ("int", "num"), ("bigint", "num"), ("long", "num"),
+        ("decimal", "num"), ("date", "date"), ("timestamp", "ts"),
+        ("string", "str"), ("varchar", "str"), ("char", "str"),
+    )
+    _STATS_TRUNC = 64  # max stored chars for a string bound
+
+    @classmethod
+    def _stats_kind(cls, decl_type: str) -> str | None:
+        t = decl_type.lower()
+        for prefix, kind in cls._STATS_KINDS:
+            if t.startswith(prefix):
+                return kind
+        return None
+
+    def _harvest_stats(
+            self, pf, schema_id: int
+    ) -> tuple[dict[str, str], dict[str, str], dict[str, int]]:
+        """Per-column min/max/null-count bounds from the parquet FOOTER —
+        zero data read; the same source production Iceberg's writer uses
+        for manifest ``lower_bounds``/``upper_bounds``. Keys are string
+        field ids (rename-stable). Canonical encodings: num → str(value),
+        ts → str(UTC epoch micros), date → isoformat (fixed 10 chars for
+        years 1-9999), str → raw (lower truncated to 64 chars; upper
+        truncated + last-char incremented so it stays a valid upper
+        bound, or dropped). Any surprise → empty dicts (bounds are
+        advisory: absent means "cannot prune", never wrong results).
+
+        At 100 TB this footer walk runs where the files were written; in
+        this single-process engine that is the driver, on a cluster the
+        same harvest would ride the executor-side commit message exactly
+        as Iceberg's DataWriter does — the design carries over."""
+        import datetime as _dt
+        from decimal import Decimal as _Dec
+
+        fields = {f.name: f for f in self.metadata.schemas[schema_id]}
+        kinds = {name: k for name, f in fields.items()
+                 if (k := self._stats_kind(f.type)) is not None}
+        if not kinds:
+            return {}, {}, {}
+        _ok_type = {"num": (int, _Dec), "ts": (_dt.datetime,),
+                    "date": (_dt.date,), "str": (str,)}
+        md = pf.metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nullc: dict[str, int] = {}
+        bad: set[str] = set()  # no usable min/max (null counts may remain:
+        #                        an ALL-NULL chunk has no min/max but a
+        #                        perfectly good null count)
+        nbad: set[str] = set()
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                name = c.path_in_schema
+                if name not in kinds or (name in bad and name in nbad):
+                    continue
+                try:
+                    st = c.statistics
+                except Exception:
+                    st = None
+                if name not in nbad:
+                    if st is not None and st.has_null_count:
+                        nullc[name] = nullc.get(name, 0) + st.null_count
+                    else:
+                        nbad.add(name)
+                        nullc.pop(name, None)
+                if name in bad:
+                    continue
+                try:
+                    # accessing .min can itself raise (e.g. pyarrow can't
+                    # extract decimal statistics) — treat as "no stats"
+                    usable = (st is not None and st.has_min_max
+                              and not isinstance(st.min, bool)
+                              and isinstance(st.min, _ok_type[kinds[name]])
+                              and not (kinds[name] == "date"
+                                       and isinstance(st.min, _dt.datetime)))
+                except Exception:
+                    usable = False
+                if not usable:
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                mins[name] = st.min if name not in mins else min(mins[name], st.min)
+                maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+
+        def canon(kind: str, v, is_upper: bool) -> str | None:
+            if kind == "num":
+                return str(v)
+            if kind == "ts":
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                d = v - epoch
+                return str((d.days * 86400 + d.seconds) * 10**6
+                           + d.microseconds)
+            if kind == "date":
+                return v.isoformat()
+            if len(v) <= self._STATS_TRUNC:
+                return v
+            t = v[:self._STATS_TRUNC]
+            if not is_upper:
+                return t  # a prefix is always a valid lower bound
+            for k in range(len(t) - 1, -1, -1):
+                o = ord(t[k])
+                if o < 0xD7FF:  # bump below the surrogate range
+                    return t[:k] + chr(o + 1)
+            return None
+
+        lower: dict[str, str] = {}
+        upper: dict[str, str] = {}
+        nulls: dict[str, int] = {}
+        for name, mn in mins.items():
+            fid = str(fields[name].field_id)
+            lo = canon(kinds[name], mn, False)
+            hi = canon(kinds[name], maxs[name], True)
+            if lo is not None:
+                lower[fid] = lo
+            if hi is not None:
+                upper[fid] = hi
+        for name, n in nullc.items():
+            nulls[str(fields[name].field_id)] = n
+        return lower, upper, nulls
 
     def _plan_manifests(self, parent: Snapshot | None, files: list[DataFile],
                         added: list[DataFile],
@@ -884,9 +1019,13 @@ class Table:
         O(table)."""
         allowed = self._partition_allowed(cond_text)
         ranges = self._partition_range_cons(cond_text)
-        if not allowed and not ranges:
+        scons = self._stats_cons(cond_text)
+        if not allowed and not ranges and not scons:
             return files
-        return self._apply_partition_filter(files, allowed, ranges)
+        files = self._apply_partition_filter(files, allowed, ranges)
+        if scons:
+            files = [f for f in files if self._passes_stats(f, scons)]
+        return files
 
     @staticmethod
     def _has_top_level_or(cond_text: str) -> bool:
@@ -976,6 +1115,27 @@ class Table:
                     allowed[p.partition_col] = set(tvals)
         return allowed
 
+    @staticmethod
+    def _rewrite_between(cond_text: str) -> str:
+        """Rewrite ``col BETWEEN a AND b`` to the two comparisons so the
+        embedded AND is not mistaken for a conjunct boundary (NOT BETWEEN
+        is left untouched — a negated range can't prune conjunctively)."""
+        import re as _re
+
+        lit = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
+
+        def _unbetween(m: _re.Match) -> str:
+            if m.group(2):
+                return m.group(0)
+            col = m.group(1)
+            lo = f"'{m.group(3)}'" if m.group(3) is not None else m.group(4)
+            hi = f"'{m.group(5)}'" if m.group(5) is not None else m.group(6)
+            return f"{col} >= {lo} AND {col} <= {hi}"
+
+        return _re.sub(
+            rf"(?i)\b(\w+)\s+(not\s+)?between\s+{lit}\s+and\s+{lit}",
+            _unbetween, cond_text)
+
     #: transforms monotone non-decreasing in the source value — safe to
     #: prune with range predicates at the transform level (bucket is NOT)
     _MONOTONE = ("identity", "year", "years", "month", "months", "day",
@@ -1013,20 +1173,7 @@ class Table:
         lit = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
         cons: dict[str, list[tuple[str, str, str]]] = {}
 
-        # BETWEEN's own AND would be split as a conjunct boundary —
-        # rewrite `col BETWEEN a AND b` to the two comparisons first
-        # (leaving NOT BETWEEN untouched).
-        def _unbetween(m: _re.Match) -> str:
-            if m.group(2):  # NOT BETWEEN: negated range — don't rewrite
-                return m.group(0)
-            col = m.group(1)
-            lo = f"'{m.group(3)}'" if m.group(3) is not None else m.group(4)
-            hi = f"'{m.group(5)}'" if m.group(5) is not None else m.group(6)
-            return f"{col} >= {lo} AND {col} <= {hi}"
-
-        cond_text = _re.sub(
-            rf"(?i)\b(\w+)\s+(not\s+)?between\s+{lit}\s+and\s+{lit}",
-            _unbetween, cond_text)
+        cond_text = self._rewrite_between(cond_text)
         try:
             conjuncts = split_conjuncts(cond_text)
         except Exception:
@@ -1117,6 +1264,204 @@ class Table:
                 out.append(f)
         return out
 
+    def _stats_cons(
+            self, cond_text: str | None
+    ) -> list[tuple[str, str, list, str]]:
+        """File-skipping constraints from per-file column bounds (round
+        6 — the reference relies on the same manifest
+        ``lower_bounds``/``upper_bounds`` for min/max skipping, SURVEY
+        §4.2): top-level ``col =/>/>=/</<=/IN lit`` conjuncts on ANY
+        stats-kind column of the CURRENT schema, resolved to string
+        field ids so files written before a rename still prune. Returns
+        [(field_id, op, parsed literals, kind)]. Everything unprovable
+        is skipped — stats pruning is purely subtractive, the row-wise
+        filter still applies. This is the 100 TB lever partition pruning
+        can't reach: a selective predicate on a non-partition column
+        skips whole FILES (and, via manifest bound summaries, whole
+        manifests) instead of scanning every live file."""
+        if not cond_text:
+            return []
+        if self._has_top_level_or(cond_text):
+            return []
+        import re as _re
+
+        from iceberg_demo_spark.mv.parser import split_conjuncts
+
+        fields = {f.name.lower(): f for f in self.metadata.schema}
+        try:
+            conjuncts = split_conjuncts(self._rewrite_between(cond_text))
+        except Exception:
+            return []
+        _OPS = {"=": "eq", ">=": "ge", "<=": "le", ">": "gt", "<": "lt"}
+        lit = r"(?:'([^']*)'|(-?\d+(?:\.\d+)?))"
+        cons: list[tuple[str, str, list, str]] = []
+        for c in conjuncts:
+            m = _re.fullmatch(rf"\s*(\w+)\s*(>=|<=|>|<|=)\s*{lit}\s*", c)
+            if m:
+                col, op = m.group(1), _OPS[m.group(2)]
+                raws = [(m.group(3) if m.group(3) is not None
+                         else m.group(4), m.group(3) is not None)]
+            else:
+                m = _re.fullmatch(r"\s*(\w+)\s+in\s*\(([^)]*)\)\s*", c,
+                                  _re.IGNORECASE)
+                if not m:
+                    continue
+                col, op = m.group(1), "in"
+                raws = []
+                for item in m.group(2).split(","):
+                    item = item.strip()
+                    im = _re.fullmatch(r"'([^']*)'", item)
+                    if im:
+                        raws.append((im.group(1), True))
+                    elif _re.fullmatch(r"-?\d+(?:\.\d+)?", item):
+                        raws.append((item, False))
+                    else:
+                        raws = None  # subquery / expression — bail
+                        break
+                if not raws:
+                    continue
+            f = fields.get(col.lower())
+            kind = self._stats_kind(f.type) if f else None
+            if kind is None:
+                continue
+            parsed = [self._stats_lit(kind, raw, quoted)
+                      for raw, quoted in raws]
+            if any(p is None for p in parsed):
+                continue  # one unprovable literal poisons the conjunct
+            cons.append((str(f.field_id), op, parsed, kind))
+        return cons
+
+    def _stats_lit(self, kind: str, raw: str, quoted: bool):
+        """Parse a predicate literal into the kind's comparison domain;
+        None = not provably comparable (no pruning on this conjunct)."""
+        import datetime as _dt
+        import re as _re
+        from decimal import Decimal, InvalidOperation
+
+        if kind == "num":
+            try:
+                d = Decimal(raw)
+            except (InvalidOperation, ValueError):
+                return None
+            return None if d.is_nan() else d
+        if not quoted:
+            # `stringcol = 5` coerces the COLUMN numerically in SQL —
+            # bounds-compare against the literal's spelling is unsound
+            return None
+        if kind == "ts":
+            try:
+                v = _dt.datetime.fromisoformat(raw)
+            except ValueError:
+                return None
+            if v.tzinfo is None:
+                tz = self.spark.conf.get("spark.sql.session.timeZone",
+                                         "UTC") or "UTC"
+                if tz.upper() in ("UTC", "GMT", "Z", "+00:00", "ETC/UTC"):
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                else:
+                    try:
+                        from zoneinfo import ZoneInfo
+
+                        v = v.replace(tzinfo=ZoneInfo(tz))
+                    except Exception:
+                        return None
+            d = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            return (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        if kind == "date":
+            return raw if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw) else None
+        return raw  # str: code-point order on both sides
+
+    @staticmethod
+    def _stats_bound(kind: str, s: str | None):
+        """Parse a stored canonical bound into the comparison domain."""
+        if s is None:
+            return None
+        if kind == "num":
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                d = Decimal(s)
+            except (InvalidOperation, ValueError):
+                return None
+            return None if d.is_nan() else d
+        if kind == "ts":
+            try:
+                return int(s)
+            except ValueError:
+                return None
+        return s
+
+    @staticmethod
+    def _range_admits(lo, up, op: str, lits: list) -> bool:
+        """Can a value in [lo, up] (either side None = unknown) satisfy
+        ``col <op> lits``? False = provably not → prune."""
+        if op in ("eq", "in"):
+            return any((lo is None or v >= lo) and (up is None or v <= up)
+                       for v in lits)
+        if op == "ge":
+            return up is None or up >= lits[0]
+        if op == "gt":
+            return up is None or up > lits[0]
+        if op == "le":
+            return lo is None or lo <= lits[0]
+        return lo is None or lo < lits[0]  # lt
+
+    def _passes_stats(self, f: DataFile,
+                      cons: list[tuple[str, str, list, str]]) -> bool:
+        for fid, op, lits, kind in cons:
+            if f.records and f.nulls.get(fid) == f.records:
+                # every value NULL and all these predicate forms are
+                # null-rejecting — no row can match
+                return False
+            lo = self._stats_bound(kind, f.lower.get(fid))
+            up = self._stats_bound(kind, f.upper.get(fid))
+            if lo is None and up is None:
+                continue
+            if not self._range_admits(lo, up, op, lits):
+                return False
+        return True
+
+    def _manifest_bounds_admit(
+            self, entry: dict,
+            cons: list[tuple[str, str, list, str]]) -> bool:
+        """Manifest-level min/max skipping on the ``bounds`` summary
+        write_manifest rolls up. The rollup ordered values numerically
+        iff every bound parsed as a number, so: numeric kinds require
+        both summary bounds to parse (else admit), string-ish kinds
+        require that they do NOT both parse (else the rollup may have
+        used numeric ordering — admit). Either way the two levels never
+        compare under different orderings."""
+        b = entry.get("bounds") or {}
+        if not b:
+            return True
+        from decimal import Decimal, InvalidOperation
+
+        def pnum(s) -> bool:
+            try:
+                return not Decimal(s).is_nan()
+            except (InvalidOperation, ValueError, TypeError):
+                return False
+
+        for fid, op, lits, kind in cons:
+            pair = b.get(fid)
+            if not pair:
+                continue
+            lo_s, hi_s = pair
+            if kind in ("num", "ts"):
+                if not (pnum(lo_s) and pnum(hi_s)):
+                    continue
+                lo = self._stats_bound(kind, lo_s)
+                up = self._stats_bound(kind, hi_s)
+                if lo is None or up is None:
+                    continue
+            else:
+                if pnum(lo_s) and pnum(hi_s):
+                    continue
+                lo, up = lo_s, hi_s
+            if not self._range_admits(lo, up, op, lits):
+                return False
+        return True
+
     def _pruned_snapshot_files(self, snap: Snapshot,
                                cond_text: str) -> list[DataFile]:
         """Partition-pruned file list for a snapshot; on a manifest-backed
@@ -1125,7 +1470,8 @@ class Table:
         on a spilled table reads O(matching manifests), not O(all)."""
         allowed = self._partition_allowed(cond_text)
         ranges = self._partition_range_cons(cond_text)
-        if not allowed and not ranges:
+        scons = self._stats_cons(cond_text)
+        if not allowed and not ranges and not scons:
             return snap.files
         if snap._files is None and snap.manifests:
             from iceberg_demo_spark.tables import format as _fmt
@@ -1140,10 +1486,15 @@ class Table:
                         self._passes_ranges(v, cons) for v in psum[col])
                        for col, cons in ranges.items()):
                     continue  # every summarized value is out of range
+                if scons and not self._manifest_bounds_admit(m, scons):
+                    continue  # column-bound summary proves no match
                 files.extend(_fmt.load_manifest(self.location, m["path"]))
         else:
             files = snap.files
-        return self._apply_partition_filter(files, allowed, ranges)
+        files = self._apply_partition_filter(files, allowed, ranges)
+        if scons:
+            files = [f for f in files if self._passes_stats(f, scons)]
+        return files
 
     def update_where(self, assignments: dict[str, str | Column],
                      condition: str | Column | None = None,
@@ -1484,19 +1835,30 @@ class Table:
 
     _FILES_DF_SCHEMA = (
         "content int, file_path string, file_format string, record_count bigint, "
-        "file_size_in_bytes bigint, partition map<string,string>, schema_id int"
+        "file_size_in_bytes bigint, partition map<string,string>, schema_id int, "
+        "lower_bounds map<int,string>, upper_bounds map<int,string>, "
+        "null_value_counts map<int,bigint>"
     )
 
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``files`` metadata table: data files (content=0) and position
         delete files (content=1), Iceberg content-id convention
-        (docs/spark-queries.md:215-326)."""
+        (docs/spark-queries.md:215-326). ``lower_bounds``/``upper_bounds``/
+        ``null_value_counts`` are keyed by field id like the reference's
+        (docs/spark-queries.md:320-326); values are this format's canonical
+        strings (num → decimal string, timestamp → UTC epoch micros,
+        date → ISO, string → possibly truncated bound)."""
         snap = self._resolve_snapshot(snapshot_id)
+
+        def ik(d: dict) -> dict:
+            return {int(k): v for k, v in d.items()}
+
         rows = [
-            (0, f.path, "PARQUET", f.records, f.bytes, f.partition, f.schema_id)
+            (0, f.path, "PARQUET", f.records, f.bytes, f.partition,
+             f.schema_id, ik(f.lower), ik(f.upper), ik(f.nulls))
             for f in (snap.files if snap else [])
         ] + [
-            (1, f.path, "PARQUET", f.records, f.bytes, {}, None)
+            (1, f.path, "PARQUET", f.records, f.bytes, {}, None, {}, {}, {})
             for f in (snap.delete_files if snap else [])
         ]
         return self.spark.createDataFrame(rows, self._FILES_DF_SCHEMA)

@@ -368,7 +368,10 @@ def test_engine_sql_where_prunes_partition_files(catalog, spark, tmp_path):
     try:
         got = eng.sql("SELECT id FROM db.sp WHERE cat = 'x' AND id >= 3")
         ids = {r["id"] for r in got.collect()}
-        assert seen and seen[0] == n_x
+        # partition pruning caps the scan at the x-partition files;
+        # round-6 column-stats pruning may drop more (id >= 3 excludes
+        # files whose id upper bound is below 3)
+        assert seen and 0 < seen[0] <= n_x
         assert ids == {i for i, c in enumerate(["x", "y", "z"] * 5)
                        if c == "x" and i >= 3}
         seen.clear()
@@ -460,11 +463,21 @@ def test_pruning_is_safe_across_partition_evolution(catalog, spark):
 
     got = t.scan(where="cat = 'x'").collect()
     assert {r["id"] for r in got} == {0, 2}
-    # pruning on the NEW field keeps gen-1 files (no _p_d) but prunes
-    # gen-2 files outside the value
-    files_seen = t._pruned_snapshot_files(
-        t.metadata.current_snapshot(), "d = 'b'")
+    # PARTITION pruning on the NEW field must keep gen-1 files (no _p_d)
+    # while pruning gen-2 files outside the value — checked on
+    # stats-stripped copies so round-6 column-bound pruning (which can
+    # legitimately drop the gen-1 files too: their d values are all 'a')
+    # doesn't mask partition-evolution conservatism
+    import dataclasses
+
+    blind = [dataclasses.replace(f, lower={}, upper={}, nulls={})
+             for f in t.metadata.current_snapshot().files]
+    files_seen = t._prune_files(blind, "d = 'b'")
     assert all(f.partition.get("_p_d") in (None, "b") for f in files_seen)
     assert any("_p_d" not in f.partition for f in files_seen)  # gen-1 kept
+    # with stats on, the gen-1 files are ALSO pruned (d upper bound 'a')
+    with_stats = t._prune_files(
+        t.metadata.current_snapshot().files, "d = 'b'")
+    assert all("_p_d" in f.partition for f in with_stats)
     got = t.scan(where="d = 'b'").collect()
     assert {r["id"] for r in got} == {2, 3}

@@ -94,7 +94,15 @@ def test_empty_transform_result_keeps_all_files(engine, monkeypatch):
     files = t._branch_files("main")
     monkeypatch.setattr(type(t), "_eval_transform",
                         lambda self, p, vals: set())
-    assert t._prune_files(files, "cat = 'x'") == files
+    # the empty transform result must impose NO partition constraint
+    # (an empty allowed-set would prune every file); column-stats
+    # pruning is checked separately and stripped here
+    assert t._partition_allowed("cat = 'x'") == {}
+    import dataclasses
+
+    blind = [dataclasses.replace(f, lower={}, upper={}, nulls={})
+             for f in files]
+    assert t._prune_files(blind, "cat = 'x'") == blind
 
 
 # -- low: time-transform bounds compare as integer tuples -------------------
