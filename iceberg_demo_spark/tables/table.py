@@ -25,6 +25,7 @@ table properties ``write.delete/update/merge.mode``):
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import uuid
@@ -2033,7 +2034,13 @@ class Table:
 # -- helpers ---------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=4096)
 def _parse_type(ddl: str) -> T.DataType:
+    """Memoized: parsing a DDL type string is a py4j roundtrip, and every
+    DML statement re-derives its schema StructType field by field — the
+    cache collapses ~50 JVM calls per statement into dict hits (round-6
+    MoR-drift fix). DataType instances are immutable values in practice,
+    so sharing them across callers is safe."""
     return T._parse_datatype_string(ddl)
 
 

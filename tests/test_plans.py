@@ -257,3 +257,19 @@ def test_feature_norm_stats_is_single_dim_exchange(spark):
     n_exchange = len(_re.findall(r"\+- Exchange|:- Exchange", tree))
     assert n_exchange == 2  # hash(dim) + final range sort
     assert "partial_count" in plan or "HashAggregate" in tree
+
+
+def test_ivf_bucketed_probe_is_partition_pruned(spark):
+    """The persisted IVF index is read with cell_id PartitionFilters (only
+    probed cells' directories) and the candidate join is a broadcast of
+    the tiny probe set — the corpus side has NO exchange."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ann_ivf_bucketed")
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters")[1][:300]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus side feeds the join straight from the pruned scan —
+    # never a hash repartition of the corpus on cell_id
+    assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
