@@ -276,20 +276,56 @@ def write_manifest(location: str, files: list[DataFile], tag: str) -> dict:
     return entry
 
 
+_MANIFEST_LIST_CACHE: dict[str, list[dict]] = {}
+
+
+def write_manifest_list(location: str, manifests: list[dict],
+                        tag: str) -> str:
+    """Persist a snapshot's manifest summaries as ONE immutable
+    manifest-list file (production Iceberg's snapshot → manifest-list →
+    manifests → data-files hierarchy). Keeps the metadata JSON O(snapshots)
+    instead of O(snapshots × manifests): at 10⁷ files / 10⁴ manifests the
+    summaries would otherwise be re-serialized into every metadata save."""
+    md = os.path.join(location, "metadata")
+    os.makedirs(md, exist_ok=True)
+    name = f"manifest-list-{tag}-{uuid.uuid4().hex[:12]}.json"
+    path = os.path.join(md, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifests, fh)
+    os.rename(tmp, path)
+    rel = os.path.join("metadata", name)
+    _MANIFEST_LIST_CACHE[path] = list(manifests)
+    return rel
+
+
+def load_manifest_list(location: str, rel_path: str) -> list[dict]:
+    ap = os.path.join(location, rel_path)
+    cached = _MANIFEST_LIST_CACHE.get(ap)
+    if cached is None:
+        with open(ap) as fh:
+            cached = json.load(fh)
+        _MANIFEST_LIST_CACHE[ap] = cached
+    return cached
+
+
 class Snapshot:
     """One committed table state.
 
-    Two storage modes for the file list (the round-5 manifest layer —
-    production Iceberg's design, simplified):
+    Storage modes for the file list (the round-5 manifest layer +
+    round-6 manifest list — production Iceberg's design, simplified):
 
     - **inline** (small tables): ``files`` serialized into the metadata
       JSON, exactly the original single-document model.
     - **manifest-backed** (past ``write.metadata.manifest-min-files``):
-      the metadata JSON stores only ``manifests`` — a list of immutable
-      manifest-file summaries — and the file list loads lazily (and
-      cached) on first ``.files`` access. Commits then append ONE delta
-      manifest and rewrite only removal-affected manifests, so commit
-      I/O is O(delta), not O(total files); see Table._plan_manifests.
+      the snapshot stores ONE ``manifest_list`` path; that immutable
+      file holds the manifest summaries, and the file list loads lazily
+      (and cached) on first ``.files`` access. Commits then append ONE
+      delta manifest, rewrite only removal-affected manifests, and write
+      one new (small) manifest list — commit I/O is O(delta + manifests),
+      never O(total files); see Table._plan_manifests. Metadata JSONs
+      written before round 6 carried the summaries inline under
+      ``manifests``; both forms load.
     """
 
     def __init__(self, snapshot_id: int, parent_id: int | None,
@@ -301,7 +337,8 @@ class Snapshot:
                  delete_files: list[DeleteFile] | None = None,
                  manifests: list[dict] | None = None,
                  location: str | None = None,
-                 changes_path: str | None = None):
+                 changes_path: str | None = None,
+                 manifest_list: str | None = None):
         self.snapshot_id = snapshot_id
         self.parent_id = parent_id
         self.timestamp_ms = timestamp_ms
@@ -314,14 +351,28 @@ class Snapshot:
                                if removed_files is not None else None)
         self.summary = dict(summary or {})
         self.delete_files = list(delete_files or [])
-        self.manifests = list(manifests or [])
+        self._manifests = list(manifests) if manifests is not None else None
+        self.manifest_list = manifest_list
         self._location = location
         self.changes_path = changes_path
-        if self._files is None and not self.manifests:
+        if (self._files is None and not self._manifests
+                and not self.manifest_list):
             self._files = []
         if self.changes_path is None:
             self._added_files = self._added_files or []
             self._removed_files = self._removed_files or []
+
+    @property
+    def manifests(self) -> list[dict]:
+        if self._manifests is None:
+            self._manifests = (
+                load_manifest_list(self._location, self.manifest_list)
+                if self.manifest_list else [])
+        return self._manifests
+
+    @manifests.setter
+    def manifests(self, value: list[dict]) -> None:
+        self._manifests = list(value or [])
 
     @property
     def files(self) -> list[DataFile]:
@@ -368,15 +419,18 @@ class Snapshot:
         else:
             d["added_files"] = self.added_files
             d["removed_files"] = self.removed_files
-        if self.manifests:
-            d["manifests"] = self.manifests
+        if self.manifest_list:
+            d["manifest_list"] = self.manifest_list
+        elif self._manifests:
+            d["manifests"] = self._manifests  # pre-round-6 inline form
         else:
             d["files"] = [f.to_json() for f in self.files]
         return d
 
     @staticmethod
     def from_json(d: dict, location: str | None = None) -> "Snapshot":
-        manifests = d.get("manifests") or []
+        manifests = d.get("manifests")
+        manifest_list = d.get("manifest_list")
         changes_path = d.get("changes")
         return Snapshot(
             d["snapshot_id"],
@@ -385,7 +439,7 @@ class Snapshot:
             d["operation"],
             d["schema_id"],
             ([DataFile.from_json(f) for f in d["files"]]
-             if not manifests else None),
+             if not manifests and not manifest_list else None),
             (d.get("added_files", []) if not changes_path else None),
             (d.get("removed_files", []) if not changes_path else None),
             d.get("summary", {}),
@@ -393,6 +447,7 @@ class Snapshot:
             manifests=manifests,
             location=location,
             changes_path=changes_path,
+            manifest_list=manifest_list,
         )
 
 

@@ -182,12 +182,16 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
         live_meta.update(m["path"] for m in s.manifests)
         if s.changes_path:
             live_meta.add(s.changes_path)
+        if s.manifest_list:
+            live_meta.add(s.manifest_list)
     dead_meta: set[str] = set()
     for s in md.snapshots:
         if s.snapshot_id in expire:
             dead_meta.update(m["path"] for m in s.manifests)
             if s.changes_path:
                 dead_meta.add(s.changes_path)
+            if s.manifest_list:
+                dead_meta.add(s.manifest_list)
     from iceberg_demo_spark.tables import format as _fmt
     for rel in dead_meta - live_meta:
         p = os.path.join(table.location, rel)
@@ -195,6 +199,7 @@ def expire_snapshots(table: Table, older_than_ms: int | None = None,
             os.remove(p)
         _fmt._MANIFEST_CACHE.pop(p, None)
         _fmt._CHANGES_CACHE.pop(p, None)
+        _fmt._MANIFEST_LIST_CACHE.pop(p, None)
     md.snapshots = survivors
     for s in md.snapshots:
         if s.parent_id in expire:
@@ -331,10 +336,29 @@ def rewrite_data_files(table: Table, strategy: str = "binpack",
 
 
 def rewrite_manifests(table: Table) -> dict:
-    """Our metadata embeds file lists directly (no manifest layer), so this
-    compacts the metadata log instead: rewrites current metadata as a fresh
-    version. Kept for procedure parity (docs/spark-procedures.md:477-512)."""
+    """Compact the current snapshot's manifest layer
+    (docs/spark-procedures.md:477-512): a manifest-backed snapshot that
+    has accreted many small delta manifests gets ONE consolidated
+    manifest + a fresh manifest list, so scan planning reads one summary
+    instead of N. Inline (small) tables just re-save metadata — nothing
+    to compact. Data files are untouched either way."""
     table.check_writable("rewrite_manifests")
+    snap = table.metadata.current_snapshot()
+    if snap is not None and len(snap.manifests) > 1:
+        from iceberg_demo_spark.tables.format import (
+            write_manifest, write_manifest_list)
+
+        n_before = len(snap.manifests)
+        files = snap.files
+        entry = write_manifest(table.location, files,
+                               f"rw{snap.snapshot_id}")
+        snap.manifest_list = write_manifest_list(
+            table.location, [entry], f"rw{snap.snapshot_id}")
+        snap.manifests = [entry]
+        snap._files = files
+        table.metadata.save()
+        return {"rewritten_manifests_count": n_before,
+                "added_manifests_count": 1}
     table.metadata.save()
     return {"rewritten_manifests_count": 1, "added_manifests_count": 1}
 

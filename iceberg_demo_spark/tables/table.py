@@ -831,6 +831,16 @@ class Table:
             "write.metadata.manifest-min-files", "1000"))
         manifests = (self._plan_manifests(parent, files, added, removed)
                      if len(files) > spill_at else None)
+        manifest_list = None
+        if manifests is not None:
+            from iceberg_demo_spark.tables.format import write_manifest_list
+
+            # one small immutable file per snapshot holding the manifest
+            # summaries — the metadata JSON stays O(snapshots) no matter
+            # how many manifests a 10⁷-file table accumulates
+            manifest_list = write_manifest_list(
+                self.location, manifests,
+                f"s{self.metadata.last_snapshot_id + 1}")
         added_paths = [f.path for f in added]
         removed_paths = [f.path for f in removed]
         changes_path = None
@@ -853,6 +863,7 @@ class Table:
             manifests=manifests,
             location=self.location,
             changes_path=changes_path,
+            manifest_list=manifest_list,
         )
         snap.summary.setdefault("added-data-files", str(len(added)))
         snap.summary.setdefault("removed-data-files", str(len(removed)))

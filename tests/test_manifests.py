@@ -481,3 +481,87 @@ def test_pruning_is_safe_across_partition_evolution(catalog, spark):
     assert all("_p_d" in f.partition for f in with_stats)
     got = t.scan(where="d = 'b'").collect()
     assert {r["id"] for r in got} == {2, 3}
+
+
+def test_million_file_table_metadata_stays_o_snapshots(catalog, monkeypatch):
+    """Round 6 manifest-list level: 10 commits x 100k files (10^6 total,
+    one partition per batch). The metadata JSON must stay tiny — each
+    snapshot stores ONE manifest_list path, never the manifest summaries
+    inline — and cold-start pruned planning must open only the manifests
+    the predicate admits, not all ten."""
+    import time as _time
+
+    from iceberg_demo_spark.tables import format as fmt
+
+    t = catalog.create_table("db.huge", "id bigint, cat string",
+                             partition_by=[("cat",)])
+    files: list[DataFile] = []
+    t0 = _time.time()
+    for b in range(10):
+        batch = [
+            DataFile(f"data/b{b:02d}/f{i:06d}.parquet", 100, 4096, 0,
+                     {"_p_cat": f"c{b}"})
+            for i in range(100_000)
+        ]
+        files = files + batch
+        t._commit("append", files, batch, [], "main")
+    elapsed = _time.time() - t0
+    assert elapsed < 120, f"10x100k commits took {elapsed:.0f}s"
+
+    snap = t.metadata.current_snapshot()
+    assert snap.n_data_files == 1_000_000
+    assert len(snap.manifests) == 10
+    # the metadata JSON is O(snapshots): no file entries, no inline
+    # manifest summaries
+    assert _meta_json_bytes(t) < 64 * 1024
+    with open(os.path.join(t.location, "metadata",
+                           f"v{t.metadata.version}.metadata.json")) as fh:
+        doc = json.load(fh)
+    last = doc["snapshots"][-1]
+    assert "manifest_list" in last
+    assert "manifests" not in last and "files" not in last
+    # the manifest list itself is O(manifests), not O(files)
+    assert os.path.getsize(
+        os.path.join(t.location, last["manifest_list"])) < 16 * 1024
+
+    # cold reload: pruned planning loads exactly ONE manifest
+    fmt._MANIFEST_CACHE.clear()
+    fmt._MANIFEST_LIST_CACHE.clear()
+    cold = catalog.load_table("db.huge")
+    csnap = cold.metadata.current_snapshot()
+    loaded = []
+    orig = fmt.load_manifest
+
+    def spy(location, rel_path):
+        loaded.append(rel_path)
+        return orig(location, rel_path)
+
+    monkeypatch.setattr(fmt, "load_manifest", spy)
+    pruned = cold._pruned_snapshot_files(csnap, "cat = 'c7'")
+    assert len(pruned) == 100_000
+    assert len(set(loaded)) == 1
+    # metadata table stays truthful about the layer
+    assert cold.manifests_df().count() == 10
+
+
+def test_rewrite_manifests_compacts_spilled_snapshot(catalog):
+    from iceberg_demo_spark.tables import procedures as proc
+
+    t = catalog.create_table("db.rwm", "id bigint")
+    files: list[DataFile] = []
+    for b in range(4):
+        batch = _mk_files(b * 2000, 2000)
+        files = files + batch
+        t._commit("append", files, batch, [], "main")
+    assert len(t.metadata.current_snapshot().manifests) == 4
+    res = proc.rewrite_manifests(t)
+    assert res == {"rewritten_manifests_count": 4,
+                   "added_manifests_count": 1}
+    snap = t.metadata.current_snapshot()
+    assert len(snap.manifests) == 1
+    assert snap.n_data_files == 8000
+    # reload from disk sees the compacted layer and the same file set
+    t2 = catalog.load_table("db.rwm")
+    s2 = t2.metadata.current_snapshot()
+    assert len(s2.manifests) == 1
+    assert {f.path for f in s2.files} == {f.path for f in files}
