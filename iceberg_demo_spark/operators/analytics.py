@@ -560,6 +560,15 @@ def doc_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # retention pipeline computes.
 # ---------------------------------------------------------------------------
 
+#: a range partition is "heavy" past this multiple of the target size —
+#: the trigger for the single-valued custkey subdivision below
+_RFM_HEAVY_FACTOR = 4
+
+#: post-run diagnostics for tests: tag → {"subdivided": [pids],
+#: "max_part": largest (pid, spid) group} — bounded metadata, no data
+RFM_DIAG: dict = {}
+
+
 def _pid_expr(metric: str, cuts: list):
     """Deterministic value-range partition id: number of cuts strictly
     greater-ordered than the row (cuts ascend, order is DESC) — a pure
@@ -630,12 +639,16 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. per-metric rank = offset[pid] + row_number within pid (each window
        sorts ~1/P of the per-customer frame), bucket via literal ends.
 
-    Total driver materializations: 1 stats row + ≤3·P size rows; the
-    per-customer lineage is evaluated 3× (stats, sizes, final plan) with
-    AQE exchange reuse inside each job. Caveat: a single metric value
-    holding ≫1/P of the rows (possible for the small-domain frequency
-    metric) concentrates its partition — still ≤ that value's share of
-    rows, vs 100% for a global-sort NTILE.
+    Total driver materializations: 1 stats row + ≤3·P size rows (+ one
+    row per detected-heavy pid and its sub-counts). Round 6 closes the
+    old caveat: a single metric value holding ≫1/P of the rows (the
+    small-domain frequency metric) used to concentrate one range
+    partition; oversized pids are now detected from the size counts and,
+    when single-VALUED, subdivided by o_custkey range cuts — within a
+    tied value the total order is custkey ASC, so custkey cuts preserve
+    rank contiguity exactly (the skew-detect analog of AQE's skew-join
+    split). A heavy pid spanning several values (approx-quantile failure
+    mode) is left whole — correct, just unbalanced.
     """
     from iceberg_demo_spark.functions import dsum
 
@@ -689,19 +702,76 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c")).collect()
     }
     q = pids
+    target = max(n_total // max(1, nparts), 1)
+    RFM_DIAG.clear()
     for tag, metric in metric_of.items():
         sizes = {p: c for (mk, p), c in counts.items() if mk == tag}
+        heavy = sorted(p for p, c in sizes.items()
+                       if c > max(_RFM_HEAVY_FACTOR * target, 64))
+        # pid → (dominant value, custkey cuts): the pid is split into
+        # [rows above v] ++ [rows == v, range-cut by custkey] ++ [rows
+        # below v] — a monotone refinement of the (metric DESC, custkey
+        # ASC) order, so rank contiguity is exact
+        subcuts: dict[int, tuple] = {}
+        for p_ in heavy:
+            if not fracs:
+                break
+            vrow = (
+                pids.filter(F.col(f"_pid_{tag}") == p_)
+                .groupBy(metric).agg(F.count(F.lit(1)).alias("c"))
+                .orderBy(F.desc("c"), F.col(metric)).limit(1).first())
+            if vrow is None or vrow["c"] <= max(2 * target, 64):
+                continue  # heavy pid without a dominant tie: leave whole
+            v = vrow[metric]
+            cc = (
+                pids.filter((F.col(f"_pid_{tag}") == p_)
+                            & (F.col(metric) == F.lit(v)))
+                .agg(F.percentile_approx("o_custkey", fracs, 10000)
+                     .alias("cc"))
+                .first()["cc"])
+            if cc:
+                subcuts[p_] = (v, cc)
+        spid = F.lit(0)
+        for p_, (v, cc) in subcuts.items():
+            sub = F.lit(1)
+            for c in cc:
+                sub = sub + F.when(F.col("o_custkey") > F.lit(c),
+                                   1).otherwise(0)
+            tied = (
+                F.when(F.col(metric) > F.lit(v), F.lit(0))
+                .when(F.col(metric) < F.lit(v), F.lit(len(cc) + 2))
+                .otherwise(sub))
+            spid = F.when(F.col(f"_pid_{tag}") == p_, tied).otherwise(spid)
+        q = q.withColumn(f"_spid_{tag}", spid.cast("int"))
+        if subcuts:
+            sub_sizes = {
+                (r["p"], r["s"]): r["c"]
+                for r in q.groupBy(
+                    F.col(f"_pid_{tag}").alias("p"),
+                    F.col(f"_spid_{tag}").alias("s"))
+                .agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+        else:
+            sub_sizes = {(p_, 0): c for p_, c in sizes.items()}
         off, offsets = 0, {}
-        for p_ in sorted(sizes):
-            offsets[p_] = off
-            off += sizes[p_]
+        for key in sorted(sub_sizes):
+            offsets[key] = off
+            off += sub_sizes[key]
+        # composite (pid, spid) map key as one bigint — create_map keys
+        # must be scalar
+        _K = 2_000_000_000
+        comb = (F.col(f"_pid_{tag}").cast("bigint") * F.lit(_K)
+                + F.col(f"_spid_{tag}"))
         off_map = F.create_map(
-            *[F.lit(x) for p_ in sorted(offsets) for x in (p_, offsets[p_])])
-        rk = (off_map[F.col(f"_pid_{tag}")]
+            *[F.lit(x) for (p_, s_) in sorted(offsets)
+              for x in (p_ * _K + s_, offsets[(p_, s_)])])
+        rk = (off_map[comb]
               + F.row_number().over(
-                  Window.partitionBy(f"_pid_{tag}")
+                  Window.partitionBy(f"_pid_{tag}", f"_spid_{tag}")
                   .orderBy(F.col(metric).desc(), F.col("o_custkey"))))
         q = q.withColumn(f"{tag}_q", _ntile_from_rank(rk, n_total, 4))
+        RFM_DIAG[tag] = {"subdivided": sorted(subcuts),
+                         "max_part": max(sub_sizes.values(), default=0)}
     return (
         q.groupBy("r_q", "f_q", "m_q")
         .agg(F.count(F.lit(1)).alias("n_customers"),

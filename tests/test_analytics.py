@@ -238,3 +238,72 @@ def test_feature_norm_stats_match_numpy(spark):
         assert abs(r["std_x"] - round(math.sqrt(var) / 10000.0, 4)) <= 1e-4
         assert r["min_x"] == round(min(xs), 6)
         assert r["max_x"] == round(max(xs), 6)
+
+
+def test_rfm_heavy_tie_subdivides_partition(spark, tmp_path):
+    """Round 6: one frequency value (n_orders = 1) covering half the
+    customers used to concentrate a single range partition; the
+    skew-detect now subdivides it by o_custkey cuts. Correctness is
+    checked against a plain global-window NTILE, and the diagnostics
+    prove the split happened and bounded the largest partition."""
+    import pandas as pd
+
+    from iceberg_demo_spark.operators import analytics as an
+
+    n_cust = 2000
+    rows = []
+    order_id = 0
+    for ck in range(n_cust):
+        # 70% of customers: exactly one order each (the heavy tie —
+        # clears the 4x-target threshold at any shuffle-partition count
+        # the suite runs with); the rest: 2..9 orders
+        n_orders = 1 if ck < int(n_cust * 0.7) else 2 + ck % 8
+        for j in range(n_orders):
+            order_id += 1
+            rows.append((order_id, ck,
+                         f"1995-{1 + (ck + j) % 12:02d}-{1 + j % 28:02d}",
+                         100.0 + (ck * 7 + j) % 500))
+    pdf = pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    sf_dir = str(tmp_path / "skewsf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(pdf).withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    got = {tuple(r) for r in
+           an.orders_rfm_segments(spark, sf_dir).collect()}
+
+    # expected via the straightforward global-window NTILE (fine in a test)
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .createOrReplaceTempView("sk_orders")
+    exp = {tuple(r) for r in spark.sql("""
+        WITH cust AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS n_orders,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS monetary
+          FROM sk_orders GROUP BY o_custkey
+        ), q AS (
+          SELECT n_orders,
+                 NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+                 NTILE(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+                 NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+          FROM cust)
+        SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        FROM q GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+    """).collect()}
+    assert got == exp
+
+    # the frequency metric's heavy pid was detected and subdivided, and
+    # no (pid, spid) group holds anywhere near the tied value's 50% share
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    diag = an.RFM_DIAG["f"]
+    assert diag["subdivided"], "expected the n_orders=1 pid to subdivide"
+    assert diag["max_part"] <= max(
+        an._RFM_HEAVY_FACTOR * (n_cust // nparts), 64) + nparts
+    # non-skewed metrics (r, m) required no subdivision
+    assert not an.RFM_DIAG["m"]["subdivided"]
