@@ -60,6 +60,10 @@ HEADLINE = [
     "doc_decontamination",
     "emb_kmeans_clusters",
     "doc_sequence_packing",
+    # round-6 additions: column-stats file skipping and the persisted
+    # (partition-pruned) IVF index — the two new physical-layout levers.
+    "stats_pruned_scan",
+    "sim_ann_ivf_bucketed",
 ]
 
 

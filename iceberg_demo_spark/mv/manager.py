@@ -239,6 +239,34 @@ class MVManager:
             return None  # self-join: per-ref view substitution can't express
         if not info.group_by:
             return None
+        if (len(info.joins) >= 2
+                and all(j["type"] == "right" for j in info.joins)):
+            # Round 6: a PURE RIGHT chain reverses into a flat LEFT
+            # chain — ((A ⟖c1 B) ⟖c2 C) … ≡ … (C ⟕c2 B) ⟕c1 A — by
+            # repeated left-join associativity, which is valid exactly
+            # when every condition references ONLY its adjacent table
+            # pair (a condition reaching an earlier table, or one whose
+            # ownership can't be proven because it uses bare columns,
+            # refuses → full recompute). A MIXED chain with a RIGHT past
+            # position 0 still has no flat equivalent and keeps falling
+            # back via the type check below.
+            chain = list(info.base_tables)
+            conds = [j["condition"] for j in info.joins]
+            ok = True
+            for i, c in enumerate(conds):
+                refs = set(re.findall(r"\b(\w+)\s*\.", c or ""))
+                if (not c or not refs
+                        or not refs <= {chain[i], chain[i + 1]}
+                        or _unqualified_idents(c)):
+                    ok = False
+                    break
+            if ok:
+                info.base_tables = list(reversed(chain))
+                info.joins = [
+                    {"type": "left", "right_table": chain[i],
+                     "condition": conds[i]}
+                    for i in range(len(conds) - 1, -1, -1)
+                ]
         if info.joins and info.joins[0]["type"] == "right":
             # A RIGHT JOIN B ≡ B LEFT JOIN A (the normalized condition is
             # order-insensitive) — canonicalize so the left machinery below
@@ -257,6 +285,14 @@ class MVManager:
         seen_left = False
         for j in info.joins:
             if j["type"] not in ("inner", "left") or not j["condition"]:
+                return None
+            # round-6 guard: the touched-key model (and the nulled-key
+            # probes) assume EQUI semantics — every depth-0 conjunct of
+            # the ON condition must be a plain col=col/col=lit equality;
+            # a range or expression conjunct refuses enrollment
+            if not all(
+                    re.fullmatch(r"[\w.']+=[\w.']+", c.strip())
+                    for c in re.split(r"(?i)\band\b", j["condition"])):
                 return None
             if j["type"] == "left":
                 seen_left = True

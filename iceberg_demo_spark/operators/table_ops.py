@@ -901,3 +901,61 @@ def stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum(F.col("o_totalprice")).alias("total_price"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "streaming_dim_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (round 6): the event stream is
+    enriched INSIDE the streaming query by joining the static customer
+    dimension, each micro-batch commits the enriched rows as one
+    snapshot, and the final table state equals the batch join+aggregate.
+
+    Scale shape: the static side is broadcast per micro-batch, so the
+    stream side is never shuffled for the join (the standard enrich
+    pattern for a 100 TB/day event firehose against a dimension that
+    fits the broadcast budget); aggregate state here is zero because the
+    rollup runs over the SINK table, not the stream."""
+    import tempfile as _tf
+
+    from iceberg_demo_spark.streaming import stream_to_table
+
+    t_in = load_tables(spark, sf_dir, ("events", "customer"))
+    src_dir = _tf.mkdtemp(prefix="glacier_sdj_src_")
+    t_in["events"].repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    dim = t_in["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+
+    def enrich(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(dim), "user_id")
+
+    cat = _scratch(spark)
+    sample = enrich(t_in["events"]).schema
+    t = cat.create_table(
+        "db.ev_enriched",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in sample.fields])
+    stream_to_table(spark, src_dir, schema, t,
+                    _tf.mkdtemp(prefix="glacier_sdj_ckpt_"),
+                    max_files_per_trigger=2, transform=enrich)
+    t.refresh()
+    from iceberg_demo_spark.functions import dsum
+
+    return (
+        t.scan()
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .orderBy("segment", "event_type")
+    )

@@ -412,3 +412,48 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                      OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS mov_avg,
+           COUNT(*) OVER w AS n_window
+    FROM events
+    WHERE user_id < 5
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-row moving average over the event stream (round 6).
+
+    Determinism across engines: the window SUM runs over exact decimals
+    (float addition order differs between Spark's and DuckDB's sliding
+    window implementations), converts to double once, and divides by the
+    exact window count — identical operand sequences, identical bits.
+
+    Scale shape: the window partitions by user_id — each user's slice
+    sorts independently inside its shuffle partition, no global sort; at
+    100 TB this is one exchange on the analysis key, the canonical
+    sensor/clickstream smoothing shape."""
+    t = load_tables(spark, sf_dir, ("events",))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 5)
+        .select(
+            "user_id", "event_id",
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+                .cast("double")
+                / F.count(F.lit(1)).over(w), 4).alias("mov_avg"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -123,14 +123,15 @@ def load_all() -> None:
         "doc_quality_buckets",
         "doc_bpe_token_stats",
         "multimodal_payload_stats",
-        # -- last driver-green in round 4 (3 of 9; the other 6 queue for
+        # -- last driver-green in round 4 (1 of 9; the other 8 queue for
         #    round 7) --
         "dml_overwrite_dynamic",
-        "tt_snapshot_counts",
-        "incremental_read_appends",
-        # -- new round-6 gates --
+        # -- new round-6 gates (never driver-verified → must be in-window
+        #    per the standing policy) --
         "stats_pruned_scan",
         "sim_ann_ivf_bucketed",
+        "streaming_dim_join",
+        "events_moving_avg",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -827,3 +827,107 @@ def test_right_join_past_position_zero_still_refuses(engine):
         "RIGHT JOIN db_qdim q ON s.product = q.product "
         "GROUP BY q.cat")
     assert not engine.mv_catalog.get("rjz_mv").source_snapshots
+
+
+def test_pure_right_chain_reverses_and_refreshes(engine, monkeypatch):
+    """Round 6: an all-RIGHT chain with adjacent-pair conditions reverses
+    into a flat LEFT chain — the MV enrolls and dimension/fact deltas
+    refresh incrementally to the exact full-recompute state."""
+    t, d = _left_join_setup_no_mv(engine)
+    p = engine.catalog.create_table("db.zdim", "zone string, ztier string")
+    p.append(engine.spark.createDataFrame(
+        [("z1", "gold")], "zone string, ztier string"))
+    engine.register("db.zdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rchain_mv AS "
+        "SELECT z.ztier, count(*) AS n "
+        "FROM db_sales s RIGHT JOIN db_dim d ON s.region = d.region "
+        "RIGHT JOIN db_zdim z ON d.zone = z.zone "
+        "GROUP BY z.ztier")
+    mv = engine.mv_catalog.get("rchain_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim", "db_zdim"}
+
+    # deltas on every level: fact append, middle-dim append, outer append
+    t.append(engine.spark.createDataFrame(
+        [("east", "g", 9.0)], schema=t.schema()))
+    d.append(engine.spark.createDataFrame(
+        [("north", "z3")], "region string, zone string"))
+    p.append(engine.spark.createDataFrame(
+        [("z2", "silver"), ("z3", "bronze")], "zone string, ztier string"))
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+    engine.mv.refresh("rchain_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("rchain_mv")).collect()}
+    expected = {
+        tuple(r)
+        for r in engine.spark.sql(
+            "SELECT z.ztier, count(*) AS n "
+            "FROM db_sales s RIGHT JOIN db_dim d ON s.region = d.region "
+            "RIGHT JOIN db_zdim z ON d.zone = z.zone "
+            "GROUP BY z.ztier").collect()
+    }
+    assert got == expected
+
+
+def test_right_chain_nonadjacent_condition_refuses(engine):
+    """A RIGHT-chain condition reaching back past the adjacent pair has
+    no flat reversal — must refuse enrollment (and stay correct via full
+    recompute)."""
+    _left_join_setup_no_mv(engine)
+    p = engine.catalog.create_table("db.wdim", "region string, w string")
+    p.append(engine.spark.createDataFrame(
+        [("east", "x")], "region string, w string"))
+    engine.register("db.wdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW rnadj_mv AS "
+        "SELECT w.w, count(*) AS n "
+        "FROM db_sales s RIGHT JOIN db_dim d ON s.region = d.region "
+        "RIGHT JOIN db_wdim w ON s.region = w.region "  # reaches back to s
+        "GROUP BY w.w")
+    assert not engine.mv_catalog.get("rnadj_mv").source_snapshots
+    engine.sql("REFRESH MATERIALIZED VIEW rnadj_mv INCREMENTAL")  # full path
+
+
+def test_non_equi_join_mv_refuses_incremental(engine):
+    """Non-equi (range) join conditions are outside the touched-key
+    model — the MV must never enroll for incremental maintenance."""
+    t, d = _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW nonequi_mv AS "
+        "SELECT d.zone, count(*) AS n "
+        "FROM db_sales s JOIN db_dim d ON s.amount > 100 "
+        "GROUP BY d.zone")
+    assert not engine.mv_catalog.get("nonequi_mv").source_snapshots
+    # full refresh still lands on the right values
+    t.append(engine.spark.createDataFrame(
+        [("east", "g", 500.0)], schema=t.schema()))
+    engine.sql("REFRESH MATERIALIZED VIEW nonequi_mv INCREMENTAL")
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("nonequi_mv")).collect()}
+    exp = {tuple(r) for r in engine.spark.sql(
+        "SELECT d.zone, count(*) AS n FROM db_sales s "
+        "JOIN db_dim d ON s.amount > 100 GROUP BY d.zone").collect()}
+    assert got == exp
+
+
+def test_rewriter_skips_from_subquery_shape(engine):
+    """A FROM-subquery whose inner output mimics an MV's base table must
+    not be rewritten to the MV backing — the derived table's rows differ
+    from the base table's."""
+    t = engine.catalog.create_table("db.li2", "flag string, qty double")
+    t.append(engine.spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("R", 3.0)], schema=t.schema()))
+    engine.register("db.li2")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW li2_mv AS "
+        "SELECT flag, sum(qty) AS s FROM db_li2 GROUP BY flag")
+    sql = ("SELECT flag, sum(qty) AS s FROM "
+           "(SELECT flag, qty * 2 AS qty FROM db_li2) GROUP BY flag")
+    assert engine.rewriter.try_rewrite(sql) is None
+    got = {tuple(r) for r in engine.sql(sql).collect()}
+    exp = {("A", 6.0), ("R", 6.0)}
+    assert got == exp

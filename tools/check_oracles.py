@@ -15,6 +15,12 @@ Floats are compared exactly — queries are expected to round in-query.
 Usage:
 
     python tools/check_oracles.py [sf_dir] [name_filter ...]
+    python tools/check_oracles.py [sf_dir] --window          # driver's first-50
+    python tools/check_oracles.py [sf_dir] --emit OUT.json   # artifact mode
+
+``--emit`` writes {name: {"status": pass|fail|rows, "rows": N, "secs": S}}
+for every checked query — ORACLES_LOCAL_r{N}.json, the auditable record of
+the full 100+-gate local run that the driver's 50-gate window can't cover.
 """
 
 from __future__ import annotations
@@ -76,8 +82,14 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
+    args = sys.argv[1:]
+    emit_path = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    name_filter = args[1:]
     if name_filter == ["--window"]:
         # emulate the driver's CORRECTNESS gate: exactly the first 50
         # registered queries, in registration order
@@ -91,6 +103,12 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows, t0):
+        results[name] = {"status": status, "rows": rows,
+                         "secs": round(time.time() - t0, 2)}
+
     for name, fn in registry.QUERIES.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -102,6 +120,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record(name, "fail", 0, t0)
             continue
         spark_s = time.time() - t0
 
@@ -110,6 +129,7 @@ def main() -> int:
             print(f"ROWS {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
             if not srows:
                 print(f"WARN {name}: rows-only query returned 0 rows")
+            record(name, "rows", len(srows), t0)
             continue
         try:
             at = con.sql(oracle).arrow()
@@ -121,15 +141,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record(name, "fail", len(srows), t0)
             continue
 
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
             failures.append(name)
+            record(name, "fail", len(srows), t0)
             continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
             failures.append(name)
+            record(name, "fail", len(srows), t0)
             continue
         sn = _normalize(srows, scols)
         dn = _normalize(drows, dcols)
@@ -137,8 +160,17 @@ def main() -> int:
             diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             failures.append(name)
+            record(name, "fail", len(srows), t0)
             continue
         print(f"PASS {name}: {len(srows)} rows [{spark_s:.1f}s]")
+        record(name, "pass", len(srows), t0)
+
+    if emit_path:
+        import json as _json
+
+        with open(emit_path, "w") as fh:
+            _json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"wrote {emit_path} ({len(results)} entries)")
 
     print()
     total = len([n for n in registry.QUERIES if not name_filter or any(f in n for f in name_filter)])
