@@ -1849,7 +1849,9 @@ class Table:
         "content int, file_path string, file_format string, record_count bigint, "
         "file_size_in_bytes bigint, partition map<string,string>, schema_id int, "
         "lower_bounds map<int,string>, upper_bounds map<int,string>, "
-        "null_value_counts map<int,bigint>"
+        "null_value_counts map<int,bigint>, "
+        "readable_metrics map<string,struct<lower_bound:string,"
+        "upper_bound:string,null_value_count:bigint>>"
     )
 
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
@@ -1859,18 +1861,36 @@ class Table:
         ``null_value_counts`` are keyed by field id like the reference's
         (docs/spark-queries.md:320-326); values are this format's canonical
         strings (num → decimal string, timestamp → UTC epoch micros,
-        date → ISO, string → possibly truncated bound)."""
+        date → ISO, string → possibly truncated bound). ``readable_metrics``
+        re-keys the same stats by CURRENT column name — the reference's
+        human-readable per-column map."""
         snap = self._resolve_snapshot(snapshot_id)
 
         def ik(d: dict) -> dict:
             return {int(k): v for k, v in d.items()}
 
+        name_of = {}
+        if snap:
+            for fld in self.metadata.schemas[
+                    self.metadata.current_schema_id]:
+                name_of[str(fld.field_id)] = fld.name
+
+        def readable(f: DataFile) -> dict:
+            out = {}
+            for fid in set(f.lower) | set(f.upper) | set(f.nulls):
+                name = name_of.get(fid)
+                if name:
+                    out[name] = (f.lower.get(fid), f.upper.get(fid),
+                                 f.nulls.get(fid))
+            return out
+
         rows = [
             (0, f.path, "PARQUET", f.records, f.bytes, f.partition,
-             f.schema_id, ik(f.lower), ik(f.upper), ik(f.nulls))
+             f.schema_id, ik(f.lower), ik(f.upper), ik(f.nulls), readable(f))
             for f in (snap.files if snap else [])
         ] + [
-            (1, f.path, "PARQUET", f.records, f.bytes, {}, None, {}, {}, {})
+            (1, f.path, "PARQUET", f.records, f.bytes, {}, None, {}, {}, {},
+             {})
             for f in (snap.delete_files if snap else [])
         ]
         return self.spark.createDataFrame(rows, self._FILES_DF_SCHEMA)

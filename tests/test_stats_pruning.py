@@ -191,3 +191,13 @@ def test_stats_survive_dml_equivalence(engine):
     got = {tuple(r) for r in t.scan().select("id", "g", "x").collect()}
     want = {tuple(r) for r in pdf.itertuples(index=False)}
     assert got == want
+
+
+def test_files_readable_metrics(table):
+    r = (table.files_df().filter("content = 0")
+         .orderBy("file_path").limit(1).collect()[0])
+    rm = r["readable_metrics"]
+    assert set(rm) >= {"id", "v", "ts", "d"}
+    assert rm["id"]["lower_bound"] in ("0", "100", "200")
+    assert rm["id"]["null_value_count"] == 0
+    assert rm["d"]["upper_bound"].startswith("2024-")
