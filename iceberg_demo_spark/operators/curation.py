@@ -748,3 +748,70 @@ def emb_dominant_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_vecs").desc(), "dim")
         .limit(20)
     )
+
+
+@query(
+    "emb_truncation_quality",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), r AS (
+      SELECT k.k,
+             sqrt(list_reduce(list_transform(v[1:k.k], x -> x * x),
+                              (acc, x) -> acc + x))
+             / sqrt(list_reduce(list_transform(v, x -> x * x),
+                                (acc, x) -> acc + x)) AS ratio
+      FROM e, (VALUES (8), (16), (32), (48)) AS k(k)
+    )
+    SELECT k, COUNT(*) AS n_vectors,
+           CAST(ROUND(SUM(CAST(ratio AS DECIMAL(18,12))) / COUNT(*), 6)
+                AS DOUBLE) AS avg_norm_ratio,
+           ROUND(MIN(ratio), 6) AS min_norm_ratio,
+           ROUND(MAX(ratio), 6) AS max_norm_ratio
+    FROM r
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def emb_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation diagnostic (round 6): for each prefix
+    length k, the norm ratio |v[:k]| / |v| — which equals
+    cos(v, zero-padded v[:k]), i.e. exactly how much of each vector's
+    energy the first k dimensions retain. Tells a pipeline whether
+    shipping truncated embeddings (cheaper ANN, smaller indexes) is
+    safe for this embedding family.
+
+    Determinism: both engines fold the SAME element order left-to-right
+    for the squared sums (Spark ``aggregate``, DuckDB ``list_reduce``),
+    divide identical doubles, and average via an exact decimal sum.
+
+    Scale shape: a pure map over vectors (k values explode a 64-row
+    constant, 4x row multiplication of a narrow frame) into a 4-group
+    aggregate — no joins, no data-dependent shuffle."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dot = ("aggregate(transform({a}, x -> x * x), 0D,"
+           " (acc, x) -> acc + x)")
+    r = (
+        t["embeddings"]
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .select(
+            "v", F.explode(F.array(*[F.lit(k) for k in (8, 16, 32, 48)]))
+            .alias("k"))
+        .select(
+            "k",
+            (F.sqrt(F.expr(dot.format(a="slice(v, 1, k)")))
+             / F.sqrt(F.expr(dot.format(a="v")))).alias("ratio"))
+    )
+    return (
+        r.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(18,12)"))
+                / F.count(F.lit(1)), 6)
+            .cast("double").alias("avg_norm_ratio"),
+            F.round(F.min("ratio"), 6).alias("min_norm_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_norm_ratio"),
+        )
+        .orderBy("k")
+    )

@@ -662,3 +662,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "cluster_root", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_chunk_dedup",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, n_chars + 1, 64)) AS s
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, md5(substr(text, s::INT, 64)) AS chunk_hash
+      FROM pos
+      WHERE length(substr(text, s::INT, 64)) = 64
+    )
+    SELECT chunk_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM ch
+    GROUP BY chunk_hash
+    HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash
+    LIMIT 20
+    """,
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunk-level duplicate detection (round 6): every
+    64-char window at stride 64 is hashed, and chunks appearing more than
+    once — boilerplate, repeated spans, templated text — surface with
+    their occurrence and document counts. The md5 base hash is the
+    repo-standard cross-engine-exact digest.
+
+    Scale shape: chunking is a pure map (explode of an arithmetic
+    sequence — no data-dependent blow-up: chunks ∝ corpus bytes / 64);
+    the groupBy shuffles 16-byte digests with map-side partial counts,
+    never text. At 100 TB this is the cheap first pass that catches
+    exact boilerplate before MinHash handles near-duplicates
+    (dedup.py:175)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    chunks = (
+        t["documents"]
+        .select("doc_id",
+                F.explode(F.expr("sequence(1, n_chars, 64)")).alias("s"),
+                "text")
+        .select("doc_id",
+                F.expr("substring(text, s, 64)").alias("chunk"))
+        .filter(F.length("chunk") == 64)
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(20)
+    )

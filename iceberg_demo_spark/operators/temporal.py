@@ -457,3 +457,67 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "orders_repeat_interval",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT CASE WHEN gap_days <= 7 THEN '0-7'
+                WHEN gap_days <= 30 THEN '08-30'
+                WHEN gap_days <= 90 THEN '31-90'
+                WHEN gap_days <= 365 THEN '91-365'
+                ELSE '365+' END AS gap_bucket,
+           COUNT(*) AS n_intervals,
+           ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 4) AS avg_days
+    FROM seq
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase interval histogram (round 6): days between each
+    customer's consecutive orders, bucketed — the retention/cadence
+    shape marketing and data-freshness pipelines ask for.
+
+    Determinism: lag orders by the total (o_orderdate, o_orderkey) key;
+    day gaps are exact integers, so the averages are exact-integer sums
+    divided once.
+
+    Scale shape: ONE exchange on o_custkey for the lag window (each
+    customer's slice sorts inside its partition — no global sort), then
+    a 5-group aggregate; the canonical sessionized-cadence pattern at
+    any scale."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_orderdate",
+                F.lag("o_orderdate").over(w).alias("prev_date"))
+        .filter(F.col("prev_date").isNotNull())
+        .select(F.datediff("o_orderdate", "prev_date").alias("gap_days"))
+    )
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "0-7")
+        .when(F.col("gap_days") <= 30, "08-30")
+        .when(F.col("gap_days") <= 90, "31-90")
+        .when(F.col("gap_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        seq.select(bucket.alias("gap_bucket"), "gap_days")
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n_intervals"),
+             F.round(F.sum("gap_days").cast("double")
+                     / F.count(F.lit(1)), 4).alias("avg_days"))
+        .orderBy("gap_bucket")
+    )

@@ -49,14 +49,15 @@ def load_all() -> None:
     externally verified.
 
     ROUND-6 WINDOW — stalest-first freshness rotation (VERDICT r5 #1).
-    After round 5 every one of the 104 gates has at least one driver-green
-    row and zero red rows ever; the external-verification risk is now
-    STALENESS, so the window is an explicit list ordered by each gate's
-    last driver-green round: the 25 gates last green in round 2, the 20
-    last green in round 3, 3 of the 9 last green in round 4, and the new
-    round-6 gates. Everything green in round 5 rotates out (local oracle
+    After round 5 every one of the 104 pre-existing gates has at least
+    one driver-green row and zero red rows ever; the external-
+    verification risk is now STALENESS, so the window is an explicit
+    list ordered by each gate's last driver-green round: all 25 gates
+    last green in round 2, 18 of the 20 last green in round 3, and the
+    7 new round-6 gates. Everything green in rounds 4-5 (plus the two
+    youngest r3 gates) rotates out and queues for round 7 (local oracle
     checks — tools/check_oracles.py, emitted as ORACLES_LOCAL_r{N}.json —
-    still cover all 104 every round).
+    still cover all 111 every round).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -121,17 +122,19 @@ def load_all() -> None:
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
-        "doc_bpe_token_stats",
-        "multimodal_payload_stats",
-        # -- last driver-green in round 4 (1 of 9; the other 8 queue for
-        #    round 7) --
-        "dml_overwrite_dynamic",
+        # (doc_bpe_token_stats, multimodal_payload_stats — r3-green —
+        #  plus all 9 r4-green gates queue for round 7; the r2 set stays
+        #  fully in-window so nothing's last green row ages past 3
+        #  rounds)
         # -- new round-6 gates (never driver-verified → must be in-window
         #    per the standing policy) --
         "stats_pruned_scan",
         "sim_ann_ivf_bucketed",
         "streaming_dim_join",
         "events_moving_avg",
+        "doc_chunk_dedup",
+        "emb_truncation_quality",
+        "orders_repeat_interval",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])
