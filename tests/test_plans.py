@@ -273,3 +273,27 @@ def test_ivf_bucketed_probe_is_partition_pruned(spark):
     # the corpus side feeds the join straight from the pruned scan —
     # never a hash repartition of the corpus on cell_id
     assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
+
+
+@pytest.mark.parametrize("name", [
+    "events_moving_avg", "orders_repeat_interval",
+])
+def test_new_window_gates_have_no_global_window(spark, name):
+    """Both round-6 window gates must keep every Window partitioned —
+    one key exchange, never a single-partition global sort of the fact
+    rows."""
+    plan = _plan(spark, name)
+    assert "Window" in plan
+    # a global window materializes as Exchange SinglePartition feeding
+    # the Window operator — forbid any SinglePartition exchange here
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_digests_only(spark):
+    """The chunk-dedup groupBy must shuffle md5 digests, not text: the
+    aggregate's exchange key is chunk_hash and the text column is gone
+    from every post-scan projection."""
+    plan = _plan(spark, "doc_chunk_dedup")
+    assert "hashpartitioning(chunk_hash" in plan
+    assert "CartesianProduct" not in plan
