@@ -2017,9 +2017,39 @@ class Table:
             "existing_data_files_count int, deleted_data_files_count int",
         )
 
+    def position_deletes_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``position_deletes`` metadata table: every (file_path, pos)
+        entry in the current snapshot's delete files, with the target
+        file's partition and the delete file that holds the entry —
+        docs/spark-queries.md:381-390 (``row`` is NULL: this format
+        stores position deletes only, not deleted row images)."""
+        schema = ("file_path string, pos bigint, row string, "
+                  "partition map<string,string>, spec_id int, "
+                  "delete_file_path string")
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None or not snap.delete_files:
+            return self.spark.createDataFrame([], schema)
+        out = None
+        for d in snap.delete_files:
+            part = (self.spark.read
+                    .parquet(os.path.join(self.location, d.path))
+                    .withColumn("delete_file_path", F.lit(d.path)))
+            out = part if out is None else out.unionByName(part)
+        parts = self.spark.createDataFrame(
+            [(f.path, f.partition) for f in snap.files],
+            "file_path string, partition map<string,string>")
+        return (
+            out.join(F.broadcast(parts), "file_path", "left")
+            .select("file_path", "pos",
+                    F.lit(None).cast("string").alias("row"),
+                    "partition", F.lit(0).alias("spec_id"),
+                    "delete_file_path")
+        )
+
     #: metadata-table suffix → builder (the ``tbl.files`` read surface,
     #: iceberg_it.py:1938-1989)
     METADATA_TABLES = {
+        "position_deletes": "position_deletes_df",
         "snapshots": "snapshots_df",
         "history": "history_df",
         "files": "files_df",

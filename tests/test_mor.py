@@ -287,3 +287,32 @@ def test_large_delete_set_skips_forced_broadcast(catalog, spark, monkeypatch):
     got = sorted(r["id"] for r in t.scan().collect())
     assert got == expected
     assert all(i % 3 != 0 for i in got) and len(got) == 66
+
+
+def test_position_deletes_metadata_table(catalog, spark):
+    """The position_deletes metadata table lists every (file_path, pos)
+    delete entry with its target's partition and the owning delete file
+    (docs/spark-queries.md:381-390)."""
+    t = catalog.create_table(
+        "db.pdmt", "id bigint, cat string",
+        partition_by=[("cat",)],
+        properties={"write.delete.mode": "merge-on-read"})
+    t.append(spark.createDataFrame(
+        [(i, "x" if i % 2 == 0 else "y") for i in range(10)],
+        schema=t.schema()))
+    t.delete_where("id IN (2, 3, 4)")
+    rows = t.position_deletes_df().collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["delete_file_path"].endswith(".parquet")
+        assert r["row"] is None and r["spec_id"] == 0
+        assert r["partition"] and "_p_cat" in r["partition"]
+        assert r["pos"] >= 0
+    # live read excludes exactly those rows
+    assert {x["id"] for x in t.scan().collect()} == {0, 1, 5, 6, 7, 8, 9}
+    # dispatch surface
+    assert t.metadata_table("position_deletes").count() == 3
+    # empty case: a fresh CoW table yields an empty frame with the schema
+    t2 = catalog.create_table("db.pdmt2", "id bigint")
+    assert t2.position_deletes_df().count() == 0
+    assert "delete_file_path" in t2.position_deletes_df().columns
