@@ -865,3 +865,68 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_both").desc(), "p1", "p2")
         .limit(20)
     )
+
+
+@query(
+    "doc_quality_yield",
+    oracle="""
+    WITH s AS (
+      SELECT (1000 * len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a', 'of', 'and', 'to'))))
+             // len(string_split(text, ' ')) AS score,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), th AS (
+      SELECT unnest([0, 50, 100, 150, 200, 300]) AS threshold
+    )
+    SELECT th.threshold,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN s.score >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.score >= th.threshold THEN s.n_tok
+                         ELSE 0 END) AS BIGINT) AS kept_tokens,
+           ROUND(100.0 * SUM(CASE WHEN s.score >= th.threshold
+                                  THEN 1 ELSE 0 END) / COUNT(*), 2)
+             AS keep_rate_pct
+    FROM s CROSS JOIN th
+    GROUP BY th.threshold
+    ORDER BY th.threshold
+    """,
+)
+def doc_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold yield curve (round 6): how many documents (and
+    tokens) survive each candidate stopword-density cutoff — the chart a
+    pipeline owner reads before picking a filter threshold, computed in
+    one pass.
+
+    The score is integer-exact (stopword per-mille via integer
+    division), so the curve is bit-identical across engines and
+    partitionings.
+
+    Scale shape: per-row score is a zero-shuffle column expression;
+    thresholds EXPLODE from a 6-element literal array (no join, no
+    cartesian); one 6-group aggregate ends the plan."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split("text", " ")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to")))
+    s = t["documents"].select(
+        F.expr("1000 * " + "size(filter(split(text, ' '), "
+               "t -> t IN ('the', 'a', 'of', 'and', 'to'))) "
+               "div size(split(text, ' '))").alias("score"),
+        F.size(toks).alias("n_tok"))
+    rows = s.select(
+        "score", "n_tok",
+        F.explode(F.array(*[F.lit(x) for x in (0, 50, 100, 150, 200, 300)]))
+        .alias("threshold"))
+    kept = (F.col("score") >= F.col("threshold")).cast("int")
+    return (
+        rows.groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(kept).alias("n_kept"),
+             F.sum(F.when(kept == 1, F.col("n_tok")).otherwise(0))
+             .alias("kept_tokens"),
+             F.round(100.0 * F.sum(kept) / F.count(F.lit(1)), 2)
+             .alias("keep_rate_pct"))
+        .orderBy("threshold")
+    )

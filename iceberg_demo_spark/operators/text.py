@@ -9,7 +9,7 @@ shuffle only at the final per-group aggregate).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.functions import davg
@@ -286,4 +286,91 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fingerprint").alias("min_fp"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "doc_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), c AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), r AS (
+      SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, token) AS rank
+      FROM c
+    ), t AS (
+      SELECT source, ln(rank) AS x, ln(c) AS y FROM r WHERE rank <= 100
+    ), s AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(20,12))) AS sx,
+             SUM(CAST(y AS DECIMAL(20,12))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(20,12))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(20,12))) AS sxx
+      FROM t GROUP BY source HAVING COUNT(*) > 1
+    )
+    SELECT source, n AS n_top_tokens,
+           ROUND((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 4) AS zipf_slope
+    FROM s
+    ORDER BY source
+    """,
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-fit diagnostic (round 6): per source, the least-squares slope
+    of ln(token frequency) against ln(rank) over the top-100 tokens —
+    natural text sits near -1; templated or synthetic text drifts, so a
+    per-source slope is a cheap corpus-health signal for training-data
+    mixes.
+
+    Determinism: ln of exact integer counts/ranks is bit-identical in
+    both engines; all regression sums run over exact decimals (order-
+    independent), and the closed-form slope is then a fixed double
+    expression.
+
+    Scale shape: one (source, token) count shuffle with map-side
+    combine, a per-source rank window over the DISTINCT-token frame
+    (≤ vocabulary, not corpus, rows), and a ≤100-row-per-source
+    regression aggregate."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    counts = (
+        t["documents"]
+        .select("source", F.explode(tokens_col()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "token")
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("source",
+                F.log(F.col("rank").cast("double")).alias("x"),
+                F.log(F.col("c").cast("double")).alias("y"))
+    )
+    dec = "decimal(20,12)"
+    s = (
+        top.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("x").cast(dec)).alias("sx"),
+             F.sum(F.col("y").cast(dec)).alias("sy"),
+             F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+             F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"))
+        .filter(F.col("n") > 1)
+    )
+    slope = (
+        (F.col("n") * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
+        / (F.col("n") * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    )
+    return (
+        s.select("source", F.col("n").alias("n_top_tokens"),
+                 F.round(slope, 4).alias("zipf_slope"))
+        .orderBy("source")
     )
