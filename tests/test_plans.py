@@ -297,3 +297,18 @@ def test_chunk_dedup_shuffles_digests_only(spark):
     plan = _plan(spark, "doc_chunk_dedup")
     assert "hashpartitioning(chunk_hash" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zipf_slope_window_is_partitioned(spark):
+    plan = _plan(spark, "doc_zipf_slope")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_yield_has_no_join(spark):
+    """Thresholds explode from a literal array — the plan must contain
+    no join operator of any kind."""
+    plan = _plan(spark, "doc_quality_yield")
+    for op in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert op not in plan, op

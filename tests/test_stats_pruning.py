@@ -253,6 +253,11 @@ def test_randomized_predicate_prune_equivalence(engine):
     preds = [rng.choice(atoms) for _ in range(60)]
     preds += [f"{rng.choice(atoms)} AND {rng.choice(atoms)}"
               for _ in range(60)]
+    # OR forms: pruning must bail conservatively, results stay exact
+    preds += [f"{rng.choice(atoms)} OR {rng.choice(atoms)}"
+              for _ in range(20)]
+    preds += [f"({rng.choice(atoms)} OR {rng.choice(atoms)}) AND "
+              f"{rng.choice(atoms)}" for _ in range(20)]
     def norm(rows):
         # NaN != NaN would false-flag rows that match exactly
         return sorted(
