@@ -959,3 +959,52 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              dsum(F.col("value")).alias("total_value"))
         .orderBy("segment", "event_type")
     )
+
+
+@query(
+    "streaming_upsert_cdc",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event_type,
+           ROUND(value, 2) AS last_value, ts AS last_ts
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (round 6): the event stream MERGEs into a
+    per-user state table batch by batch with a newer-than guard, so the
+    final table holds exactly each user's latest event no matter how
+    rows are split across micro-batches — equal to the batch
+    row_number-over-(ts,event_id) answer."""
+    import tempfile as _tf
+
+    from iceberg_demo_spark.streaming.pipeline import stream_upsert_to_table
+
+    t_in = load_tables(spark, sf_dir, ("events",))
+    src_dir = _tf.mkdtemp(prefix="glacier_cdc_src_")
+    (t_in["events"].select("event_id", "ts", "user_id", "event_type", "value")
+     .repartition(4).write.mode("overwrite").parquet(src_dir))
+    schema = spark.read.parquet(src_dir).schema
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.user_state",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    stream_upsert_to_table(
+        spark, src_dir, schema, t, _tf.mkdtemp(prefix="glacier_cdc_ckpt_"),
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+        max_files_per_trigger=2)
+    t.refresh()
+    return (
+        t.scan()
+        .select("user_id", F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+                F.col("ts").alias("last_ts"))
+        .orderBy("user_id")
+    )

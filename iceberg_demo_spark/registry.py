@@ -53,11 +53,11 @@ def load_all() -> None:
     one driver-green row and zero red rows ever; the external-
     verification risk is now STALENESS, so the window is an explicit
     list ordered by each gate's last driver-green round: all 25 gates
-    last green in round 2, 16 of the 20 last green in round 3, and the
-    9 new round-6 gates. Everything green in rounds 4-5 (plus the four
+    last green in round 2, 15 of the 20 last green in round 3, and the
+    10 new round-6 gates. Everything green in rounds 4-5 (plus the five
     youngest r3 gates) rotates out and queues for round 7 (local oracle
     checks — tools/check_oracles.py, emitted as ORACLES_LOCAL_r{N}.json —
-    still cover all 113 every round).
+    still cover all 114 every round).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -103,7 +103,7 @@ def load_all() -> None:
         "rollup_flag_status_qty",
         "events_json_extract",
         "events_sessionization",
-        # -- last driver-green in round 3 (16 of the 20) --
+        # -- last driver-green in round 3 (15 of the 20) --
         "doc_langid_confusion",
         "doc_fingerprints",
         "doc_rolling_fingerprints",
@@ -119,11 +119,11 @@ def load_all() -> None:
         "q6_forecast_revenue",
         "q10_returned_items",
         "q12_late_shipments_by_priority",
-        "sim_cosine_topk",
-        # (doc_token_stats, doc_quality_buckets, doc_bpe_token_stats,
-        #  multimodal_payload_stats — r3-green — plus all 9 r4-green
-        #  gates queue for round 7; the r2 set stays fully in-window so
-        #  nothing's last green row ages past 3 rounds)
+        # (sim_cosine_topk, doc_token_stats, doc_quality_buckets,
+        #  doc_bpe_token_stats, multimodal_payload_stats — r3-green —
+        #  plus all 9 r4-green gates queue for round 7; the r2 set stays
+        #  fully in-window so nothing's last green row ages past 3
+        #  rounds)
         # -- new round-6 gates (never driver-verified → must be in-window
         #    per the standing policy) --
         "stats_pruned_scan",
@@ -135,6 +135,7 @@ def load_all() -> None:
         "orders_repeat_interval",
         "doc_zipf_slope",
         "doc_quality_yield",
+        "streaming_upsert_cdc",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -185,3 +185,66 @@ def process_table_stream(table: Table, checkpoint_path: str, fn,
         os.replace(tmp, checkpoint_path)
         n += 1
     return n
+
+
+def stream_upsert_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: Table,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    max_files_per_trigger: int | None = None,
+):
+    """CDC-style streaming UPSERT: each micro-batch is reduced to its
+    latest row per key (row_number over ``order_cols`` DESC) and MERGEd
+    into the table with a newer-than guard, so the final state is
+    last-write-wins per key REGARDLESS of how rows split across batches
+    or how batches interleave in event time — the foreachBatch + MERGE
+    pattern the reference prescribes for CDC into Iceberg tables
+    (docs/spark-structured-streaming.md streaming upserts).
+
+    Scale shape: per-batch dedup is one window over the BATCH (not the
+    table); MERGE touches only files holding matched keys (CoW pruning /
+    MoR position deletes), so per-batch cost follows batch size, not
+    table size. Exactly-once: the checkpoint replays a failed batch and
+    the newer-than guard makes re-MERGEs idempotent."""
+    from pyspark.sql import Window
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    newer = " OR ".join(
+        "(" + " AND ".join([f"s.{c} = t.{c}" for c in order_cols[:i]]
+                           + [f"s.{order_cols[i]} > t.{order_cols[i]}"])
+        + ")"
+        for i in range(len(order_cols)))
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in order_cols])
+        latest = (batch_df.withColumn("_rn", F.row_number().over(w))
+                  .filter("_rn = 1").drop("_rn"))
+        table.merge(
+            latest,
+            on=" AND ".join(f"t.{c} = s.{c}" for c in key_cols),
+            matched=[{"action": "update", "condition": newer,
+                      "set": {f.name: f"s.{f.name}"
+                              for f in latest.schema.fields}}],
+            not_matched=[{"values": None}],
+            check_cardinality=False,  # latest is unique per key by build
+        )
+        table.metadata.snapshots[-1].summary["streaming-batch-id"] = str(batch_id)
+        table.metadata.save()
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -252,3 +252,45 @@ def test_streaming_running_counts_gate_sees_redelivery(spark):
     exp = {r["rc"]: r["n"] for r in
            per_user.groupBy("rc").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == exp
+
+
+def test_stream_upsert_cdc_last_write_wins_and_idempotent(
+        spark, tmp_path, events_dir):
+    """Round 6 CDC upsert: the final table is each key's latest row by
+    (ts, event_id); a restart with the same checkpoint (all batches
+    already committed) is a no-op — replayed MERGEs are guarded by the
+    newer-than condition so state cannot regress or duplicate."""
+    from iceberg_demo_spark.streaming.pipeline import stream_upsert_to_table
+
+    catalog = Catalog(spark, str(tmp_path / "wh_cdc"))
+    schema = spark.read.parquet(events_dir).schema
+    t = catalog.create_table(
+        "db.cdc_state",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    ckpt = str(tmp_path / "cdc_ckpt")
+    stream_upsert_to_table(spark, events_dir, schema, t, ckpt,
+                           key_cols=["user_id"],
+                           order_cols=["ts", "event_id"],
+                           max_files_per_trigger=1)
+    t.refresh()
+    src = spark.read.parquet(events_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    exp = {tuple(r) for r in
+           src.withColumn("_rn", F.row_number().over(w))
+           .filter("_rn = 1").drop("_rn").collect()}
+    got = {tuple(r) for r in t.scan().select(*src.columns).collect()}
+    assert got == exp
+    n_snaps = len(t.metadata.snapshots)
+
+    # restart with the same checkpoint: no new data → no state change
+    stream_upsert_to_table(spark, events_dir, schema, t, ckpt,
+                           key_cols=["user_id"],
+                           order_cols=["ts", "event_id"],
+                           max_files_per_trigger=1)
+    t.refresh()
+    assert {tuple(r) for r in t.scan().select(*src.columns).collect()} == exp
+    assert len(t.metadata.snapshots) == n_snaps
