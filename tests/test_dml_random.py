@@ -4,7 +4,10 @@ row model must agree after every step — and earlier snapshots must stay
 stable (immutable history) while ops proceed.
 
 This is the missing randomized layer the reference suite lacks
-(SURVEY.md §5.3); 2 seeds × 12 ops each.
+(SURVEY.md §5.3); 2 seeds × 12 ops each, in BOTH copy-on-write and
+merge-on-read modes (round 6: MoR sequences also interleave
+rewrite_position_delete_files compaction, which must never change
+state) — stats-based file pruning is live under every step.
 """
 
 from __future__ import annotations
@@ -36,11 +39,17 @@ def _model_state(model):
     return sorted(model)
 
 
-@pytest.mark.parametrize("seed", [7, 42])
-def test_random_dml_matches_model(catalog, spark, seed):
+@pytest.mark.parametrize("seed,mode", [
+    (7, "copy-on-write"), (42, "copy-on-write"),
+    (7, "merge-on-read"), (42, "merge-on-read"),
+])
+def test_random_dml_matches_model(catalog, spark, seed, mode):
     rng = random.Random(seed)
-    t = catalog.create_table(f"db.rand{seed}", "id bigint, cat string, val double",
-                             partition_by=[("cat",)])
+    props = ({"write.delete.mode": mode, "write.update.mode": mode,
+              "write.merge.mode": mode} if mode == "merge-on-read" else {})
+    t = catalog.create_table(
+        f"db.rand{seed}_{mode[:3]}", "id bigint, cat string, val double",
+        partition_by=[("cat",)], properties=props)
     model: list[tuple] = []
     next_id = 0
     snapshots: list[tuple[int, list]] = []  # (snapshot_id, state at commit)
@@ -54,7 +63,10 @@ def test_random_dml_matches_model(catalog, spark, seed):
     sync_append(_mk_rows(rng, 20, next_id))
 
     for step in range(12):
-        op = rng.choice(["append", "delete", "update", "merge", "overwrite_dynamic"])
+        ops = ["append", "delete", "update", "merge", "overwrite_dynamic"]
+        if mode == "merge-on-read":
+            ops.append("compact_deletes")
+        op = rng.choice(ops)
         if op == "append":
             sync_append(_mk_rows(rng, rng.randint(1, 8), next_id))
         elif op == "delete":
@@ -95,6 +107,10 @@ def test_random_dml_matches_model(catalog, spark, seed):
             next_id += 3
             t.overwrite_dynamic(spark.createDataFrame(rows, t.schema()))
             model[:] = [r for r in model if r[1] != cat] + rows
+        elif op == "compact_deletes":
+            from iceberg_demo_spark.tables import procedures as proc
+
+            proc.rewrite_position_delete_files(t)  # state must not change
 
         got, want = _table_state(t), _model_state(model)
         assert got == want, f"seed={seed} step={step} op={op}:\n{got[:5]}...\nvs\n{want[:5]}..."
