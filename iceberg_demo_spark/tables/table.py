@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from iceberg_demo_spark.tables.format import (
     MAIN_BRANCH,
+    CommitConflictError,
     DataFile,
     DeleteFile,
     PartitionField,
@@ -921,9 +922,27 @@ class Table:
     # -- DML ---------------------------------------------------------------
 
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        """INSERT INTO / fast append. An append conflicts with a
+        concurrent commit only at the metadata CAS — the written data
+        files stay valid — so a lost race auto-retries on refreshed
+        metadata (Iceberg's `commit.retry.num-retries`, default 4;
+        set 0 to surface the conflict). Row-rewriting DML
+        (DELETE/UPDATE/MERGE/overwrite) does NOT auto-retry: its file
+        rewrites were planned against the pre-conflict snapshot, so the
+        caller must refresh and re-run the operation."""
         self.check_writable("INSERT INTO / append")
         new = self._write_files(df)
-        return self._commit("append", self._branch_files(branch) + new, new, [], branch)
+        retries = int(self.metadata.properties.get(
+            "commit.retry.num-retries", "4"))
+        for attempt in range(retries + 1):
+            try:
+                return self._commit(
+                    "append", self._branch_files(branch) + new, new, [],
+                    branch)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+                self.refresh()
 
     def overwrite_all(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
         """INSERT OVERWRITE with no partition clause: replace the table."""

@@ -464,15 +464,35 @@ def test_rewrite_data_files_sql_sort_order_strings(catalog, spark):
 
 
 def test_optimistic_concurrency_conflict(catalog, spark):
-    """Two handles on one table: the slower writer's commit conflicts
-    instead of silently clobbering; refresh-and-retry succeeds."""
+    """Two handles on one table: an APPEND that loses the metadata race
+    auto-retries on refreshed metadata (round 6 — Iceberg's fast-append
+    retry; its data files need no replanning), keeping both writers'
+    rows. With retries disabled the conflict surfaces; row-rewriting DML
+    always surfaces it (its file rewrites were planned pre-conflict)."""
     from iceberg_demo_spark.tables.format import CommitConflictError
 
     t1 = _sample(catalog, "db.occ")
     t2 = catalog.load_table("db.occ")
     t1.append(spark.createDataFrame([(10, "j", "x", 1.0)], schema=t1.schema()))
-    with pytest.raises(CommitConflictError, match="refresh"):
-        t2.append(spark.createDataFrame([(11, "k", "y", 2.0)], schema=t2.schema()))
-    t2.refresh()
+    # stale handle t2: append auto-retries and lands on top of t1's commit
     t2.append(spark.createDataFrame([(11, "k", "y", 2.0)], schema=t2.schema()))
     assert sorted(r["id"] for r in t2.scan().collect()) == [1, 2, 3, 10, 11]
+    t1.refresh()
+    assert sorted(r["id"] for r in t1.scan().collect()) == [1, 2, 3, 10, 11]
+
+    # retries disabled → the conflict is the caller's to handle
+    t1.set_properties({"commit.retry.num-retries": "0"})
+    t2.append(spark.createDataFrame(  # resync t2 (auto-retry picks up props)
+        [(12, "l", "z", 3.0)], schema=t2.schema()))
+    t1.refresh()
+    t1.append(spark.createDataFrame([(13, "m", "w", 4.0)], schema=t1.schema()))
+    with pytest.raises(CommitConflictError, match="refresh"):
+        t2.append(spark.createDataFrame(
+            [(14, "n", "v", 5.0)], schema=t2.schema()))
+    # row-rewriting DML on a stale handle still surfaces the conflict
+    t2.refresh()
+    t2.set_properties({"commit.retry.num-retries": "4"})
+    t1.refresh()
+    t1.append(spark.createDataFrame([(15, "o", "u", 6.0)], schema=t1.schema()))
+    with pytest.raises(CommitConflictError, match="refresh"):
+        t2.delete_where("id = 1")
