@@ -61,9 +61,11 @@ HEADLINE = [
     "emb_kmeans_clusters",
     "doc_sequence_packing",
     # round-6 additions: column-stats file skipping and the persisted
-    # (partition-pruned) IVF index — the two new physical-layout levers.
+    # (partition-pruned) IVF index — the two new physical-layout levers —
+    # plus BM25 ranked retrieval (the relational inverted-index probe).
     "stats_pruned_scan",
     "sim_ann_ivf_bucketed",
+    "doc_bm25_search",
 ]
 
 

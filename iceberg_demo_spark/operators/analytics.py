@@ -930,3 +930,104 @@ def doc_quality_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("keep_rate_pct"))
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration (round 6): per region, how few customers
+# account for 80% of revenue.  The concentration diagnostic behind
+# curation decisions like per-source caps — a source (here: region) whose
+# revenue/content mass concentrates in a handful of heavy hitters needs
+# capping before it skews a mixture.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, c.c_custkey
+    ),
+    ranked AS (
+      SELECT r_name, rev,
+             ROW_NUMBER() OVER (PARTITION BY r_name
+                                ORDER BY rev DESC, c_custkey) AS rnk,
+             SUM(rev) OVER (PARTITION BY r_name
+                            ORDER BY rev DESC, c_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(rev) OVER (PARTITION BY r_name) AS total,
+             MAX(rev) OVER (PARTITION BY r_name) AS top1
+      FROM rev
+    )
+    SELECT r_name,
+           COUNT(*) AS n_customers,
+           MIN(CASE WHEN cum * 10 >= total * 8 THEN rnk END) AS n_top80,
+           ROUND(CAST(MIN(top1) AS DOUBLE) * 100
+                 / CAST(MIN(total) AS DOUBLE), 4) AS top1_share_pct
+    FROM ranked
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per region: customers needed to cover 80% of revenue, and the top
+    customer's share.
+
+    Determinism: revenue sums run in exact DECIMAL(18,4); the 80% gate is
+    the integer-style decimal comparison ``cum·10 ≥ total·8`` (no binary
+    0.8); the only double is the final share ratio of two exact decimals,
+    rounded in-query. Rank ties break on c_custkey.
+
+    Scale shape: one fact shuffle keyed on o_custkey (customer co-
+    shuffles on its key — it scales with the fact, so no forced
+    broadcast; nation/region broadcast), then a per-region window over
+    the CUSTOMER
+    frame (≪ fact; bounded by customers-per-region — the same partition
+    unit every per-region rollup here uses), and a 5-row output. The
+    cumulative sum is decimal, so partial-window execution stays exact.
+    """
+    t = load_tables(
+        spark, sf_dir, ("orders", "customer", "nation", "region")
+    )
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w_ord = Window.partitionBy("r_name").orderBy(
+        F.desc("rev"), F.asc("c_custkey")
+    )
+    w_all = Window.partitionBy("r_name")
+    ranked = rev.select(
+        "r_name",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.sum("rev").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("rev").over(w_all).alias("total"),
+        F.max("rev").over(w_all).alias("top1"),
+    )
+    return (
+        ranked.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(
+                F.when(F.col("cum") * 10 >= F.col("total") * 8,
+                       F.col("rnk"))
+            ).alias("n_top80"),
+            F.round(F.min("top1").cast("double") * 100
+                    / F.min("total").cast("double"), 4)
+            .alias("top1_share_pct"),
+        )
+        .orderBy("r_name")
+    )

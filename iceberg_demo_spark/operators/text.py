@@ -374,3 +374,195 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(slope, 4).alias("zipf_slope"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (round 6): score every document against a fixed
+# keyword query with Okapi BM25 and return the top matches.  This is the
+# retrieval primitive of a training-data pipeline (quality-targeted
+# sampling, seed-document expansion, eval-set curation) layered on the
+# same token statistics TF-IDF uses.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("dup", "spark", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "doc_bm25_search",
+    oracle="""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, u.tok,
+             len(string_split(text, ' ')) AS dl
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE u.tok IN ('dup', 'spark', 'merge')
+    ),
+    tf AS (
+      SELECT doc_id, tok, dl, COUNT(*) AS tf
+      FROM toks GROUP BY doc_id, tok, dl
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * (1.2 + 1))
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+               AS DECIMAL(20,12)) AS c
+      FROM tf t JOIN df d USING (tok) CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(c) AS DOUBLE), 4) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 documents for a fixed keyword query.
+
+    score(D) = Σ_t  ln(1 + (N - df_t + ½)/(df_t + ½))
+                    · tf_tD (k₁+1) / (tf_tD + k₁ (1 - b + b·|D|/avgdl))
+    with the standard k₁=1.2, b=0.75.
+
+    Determinism: tf/df/dl/N are exact integers; avgdl is one double
+    division of exact integers; each per-(doc,term) contribution is a
+    fixed double expression of those (IEEE-identical per row in both
+    engines), cast to DECIMAL(20,12) before the order-independent
+    per-doc sum — the zipf-slope technique.
+
+    Scale shape: the IN-filter on query terms prunes the exploded token
+    stream map-side to ~|q|·matching rows, so the tf shuffle carries only
+    candidate postings (this IS an inverted-index probe expressed
+    relationally); df is a |q|-row aggregate (broadcast join back); the
+    corpus-wide (N, avgdl) scalar is one tiny aggregate crossed in. Final
+    top-k is TakeOrderedAndProject — no global sort materializes.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        F.explode(tokens_col()).alias("tok"),
+        F.size(tokens_col()).alias("dl"),
+    )
+    stats = t["documents"].agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(tokens_col())).cast("double")
+         / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(df), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf")
+           + _BM25_K1 * (1 - _BM25_B
+                         + _BM25_B * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(20,12)")
+    return (
+        joined.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality statistics (round 6): Shannon entropy of each
+# document's unigram distribution, aggregated per source.  Low-entropy
+# documents are repetitive/templated (boilerplate, spam, generation
+# loops); per-source entropy is a corpus-health signal next to the Zipf
+# slope and repetition metrics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, u.tok, COUNT(*) AS tf
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      GROUP BY doc_id, u.tok
+    ),
+    ent AS (
+      SELECT f.doc_id, d.source,
+             ln(CAST(SUM(f.tf) AS DOUBLE))
+             - CAST(SUM(CAST(f.tf * ln(CAST(f.tf AS DOUBLE))
+                             AS DECIMAL(20,12))) AS DOUBLE)
+               / SUM(f.tf) AS h
+      FROM tf f JOIN documents d USING (doc_id)
+      GROUP BY f.doc_id, d.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(h AS DECIMAL(20,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_entropy,
+           ROUND(MIN(h), 6) AS min_entropy,
+           ROUND(MAX(h), 6) AS max_entropy
+    FROM ent
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy (nats) of document unigram distributions.
+
+    H(D) = -Σ p ln p  with  p = tf/|D|  rewritten as
+    H(D) = ln|D| - (Σ tf·ln tf)/|D|  so every floating-point term is a
+    function of exact integers: ln of an exact int is IEEE-identical in
+    both engines, the Σ tf·ln tf sum runs over DECIMAL(20,12) casts
+    (order-independent), and |D| = Σ tf is exact. Per-doc H is then one
+    fixed double expression; source-level avg uses the same decimal-sum
+    technique and min/max are order-independent.
+
+    Scale shape: one (doc_id, token) count shuffle with map-side combine,
+    one per-doc aggregate co-partitioned on doc_id, a broadcast-size join
+    back to the doc→source mapping, and a tiny per-source frame.
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+    tf = (
+        t["documents"]
+        .select("doc_id", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dec = "decimal(20,12)"
+    ent = (
+        tf.join(t["documents"].select("doc_id", "source"), "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            (F.log(F.sum("tf").cast("double"))
+             - F.sum((F.col("tf")
+                      * F.log(F.col("tf").cast("double"))).cast(dec))
+               .cast("double")
+               / F.sum("tf")).alias("h")
+        )
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.col("h").cast(dec)).cast("double")
+                    / F.count(F.lit(1)), 6).alias("avg_entropy"),
+            F.round(F.min("h"), 6).alias("min_entropy"),
+            F.round(F.max("h"), 6).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )

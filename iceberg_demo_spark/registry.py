@@ -123,7 +123,13 @@ def load_all() -> None:
         #  doc_bpe_token_stats, multimodal_payload_stats — r3-green —
         #  plus all 9 r4-green gates queue for round 7; the r2 set stays
         #  fully in-window so nothing's last green row ages past 3
-        #  rounds)
+        #  rounds. The three late-round-6 gates — doc_bm25_search,
+        #  doc_token_entropy, orders_pareto_share — also queue FIRST for
+        #  round 7 rather than displacing stale slots: evicting any
+        #  in-window gate now would drop the round-6 window below the
+        #  >=40-stale-gates rotation target, and the newcomers are
+        #  covered by ORACLES_LOCAL_r06.json + pytest recomputes until
+        #  their first driver row.)
         # -- new round-6 gates (never driver-verified → must be in-window
         #    per the standing policy) --
         "stats_pruned_scan",

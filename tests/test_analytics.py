@@ -307,3 +307,48 @@ def test_rfm_heavy_tie_subdivides_partition(spark, tmp_path):
         an._RFM_HEAVY_FACTOR * (n_cust // nparts), 64) + nparts
     # non-skewed metrics (r, m) required no subdivision
     assert not an.RFM_DIAG["m"]["subdivided"]
+
+
+def test_pareto_share_matches_python_recompute(spark):
+    from decimal import Decimal
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.parquet(f"{SF_SMALL}/nation.parquet").collect()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in spark.read.parquet(f"{SF_SMALL}/region.parquet").collect()
+    }
+    rev: dict[str, dict[int, Decimal]] = {}
+    q = Decimal("0.0001")
+    for o in orders:
+        ck = o["o_custkey"]
+        rname = reg[nat[cust[ck]]]
+        d = rev.setdefault(rname, {})
+        d[ck] = d.get(ck, Decimal(0)) + Decimal(o["o_totalprice"]).quantize(q)
+    got = {
+        r["r_name"]: r
+        for r in registry.QUERIES["orders_pareto_share"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(rev)
+    for rname, by_cust in rev.items():
+        row = got[rname]
+        assert row["n_customers"] == len(by_cust)
+        ranked = sorted(by_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(v for _, v in ranked)
+        cum = Decimal(0)
+        n80 = None
+        for i, (_, v) in enumerate(ranked, start=1):
+            cum += v
+            if cum * 10 >= total * 8:
+                n80 = i
+                break
+        assert row["n_top80"] == n80
+        top1 = ranked[0][1]
+        assert abs(row["top1_share_pct"] - float(top1 * 100 / total)) < 1e-3

@@ -312,3 +312,31 @@ def test_quality_yield_has_no_join(spark):
     plan = _plan(spark, "doc_quality_yield")
     for op in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
         assert op not in plan, op
+
+
+def test_bm25_prunes_postings_before_any_exchange(spark):
+    """The query-term IN-filter must sit map-side (between the token
+    Generate and the first Exchange) so the tf shuffle carries candidate
+    postings only — the property that makes relational BM25 an
+    inverted-index probe rather than a corpus-wide shuffle."""
+    plan = _plan(spark, "doc_bm25_search")
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert "CartesianProduct" not in plan
+    # every Generate (token explode) is immediately guarded by the
+    # IN-filter before data reaches an exchange: in the formatted tree
+    # the Filter node appears above each Generate
+    tree = plan.split("(1) Scan")[0]
+    gen_lines = [i for i, l in enumerate(tree.splitlines()) if "Generate" in l]
+    assert gen_lines, "no token explode found"
+    lines = tree.splitlines()
+    for i in gen_lines:
+        above = "\n".join(lines[max(0, i - 3):i])
+        assert "Filter" in above, f"Generate at line {i} not filter-guarded"
+
+
+def test_pareto_windows_are_region_partitioned(spark):
+    plan = _plan(spark, "orders_pareto_share")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            assert "r_name" in line, line

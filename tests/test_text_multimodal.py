@@ -156,3 +156,69 @@ def test_spark_decode_and_resize_real_images(spark):
     ref = arr[(np.arange(3) * 6 // 3)[:, None], (np.arange(5) * 10 // 5)[None, :]]
     for doc in (1, 2):
         assert np.array_equal(decode_image(resized[doc]), ref)
+
+
+# -- round-6 additions: BM25 retrieval + token entropy ----------------------
+
+def test_bm25_matches_python_recompute(spark):
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    terms = ("dup", "spark", "merge")
+    k1, b = 1.2, 0.75
+    per_doc = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    n = len(per_doc)
+    avgdl = sum(len(t) for t in per_doc.values()) / n
+    df = {
+        q: sum(1 for toks in per_doc.values() if q in toks) for q in terms
+    }
+    scores = {}
+    for did, toks in per_doc.items():
+        tf = Counter(toks)
+        s = 0.0
+        for q in terms:
+            if tf[q] == 0 or df[q] == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += (idf * tf[q] * (k1 + 1)
+                  / (tf[q] + k1 * (1 - b + b * len(toks) / avgdl)))
+        if s > 0:
+            scores[did] = s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = registry.QUERIES["doc_bm25_search"](spark, SF_SMALL).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert abs(r["bm25"] - s) < 1e-3
+
+
+def test_token_entropy_matches_python_recompute(spark):
+    import math
+    from collections import Counter
+
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    per_source: dict[str, list[float]] = {}
+    for r in docs:
+        tf = Counter(r["text"].split(" "))
+        dl = sum(tf.values())
+        h = math.log(dl) - sum(c * math.log(c) for c in tf.values()) / dl
+        per_source.setdefault(r["source"], []).append(h)
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["doc_token_entropy"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, hs in per_source.items():
+        row = got[src]
+        assert row["n_docs"] == len(hs)
+        assert abs(row["avg_entropy"] - sum(hs) / len(hs)) < 1e-4
+        assert abs(row["min_entropy"] - min(hs)) < 1e-4
+        assert abs(row["max_entropy"] - max(hs)) < 1e-4
