@@ -815,3 +815,142 @@ def emb_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (round 6): ANALYZE-style per-column statistics — null
+# count, exact distinct count, min/max — the survey step every curation
+# pipeline runs before trusting a new data drop, and the same quantities
+# the table format's per-file stats (lower/upper bounds, null counts)
+# aggregate from.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "lineitem_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column profile of the fact table's measure columns.
+
+    Determinism: counts and exact-distinct counts are integers; min/max
+    pick existing values (no arithmetic) — nothing to round.
+
+    Scale shape: one aggregate PER COLUMN, unioned — each branch's scan
+    is pruned to a single parquet column (ReadSchema shows one field) and
+    its COUNT(DISTINCT) runs as the clean two-phase partial-distinct
+    plan, avoiding the multi-distinct Expand blow-up a single-pass
+    4-column exact profile would pay (Expand multiplies the fact stream
+    by the distinct-aggregate count before the shuffle — the wrong trade
+    at 100 TB). The approximate tier for wide tables is
+    approx_count_distinct (HLL) folded into ONE pass; kept exact here
+    because the oracle hash-compares values.
+    """
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            li.select(c).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(c).cast("double").alias("min_val"),
+                F.max(c).cast("double").alias("max_val"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 6): orphan-foreign-key counts across
+# the star schema — the validation gate a pipeline runs on every new drop
+# before joining it into anything (a nonzero row here means silent row
+# loss in every inner join downstream).
+# ---------------------------------------------------------------------------
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
+           COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                               THEN l.l_orderkey END) AS n_orphan_keys
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', COUNT(*),
+           COUNT(*) FILTER (WHERE c.c_custkey IS NULL),
+           COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL
+                               THEN o.o_custkey END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation', COUNT(*),
+           COUNT(*) FILTER (WHERE n.n_nationkey IS NULL),
+           COUNT(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                               THEN c.c_nationkey END)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK counts for the three core relationships.
+
+    Scale shape: each relationship is one left join aggregated to a
+    single row — the two big ones key on the fact's natural join column
+    (the same shuffle any downstream join pays, so this audit is never
+    worse than the query it protects), and nation broadcasts. All-integer
+    output.
+    """
+    t = load_tables(spark, sf_dir,
+                    ("lineitem", "orders", "customer", "nation"))
+
+    def audit(fk, left, lk, right, rk, bcast=False):
+        r = F.broadcast(t[right]) if bcast else t[right]
+        j = t[left].join(r, F.col(lk) == F.col(rk), "left")
+        return j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(rk).isNull(), 1)).alias("n_orphans"),
+            F.count_distinct(
+                F.when(F.col(rk).isNull(), F.col(lk))).alias("n_orphan_keys"),
+        ).select(F.lit(fk).alias("fk"), "*")
+
+    out = (
+        audit("lineitem.l_orderkey -> orders",
+              "lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionByName(audit("orders.o_custkey -> customer",
+                           "orders", "o_custkey", "customer", "c_custkey"))
+        .unionByName(audit("customer.c_nationkey -> nation",
+                           "customer", "c_nationkey", "nation", "n_nationkey",
+                           bcast=True))
+    )
+    return out.orderBy("fk")

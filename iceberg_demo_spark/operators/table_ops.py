@@ -1008,3 +1008,86 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("last_ts"))
         .orderBy("user_id")
     )
+
+
+def _stage_ssj_source(spark: SparkSession, sf_dir: str):
+    """Deterministic per-sf staging of the events stream for the
+    stream-stream join gate (4 files → multiple micro-batches)."""
+    import os as _os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    ddl = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    out = _os.path.join(tempfile.gettempdir(),
+                        f"glacier_stream_ssj_{_sf_tag(sf_dir)}")
+    if _os.path.exists(f"{out}/_SUCCESS"):
+        return out, ddl
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"))
+    ev.repartition(4, "event_id").write.mode("overwrite").parquet(out)
+    return out, ddl
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT v.user_id,
+             v.event_id AS view_id, u.event_id AS purchase_id,
+             date_diff('microsecond', v.ts, u.ts) AS delay_us
+      FROM events v JOIN events u
+        ON v.user_id = u.user_id
+       AND v.event_type = 'view' AND u.event_type = 'purchase'
+       AND u.ts >= v.ts AND u.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT view_id) AS n_views_matched,
+           COUNT(DISTINCT purchase_id) AS n_purchases_matched,
+           MIN(delay_us) AS min_delay_us,
+           MAX(delay_us) AS max_delay_us
+    FROM pairs
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to purchases by the same
+    user within 1 hour, both sides streaming, committed per micro-batch
+    into an engine table; the sink's final state must equal the batch
+    self-join (the DuckDB oracle).
+
+    The watermark delay exceeds the bounded source's 30-day span so no
+    state is evicted mid-drain (see stream_stream_join_to_table's
+    docstring for the production state-bound argument); maxFilesPerTrigger
+    forces multiple micro-batches so cross-batch pairs really flow
+    through the join state buffers. delay_us is integer microsecond
+    arithmetic — nothing to round.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.streaming.pipeline import (
+        stream_stream_join_to_table,
+    )
+
+    src, _ddl = _stage_ssj_source(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.ssj_pairs",
+        "user_id bigint, view_id bigint, purchase_id bigint, delay_us bigint")
+    ck = _os.path.join(tempfile.gettempdir(),
+                       f"glacier_ck_ssj_{_sf_tag(sf_dir)}")
+    _shutil.rmtree(ck, ignore_errors=True)
+    stream_stream_join_to_table(
+        spark, src, schema, t, ck, max_files_per_trigger=1)
+    t.refresh()
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("view_id").alias("n_views_matched"),
+        F.count_distinct("purchase_id").alias("n_purchases_matched"),
+        F.min("delay_us").alias("min_delay_us"),
+        F.max("delay_us").alias("max_delay_us"),
+    )

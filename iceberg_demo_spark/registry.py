@@ -57,7 +57,7 @@ def load_all() -> None:
     10 new round-6 gates. Everything green in rounds 4-5 (plus the five
     youngest r3 gates) rotates out and queues for round 7 (local oracle
     checks — tools/check_oracles.py, emitted as ORACLES_LOCAL_r{N}.json —
-    still cover all 114 every round).
+    still cover all 120 every round).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -123,9 +123,12 @@ def load_all() -> None:
         #  doc_bpe_token_stats, multimodal_payload_stats — r3-green —
         #  plus all 9 r4-green gates queue for round 7; the r2 set stays
         #  fully in-window so nothing's last green row ages past 3
-        #  rounds. The three late-round-6 gates — doc_bm25_search,
-        #  doc_token_entropy, orders_pareto_share — also queue FIRST for
-        #  round 7 rather than displacing stale slots: evicting any
+        #  rounds. The six late-round-6 gates — doc_bm25_search,
+        #  doc_token_entropy, orders_pareto_share,
+        #  lineitem_column_profile, referential_integrity_audit,
+        #  streaming_stream_stream_join — also
+        #  queue FIRST for round 7 rather than displacing stale slots:
+        #  evicting any
         #  in-window gate now would drop the round-6 window below the
         #  >=40-stale-gates rotation target, and the newcomers are
         #  covered by ORACLES_LOCAL_r06.json + pytest recomputes until

@@ -248,3 +248,82 @@ def stream_upsert_to_table(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_join_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: Table,
+    checkpoint_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    join_within: str = "1 hour",
+    watermark: str = "40 days",
+    max_files_per_trigger: int | None = None,
+):
+    """Watermarked stream-STREAM inner join (the remaining join shape next
+    to stream_to_table's stream-static enrich): two event streams off the
+    same file source, joined per user with an event-time range condition
+    (right event within ``join_within`` after the left), each micro-batch
+    of matches committed as one snapshot.
+
+    State/correctness contract: Spark buffers both sides keyed by user
+    and evicts rows once the watermark passes ``v_ts + join_within`` —
+    state is bounded by (watermark delay + window) × arrival rate, the
+    knob that makes a 100 TB/day two-stream join feasible. For bounded
+    verification runs the watermark delay exceeds the data span, so
+    nothing is evicted mid-drain and the result equals the batch join
+    exactly (production sets minutes and accepts the documented
+    late-data drop — same trade as every watermarked op here).
+    """
+
+    def read():
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        df = r.parquet(source_dir)
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
+
+    left = (
+        read().filter(F.col("event_type") == left_type)
+        .select(F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", watermark)
+    )
+    right = (
+        read().filter(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(f"v_user = p_user AND p_ts >= v_ts "
+               f"AND p_ts <= v_ts + INTERVAL {join_within}"),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        snap = table.append(batch_df)
+        table.metadata.snapshots[-1].summary["streaming-batch-id"] = str(batch_id)
+        table.metadata.save()
+        return snap
+
+    q = (
+        joined.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

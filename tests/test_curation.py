@@ -206,3 +206,69 @@ def test_dominant_dims_match_python_argmax(spark):
     for r in got:
         assert r["pct"] == round(1000000.0 * hist[r["dim"]] / n) / 10000
         assert r["max_component"] == round(top_v[r["dim"]], 6)
+
+
+# -- round-6 late additions: column profile + referential integrity --------
+
+def test_column_profile_matches_python_recompute(spark):
+    from tests.conftest import SF_SMALL
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    rows = li.select("l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax").collect()
+    got = {
+        r["col_name"]: r
+        for r in registry.QUERIES["lineitem_column_profile"](
+            spark, SF_SMALL).collect()
+    }
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        vals = [r[col] for r in rows]
+        nn = [v for v in vals if v is not None]
+        row = got[col]
+        assert row["n_rows"] == len(vals)
+        assert row["n_nulls"] == len(vals) - len(nn)
+        assert row["n_distinct"] == len(set(nn))
+        assert row["min_val"] == min(nn)
+        assert row["max_val"] == max(nn)
+
+
+def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
+    """On the driver testdata all FKs resolve (0 orphans); plant orphan
+    rows in a copy and the audit must count them exactly."""
+    import shutil
+
+    from tests.conftest import SF_SMALL
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    base = {
+        r["fk"]: r
+        for r in registry.QUERIES["referential_integrity_audit"](
+            spark, SF_SMALL).collect()
+    }
+    assert all(r["n_orphans"] == 0 for r in base.values())
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    bad = spark.createDataFrame(
+        [(10**9 + i, 10**9, "O", 1.0, None, "1-URGENT") for i in range(3)],
+        orders.schema)
+    # stage to a fresh path, then swap in — Spark can't overwrite a
+    # parquet path it is concurrently reading from
+    import os
+
+    staged = str(tmp_path / "orders_staged")
+    orders.unionByName(bad).write.parquet(staged)
+    os.remove(f"{sf}/orders.parquet")
+    os.rename(staged, f"{sf}/orders.parquet")
+    spark.catalog.clearCache()
+    got = {
+        r["fk"]: r
+        for r in registry.QUERIES["referential_integrity_audit"](
+            spark, sf).collect()
+    }
+    row = got["orders.o_custkey -> customer"]
+    assert row["n_orphans"] == 3
+    assert row["n_orphan_keys"] == 1  # all three share custkey 10**9
+    # the planted orders also have no lineitems — that's fine (FK points
+    # the other way); the lineitem->orders audit must stay clean
+    assert got["lineitem.l_orderkey -> orders"]["n_orphans"] == 0

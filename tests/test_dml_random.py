@@ -121,3 +121,94 @@ def test_random_dml_matches_model(catalog, spark, seed, mode):
     for sid, state in rng.sample(snapshots, min(4, len(snapshots))):
         tt = sorted(tuple(r) for r in t.scan(snapshot_id=sid).collect())
         assert tt == sorted(state), f"time travel drifted for snapshot {sid}"
+
+
+@pytest.mark.parametrize("seed,mode", [
+    (11, "copy-on-write"), (23, "merge-on-read"),
+])
+def test_random_branch_dml_matches_model(catalog, spark, seed, mode):
+    """Branch-aware randomized layer: interleave DML on main and on a dev
+    branch, with fast_forward syncs and branch re-creation, against TWO
+    pure-Python row models. Checks after every step that (a) main and dev
+    read their own states, (b) fast_forward succeeds exactly when main
+    has not diverged since the last sync and errors (state untouched)
+    when it has — the WAP lifecycle under adversarial interleaving.
+    """
+    from iceberg_demo_spark.tables import procedures as proc
+
+    rng = random.Random(seed)
+    props = ({"write.delete.mode": mode, "write.update.mode": mode,
+              "write.merge.mode": mode} if mode == "merge-on-read" else {})
+    t = catalog.create_table(
+        f"db.br{seed}_{mode[:3]}", "id bigint, cat string, val double",
+        partition_by=[("cat",)], properties=props)
+    next_id = 0
+
+    def mk(n):
+        nonlocal next_id
+        rows = _mk_rows(rng, n, next_id)
+        next_id += n
+        return rows
+
+    seedrows = mk(15)
+    t.append(spark.createDataFrame(seedrows, t.schema()))
+    model_main: list[tuple] = list(seedrows)
+    t.create_branch("dev")
+    model_dev: list[tuple] = list(model_main)
+    diverged = False  # has main moved since the last branch sync?
+
+    def state(branch=None):
+        df = t.scan(branch=branch) if branch else t.scan()
+        return sorted(tuple(r) for r in df.collect())
+
+    for step in range(14):
+        op = rng.choice([
+            "main_append", "main_delete", "dev_append", "dev_delete",
+            "dev_update", "fast_forward", "recreate_branch",
+        ])
+        if op == "main_append":
+            rows = mk(rng.randint(1, 5))
+            t.append(spark.createDataFrame(rows, t.schema()))
+            model_main.extend(rows)
+            diverged = True
+        elif op == "main_delete":
+            # divergence must track HEAD movement, not row changes: a
+            # no-match DELETE that still commits breaks the ancestry
+            head = t.metadata.current_snapshot().snapshot_id
+            cat = rng.choice(CATS)
+            t.delete_where(f"cat = '{cat}'")
+            model_main[:] = [r for r in model_main if r[1] != cat]
+            diverged = diverged or (
+                t.metadata.current_snapshot().snapshot_id != head)
+        elif op == "dev_append":
+            rows = mk(rng.randint(1, 5))
+            t.append(spark.createDataFrame(rows, t.schema()), branch="dev")
+            model_dev.extend(rows)
+        elif op == "dev_delete":
+            cut = round(rng.uniform(0, 100), 2)
+            t.delete_where(f"val < {cut}", branch="dev")
+            model_dev[:] = [r for r in model_dev if not (r[2] < cut)]
+        elif op == "dev_update":
+            cut = round(rng.uniform(0, 100), 2)
+            t.update_where({"val": "round(val + 2.25, 2)"}, f"val >= {cut}",
+                           branch="dev")
+            model_dev[:] = [
+                (i, c, round(v + 2.25, 2)) if v >= cut else (i, c, v)
+                for (i, c, v) in model_dev
+            ]
+        elif op == "fast_forward":
+            if diverged:
+                before_main, before_dev = state(), state("dev")
+                with pytest.raises(ValueError):
+                    proc.fast_forward(t, "main", "dev")
+                assert state() == before_main and state("dev") == before_dev
+            else:
+                proc.fast_forward(t, "main", "dev")
+                model_main[:] = list(model_dev)
+        elif op == "recreate_branch":
+            t.create_branch("dev", or_replace=True)  # at main's head
+            model_dev[:] = list(model_main)
+            diverged = False
+
+        assert state() == sorted(model_main), f"seed={seed} step={step} op={op} (main)"
+        assert state("dev") == sorted(model_dev), f"seed={seed} step={step} op={op} (dev)"

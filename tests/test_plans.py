@@ -340,3 +340,16 @@ def test_pareto_windows_are_region_partitioned(spark):
     for line in plan.splitlines():
         if "Window" in line and "partition" in line.lower():
             assert "r_name" in line, line
+
+
+def test_column_profile_prunes_to_single_columns_no_expand(spark):
+    """Each unioned profile branch must scan exactly one parquet column,
+    and the exact-distinct plan must NOT use the multi-distinct Expand
+    (the per-column-aggregate design exists to avoid it)."""
+    plan = _plan(spark, "lineitem_column_profile")
+    assert "Expand" not in plan
+    prof = [l for l in plan.splitlines()
+            if "ReadSchema" in l and "struct<l_" in l]
+    assert len(prof) >= 4
+    for line in prof:
+        assert line.count(",") == 0, line  # exactly one field in the struct

@@ -294,3 +294,53 @@ def test_stream_upsert_cdc_last_write_wins_and_idempotent(
     t.refresh()
     assert {tuple(r) for r in t.scan().select(*src.columns).collect()} == exp
     assert len(t.metadata.snapshots) == n_snaps
+
+
+def test_stream_stream_join_matches_batch_and_restarts_clean(
+        spark, tmp_path, events_dir):
+    """The watermarked stream-stream join must (a) emit exactly the batch
+    self-join pairs even though views and purchases arrive across
+    different micro-batches, and (b) be idempotent under a restart with
+    the same checkpoint (no new files → no new snapshots, no new rows)."""
+    from iceberg_demo_spark.streaming.pipeline import (
+        stream_stream_join_to_table,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    schema = spark.read.parquet(events_dir).schema
+    t = catalog.create_table(
+        "db.ssj",
+        "user_id bigint, view_id bigint, purchase_id bigint, delay_us bigint")
+    ck = str(tmp_path / "ck_ssj")
+    stream_stream_join_to_table(spark, events_dir, schema, t, ck,
+                                max_files_per_trigger=1)
+    t.refresh()
+    got = sorted(
+        (r["view_id"], r["purchase_id"], r["delay_us"])
+        for r in t.scan().collect())
+
+    ev = spark.read.parquet(events_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    want = sorted(
+        (r["view_id"], r["purchase_id"], r["delay_us"])
+        for r in v.join(
+            p, F.expr("vu = pu AND p_ts >= v_ts "
+                      "AND p_ts <= v_ts + INTERVAL 1 HOUR"))
+        .select("view_id", "purchase_id",
+                (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+                .alias("delay_us"))
+        .collect())
+    assert got == want and len(got) > 0
+
+    n_snaps = len(t.metadata.snapshots)
+    stream_stream_join_to_table(spark, events_dir, schema, t, ck,
+                                max_files_per_trigger=1)
+    t.refresh()
+    assert len(t.metadata.snapshots) == n_snaps
+    assert t.scan().count() == len(got)
