@@ -532,21 +532,23 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed double expression; source-level avg uses the same decimal-sum
     technique and min/max are order-independent.
 
-    Scale shape: one (doc_id, token) count shuffle with map-side combine,
-    one per-doc aggregate co-partitioned on doc_id, a broadcast-size join
-    back to the doc→source mapping, and a tiny per-source frame.
+    Scale shape: `source` rides along from the scan (a constant within
+    each doc_id group), so the whole query is one (doc_id, token) count
+    shuffle with map-side combine, one per-doc aggregate co-partitioned
+    on doc_id, and a tiny per-source frame — NO join back to the
+    documents table (carrying the grouping-constant column is free;
+    re-joining would shuffle the corpus-sized tf frame a second time).
     """
     t = load_tables(spark, sf_dir, ("documents",))
     tf = (
         t["documents"]
-        .select("doc_id", F.explode(tokens_col()).alias("tok"))
-        .groupBy("doc_id", "tok")
+        .select("doc_id", "source", F.explode(tokens_col()).alias("tok"))
+        .groupBy("doc_id", "source", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dec = "decimal(20,12)"
     ent = (
-        tf.join(t["documents"].select("doc_id", "source"), "doc_id")
-        .groupBy("doc_id", "source")
+        tf.groupBy("doc_id", "source")
         .agg(
             (F.log(F.sum("tf").cast("double"))
              - F.sum((F.col("tf")
