@@ -24,7 +24,45 @@ from iceberg_demo_spark.tables import Catalog, procedures as proc
 
 
 def _scratch(spark: SparkSession) -> Catalog:
+    # mkdtemp is CORRECT here (unlike source staging): every invocation
+    # creates and mutates fresh tables, so the warehouse cannot be reused.
     return Catalog(spark, tempfile.mkdtemp(prefix="glacier_wh_"))
+
+
+def _stage_events_src(spark: SparkSession, sf_dir: str, label: str,
+                      cols=None, repart: int = 4) -> str:
+    """Deterministic per-(label, sf) staging of the events table as a
+    multi-file stream-source dir, REUSED across invocations — the content
+    is a pure function of sf_dir (round-5 ADVICE discipline: mkdtemp here
+    leaked a dir and re-wrote the parquet on every bench rep / oracle
+    re-check)."""
+    import os as _os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    out = _os.path.join(tempfile.gettempdir(),
+                        f"glacier_src_{label}_{_sf_tag(sf_dir)}")
+    if not _os.path.exists(f"{out}/_SUCCESS"):
+        df = load_tables(spark, sf_dir, ("events",))["events"]
+        if cols is not None:
+            df = df.select(*cols)
+        df.repartition(repart).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _fresh_ckpt(sf_dir: str, label: str) -> str:
+    """Deterministic per-(label, sf) checkpoint path, cleared before each
+    start — the sink table is fresh per invocation, so the checkpoint must
+    be too; a fixed cleared path bounds residue to one dir per gate."""
+    import os as _os
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    ck = _os.path.join(tempfile.gettempdir(),
+                       f"glacier_ck_{label}_{_sf_tag(sf_dir)}")
+    _shutil.rmtree(ck, ignore_errors=True)
+    return ck
 
 
 # -- DML: MERGE upsert -----------------------------------------------------
@@ -414,19 +452,15 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_ingest_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow micro-batch ingest of events into a table, then hourly
     rollup over the ingested snapshots — equals batch SQL over the source."""
-    import tempfile as _tf
-
     from iceberg_demo_spark.streaming import stream_to_table
 
-    t_in = load_tables(spark, sf_dir, ("events",))
-    src_dir = _tf.mkdtemp(prefix="glacier_stream_src_")
-    t_in["events"].repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_events_src(spark, sf_dir, "ingest")
     schema = spark.read.parquet(src_dir).schema
     cat = _scratch(spark)
     t = cat.create_table(
         "db.ev", [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields]
     )
-    stream_to_table(spark, src_dir, schema, t, _tf.mkdtemp(prefix="glacier_ckpt_"),
+    stream_to_table(spark, src_dir, schema, t, _fresh_ckpt(sf_dir, "ingest"),
                     max_files_per_trigger=2)
     t.refresh()
     return (
@@ -926,13 +960,10 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for a 100 TB/day event firehose against a dimension that
     fits the broadcast budget); aggregate state here is zero because the
     rollup runs over the SINK table, not the stream."""
-    import tempfile as _tf
-
     from iceberg_demo_spark.streaming import stream_to_table
 
     t_in = load_tables(spark, sf_dir, ("events", "customer"))
-    src_dir = _tf.mkdtemp(prefix="glacier_sdj_src_")
-    t_in["events"].repartition(4).write.mode("overwrite").parquet(src_dir)
+    src_dir = _stage_events_src(spark, sf_dir, "sdj")
     schema = spark.read.parquet(src_dir).schema
     dim = t_in["customer"].select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment")
@@ -947,7 +978,7 @@ def streaming_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f.name, f.dataType.simpleString(), f.nullable)
          for f in sample.fields])
     stream_to_table(spark, src_dir, schema, t,
-                    _tf.mkdtemp(prefix="glacier_sdj_ckpt_"),
+                    _fresh_ckpt(sf_dir, "sdj"),
                     max_files_per_trigger=2, transform=enrich)
     t.refresh()
     from iceberg_demo_spark.functions import dsum
@@ -982,14 +1013,11 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table holds exactly each user's latest event no matter how
     rows are split across micro-batches — equal to the batch
     row_number-over-(ts,event_id) answer."""
-    import tempfile as _tf
-
     from iceberg_demo_spark.streaming.pipeline import stream_upsert_to_table
 
-    t_in = load_tables(spark, sf_dir, ("events",))
-    src_dir = _tf.mkdtemp(prefix="glacier_cdc_src_")
-    (t_in["events"].select("event_id", "ts", "user_id", "event_type", "value")
-     .repartition(4).write.mode("overwrite").parquet(src_dir))
+    src_dir = _stage_events_src(
+        spark, sf_dir, "cdc",
+        cols=("event_id", "ts", "user_id", "event_type", "value"))
     schema = spark.read.parquet(src_dir).schema
     cat = _scratch(spark)
     t = cat.create_table(
@@ -997,7 +1025,7 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f.name, f.dataType.simpleString(), f.nullable)
          for f in schema.fields])
     stream_upsert_to_table(
-        spark, src_dir, schema, t, _tf.mkdtemp(prefix="glacier_cdc_ckpt_"),
+        spark, src_dir, schema, t, _fresh_ckpt(sf_dir, "cdc"),
         key_cols=["user_id"], order_cols=["ts", "event_id"],
         max_files_per_trigger=2)
     t.refresh()
@@ -1013,19 +1041,11 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stage_ssj_source(spark: SparkSession, sf_dir: str):
     """Deterministic per-sf staging of the events stream for the
     stream-stream join gate (4 files → multiple micro-batches)."""
-    import os as _os
-
-    from iceberg_demo_spark.operators.layout import _sf_tag
-
     ddl = "event_id bigint, user_id bigint, event_type string, ts timestamp"
-    out = _os.path.join(tempfile.gettempdir(),
-                        f"glacier_stream_ssj_{_sf_tag(sf_dir)}")
-    if _os.path.exists(f"{out}/_SUCCESS"):
-        return out, ddl
-    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
-        "event_id", "user_id", "event_type",
-        F.col("ts").cast("timestamp").alias("ts"))
-    ev.repartition(4, "event_id").write.mode("overwrite").parquet(out)
+    out = _stage_events_src(
+        spark, sf_dir, "ssj",
+        cols=("event_id", "user_id", "event_type",
+              F.col("ts").cast("timestamp").alias("ts")))
     return out, ddl
 
 
@@ -1063,10 +1083,6 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the join state buffers. delay_us is integer microsecond
     arithmetic — nothing to round.
     """
-    import os as _os
-    import shutil as _shutil
-
-    from iceberg_demo_spark.operators.layout import _sf_tag
     from iceberg_demo_spark.streaming.pipeline import (
         stream_stream_join_to_table,
     )
@@ -1077,11 +1093,9 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cat.create_table(
         "db.ssj_pairs",
         "user_id bigint, view_id bigint, purchase_id bigint, delay_us bigint")
-    ck = _os.path.join(tempfile.gettempdir(),
-                       f"glacier_ck_ssj_{_sf_tag(sf_dir)}")
-    _shutil.rmtree(ck, ignore_errors=True)
     stream_stream_join_to_table(
-        spark, src, schema, t, ck, max_files_per_trigger=1)
+        spark, src, schema, t, _fresh_ckpt(sf_dir, "ssj"),
+        max_files_per_trigger=1)
     t.refresh()
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_pairs"),
