@@ -609,35 +609,62 @@ class TableMetadata:
     def save(self) -> None:
         """Write v{N+1}.metadata.json then atomically swap version-hint.text.
 
-        Optimistic concurrency: if the on-disk hint no longer matches the
-        version this handle was loaded at, another writer won the race —
-        raise CommitConflictError instead of clobbering its commit (the
-        caller refreshes and retries, exactly the hadoop-catalog / metastore
-        CAS discipline). The check-then-swap window is not atomic across
-        processes; a multi-writer deployment swaps this for a real CAS.
+        Optimistic concurrency (the hadoop-catalog CAS discipline):
+
+        1. Fast path: if the on-disk hint already moved past the version
+           this handle loaded, raise CommitConflictError without writing.
+        2. True CAS: the fully-written metadata is hard-linked into place
+           as v{N+1}.metadata.json — ``os.link`` is create-exclusive, so
+           exactly ONE concurrent writer can own version N+1; every loser
+           gets FileExistsError → CommitConflictError, even inside the
+           check-then-swap window the hint alone can't close.
+        3. The hint swap after the CAS is advisory: if the winner crashes
+           before it, ``load`` recovers by scanning for the max on-disk
+           version (the complete v-file IS the commit, as in Iceberg's
+           HadoopTableOperations version scan).
+
+        Same-filesystem writers (threads/processes on one warehouse) are
+        therefore safe; an object-store deployment swaps step 2 for the
+        store's conditional PUT.
         """
-        hint_path = os.path.join(self.metadata_dir(), "version-hint.text")
+        md = self.metadata_dir()
+        hint_path = os.path.join(md, "version-hint.text")
         if os.path.exists(hint_path):
             with open(hint_path) as fh:
                 on_disk = int(fh.read().strip() or 0)
-            if on_disk != self.version:
+            # strictly greater: a LOWER hint just means a slower winner's
+            # advisory hint write landed late — the link CAS below is
+            # authoritative, so a regressed hint must not wedge commits
+            if on_disk > self.version:
                 raise CommitConflictError(
                     f"{self.name}: metadata version moved {self.version} -> "
                     f"{on_disk} since load; refresh() and retry"
                 )
         self.version += 1
         self.metadata_log.append({"timestamp_ms": now_ms(), "version": self.version})
-        md = self.metadata_dir()
         os.makedirs(md, exist_ok=True)
         path = os.path.join(md, f"v{self.version}.metadata.json")
-        tmp = path + ".tmp"
+        tmp = f"{path}.{os.getpid()}.{id(self)}.tmp"
         with open(tmp, "w") as fh:
             json.dump(self.to_json(), fh, indent=1)
-        os.rename(tmp, path)
-        hint_tmp = os.path.join(md, "version-hint.text.tmp")
+        try:
+            os.link(tmp, path)  # atomic create-exclusive: the real CAS
+        except FileExistsError:
+            self.version -= 1
+            self.metadata_log.pop()
+            raise CommitConflictError(
+                f"{self.name}: lost the commit race for version "
+                f"{self.version + 1}; refresh() and retry"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        hint_tmp = f"{hint_path}.{os.getpid()}.{id(self)}.tmp"
         with open(hint_tmp, "w") as fh:
             fh.write(str(self.version))
-        os.rename(hint_tmp, os.path.join(md, "version-hint.text"))
+        os.rename(hint_tmp, hint_path)
 
     @staticmethod
     def load(location: str, version: int | None = None) -> "TableMetadata":
@@ -645,6 +672,15 @@ class TableMetadata:
         if version is None:
             with open(os.path.join(md, "version-hint.text")) as fh:
                 version = int(fh.read().strip())
+            # the hint is advisory (see save): a winner that crashed (or a
+            # slow writer whose hint landed late) can leave it behind the
+            # newest committed v-file — recover by scanning, the
+            # HadoopTableOperations discipline
+            pat = re.compile(r"^v(\d+)\.metadata\.json$")
+            for name in os.listdir(md):
+                m = pat.match(name)
+                if m:
+                    version = max(version, int(m.group(1)))
         with open(os.path.join(md, f"v{version}.metadata.json")) as fh:
             return TableMetadata.from_json(json.load(fh))
 

@@ -496,3 +496,86 @@ def test_optimistic_concurrency_conflict(catalog, spark):
     t1.append(spark.createDataFrame([(15, "o", "u", 6.0)], schema=t1.schema()))
     with pytest.raises(CommitConflictError, match="refresh"):
         t2.delete_where("id = 1")
+
+
+def test_metadata_cas_single_winner_per_version(tmp_path):
+    """True CAS (round 6): the v{N}.metadata.json hard-link is
+    create-exclusive, so under genuinely concurrent save() calls exactly
+    one writer owns each version — every loser gets CommitConflictError
+    even inside the hint's check-then-swap window. 8 threads x 5 commits
+    each, every commit a load-mutate-save retry loop: all 40 must land,
+    versions must be gapless, and no property write may be lost."""
+    import threading
+
+    from iceberg_demo_spark.tables.format import (
+        CommitConflictError, SchemaField, TableMetadata)
+
+    loc = str(tmp_path / "t")
+    md = TableMetadata("db.cas", loc)
+    md.schemas[0] = [SchemaField(1, "id", "int", True, None)]
+    md.last_field_id = 1
+    md.save()  # v1
+
+    THREADS, COMMITS = 8, 5
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for c in range(COMMITS):
+                while True:
+                    cur = TableMetadata.load(loc)
+                    cur.properties[f"w{wid}.c{c}"] = str(cur.version)
+                    try:
+                        cur.save()
+                        break
+                    except CommitConflictError:
+                        continue
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(THREADS)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+
+    final = TableMetadata.load(loc)
+    # exactly one version per successful save: 1 initial + 40 commits
+    assert final.version == 1 + THREADS * COMMITS
+    # no lost updates: every writer's every commit survived
+    assert len(final.properties) == THREADS * COMMITS
+    # every intermediate version file exists (gapless history)
+    import os as _os
+    for v in range(1, final.version + 1):
+        assert _os.path.exists(
+            _os.path.join(loc, "metadata", f"v{v}.metadata.json"))
+
+
+def test_metadata_load_recovers_from_stale_hint(tmp_path):
+    """The hint is advisory: if a winner crashed before swapping it (or a
+    slow writer's hint landed late), load() scans for the max on-disk
+    version instead of resurrecting the stale one."""
+    import os as _os
+
+    from iceberg_demo_spark.tables.format import SchemaField, TableMetadata
+
+    loc = str(tmp_path / "t")
+    md = TableMetadata("db.hint", loc)
+    md.schemas[0] = [SchemaField(1, "id", "int", True, None)]
+    md.last_field_id = 1
+    md.save()  # v1
+    md.properties["k"] = "v"
+    md.save()  # v2
+    # simulate the crash-before-hint-swap: regress the hint to 1
+    hint = _os.path.join(loc, "metadata", "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("1")
+    cur = TableMetadata.load(loc)
+    assert cur.version == 2 and cur.properties.get("k") == "v"
+    # and the next save commits v3, not a fork of v2
+    cur.save()
+    assert cur.version == 3
+    # explicit version= still time-travels to the requested file
+    old = TableMetadata.load(loc, version=1)
+    assert old.version == 1 and "k" not in old.properties
