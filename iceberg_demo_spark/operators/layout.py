@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from iceberg_demo_spark.functions import dsum
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.scratch import scratch_path
 from iceberg_demo_spark.sources import load_tables
 
 #: bucket count for the co-located join demo — on a cluster this would be
@@ -87,7 +88,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _sf_tag(sf_dir)
     o_name = f"glacier_bk_orders_{tag}"
     l_name = f"glacier_bk_lineitem_{tag}"
-    base = os.path.join(tempfile.gettempdir(), f"glacier_bucketed_{tag}")
+    base = scratch_path(f"glacier_bucketed_{tag}")
 
     # Build once per process: the testdata is immutable, so an existing
     # catalog entry + directory is current. Re-paying the write-time
@@ -144,8 +145,7 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain parquet lake.
     """
     t = load_tables(spark, sf_dir, ("lineitem",))
-    base = os.path.join(tempfile.gettempdir(),
-                        f"glacier_parted_{_sf_tag(sf_dir)}")
+    base = scratch_path(f"glacier_parted_{_sf_tag(sf_dir)}")
     (
         t["lineitem"].select("l_returnflag", "l_linestatus", "l_quantity")
         .write.partitionBy("l_returnflag").mode("overwrite").parquet(base)

@@ -452,7 +452,9 @@ def ivf_index_path(sf_dir: str) -> str:
     import tempfile
 
     tag = _re.sub(r"\W", "_", sf_dir.strip("/").replace("/", "_"))
-    return os.path.join(tempfile.gettempdir(), f"glacier_ivf_{tag}")
+    from iceberg_demo_spark.scratch import scratch_path
+
+    return scratch_path(f"glacier_ivf_{tag}")
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from iceberg_demo_spark.engine import Engine
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.scratch import scratch_path
 from iceberg_demo_spark.sources import load_tables
 from iceberg_demo_spark.tables import Catalog, procedures as proc
 
@@ -40,8 +41,7 @@ def _stage_events_src(spark: SparkSession, sf_dir: str, label: str,
 
     from iceberg_demo_spark.operators.layout import _sf_tag
 
-    out = _os.path.join(tempfile.gettempdir(),
-                        f"glacier_src_{label}_{_sf_tag(sf_dir)}")
+    out = scratch_path(f"glacier_src_{label}_{_sf_tag(sf_dir)}")
     if not _os.path.exists(f"{out}/_SUCCESS"):
         df = load_tables(spark, sf_dir, ("events",))["events"]
         if cols is not None:
@@ -59,8 +59,7 @@ def _fresh_ckpt(sf_dir: str, label: str) -> str:
 
     from iceberg_demo_spark.operators.layout import _sf_tag
 
-    ck = _os.path.join(tempfile.gettempdir(),
-                       f"glacier_ck_{label}_{_sf_tag(sf_dir)}")
+    ck = scratch_path(f"glacier_ck_{label}_{_sf_tag(sf_dir)}")
     _shutil.rmtree(ck, ignore_errors=True)
     return ck
 
@@ -704,11 +703,10 @@ def _dup_event_stream_dir(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from iceberg_demo_spark.operators.layout import _sf_tag
 
     tag = _sf_tag(sf_dir)
-    out = _os.path.join(tempfile.gettempdir(), f"glacier_stream_dup_{tag}")
+    out = scratch_path(f"glacier_stream_dup_{tag}")
     if all(_os.path.exists(f"{out}/{i:03d}.parquet") for i in (0, 1)):
         return out, ddl
-    stage = _os.path.join(tempfile.gettempdir(),
-                          f"glacier_stream_stage_{tag}")
+    stage = scratch_path(f"glacier_stream_stage_{tag}")
     _os.makedirs(out, exist_ok=True)
     ev = load_tables(spark, sf_dir, ("events",))["events"].select(
         "event_id", "user_id", "event_type", "value")
@@ -743,8 +741,7 @@ def _run_stateful(spark: SparkSession, src_dir: str, schema: str, op,
     name = f"glacier_state_sink_{_STREAM_SEQ[0]}"
     from iceberg_demo_spark.operators.layout import _sf_tag
 
-    ck = _os.path.join(tempfile.gettempdir(),
-                       f"glacier_ck_{label}_{_sf_tag(src_dir)}")
+    ck = scratch_path(f"glacier_ck_{label}_{_sf_tag(src_dir)}")
     _shutil.rmtree(ck, ignore_errors=True)
     stream = (
         spark.readStream.schema(schema)

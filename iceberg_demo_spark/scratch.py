@@ -1,0 +1,45 @@
+"""Per-user scratch root for deterministic cached artifacts.
+
+Several operators persist derived layouts (bucketed copies, IVF inverted
+lists, staged streaming sources) under fixed, predictable names so bench
+reps measure the QUERY rather than setup. Fixed names directly under the
+world-writable system temp dir are a squat risk on a multi-user host: a
+stale or attacker-pre-created directory with a ``_SUCCESS`` marker would
+be silently trusted. All such paths therefore live under a per-user
+subdirectory created 0o700, whose ownership is verified on every reuse.
+"""
+
+from __future__ import annotations
+
+import os
+import stat
+import tempfile
+
+
+def scratch_dir() -> str:
+    """The calling user's private scratch root (created on first use).
+
+    Raises ``RuntimeError`` rather than reusing a directory someone else
+    owns or that permits group/other access — never silently trust
+    pre-existing state in a shared temp dir.
+    """
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"glacier-{uid}")
+    try:
+        os.mkdir(root, mode=0o700)
+    except FileExistsError:
+        st = os.lstat(root)
+        if not stat.S_ISDIR(st.st_mode):
+            raise RuntimeError(f"scratch path {root} is not a directory")
+        if hasattr(os, "getuid") and st.st_uid != uid:
+            raise RuntimeError(
+                f"scratch dir {root} is owned by uid {st.st_uid}, not "
+                f"{uid} — refusing to reuse")
+        if st.st_mode & 0o077:
+            os.chmod(root, 0o700)
+    return root
+
+
+def scratch_path(name: str) -> str:
+    """A named artifact path under the verified per-user scratch root."""
+    return os.path.join(scratch_dir(), name)

@@ -24,6 +24,19 @@ from iceberg_demo_spark.tables.format import MAIN_BRANCH
 from iceberg_demo_spark.tables.table import Table
 
 
+def _stamp_batch(table: Table, snap, batch_id: int) -> None:
+    """Tag the snapshot a micro-batch just committed with its epoch id.
+
+    Guarded on the commit actually happening: a no-op batch (e.g. MERGE
+    with nothing matched or inserted) returns None, and stamping then
+    would relabel the PREVIOUS batch's snapshot and burn a metadata
+    version for nothing."""
+    if snap is None:
+        return
+    snap.summary["streaming-batch-id"] = str(batch_id)
+    table.metadata.save()
+
+
 def stream_to_table(
     spark: SparkSession,
     source_dir: str,
@@ -51,8 +64,7 @@ def stream_to_table(
         # crash) are detectable via the summary, mirroring Iceberg's
         # exactly-once epoch tracking.
         snap = table.append(batch_df, branch=branch)
-        table.metadata.snapshots[-1].summary["streaming-batch-id"] = str(batch_id)
-        table.metadata.save()
+        _stamp_batch(table, snap, batch_id)
         return snap
 
     writer = (
@@ -227,7 +239,7 @@ def stream_upsert_to_table(
             *[F.desc(c) for c in order_cols])
         latest = (batch_df.withColumn("_rn", F.row_number().over(w))
                   .filter("_rn = 1").drop("_rn"))
-        table.merge(
+        snap = table.merge(
             latest,
             on=" AND ".join(f"t.{c} = s.{c}" for c in key_cols),
             matched=[{"action": "update", "condition": newer,
@@ -236,8 +248,7 @@ def stream_upsert_to_table(
             not_matched=[{"values": None}],
             check_cardinality=False,  # latest is unique per key by build
         )
-        table.metadata.snapshots[-1].summary["streaming-batch-id"] = str(batch_id)
-        table.metadata.save()
+        _stamp_batch(table, snap, batch_id)
 
     q = (
         df.writeStream.foreachBatch(write_batch)
@@ -314,8 +325,7 @@ def stream_stream_join_to_table(
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         snap = table.append(batch_df)
-        table.metadata.snapshots[-1].summary["streaming-batch-id"] = str(batch_id)
-        table.metadata.save()
+        _stamp_batch(table, snap, batch_id)
         return snap
 
     q = (

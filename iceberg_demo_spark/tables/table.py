@@ -652,21 +652,26 @@ class Table:
     #: every number, so bounds on them cannot soundly prune (Iceberg
     #: needs nan_value_counts for the same reason). boolean and complex
     #: types are skipped as useless/unsupported for range pruning.
-    _STATS_KINDS = (
-        ("tinyint", "num"), ("smallint", "num"), ("integer", "num"),
-        ("int", "num"), ("bigint", "num"), ("long", "num"),
-        ("decimal", "num"), ("date", "date"), ("timestamp", "ts"),
-        ("string", "str"), ("varchar", "str"), ("char", "str"),
-    )
+    _STATS_KINDS = {
+        "tinyint": "num", "smallint": "num", "integer": "num",
+        "int": "num", "bigint": "num", "long": "num",
+        "decimal": "num", "date": "date",
+        "timestamp": "ts", "timestamp_ltz": "ts",
+        # NTZ timestamps compare as tz-FREE wall-clock micros — a distinct
+        # kind so _stats_lit never routes their literals through the
+        # session timezone (that wrongly pruned matching files under any
+        # non-UTC spark.sql.session.timeZone).
+        "timestamp_ntz": "tsntz",
+        "string": "str", "varchar": "str", "char": "str",
+    }
     _STATS_TRUNC = 64  # max stored chars for a string bound
 
     @classmethod
     def _stats_kind(cls, decl_type: str) -> str | None:
-        t = decl_type.lower()
-        for prefix, kind in cls._STATS_KINDS:
-            if t.startswith(prefix):
-                return kind
-        return None
+        # exact leading-token match — prefix matching classified
+        # 'interval day to second' as numeric via the 'int' prefix
+        tok = decl_type.lower().split("(")[0].split()[0]
+        return cls._STATS_KINDS.get(tok)
 
     def _harvest_stats(
             self, pf, schema_id: int
@@ -694,6 +699,7 @@ class Table:
         if not kinds:
             return {}, {}, {}
         _ok_type = {"num": (int, _Dec), "ts": (_dt.datetime,),
+                    "tsntz": (_dt.datetime,),
                     "date": (_dt.date,), "str": (str,)}
         md = pf.metadata
         mins: dict[str, object] = {}
@@ -730,6 +736,14 @@ class Table:
                               and isinstance(st.min, _ok_type[kinds[name]])
                               and not (kinds[name] == "date"
                                        and isinstance(st.min, _dt.datetime)))
+                    # a ts bound must be tz-aware (instant) and a tsntz
+                    # bound tz-naive (wall-clock) — a file whose parquet
+                    # adjusted-to-UTC flag disagrees with the declared
+                    # type records no bounds rather than wrong ones
+                    if usable and kinds[name] == "ts":
+                        usable = st.min.tzinfo is not None
+                    elif usable and kinds[name] == "tsntz":
+                        usable = st.min.tzinfo is None
                 except Exception:
                     usable = False
                 if not usable:
@@ -743,7 +757,7 @@ class Table:
         def canon(kind: str, v, is_upper: bool) -> str | None:
             if kind == "num":
                 return str(v)
-            if kind == "ts":
+            if kind in ("ts", "tsntz"):
                 epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
                 d = v - epoch
                 return str((d.days * 86400 + d.seconds) * 10**6
@@ -1398,6 +1412,17 @@ class Table:
                         return None
             d = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
             return (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        if kind == "tsntz":
+            # wall-clock comparison domain: NO timezone attachment — the
+            # session zone must never shift an NTZ literal
+            try:
+                v = _dt.datetime.fromisoformat(raw)
+            except ValueError:
+                return None
+            if v.tzinfo is not None:
+                return None  # offset literal vs NTZ column: not provable
+            d = v - _dt.datetime(1970, 1, 1)
+            return (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
         if kind == "date":
             return raw if _re.fullmatch(r"\d{4}-\d{2}-\d{2}", raw) else None
         return raw  # str: code-point order on both sides
@@ -1415,7 +1440,7 @@ class Table:
             except (InvalidOperation, ValueError):
                 return None
             return None if d.is_nan() else d
-        if kind == "ts":
+        if kind in ("ts", "tsntz"):
             try:
                 return int(s)
             except ValueError:
@@ -1478,7 +1503,7 @@ class Table:
             if not pair:
                 continue
             lo_s, hi_s = pair
-            if kind in ("num", "ts"):
+            if kind in ("num", "ts", "tsntz"):
                 if not (pnum(lo_s) and pnum(hi_s)):
                     continue
                 lo = self._stats_bound(kind, lo_s)
