@@ -48,16 +48,17 @@ def load_all() -> None:
     registration order, so a gate registered past that point is never
     externally verified.
 
-    ROUND-6 WINDOW — stalest-first freshness rotation (VERDICT r5 #1).
-    After round 5 every one of the 104 pre-existing gates has at least
-    one driver-green row and zero red rows ever; the external-
-    verification risk is now STALENESS, so the window is an explicit
-    list ordered by each gate's last driver-green round: all 25 gates
-    last green in round 2, 15 of the 20 last green in round 3, and the
-    10 new round-6 gates. Everything green in rounds 4-5 (plus the five
-    youngest r3 gates) rotates out and queues for round 7 (local oracle
-    checks — tools/check_oracles.py, emitted as ORACLES_LOCAL_r{N}.json —
-    still cover all 120 every round).
+    ROUND-7 WINDOW — continues the stalest-first freshness rotation
+    (VERDICT r6 #1, queue order fixed by COVERAGE.md / VERDICT r5-r6):
+    the six late-round-6 gates that have never had a driver row lead at
+    positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
+    driver-verified, standing policy) follow at 6-11; then the five
+    r3-green gates displaced late in round 6, all nine gates last green
+    in round 4, and 24 of the 50 round-5-green gates (the parity-
+    critical write-path / MV / changelog / streaming / dedup / skew
+    set). The remaining 26 r5-green gates queue for round 8 and are
+    covered every round by the full local oracle artifact
+    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -72,79 +73,62 @@ def load_all() -> None:
         curation,
         dedup,
         relational,
+        tpch_partsupp,
     )
 
     # Round-6 window: explicit, stalest-first (see docstring). Derived
     # from CORRECTNESS_r01..r05 — each gate's LAST driver-green round.
     _window = (
-        # -- last driver-green in round 2 (25 gates) --
-        "q14_promo_revenue_share",
-        "q18_large_volume_orders",
-        "top3_customers_per_nation",
-        "revenue_rollup_region_nation",
-        "nations_customers_and_suppliers",
-        "nations_customers_only",
-        "customers_without_orders",
-        "suppliers_in_rich_nations",
-        "distinct_parts_per_flag",
-        "nation_balance_full_outer",
-        "events_hourly_stats",
-        "orders_above_customer_avg",
-        "order_size_buckets",
-        "q4_order_priority",
-        "q7_volume_shipping",
-        "setops_customer_supplier_nations",
-        "dedup_first_agg",
-        "q8_market_share",
-        "q13_order_count_distribution",
-        "q17_small_quantity_revenue",
-        "q19_brand_size_revenue",
-        "q22_idle_customers",
-        "rollup_flag_status_qty",
-        "events_json_extract",
-        "events_sessionization",
-        # -- last driver-green in round 3 (15 of the 20) --
-        "doc_langid_confusion",
-        "doc_fingerprints",
-        "doc_rolling_fingerprints",
-        "dedup_exact",
-        "dedup_exact_keepers",
-        "dedup_ngram_jaccard_pairs",
-        "dedup_embedding_cosine",
-        "dedup_clusters",
-        "flagship_revenue_by_region",
-        "q1_pricing_summary",
-        "q3_top_unshipped_orders",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q10_returned_items",
-        "q12_late_shipments_by_priority",
-        # (sim_cosine_topk, doc_token_stats, doc_quality_buckets,
-        #  doc_bpe_token_stats, multimodal_payload_stats — r3-green —
-        #  plus all 9 r4-green gates queue for round 7; the r2 set stays
-        #  fully in-window so nothing's last green row ages past 3
-        #  rounds. The six late-round-6 gates — doc_bm25_search,
-        #  doc_token_entropy, orders_pareto_share,
-        #  lineitem_column_profile, referential_integrity_audit,
-        #  streaming_stream_stream_join — also
-        #  queue FIRST for round 7 rather than displacing stale slots:
-        #  evicting any
-        #  in-window gate now would drop the round-6 window below the
-        #  >=40-stale-gates rotation target, and the newcomers are
-        #  covered by ORACLES_LOCAL_r06.json + pytest recomputes until
-        #  their first driver row.)
-        # -- new round-6 gates (never driver-verified → must be in-window
-        #    per the standing policy) --
-        "stats_pruned_scan",
-        "sim_ann_ivf_bucketed",
-        "streaming_dim_join",
-        "events_moving_avg",
-        "doc_chunk_dedup",
-        "emb_truncation_quality",
-        "orders_repeat_interval",
-        "doc_zipf_slope",
-        "doc_quality_yield",
-        "streaming_upsert_cdc",
+        "doc_bm25_search",
+        "doc_token_entropy",
+        "orders_pareto_share",
+        "lineitem_column_profile",
+        "referential_integrity_audit",
+        "streaming_stream_stream_join",
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_promotion_suppliers",
+        "q21_suppliers_kept_waiting",
+        "sim_cosine_topk",
+        "doc_token_stats",
+        "doc_quality_buckets",
+        "doc_bpe_token_stats",
+        "multimodal_payload_stats",
+        "dml_overwrite_dynamic",
+        "tt_snapshot_counts",
+        "insert_overwrite_static",
+        "incremental_read_appends",
+        "sim_threshold_pairs",
+        "sim_ann_lsh_topk",
+        "asof_click_attribution",
+        "range_join_error_window",
+        "sim_label_centroid_norms",
+        "dml_merge_upsert",
+        "dml_delete_update",
+        "dml_delete_update_mor",
+        "merge_not_matched_by_source",
+        "branch_write_isolation",
+        "compaction_preserves_table",
+        "changelog_row_counts",
+        "changelog_update_images",
+        "mv_incremental_refresh",
+        "mv_rollup_correctness",
+        "schema_evolution_read",
+        "partition_evolution_read",
+        "partition_pruned_scan",
+        "sql_ctas_rtas",
+        "streaming_ingest_hourly",
+        "streaming_running_counts",
+        "streaming_stateful_dedup",
+        "bucketed_colocated_join",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_hamming_pairs",
+        "skew_salted_agg",
+        "skew_salted_join",
+        "q15_top_supplier",
+        "cube_flag_status_price",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])
