@@ -146,27 +146,40 @@ def maintain_streaming_table(table: Table, older_than_ms: int | None = None,
 # ---------------------------------------------------------------------------
 
 def stream_table_appends(table: Table, start_snapshot_id: int | None = None,
-                         skip_overwrite: bool = True):
+                         skip_overwrite: bool = True,
+                         skip_delete: bool = True):
     """Incremental micro-batch read of a table's append snapshots — the
     engine-side analogue of ``readStream.format("iceberg")`` with
-    stream-from-timestamp / skip-overwrite-snapshots semantics
+    stream-from-timestamp / streaming-skip-overwrite-snapshots /
+    streaming-skip-delete-snapshots semantics
     (docs/spark-structured-streaming.md:29-37). Yields
     ``(snapshot_id, DataFrame-of-added-rows)`` oldest→newest for every
     append after ``start_snapshot_id`` (exclusive; None = from the
-    beginning). Each batch reads only that snapshot's ADDED files — work per
-    poll ∝ new data, never table size."""
+    beginning). Overwrite and delete snapshots each error unless their
+    skip flag is set (both default on here — this engine's callers are
+    ingest pipelines that co-exist with DML); ``replace`` snapshots
+    (compaction / position-delete rewrites) are always passed over
+    silently, matching Iceberg's treatment of data-neutral commits. Each
+    batch reads only that snapshot's ADDED files — work per poll ∝ new
+    data, never table size."""
     table.refresh()
     md = table.metadata
     chain = list(reversed(md.ancestors()))  # oldest → newest
     ids = [s.snapshot_id for s in chain]
     lo = ids.index(start_snapshot_id) + 1 if start_snapshot_id in ids else 0
     for snap in chain[lo:]:
-        if snap.operation != "append":
-            if skip_overwrite:
+        op = snap.operation
+        if op == "replace":
+            continue  # compaction rewrites carry no new rows
+        if op != "append":
+            # DELETE (row-level deletes, CoW or MoR) vs everything else
+            # (overwrite family: INSERT OVERWRITE, UPDATE, MERGE)
+            if (skip_delete if op == "delete" else skip_overwrite):
                 continue
+            flag = "skip_delete" if op == "delete" else "skip_overwrite"
             raise ValueError(
                 f"stream hit non-append snapshot {snap.snapshot_id} "
-                f"({snap.operation}); pass skip_overwrite=True to skip")
+                f"({op}); pass {flag}=True to skip")
         by_path = {f.path: f for f in snap.files}
         added = [by_path[p] for p in snap.added_files if p in by_path]
         yield snap.snapshot_id, table._read_files(
@@ -174,7 +187,8 @@ def stream_table_appends(table: Table, start_snapshot_id: int | None = None,
 
 
 def process_table_stream(table: Table, checkpoint_path: str, fn,
-                         skip_overwrite: bool = True) -> int:
+                         skip_overwrite: bool = True,
+                         skip_delete: bool = True) -> int:
     """Exactly-once incremental consumer: applies ``fn(batch_df,
     snapshot_id)`` to each unseen append snapshot, committing the consumed
     snapshot id to ``checkpoint_path`` AFTER each successful batch (the same
@@ -189,7 +203,8 @@ def process_table_stream(table: Table, checkpoint_path: str, fn,
             content = fh.read().strip()
             last = int(content) if content else None
     n = 0
-    for snap_id, df in stream_table_appends(table, last, skip_overwrite):
+    for snap_id, df in stream_table_appends(table, last, skip_overwrite,
+                                            skip_delete):
         fn(df, snap_id)
         tmp = checkpoint_path + ".tmp"
         with open(tmp, "w") as fh:

@@ -344,3 +344,56 @@ def test_stream_stream_join_matches_batch_and_restarts_clean(
     t.refresh()
     assert len(t.metadata.snapshots) == n_snaps
     assert t.scan().count() == len(got)
+
+
+def test_stream_skip_delete_snapshots(spark, tmp_path):
+    """Reference parity (docs/spark-structured-streaming.md:29-37): delete
+    snapshots are skipped under skip_delete (default) and error when
+    skip_delete=False; interleaved appends+DELETEs stream exactly the
+    appended rows, restart-idempotent; compaction REPLACE snapshots are
+    always silently passed over."""
+    from iceberg_demo_spark.streaming import (
+        process_table_stream,
+        stream_table_appends,
+    )
+    from iceberg_demo_spark.tables import Catalog, procedures as proc
+
+    catalog = Catalog(spark, str(tmp_path / "wh_del"))
+    t = catalog.create_table("db.src_del", "id bigint, v double")
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(5)],
+                                   schema=t.schema()))
+    t.delete_where("id = 1")                      # CoW delete snapshot
+    t.append(spark.createDataFrame([(10, 10.0)], schema=t.schema()))
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete_where("id = 2")                      # MoR delete snapshot
+    t.append(spark.createDataFrame([(20, 20.0)], schema=t.schema()))
+    proc.rewrite_data_files(t)                    # REPLACE snapshot
+
+    ops = [s.operation for s in reversed(t.metadata.ancestors())]
+    assert "delete" in ops and "replace" in ops
+
+    batches = list(stream_table_appends(t))       # both skips default on
+    assert [df.count() for _sid, df in batches] == [5, 1, 1]
+    got = sorted(r["id"] for _sid, df in batches for r in df.collect())
+    assert got == [0, 1, 2, 3, 4, 10, 20]         # the APPENDED rows only
+
+    with pytest.raises(ValueError, match="skip_delete"):
+        list(stream_table_appends(t, skip_delete=False))
+    t.update_where({"v": "v + 1"}, "id = 0")  # overwrite snapshot
+    with pytest.raises(ValueError, match="skip_overwrite"):
+        list(stream_table_appends(t, skip_overwrite=False))
+
+    # exactly-once consumer: restart re-delivers nothing
+    ckpt = str(tmp_path / "del_consumer.ckpt")
+    seen: list[int] = []
+    assert process_table_stream(
+        t, ckpt, lambda df, sid: seen.append(df.count())) == 3
+    assert seen == [5, 1, 1]
+    assert process_table_stream(
+        t, ckpt, lambda df, sid: seen.append(-1)) == 0
+    # a delete between restarts is invisible; the next append is not
+    t.delete_where("id = 3")
+    t.append(spark.createDataFrame([(30, 30.0)], schema=t.schema()))
+    assert process_table_stream(
+        t, ckpt, lambda df, sid: seen.append(df.count())) == 1
+    assert seen == [5, 1, 1, 1]
