@@ -66,6 +66,11 @@ HEADLINE = [
     "stats_pruned_scan",
     "sim_ann_ivf_bucketed",
     "doc_bm25_search",
+    # round-7 additions: the two heaviest of the new partsupp TPC-H gates —
+    # q9 is the multi-fact composite-key star join, q21 the double
+    # self-join; both stress shuffle planning more than anything above.
+    "q9_product_profit",
+    "q21_suppliers_kept_waiting",
 ]
 
 

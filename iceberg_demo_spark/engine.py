@@ -74,6 +74,28 @@ class Engine:
         # table bind to temp views; everything else passes through.
         return self.spark.sql(self._bind_catalog_refs(text))
 
+    def _describe_view(self, name: str, extended: bool) -> "DataFrame":
+        """DESCRIBE [EXTENDED] <view> (docs/spark-ddl.md:682-687) with
+        Spark's documented 3-column shape; EXTENDED appends the
+        '# Detailed View Information' section."""
+        v = self.catalog.views[name]
+        df = self.catalog.view_df(name)
+        alias_comments = {a: c for a, c in v.get("column_aliases") or [] if c}
+        rows = [(f.name, f.dataType.simpleString(),
+                 alias_comments.get(f.name, "")) for f in df.schema.fields]
+        if extended:
+            rows.append(("", "", ""))
+            rows.append(("# Detailed View Information", "", ""))
+            rows.append(("Name", name, ""))
+            if v.get("comment"):
+                rows.append(("Comment", v["comment"], ""))
+            rows.append(("View Text", v["sql"], ""))
+            rows.append(("View Properties",
+                         ", ".join(f"{k}={val}" for k, val
+                                   in sorted(v["properties"].items())), ""))
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
+
     # -- SQL DDL over catalog tables (iceberg_it.py:267-860 surface) --------
 
     @staticmethod
@@ -201,20 +223,57 @@ class Engine:
             return self.spark.createDataFrame(
                 rows or [("", "")], "namespace string, tableName string"
             ).filter("tableName != ''")
-        if re.match(r"(?is)^show\s+views$", s):
+        m = re.match(r"(?is)^show\s+views(?:\s+in\s+([\w.]+))?$", s)
+        if m:
+            # Spark's documented output columns (sql-ref-syntax-aux-show-
+            # views; docs/spark-ddl.md:655-670): namespace / viewName /
+            # isTemporary. Engine views are persistent (never temp).
+            ns = m.group(1)
+            rows = []
+            for v in self.catalog.list_views():
+                v_ns, _, v_name = v.rpartition(".")
+                if ns is None or v_ns == ns or v == ns:
+                    rows.append((v_ns, v_name, False))
             return self.spark.createDataFrame(
-                [(v,) for v in self.catalog.list_views()] or [("",)],
-                "viewName string").filter("viewName != ''")
-        m = re.match(r"(?is)^show\s+tblproperties\s+([\w.]+)$", s)
-        if m and self.catalog.table_exists(m.group(1)):
-            props = self.catalog.load_table(m.group(1)).properties
-            return self.spark.createDataFrame(
-                sorted(props.items()), "key string, value string")
+                rows or [("", "", False)],
+                "namespace string, viewName string, isTemporary boolean"
+            ).filter("viewName != ''")
+        m = re.match(r"(?is)^show\s+tblproperties\s+([\w.]+)"
+                     r"(?:\s*\(\s*'([^']+)'\s*\))?$", s)
+        if m:
+            name, key = m.group(1), m.group(2)
+            props = None
+            if self.catalog.table_exists(name):
+                props = self.catalog.load_table(name).properties
+            elif name in self.catalog.views:
+                props = self.catalog.views[name]["properties"]
+            if props is not None:
+                if key is not None:
+                    items = [(key, props.get(
+                        key, f"Table {name} does not have property: {key}"))]
+                else:
+                    items = sorted(props.items())
+                return self.spark.createDataFrame(
+                    items or [("", "")], "key string, value string"
+                ).filter("key != ''")
         m = re.match(r"(?is)^show\s+create\s+table\s+([\w.]+)$", s)
         if m and self.catalog.table_exists(m.group(1)):
             return self.spark.createDataFrame(
                 [(self.catalog.show_create_table(m.group(1)),)],
                 "createtab_stmt string")
+        if m and m.group(1) in self.catalog.views:
+            # docs/spark-ddl.md:674-679: SHOW CREATE TABLE works on views
+            v = self.catalog.views[m.group(1)]
+            text = f"CREATE VIEW {m.group(1)}"
+            if v.get("comment"):
+                text += f"\nCOMMENT '{v['comment']}'"
+            if v["properties"]:
+                props = ",\n  ".join(f"'{k}' = '{val}'"
+                                     for k, val in sorted(v["properties"].items()))
+                text += f"\nTBLPROPERTIES (\n  {props})"
+            text += f"\nAS {v['sql']}"
+            return self.spark.createDataFrame(
+                [(text,)], "createtab_stmt string")
         m = re.match(r"(?is)^describe\s+(?:table\s+)?(extended\s+)?([\w.]+)$", s)
         if m and self.catalog.table_exists(m.group(2)):
             if m.group(1):
@@ -223,6 +282,8 @@ class Engine:
             return self.spark.createDataFrame(
                 [(f.name, f.type, f.comment or "") for f in t.metadata.schema],
                 "col_name string, data_type string, comment string")
+        if m and m.group(2) in self.catalog.views:
+            return self._describe_view(m.group(2), extended=bool(m.group(1)))
         m = re.match(r"(?is)^drop\s+table\s+(if\s+exists\s+)?([\w.]+)(\s+purge)?$", s)
         if m:
             self.catalog.drop_table(m.group(2), purge=bool(m.group(3)),
