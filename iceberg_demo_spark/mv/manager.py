@@ -59,28 +59,41 @@ _NULL_PROP_FNS = {
 
 def _null_propagating_over(expr: str, nt: str) -> bool:
     """True when ``expr`` provably evaluates to NULL whenever every column
-    of nullable table ``nt`` is NULL: a plain ``nt.col``, or one
-    whitelisted null-propagating function whose column arguments are all
-    ``nt.col`` refs and whose other arguments are literals."""
+    of nullable table ``nt`` is NULL: a plain ``nt.col``; one whitelisted
+    null-propagating function whose column arguments are all ``nt.col``
+    refs and whose other arguments are literals; or (round 7, VERDICT r6
+    #6) ANY composition of strict operators (``+ - * / % ||``) and
+    whitelisted strict functions whose leaves are qualified column refs
+    (of any table) and literals, with at least one ``nt`` ref — every
+    admitted operator/function returns NULL if any argument is NULL, so a
+    NULL at an ``nt`` leaf provably reaches the root. Bare identifiers,
+    CASE/COALESCE-family constructs, and unknown functions refuse (the MV
+    then takes the always-correct full recompute)."""
     e = expr.strip().lower()
     col = rf"{re.escape(nt)}\.\w+"
     if re.fullmatch(col, e):
         return True
     m = re.fullmatch(r"(\w+)\s*\((.*)\)", e, re.DOTALL)
-    if not m or m.group(1) not in _NULL_PROP_FNS:
-        return False
-    inner = m.group(2).strip()
-    if m.group(1) == "cast":
+    if m and m.group(1) == "cast":
+        inner = m.group(2).strip()
         return re.fullmatch(
             rf"({col})\s+as\s+\w+(\(\d+(,\s*\d+)?\))?", inner) is not None
-    saw_col = False
-    for a in _split_top_level(inner, ","):
-        a = a.strip()
-        if re.fullmatch(col, a):
-            saw_col = True
-        elif not re.fullmatch(r"'[^']*'|-?\d+(\.\d+)?", a):
-            return False
-    return saw_col
+    # general strict-composition form
+    s = re.sub(r"'(?:[^']|'')*'", " '' ", e)  # blank string literals
+    if not re.search(col, s):
+        return False
+    for t in re.finditer(r"[a-z_][\w.]*", s):
+        tok = t.group(0)
+        if s[t.end():].lstrip()[:1] == "(":
+            if tok not in _NULL_PROP_FNS or tok == "cast":
+                return False  # unknown or non-strict-parseable function
+            continue
+        if "." not in tok:
+            return False  # bare identifier / keyword — semantics unknown
+    # everything that isn't an identifier/literal must be a strict
+    # operator, parens, comma, or whitespace
+    resid = re.sub(r"[a-z_][\w.]*|\d+(\.\d+)?|''", " ", s)
+    return re.fullmatch(r"[\s()+\-*/%|,]*", resid) is not None
 
 
 def _null_rejecting(cond: str, nt: str) -> bool:

