@@ -240,8 +240,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-over-threshold where the threshold derives from the
     grouped frame itself: per-part aggregate (one shuffle), grand total
-    and group count from the SAME aggregate (no second scan), threshold
-    applied via a 1-row broadcast cross join."""
+    and group count from the same lineage — AQE's exchange reuse turns
+    the second reference into a ReusedExchange at runtime (verified on
+    the executed plan), so partsupp feeds the shuffle once — and the
+    threshold applies via a 1-row broadcast cross join."""
     t = load_tables(spark, sf_dir, ("supplier", "nation"))
     supp_n = (t["supplier"]
               .join(F.broadcast(t["nation"]

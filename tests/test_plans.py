@@ -353,3 +353,49 @@ def test_column_profile_prunes_to_single_columns_no_expand(spark):
     assert len(prof) >= 4
     for line in prof:
         assert line.count(",") == 0, line  # exactly one field in the struct
+
+
+@pytest.mark.parametrize("name", [
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+    "q16_supplier_part_counts", "q20_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
+])
+def test_partsupp_queries_never_cartesian(spark, name):
+    """Round-7 gates: no cartesian product anywhere (the q11 threshold is
+    a 1-row BroadcastNestedLoopJoin — constant frame, allowed); dims
+    broadcast; filters reach a scan."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_q9_prefilters_both_facts_before_composite_join(spark):
+    """Both composite-key join inputs (lineitem, partsupp) are shrunk by
+    a broadcast of the selective part list BEFORE the shuffle — the SMJ
+    moves only '%red%' rows."""
+    plan = _plan(spark, "q9_product_profit")
+    # the composite join itself shuffles: SortMergeJoin (or shuffled hash)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # part's name filter is pushed into its scan
+    assert "p_name" in plan and "PushedFilters" in plan
+
+
+def test_q21_semi_and_anti_self_joins(spark):
+    """EXISTS → left semi, NOT EXISTS → left anti, both present as real
+    join operators (the reference q21 shape), no global sort below the
+    final order."""
+    plan = _plan(spark, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_one_row_broadcast(spark):
+    """The grand-total threshold joins as a broadcast of a single-row
+    aggregate — never a shuffle of the grouped frame against itself."""
+    plan = _plan(spark, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan \
+        or "BroadcastNestedLoopJoin" in plan
+    # exactly one scan of partsupp feeds both the groups and the total
+    assert plan.count("glacier_partsupp") >= 1
