@@ -19,8 +19,10 @@ parity needs no side-channel file. q21's "receipt later than commit"
 per-row flag is the same trick: a deterministic arithmetic surrogate on
 ``(l_orderkey, l_linenumber)`` (testdata has no receipt/commit columns);
 the query's join logic — late line, EXISTS another supplier on the
-order, NOT EXISTS another LATE supplier — is the reference shape intact
-(reference runs the full TPC-H suite; see docs/spark-queries.md).
+order, NOT EXISTS another LATE supplier — is the classic q21 shape
+intact. (These six are beyond-parity relational gates: the reference
+publishes no TPC-H suite; COVERAGE.md tracks TPC-H as the repo's own
+completeness bar for SQL plan shapes.)
 
 Scale posture: the derivation is a one-time staged write (cached per SF
 under the private scratch root, exactly like the IVF inverted lists) —
