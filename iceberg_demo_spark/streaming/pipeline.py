@@ -147,7 +147,8 @@ def maintain_streaming_table(table: Table, older_than_ms: int | None = None,
 
 def stream_table_appends(table: Table, start_snapshot_id: int | None = None,
                          skip_overwrite: bool = True,
-                         skip_delete: bool = True):
+                         skip_delete: bool = True,
+                         from_timestamp_ms: int | None = None):
     """Incremental micro-batch read of a table's append snapshots — the
     engine-side analogue of ``readStream.format("iceberg")`` with
     stream-from-timestamp / streaming-skip-overwrite-snapshots /
@@ -167,6 +168,13 @@ def stream_table_appends(table: Table, start_snapshot_id: int | None = None,
     chain = list(reversed(md.ancestors()))  # oldest → newest
     ids = [s.snapshot_id for s in chain]
     lo = ids.index(start_snapshot_id) + 1 if start_snapshot_id in ids else 0
+    if from_timestamp_ms is not None:
+        # stream-from-timestamp (docs/spark-structured-streaming.md:29-37):
+        # start with the first snapshot committed AT or AFTER the given
+        # wall-clock ms — a historical replay point that needs no snapshot
+        # id in hand. Combines with start_snapshot_id as max(both starts).
+        while lo < len(chain) and chain[lo].timestamp_ms < from_timestamp_ms:
+            lo += 1
     for snap in chain[lo:]:
         op = snap.operation
         if op == "replace":

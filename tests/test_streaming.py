@@ -397,3 +397,30 @@ def test_stream_skip_delete_snapshots(spark, tmp_path):
     assert process_table_stream(
         t, ckpt, lambda df, sid: seen.append(df.count())) == 1
     assert seen == [5, 1, 1, 1]
+
+
+def test_stream_from_timestamp(spark, tmp_path):
+    """stream-from-timestamp parity: start with the first snapshot
+    committed at/after the given wall-clock ms — no snapshot id needed
+    (docs/spark-structured-streaming.md:29-37)."""
+    from iceberg_demo_spark.streaming import stream_table_appends
+    from iceberg_demo_spark.tables import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh_ts"))
+    t = catalog.create_table("db.src_ts", "id bigint")
+    for lo in (0, 10, 20):
+        t.append(spark.createDataFrame([(lo,)], schema=t.schema()))
+    chain = list(reversed(t.metadata.ancestors()))
+    cut = chain[1].timestamp_ms  # at the 2nd commit's stamp
+
+    got = list(stream_table_appends(t, from_timestamp_ms=cut))
+    assert [sid for sid, _ in got] == [s.snapshot_id for s in chain[1:]]
+    assert sorted(r["id"] for _s, df in got for r in df.collect()) == [10, 20]
+    # a future timestamp yields nothing; epoch yields everything
+    assert list(stream_table_appends(
+        t, from_timestamp_ms=chain[-1].timestamp_ms + 10_000)) == []
+    assert len(list(stream_table_appends(t, from_timestamp_ms=0))) == 3
+    # combines with start_snapshot_id: the LATER of the two starts wins
+    got2 = list(stream_table_appends(
+        t, start_snapshot_id=chain[1].snapshot_id, from_timestamp_ms=cut))
+    assert [sid for sid, _ in got2] == [chain[2].snapshot_id]
