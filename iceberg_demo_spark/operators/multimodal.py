@@ -441,3 +441,113 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("orig_bytes").alias("min_orig"),
         F.min(F.md5("resized")).alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAV PCM codec (stdlib struct — no audio libs needed)
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000  # Hz, 16-bit mono PCM
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """A REAL canonical RIFF/WAVE file (44-byte PCM header + int16 LE
+    data) whose sample values are a pure function of ``doc_id`` — the
+    audio analogue of the deterministic image payloads: the bytes are
+    genuinely parseable by any WAV reader, while every derived statistic
+    stays closed-form for the SQL oracle."""
+    import struct
+
+    n = 100 + (doc_id % 400)
+    samples = np.array(
+        [((doc_id * 31 + i * 7) % 2048) - 1024 for i in range(n)],
+        dtype="<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
+                                _WAV_RATE * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, int, int]:
+    """(sample_rate, n_samples, duration_ms, peak, pcm_sum) via real RIFF
+    chunk walking — finds 'fmt ' and 'data' wherever they sit rather than
+    assuming fixed offsets; raises on anything that isn't 16-bit PCM."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            _fmt, channels, rate, _bps, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"unsupported PCM layout: {bits}-bit x{channels}")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return (rate, len(pcm), len(pcm) * 1000 // rate,
+            int(np.abs(pcm).max()) if len(pcm) else 0, int(pcm.sum()))
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle=f"""
+    WITH clips AS (
+      SELECT source, 100 + (doc_id % 400) AS n,
+             list_max(list_transform(generate_series(0, 99 + (doc_id % 400)),
+               i -> abs(((doc_id * 31 + i * 7) % 2048) - 1024))) AS peak,
+             list_sum(list_transform(generate_series(0, 99 + (doc_id % 400)),
+               i -> ((doc_id * 31 + i * 7) % 2048) - 1024)) AS s
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_clips,
+           CAST(SUM(n) AS BIGINT) AS total_samples,
+           CAST(SUM(n // 8) AS BIGINT) AS total_duration_ms,
+           CAST(MAX(peak) AS BIGINT) AS max_peak,
+           CAST(SUM(s) AS BIGINT) AS pcm_sum
+    FROM clips
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as an opaque binary column: synthesize a real WAV per doc,
+    then decode with the real chunk-walking parser — both inside ONE
+    ``mapInPandas`` pass (Arrow-batched, bytes never leave the executor),
+    then aggregate per source. The oracle recomputes every statistic
+    closed-form from the generation rule, so header parsing, PCM
+    extraction, and the duration/peak/sum math are all value-checked.
+    At 100 TB the same operator reads payloads from parquet binary
+    columns; per-task memory is one Arrow batch of clips."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "source")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                rate, n, dur, peak, ssum = parse_wav(synth_wav(int(doc_id)))
+                rows.append((source, rate, n, dur, peak, ssum))
+            yield pd.DataFrame(rows, columns=[
+                "source", "rate", "n", "dur", "peak", "ssum"])
+
+    clip = docs.mapInPandas(
+        stats, "source string, rate int, n long, dur long, peak long, "
+               "ssum long")
+    return (
+        clip.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clips"),
+             F.sum("n").alias("total_samples"),
+             F.sum("dur").alias("total_duration_ms"),
+             F.max("peak").alias("max_peak"),
+             F.sum("ssum").alias("pcm_sum"))
+        .orderBy("source")
+    )

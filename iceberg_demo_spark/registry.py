@@ -91,8 +91,9 @@ def load_all() -> None:
         "q16_supplier_part_counts",
         "q20_promotion_suppliers",
         "q21_suppliers_kept_waiting",
-        # -- never driver-verified: round-7 semantic dedup --
+        # -- never driver-verified: round-7 semantic dedup + audio codec --
         "emb_semdedup",
+        "multimodal_audio_stats",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -129,10 +130,10 @@ def load_all() -> None:
         "dedup_simhash_hamming_pairs",
         "skew_salted_agg",
         "skew_salted_join",
-        "q15_top_supplier",
-        # (cube_flag_status_price rotates to the round-8 queue — its slot
-        #  went to the late-round-7 emb_semdedup gate, which must sit in
-        #  the window per the standing new-gate policy)
+        # (q15_top_supplier and cube_flag_status_price rotate to the
+        #  round-8 queue — their slots went to the late-round-7
+        #  emb_semdedup and multimodal_audio_stats gates, which must sit
+        #  in the window per the standing new-gate policy)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

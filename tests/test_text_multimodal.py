@@ -222,3 +222,39 @@ def test_token_entropy_matches_python_recompute(spark):
         assert abs(row["avg_entropy"] - sum(hs) / len(hs)) < 1e-4
         assert abs(row["min_entropy"] - min(hs)) < 1e-4
         assert abs(row["max_entropy"] - max(hs)) < 1e-4
+
+
+def test_wav_codec_roundtrip_and_chunk_walking():
+    """Round 7 audio codec: real RIFF synth/parse round-trip; the parser
+    walks chunks (word-aligned) rather than assuming fixed offsets, and
+    rejects non-WAV and non-16-bit-PCM payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_demo_spark.operators.multimodal import parse_wav, synth_wav
+
+    for doc_id in (0, 7, 399, 400, 123456):
+        rate, n, dur, peak, ssum = parse_wav(synth_wav(doc_id))
+        assert rate == 8000
+        assert n == 100 + (doc_id % 400)
+        assert dur == n * 1000 // 8000
+        samples = [((doc_id * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+        assert peak == max(abs(s) for s in samples)
+        assert ssum == sum(samples)
+
+    # an extra odd-sized chunk before fmt/data must be skipped (padded)
+    pcm = np.array([5, -6, 7], dtype="<i2").tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # word pad
+    body = junk + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert parse_wav(wav) == (8000, 3, 0, 7, 6)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"NOTAWAVE" + b"\x00" * 64)
+    bad_fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    body = bad_fmt + b"data" + struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
