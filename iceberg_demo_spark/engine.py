@@ -289,6 +289,28 @@ class Engine:
             self.catalog.drop_table(m.group(2), purge=bool(m.group(3)),
                                     if_exists=bool(m.group(1)))
             return self._status(f"dropped table {m.group(2)}")
+        m = re.match(r"(?is)^create\s+(?:database|namespace|schema)\s+"
+                     r"(if\s+not\s+exists\s+)?([\w.]+)$", s)
+        if m:
+            self.catalog.create_database(m.group(2),
+                                         if_not_exists=bool(m.group(1)))
+            return self._status(f"created database {m.group(2)}")
+        m = re.match(r"(?is)^drop\s+(?:database|namespace|schema)\s+"
+                     r"(if\s+exists\s+)?([\w.]+)(\s+cascade)?(\s+purge)?$", s)
+        if m:
+            import os as _os
+
+            if m.group(1) and not _os.path.isdir(
+                    _os.path.join(self.catalog.warehouse,
+                                  *m.group(2).split("."))):
+                return self._status(f"database {m.group(2)} absent")
+            self.catalog.drop_database(m.group(2), cascade=bool(m.group(3)),
+                                       purge=bool(m.group(4)))
+            return self._status(f"dropped database {m.group(2)}")
+        if re.match(r"(?is)^show\s+(?:databases|namespaces)$", s):
+            return self.spark.createDataFrame(
+                [(d,) for d in self.catalog.list_databases()] or [("",)],
+                "namespace string").filter("namespace != ''")
         m = re.match(r"(?is)^alter\s+table\s+([\w.]+)\s+(.+)$", s)
         if m and self.catalog.table_exists(m.group(1)):
             return self._alter_table(m.group(1), m.group(2).strip())

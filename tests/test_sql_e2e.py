@@ -313,3 +313,28 @@ def test_show_views_tblproperties_describe_statement_text(engine, spark):
     ct = eng.sql("SHOW CREATE TABLE db.v_meta").collect()[0]["createtab_stmt"]
     assert ct.startswith("CREATE VIEW db.v_meta")
     assert "COMMENT 'meta view'" in ct and "'vp' = '1'" in ct
+
+
+def test_database_statements_route_through_engine_sql(engine):
+    """CREATE/DROP/SHOW DATABASE as statement text (iceberg_it.py:185-187
+    surface; DROP ... CASCADE runs the read-only guard across contained
+    tables first)."""
+    eng = engine
+    eng.sql("CREATE DATABASE mydb")
+    assert [r["namespace"] for r in
+            eng.sql("SHOW DATABASES").collect()] == ["mydb"]
+    eng.sql("CREATE DATABASE IF NOT EXISTS mydb")  # idempotent
+    with pytest.raises(Exception):
+        eng.sql("CREATE DATABASE mydb")
+    eng.sql("CREATE TABLE mydb.t1 (id BIGINT)")
+    with pytest.raises(ValueError, match="not empty"):
+        eng.sql("DROP DATABASE mydb")
+    eng.sql("DROP DATABASE mydb CASCADE")
+    assert not eng.catalog.table_exists("mydb.t1")
+    eng.sql("DROP DATABASE IF EXISTS nosuch")  # no error
+    # read-only table blocks the cascade (ReadOnlyTableCheckRule parity)
+    eng.sql("CREATE DATABASE ro")
+    eng.sql("CREATE TABLE ro.t (id BIGINT) "
+            "TBLPROPERTIES ('hive-ext.readOnly' = 'true')")
+    with pytest.raises(Exception, match="read-only|read only"):
+        eng.sql("DROP DATABASE ro CASCADE")
