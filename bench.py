@@ -68,9 +68,12 @@ HEADLINE = [
     "doc_bm25_search",
     # round-7 additions: the two heaviest of the new partsupp TPC-H gates —
     # q9 is the multi-fact composite-key star join, q21 the double
-    # self-join; both stress shuffle planning more than anything above.
+    # self-join; both stress shuffle planning more than anything above —
+    # plus the cluster-restricted semantic dedup (broadcast-assign +
+    # per-cluster BLAS block).
     "q9_product_profit",
     "q21_suppliers_kept_waiting",
+    "emb_semdedup",
 ]
 
 
