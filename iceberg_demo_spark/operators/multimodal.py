@@ -459,9 +459,8 @@ def synth_wav(doc_id: int) -> bytes:
     import struct
 
     n = 100 + (doc_id % 400)
-    samples = np.array(
-        [((doc_id * 31 + i * 7) % 2048) - 1024 for i in range(n)],
-        dtype="<i2")
+    samples = (((doc_id * 31 + np.arange(n, dtype=np.int64) * 7) % 2048)
+               - 1024).astype("<i2")
     data = samples.tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE,
