@@ -455,7 +455,8 @@ _COS_DUP_THRESHOLD = 0.40
 
 
 def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
-                        rows_per_block: int = 8192) -> DataFrame:
+                        rows_per_block: int = 8192,
+                        group_col: str | None = None) -> DataFrame:
     """(id_dup, id_keep, sim): rows whose embedding has cosine >= threshold
     with a lower-id vector; keeper = the smallest such neighbor id. EXACT
     all-pairs (this is the oracle-gated semantic dedup; the approximate
@@ -475,21 +476,34 @@ def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
     volume is n·B rows; the quadratic block-pair count is the irreducible
     cost of EXACT all-pairs and parallelizes across B·(B+1)/2 independent
     tasks. Past ~10⁶ vectors exact all-pairs is the wrong tool regardless
-    of engine — use the LSH/IVF candidate generators (similarity.py)."""
+    of engine — use the LSH/IVF candidate generators (similarity.py).
+
+    With ``group_col`` the same blocked kernel runs WITHIN each group
+    (semantic dedup's cluster restriction): block counts derive from
+    per-group sizes (one tiny broadcast frame), the shuffle key becomes
+    (group, i, j), and per-task memory stays bounded by 2·rows_per_block
+    vectors even when one cluster holds millions of rows — the output
+    gains the group column."""
     import numpy as np
     import pandas as pd
 
-    n = emb.count()
-    nb = max(1, -(-n // rows_per_block))  # ceil
-
+    gcols = [group_col] if group_col else []
+    if group_col:
+        sizes = emb.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+        w = emb.join(F.broadcast(sizes), group_col)
+    else:
+        n = emb.count()
+        w = emb.withColumn("_n", F.lit(n))
     # every (i,j) block pair with i<=j, exactly once per row: for this
     # row's block b, pair with x>=b as (b,x) and x<b as (x,b)
-    w = emb.select("vec_id", "v").withColumn(
-        "_b", F.pmod(F.crc32(F.col("vec_id").cast("string")), F.lit(nb)))
+    w = (w.withColumn("_nb", F.greatest(
+            F.lit(1), F.ceil(F.col("_n") / rows_per_block)))
+         .withColumn("_b", F.pmod(F.crc32(F.col("vec_id").cast("string")),
+                                  F.col("_nb"))))
     g = w.withColumn(
         "_g",
         F.explode(F.expr(
-            f"transform(sequence(0, {nb - 1}), x -> "
+            "transform(sequence(0, _nb - 1), x -> "
             "CASE WHEN x >= _b THEN struct(_b AS i, x AS j) "
             "ELSE struct(x AS i, _b AS j) END)")))
 
@@ -497,10 +511,13 @@ def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
         i, j = int(pdf["_i"].iloc[0]), int(pdf["_j"].iloc[0])
         left = pdf[pdf["_b"] == i]
         right = pdf[pdf["_b"] == j]
+        empty = {"id_dup": pd.Series(dtype="int64"),
+                 "id_keep": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+        if group_col:
+            empty[group_col] = pd.Series(dtype="int64")
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"id_dup": pd.Series(dtype="int64"),
-                                 "id_keep": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
+            return pd.DataFrame(empty)
         L = np.stack(left["v"].values).astype(np.float64)
         R = np.stack(right["v"].values).astype(np.float64)
         L /= np.linalg.norm(L, axis=1, keepdims=True)
@@ -515,19 +532,24 @@ def embedding_near_dups(emb: DataFrame, threshold: float = _COS_DUP_THRESHOLD,
             mask &= lid[:, None] < rid[None, :]
         li, ri = np.nonzero(mask)
         a, b = lid[li], rid[ri]
-        return pd.DataFrame({"id_dup": np.maximum(a, b),
-                             "id_keep": np.minimum(a, b),
-                             "sim": sims[li, ri]})
+        out = {"id_dup": np.maximum(a, b),
+               "id_keep": np.minimum(a, b),
+               "sim": sims[li, ri]}
+        if group_col:
+            out[group_col] = np.full(len(li), pdf[group_col].iloc[0])
+        return pd.DataFrame(out)
 
+    schema = "id_dup bigint, id_keep bigint, sim double" + (
+        f", {group_col} bigint" if group_col else "")
     pairs = (
-        g.select("vec_id", "v", "_b",
+        g.select(*gcols, "vec_id", "v", "_b",
                  F.col("_g.i").alias("_i"), F.col("_g.j").alias("_j"))
-        .groupBy("_i", "_j")
-        .applyInPandas(block_pair, "id_dup bigint, id_keep bigint, sim double")
+        .groupBy(*gcols, "_i", "_j")
+        .applyInPandas(block_pair, schema)
     )
     keepers = pairs.groupBy("id_dup").agg(F.min("id_keep").alias("id_keep"))
     return keepers.join(pairs, ["id_dup", "id_keep"]).select(
-        "id_dup", "id_keep", F.round("sim", 4).alias("sim")
+        "id_dup", "id_keep", *gcols, F.round("sim", 4).alias("sim")
     )
 
 
@@ -790,14 +812,13 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the k centroids broadcast as one row (the emb_kmeans argmin
     fold — strictly-smaller minimum over cid-sorted seeds, reproducing
     the oracle's ORDER BY dist, cid tie-break); assignment is one
-    map-side pass; then ONE shuffle groups each cluster into a single
-    ``applyInPandas`` task that computes its pairwise block as one BLAS
-    matmul (the per-cluster analogue of embedding_near_dups' block
-    pairs). No driver collect, no corpus broadcast; per-task memory
-    bounded by the largest cluster."""
-    import numpy as np
-    import pandas as pd
-
+    map-side pass; then the within-cluster pairs run through the SAME
+    blocked BLAS kernel as exact all-pairs, just group-keyed
+    (``embedding_near_dups(group_col="cid")``): the shuffle key is
+    (cluster, block_i, block_j), so per-task memory stays bounded by
+    2·rows_per_block vectors even when one cluster holds millions of
+    rows — K tunes recall/cost, never a task's memory ceiling. No driver
+    collect, no corpus broadcast."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     pts = t["embeddings"].select("vec_id", F.col("embedding").alias("e"))
     seeds = (pts.filter(F.col("vec_id") < _SEM_K)
@@ -820,30 +841,8 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(_ARGMIN + ".cid").alias("cid"))
     )
 
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_dup": pd.Series(dtype="int64"),
-                                 "id_keep": pd.Series(dtype="int64"),
-                                 "cluster_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        X = np.stack(pdf["v"].values).astype(np.float64)
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        sims = X @ X.T
-        ids = pdf["vec_id"].values.astype(np.int64)
-        mask = (sims >= _COS_DUP_THRESHOLD) & (ids[:, None] < ids[None, :])
-        li, ri = np.nonzero(mask)
-        return pd.DataFrame({"id_dup": ids[ri], "id_keep": ids[li],
-                             "cluster_id": np.full(len(li),
-                                                   pdf["cid"].iloc[0]),
-                             "sim": sims[li, ri]})
-
-    pairs = assigned.groupBy("cid").applyInPandas(
-        cluster_pairs,
-        "id_dup bigint, id_keep bigint, cluster_id bigint, sim double")
-    keepers = pairs.groupBy("id_dup").agg(F.min("id_keep").alias("id_keep"))
     return (
-        keepers.join(pairs, ["id_dup", "id_keep"])
-        .select("id_dup", "id_keep", "cluster_id",
-                F.round("sim", 4).alias("sim"))
+        embedding_near_dups(assigned, group_col="cid")
+        .select("id_dup", "id_keep", F.col("cid").alias("cluster_id"), "sim")
         .orderBy("id_dup")
     )
