@@ -839,6 +839,11 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.crossJoin(F.broadcast(cents))
         .select("vec_id", F.col("e").cast("array<double>").alias("v"),
                 F.expr(_ARGMIN + ".cid").alias("cid"))
+        # two consumers downstream (per-cluster block counts + the pair
+        # kernel) — materialize the assignment once instead of paying the
+        # argmin fold twice; executor-local storage, lineage truncated
+        # (the persist step a production pipeline would run anyway)
+        .localCheckpoint(eager=False)
     )
 
     return (
