@@ -183,3 +183,24 @@ def test_semdedup_is_cluster_restricted_subset_of_exact(spark):
     exact_dups = {d for d, _k in exact_pairs}
     assert 0 < len(sem_keep) <= len(exact_dups)
     assert len(set(sem_keep) & exact_dups) == len(sem_keep)
+
+
+def test_grouped_block_kernel_invariant_to_block_size(spark):
+    """The group-keyed blocked kernel (round 7) must produce identical
+    pairs whether a cluster fits one block or splits across many — the
+    bounded-memory path is a pure repartitioning of the same math."""
+    from iceberg_demo_spark.operators.dedup import embedding_near_dups
+
+    emb = (spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"),
+                   (F.col("vec_id") % 3).alias("cid")))
+    big = {tuple(r) for r in embedding_near_dups(
+        emb, group_col="cid", rows_per_block=8192).collect()}
+    tiny = {tuple(r) for r in embedding_near_dups(
+        emb, group_col="cid", rows_per_block=16).collect()}
+    assert big == tiny and len(big) > 0
+    # and grouping genuinely restricts: pairs never cross clusters
+    ids = {r["vec_id"]: r["cid"] for r in emb.select("vec_id", "cid").collect()}
+    for id_dup, id_keep, cid, _sim in big:
+        assert ids[id_dup] == ids[id_keep] == cid
