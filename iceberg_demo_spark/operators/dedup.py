@@ -851,3 +851,61 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_dup", "id_keep", F.col("cid").alias("cluster_id"), "sim")
         .orderBy("id_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup evaluation: MinHash-LSH recall/precision vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+def _as_cte_body(sql: str) -> str:
+    """A registered oracle SELECT as a nestable CTE body (inner WITH is
+    legal in both engines; the trailing ORDER BY is not)."""
+    head, sep, _tail = sql.rpartition("ORDER BY")
+    return head if sep else sql
+
+
+@query(
+    "dedup_minhash_recall",
+    # composed from the already-registered pair oracles — the evaluation
+    # gate measures EXACTLY the two shipped operators, not a restatement
+    oracle=None,  # filled in right below (needs the dict lookups)
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation audit as a first-class operator: recall/precision of
+    the banded MinHash-LSH near-dup pairs against the exact n-gram
+    Jaccard pairs at the same 0.2 threshold — the number a pipeline owner
+    needs before swapping the O(n²) exact pass for the banded join at
+    100 TB. Composes the two shipped operators verbatim (same shingles,
+    same hashes), joins their pair sets, and reduces to one audit row.
+    All outputs are exact integers (basis points via integer division),
+    so the oracle comparison has no float boundary at all."""
+    ex = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    ap = dedup_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    common = ap.join(ex, ["id_a", "id_b"])
+    ne = ex.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = ap.agg(F.count(F.lit(1)).alias("n_approx"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ne.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nc))
+        .select(
+            "n_exact", "n_approx", "n_common",
+            F.expr("(10000 * n_common) div n_exact").alias("recall_bp"),
+            F.expr("(10000 * n_common) div n_approx").alias("precision_bp"),
+        )
+    )
+
+
+from iceberg_demo_spark.registry import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_minhash_recall"] = f"""
+    WITH approx AS ({_as_cte_body(_OR["dedup_minhash_lsh_pairs"])}),
+    exact AS ({_as_cte_body(_OR["dedup_ngram_jaccard_pairs"])}),
+    c AS (SELECT COUNT(*) AS n_common
+          FROM approx JOIN exact USING (id_a, id_b)),
+    e AS (SELECT COUNT(*) AS n_exact FROM exact),
+    a AS (SELECT COUNT(*) AS n_approx FROM approx)
+    SELECT e.n_exact, a.n_approx, c.n_common,
+           (10000 * c.n_common) // e.n_exact AS recall_bp,
+           (10000 * c.n_common) // a.n_approx AS precision_bp
+    FROM e, a, c
+""".strip()
