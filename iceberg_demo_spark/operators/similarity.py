@@ -505,3 +505,50 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_sim(F.col("qv"), F.col("v")).alias("sim"))
     )
     return _ivf_rank(cand)
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: IVF top-k recall vs exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+def _as_cte_body(sql: str) -> str:
+    head, sep, _tail = sql.rpartition("ORDER BY")
+    return head if sep else sql
+
+
+@query("sim_ann_recall", oracle=None)  # oracle composed below
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation audit for the ANN family (round 7, twin of
+    dedup_minhash_recall): recall@5 of the IVF inverted-list probe
+    against the exact brute-force cosine top-5, composed from the two
+    shipped operators verbatim. The one number that decides whether
+    nprobe/cell sizing is adequate before pointing the IVF index at the
+    full corpus. All-integer outputs (basis points) — no float boundary
+    in the oracle comparison."""
+    exact = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = sim_ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    m = (approx.join(exact, ["query_id", "neighbor_id"])
+         .agg(F.count(F.lit(1)).alias("n_match")))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        ne.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(m))
+        .select("n_exact", "n_approx", "n_match",
+                F.expr("(10000 * n_match) div n_exact").alias("recall_bp"))
+    )
+
+
+from iceberg_demo_spark.registry import ORACLES as _OR  # noqa: E402
+
+_OR["sim_ann_recall"] = f"""
+    WITH exact AS ({_as_cte_body(_OR["sim_cosine_topk"])}),
+    approx AS ({_as_cte_body(_OR["sim_ann_ivf_topk"])}),
+    m AS (SELECT COUNT(*) AS n_match
+          FROM approx a JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    e2 AS (SELECT COUNT(*) AS n_exact FROM exact),
+    a2 AS (SELECT COUNT(*) AS n_approx FROM approx)
+    SELECT e2.n_exact, a2.n_approx, m.n_match,
+           (10000 * m.n_match) // e2.n_exact AS recall_bp
+    FROM e2, a2, m
+""".strip()

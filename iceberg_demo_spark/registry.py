@@ -54,11 +54,11 @@ def load_all() -> None:
     positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
     driver-verified, standing policy) follow at 6-11; the three
     late-round-7 gates (emb_semdedup, multimodal_audio_stats,
-    dedup_minhash_recall) at 12-14; then the five r3-green gates
-    displaced late in round 6, all nine gates last green in round 4,
-    and 21 of the 50 round-5-green gates (the parity-critical
-    write-path / MV / changelog / streaming / dedup / skew set). The
-    remaining 29 r5-green gates queue for round 8 and are covered every
+    dedup_minhash_recall, sim_ann_recall) at 12-15; then the five
+    r3-green gates displaced late in round 6, all nine gates last green
+    in round 4, and 20 of the 50 round-5-green gates (the parity-
+    critical write-path / MV / changelog / streaming / dedup set). The
+    remaining 30 r5-green gates queue for round 8 and are covered every
     round by the full local oracle artifact (ORACLES_LOCAL_r{N}.json
     via tools/check_oracles.py --emit).
     """
@@ -94,10 +94,11 @@ def load_all() -> None:
         "q20_promotion_suppliers",
         "q21_suppliers_kept_waiting",
         # -- never driver-verified: round-7 semantic dedup + audio codec
-        #    + dedup-approximation audit --
+        #    + the two approximation-audit gates --
         "emb_semdedup",
         "multimodal_audio_stats",
         "dedup_minhash_recall",
+        "sim_ann_recall",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -132,12 +133,12 @@ def load_all() -> None:
         "bucketed_colocated_join",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_hamming_pairs",
-        "skew_salted_agg",
-        # (skew_salted_join, q15_top_supplier and cube_flag_status_price
-        #  rotate to the round-8 queue — their slots went to the
-        #  late-round-7 emb_semdedup, multimodal_audio_stats and
-        #  dedup_minhash_recall gates, which must sit in the window per
-        #  the standing new-gate policy)
+        # (skew_salted_agg, skew_salted_join, q15_top_supplier and
+        #  cube_flag_status_price rotate to the round-8 queue — their
+        #  slots went to the late-round-7 emb_semdedup,
+        #  multimodal_audio_stats, dedup_minhash_recall and
+        #  sim_ann_recall gates, which must sit in the window per the
+        #  standing new-gate policy)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])
