@@ -204,3 +204,21 @@ def test_grouped_block_kernel_invariant_to_block_size(spark):
     ids = {r["vec_id"]: r["cid"] for r in emb.select("vec_id", "cid").collect()}
     for id_dup, id_keep, cid, _sim in big:
         assert ids[id_dup] == ids[id_keep] == cid
+
+
+def test_audit_gates_invariants(spark):
+    """The two round-7 approximation-audit gates: matches can never
+    exceed either side, basis points are consistent with the counts, and
+    the known qualitative behavior holds (banded MinHash over-generates →
+    recall ≥ precision; IVF loses only cross-cell neighbors → recall
+    strictly positive)."""
+    r = registry.QUERIES["dedup_minhash_recall"](spark, SF_SMALL).collect()[0]
+    assert r["n_common"] <= min(r["n_exact"], r["n_approx"])
+    assert r["recall_bp"] == 10000 * r["n_common"] // r["n_exact"]
+    assert r["precision_bp"] == 10000 * r["n_common"] // r["n_approx"]
+    assert r["recall_bp"] >= r["precision_bp"] > 0
+
+    a = registry.QUERIES["sim_ann_recall"](spark, SF_SMALL).collect()[0]
+    assert a["n_match"] <= min(a["n_exact"], a["n_approx"])
+    assert a["recall_bp"] == 10000 * a["n_match"] // a["n_exact"]
+    assert 0 < a["recall_bp"] <= 10000
