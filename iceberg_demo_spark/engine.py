@@ -298,14 +298,11 @@ class Engine:
         m = re.match(r"(?is)^drop\s+(?:database|namespace|schema)\s+"
                      r"(if\s+exists\s+)?([\w.]+)(\s+cascade)?(\s+purge)?$", s)
         if m:
-            import os as _os
-
-            if m.group(1) and not _os.path.isdir(
-                    _os.path.join(self.catalog.warehouse,
-                                  *m.group(2).split("."))):
+            dropped = self.catalog.drop_database(
+                m.group(2), cascade=bool(m.group(3)),
+                purge=bool(m.group(4)), if_exists=bool(m.group(1)))
+            if dropped is None:
                 return self._status(f"database {m.group(2)} absent")
-            self.catalog.drop_database(m.group(2), cascade=bool(m.group(3)),
-                                       purge=bool(m.group(4)))
             return self._status(f"dropped database {m.group(2)}")
         if re.match(r"(?is)^show\s+(?:databases|namespaces)$", s):
             return self.spark.createDataFrame(

@@ -14,9 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.mv.catalog import MaterializedView, MVCatalog
-from iceberg_demo_spark.mv.parser import (
-    QueryInfo, parse_select, ParseError, _split_top_level,
-)
+from iceberg_demo_spark.mv.parser import QueryInfo, parse_select, ParseError
 from iceberg_demo_spark.tables.catalog import Catalog
 from iceberg_demo_spark.tables.format import now_ms
 

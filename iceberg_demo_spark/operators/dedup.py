@@ -857,11 +857,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup evaluation: MinHash-LSH recall/precision vs exact Jaccard
 # ---------------------------------------------------------------------------
 
-def _as_cte_body(sql: str) -> str:
-    """A registered oracle SELECT as a nestable CTE body (inner WITH is
-    legal in both engines; the trailing ORDER BY is not)."""
-    head, sep, _tail = sql.rpartition("ORDER BY")
-    return head if sep else sql
+from iceberg_demo_spark.registry import oracle_cte_body as _as_cte_body  # noqa: E402
 
 
 @query(

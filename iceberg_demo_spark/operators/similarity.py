@@ -511,9 +511,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN evaluation: IVF top-k recall vs exact brute-force top-k
 # ---------------------------------------------------------------------------
 
-def _as_cte_body(sql: str) -> str:
-    head, sep, _tail = sql.rpartition("ORDER BY")
-    return head if sep else sql
+from iceberg_demo_spark.registry import oracle_cte_body as _as_cte_body  # noqa: E402
 
 
 @query("sim_ann_recall", oracle=None)  # oracle composed below

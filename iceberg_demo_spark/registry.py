@@ -16,6 +16,33 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def oracle_cte_body(sql: str) -> str:
+    """A registered oracle SELECT as a nestable CTE body.
+
+    An inner WITH is legal in both engines; a trailing ORDER BY is not, so
+    strip it — but only when the tail after the LAST ``ORDER BY`` is a pure
+    ordering list (identifiers/commas/ASC/DESC/NULLS FIRST|LAST/LIMIT n).
+    Composed-audit gates (dedup_minhash_recall, sim_ann_recall) nest other
+    gates' oracles through this; a window-function ORDER BY or any other
+    non-trailing match must NOT be cut mid-query, so anything unrecognized
+    raises instead of silently corrupting the composed oracle.
+    """
+    head, sep, tail = sql.rpartition("ORDER BY")
+    if not sep:
+        return sql
+    import re as _re
+
+    if _re.fullmatch(
+            r"(?is)\s*[\w.\"]+(\s+(asc|desc))?(\s+nulls\s+(first|last))?"
+            r"(\s*,\s*[\w.\"]+(\s+(asc|desc))?(\s+nulls\s+(first|last))?)*"
+            r"\s*", tail):
+        return head
+    raise ValueError(
+        "oracle_cte_body: last ORDER BY is not a pure trailing ordering "
+        "clause (window ORDER BY, LIMIT, or other tail?); refusing to cut "
+        "mid-query: ..." + sql[-120:])
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; ``oracle`` is equivalent DuckDB SQL.
 
@@ -52,7 +79,7 @@ def load_all() -> None:
     (VERDICT r6 #1, queue order fixed by COVERAGE.md / VERDICT r5-r6):
     the six late-round-6 gates that have never had a driver row lead at
     positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
-    driver-verified, standing policy) follow at 6-11; the three
+    driver-verified, standing policy) follow at 6-11; the four
     late-round-7 gates (emb_semdedup, multimodal_audio_stats,
     dedup_minhash_recall, sim_ann_recall) at 12-15; then the five
     r3-green gates displaced late in round 6, all nine gates last green

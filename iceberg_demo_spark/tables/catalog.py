@@ -249,12 +249,23 @@ class Catalog:
         )
 
     def drop_database(self, namespace: str, cascade: bool = False,
-                      purge: bool = False) -> list[str]:
-        """DROP DATABASE [CASCADE]. Without cascade, a non-empty database is
+                      purge: bool = False,
+                      if_exists: bool = False) -> list[str] | None:
+        """DROP DATABASE [IF EXISTS] [CASCADE]. A missing database errors
+        unless ``if_exists``. Without cascade, a non-empty database is
         an error. With cascade, the read-only guard runs FIRST across every
         contained table — one read-only table blocks the whole drop, exactly
         like the reference's check rule
-        (ReadOnlyTableCheckRule.scala:134-143)."""
+        (ReadOnlyTableCheckRule.scala:134-143). The namespace directory is
+        always reclaimed on success, so the database leaves SHOW DATABASES
+        and can be re-created; data-file preservation is a DROP TABLE
+        (no PURGE) concern, not a database-level one — dropping the
+        database reclaims its managed location like Spark's catalog does."""
+        root = os.path.join(self.warehouse, *namespace.split("."))
+        if not os.path.isdir(root):
+            if if_exists:
+                return None
+            raise NoSuchTableError(f"database {namespace}")
         tables = self.list_tables(namespace)
         if tables and not cascade:
             raise ValueError(f"database {namespace} is not empty; use cascade")
@@ -263,9 +274,7 @@ class Catalog:
                 self.load_table(name).check_writable("DROP DATABASE CASCADE")
         for name in tables:
             self.drop_table(name, purge=purge)
-        root = os.path.join(self.warehouse, *namespace.split("."))
-        if os.path.isdir(root) and purge:
-            shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
         return tables
 
     def list_tables(self, namespace: str | None = None) -> list[str]:

@@ -135,3 +135,38 @@ def test_scratch_dir_is_private_and_verified(tmp_path, monkeypatch):
     monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path / "nosuch"))
     with pytest.raises(FileNotFoundError):
         scratch.scratch_dir()  # parent missing surfaces, never trusted
+
+
+# -- round-7 self-review fixes ---------------------------------------------
+
+def test_oracle_cte_body_strips_only_trailing_order_by():
+    from iceberg_demo_spark.registry import oracle_cte_body
+
+    assert oracle_cte_body("SELECT a FROM t ORDER BY a") == "SELECT a FROM t "
+    assert (oracle_cte_body("SELECT a FROM t ORDER BY a DESC NULLS LAST, b")
+            == "SELECT a FROM t ")
+    assert oracle_cte_body("SELECT a FROM t") == "SELECT a FROM t"
+    # a window ORDER BY with no trailing clause must refuse, not cut
+    with pytest.raises(ValueError, match="refusing"):
+        oracle_cte_body(
+            "SELECT rank() OVER (ORDER BY a) AS r FROM t WHERE a > 0")
+    # stripping an ORDER BY ... LIMIT would change the row set: refuse
+    with pytest.raises(ValueError, match="refusing"):
+        oracle_cte_body("SELECT a FROM t ORDER BY a LIMIT 5")
+
+
+def test_drop_database_reclaims_dir_and_errors_when_absent(spark, tmp_path):
+    from iceberg_demo_spark.tables.catalog import Catalog, NoSuchTableError
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_database("db1")
+    cat.create_table("db1.t", "id bigint")
+    # non-purge cascade drop still reclaims the namespace directory:
+    # the database leaves SHOW DATABASES and can be re-created
+    cat.drop_database("db1", cascade=True)
+    assert "db1" not in cat.list_databases()
+    cat.create_database("db1")  # would raise TableAlreadyExistsError before
+    cat.drop_database("db1")
+    with pytest.raises(NoSuchTableError, match="db1"):
+        cat.drop_database("db1")
+    assert cat.drop_database("db1", if_exists=True) is None

@@ -331,7 +331,17 @@ def test_database_statements_route_through_engine_sql(engine):
         eng.sql("DROP DATABASE mydb")
     eng.sql("DROP DATABASE mydb CASCADE")
     assert not eng.catalog.table_exists("mydb.t1")
+    # the drop is observable: gone from SHOW DATABASES, re-creatable
+    assert "mydb" not in [r["namespace"] for r in
+                          eng.sql("SHOW DATABASES").collect()]
+    eng.sql("CREATE DATABASE mydb")  # no TableAlreadyExistsError
+    eng.sql("DROP DATABASE mydb")    # empty: no CASCADE needed, still gone
+    assert "mydb" not in [r["namespace"] for r in
+                          eng.sql("SHOW DATABASES").collect()]
     eng.sql("DROP DATABASE IF EXISTS nosuch")  # no error
+    # without IF EXISTS a missing database is an error, not a false success
+    with pytest.raises(Exception, match="nosuch"):
+        eng.sql("DROP DATABASE nosuch")
     # read-only table blocks the cascade (ReadOnlyTableCheckRule parity)
     eng.sql("CREATE DATABASE ro")
     eng.sql("CREATE TABLE ro.t (id BIGINT) "
