@@ -74,6 +74,10 @@ HEADLINE = [
     "q9_product_profit",
     "q21_suppliers_kept_waiting",
     "emb_semdedup",
+    # late round-7: overlapping-window duplicated-span coverage — the
+    # corpus-proportional explode + digest-only shuffles stress the
+    # map-side-combine path like nothing else in the set.
+    "doc_dup_span_coverage",
 ]
 
 

@@ -740,6 +740,97 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_dup_span_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars, text,
+             unnest(range(1, n_chars - 62, 32)) AS s
+      FROM documents
+      WHERE n_chars >= 64
+    ), h AS (
+      SELECT doc_id, source, n_chars,
+             md5(substr(text, s::INT, 64)) AS wh,
+             (s - 1) // 32 AS b
+      FROM w
+    ), dup AS (
+      SELECT wh FROM h GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), blk AS (
+      SELECT DISTINCT doc_id, source, n_chars, h.b + t.off AS blk
+      FROM h JOIN dup USING (wh), unnest([0, 1]) AS t(off)
+    ), perdoc AS (
+      SELECT doc_id, source, n_chars, 32 * COUNT(*) AS covered
+      FROM blk GROUP BY doc_id, source, n_chars
+    )
+    SELECT source,
+           COUNT(*) AS docs_flagged,
+           CAST(SUM(covered) AS BIGINT) AS total_covered_chars,
+           CAST(MAX(covered * 10000 // n_chars) AS BIGINT)
+             AS max_coverage_bps,
+           CAST(SUM(covered * 10000 // n_chars) AS BIGINT)
+             AS sum_coverage_bps
+    FROM perdoc GROUP BY source ORDER BY source
+    """,
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage accounting (ExactSubstr-style dedup audit,
+    Lee et al. 2022 'Deduplicating Training Data Makes Language Models
+    Better'): overlapping 64-char windows at stride 32 are hashed; a
+    window is a cross-document duplicate when its digest appears in >= 2
+    distinct documents; per document, the union of duplicated windows'
+    32-char-aligned blocks measures the fraction of its characters that
+    substring-level dedup would cut. Aggregated per source as integer
+    basis points — the number a pipeline owner reads before deciding
+    whether a source needs span-level (not just doc-level) dedup.
+
+    Contrast with doc_chunk_dedup (dedup.py:709): that gate ranks
+    boilerplate chunks at stride 64 (no overlap, global top-20); this one
+    measures per-document COVERAGE, where overlap matters (a span that
+    straddles a stride-64 boundary is still caught by the stride-32
+    grid) and the window->2-aligned-blocks mapping (start ≡ 1 mod 32,
+    length 64 = 2 blocks) makes the covered-character union an exact
+    distinct-count — no interval-merge pass, no per-doc text collect.
+
+    Scale shape: the window explode is a pure map ∝ corpus bytes / 32;
+    all shuffles carry digests + ints, never text. Digest frequency is
+    a map-side-combined groupBy; the occurrence->dup-set join shuffles
+    on the digest (at 100 TB the dup set is itself huge — never
+    broadcast); the block distinct and the two aggregations are
+    map-side-combinable. Production note: the md5 hex digest is the
+    repo-standard cross-engine-exact oracle hash; at 100 TB you'd swap
+    in xxhash64 for 8-byte shuffle keys (4x narrower), which changes no
+    plan shape."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    h = (
+        t["documents"]
+        .filter(F.col("n_chars") >= 64)
+        .select("doc_id", "source", "n_chars",
+                F.explode(F.expr("sequence(1, n_chars - 63, 32)")).alias("s"),
+                "text")
+        .select("doc_id", "source", "n_chars",
+                F.md5(F.expr("substring(text, s, 64)")).alias("wh"),
+                F.expr("(s - 1) DIV 32").alias("b"))
+    )
+    dup = (h.groupBy("wh")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("wh"))
+    blk = (h.join(dup, "wh")
+           .select("doc_id", "source", "n_chars",
+                   F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("blk")))
+    # countDistinct, not .distinct()+count: one exchange on the group key
+    # (partial dedup map-side) instead of two near-identical shuffles
+    perdoc = (blk.groupBy("doc_id", "source", "n_chars")
+              .agg((F.countDistinct("blk") * 32).alias("covered"))
+              .withColumn("bps", F.expr("covered * 10000 DIV n_chars")))
+    return (perdoc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs_flagged"),
+                 F.sum("covered").alias("total_covered_chars"),
+                 F.max("bps").alias("max_coverage_bps"),
+                 F.sum("bps").alias("sum_coverage_bps"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup): cluster, then intra-cluster pairwise cosine
 # ---------------------------------------------------------------------------

@@ -79,15 +79,15 @@ def load_all() -> None:
     (VERDICT r6 #1, queue order fixed by COVERAGE.md / VERDICT r5-r6):
     the six late-round-6 gates that have never had a driver row lead at
     positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
-    driver-verified, standing policy) follow at 6-11; the four
+    driver-verified, standing policy) follow at 6-11; the five
     late-round-7 gates (emb_semdedup, multimodal_audio_stats,
-    dedup_minhash_recall, sim_ann_recall) at 12-15; then the five
-    r3-green gates displaced late in round 6, all nine gates last green
-    in round 4, and 20 of the 50 round-5-green gates (the parity-
-    critical write-path / MV / changelog / streaming / dedup set). The
-    remaining 30 r5-green gates queue for round 8 and are covered every
-    round by the full local oracle artifact (ORACLES_LOCAL_r{N}.json
-    via tools/check_oracles.py --emit).
+    dedup_minhash_recall, sim_ann_recall, doc_dup_span_coverage) at
+    12-16; then the five r3-green gates displaced late in round 6, all
+    nine gates last green in round 4, and 19 of the 50 round-5-green
+    gates (the parity-critical write-path / MV / changelog / streaming
+    / dedup set). The remaining 31 r5-green gates queue for round 8 and
+    are covered every round by the full local oracle artifact
+    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -126,6 +126,7 @@ def load_all() -> None:
         "multimodal_audio_stats",
         "dedup_minhash_recall",
         "sim_ann_recall",
+        "doc_dup_span_coverage",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -159,13 +160,12 @@ def load_all() -> None:
         "streaming_stateful_dedup",
         "bucketed_colocated_join",
         "dedup_minhash_lsh_pairs",
-        "dedup_simhash_hamming_pairs",
-        # (skew_salted_agg, skew_salted_join, q15_top_supplier and
-        #  cube_flag_status_price rotate to the round-8 queue — their
-        #  slots went to the late-round-7 emb_semdedup,
-        #  multimodal_audio_stats, dedup_minhash_recall and
-        #  sim_ann_recall gates, which must sit in the window per the
-        #  standing new-gate policy)
+        # (skew_salted_agg, skew_salted_join, q15_top_supplier,
+        #  cube_flag_status_price and dedup_simhash_hamming_pairs rotate
+        #  to the round-8 queue — their slots went to the late-round-7
+        #  emb_semdedup, multimodal_audio_stats, dedup_minhash_recall,
+        #  sim_ann_recall and doc_dup_span_coverage gates, which must
+        #  sit in the window per the standing new-gate policy)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -236,3 +236,45 @@ def test_audit_gates_invariants(spark):
     assert a["n_match"] <= min(a["n_exact"], a["n_approx"])
     assert a["recall_bp"] == 10000 * a["n_match"] // a["n_exact"]
     assert 0 < a["recall_bp"] <= 10000
+
+
+def test_dup_span_coverage_matches_pure_python(spark):
+    """doc_dup_span_coverage against an independent pure-Python recompute
+    at sf0.001: same windows (64-char, stride 32), same >= 2-distinct-doc
+    dup rule, same aligned-block union — aggregate values must be equal,
+    not merely consistent."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source", "n_chars", "text").collect())
+    hash_docs = defaultdict(set)
+    windows = {}  # doc_id -> list[(start, digest)]
+    for r in docs:
+        wins = []
+        # 1-based starts 1, 33, ... <= n_chars - 63 (whole windows only)
+        for s in range(1, r["n_chars"] - 62, 32):
+            d = hashlib.md5(r["text"][s - 1:s + 63].encode()).hexdigest()
+            wins.append((s, d))
+            hash_docs[d].add(r["doc_id"])
+        windows[r["doc_id"]] = wins
+    dup = {h for h, ds in hash_docs.items() if len(ds) >= 2}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # flagged, chars, max, sum
+    for r in docs:
+        blocks = {b for s, d in windows[r["doc_id"]] if d in dup
+                  for b in ((s - 1) // 32, (s - 1) // 32 + 1)}
+        if not blocks:
+            continue
+        covered = 32 * len(blocks)
+        bps = covered * 10000 // r["n_chars"]
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += covered
+        a[2] = max(a[2], bps)
+        a[3] += bps
+    got = {r["source"]: (r["docs_flagged"], r["total_covered_chars"],
+                         r["max_coverage_bps"], r["sum_coverage_bps"])
+           for r in registry.QUERIES["doc_dup_span_coverage"](
+               spark, SF_SMALL).collect()}
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    assert got  # nonempty at this SF — the synth corpus repeats spans

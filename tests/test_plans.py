@@ -399,3 +399,20 @@ def test_q11_threshold_is_one_row_broadcast(spark):
         or "BroadcastNestedLoopJoin" in plan
     # exactly one scan of partsupp feeds both the groups and the total
     assert plan.count("glacier_partsupp") >= 1
+
+
+def test_dup_span_coverage_plan_properties(spark):
+    """doc_dup_span_coverage: the n_chars >= 64 gate reaches the parquet
+    scan; every shuffle carries digests/ids, never text (text is gone
+    from all post-hash projections); no cartesian product; the
+    block-union count is a single countDistinct exchange, not a
+    distinct-then-count double shuffle."""
+    plan = _plan(spark, "doc_dup_span_coverage")
+    assert "GreaterThanOrEqual(n_chars,64)" in plan
+    assert "hashpartitioning(wh" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # text survives only up to the md5 projection: no exchange row lists it
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
