@@ -996,3 +996,119 @@ _OR["dedup_minhash_recall"] = f"""
            (10000 * c.n_common) // a.n_approx AS precision_bp
     FROM e, a, c
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Incremental new-batch-vs-corpus dedup (the production shape at 100 TB)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, doc_id % 5 = 0 AS is_batch,
+             md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ),
+    matched AS (
+      SELECT DISTINCT b.wh
+      FROM w b JOIN w c ON b.wh = c.wh AND b.is_batch AND NOT c.is_batch
+    ),
+    bw AS (
+      SELECT w.doc_id, w.source, w.wh,
+             CASE WHEN m.wh IS NULL THEN 0 ELSE 1 END AS hit
+      FROM w LEFT JOIN matched m ON w.wh = m.wh
+      WHERE w.is_batch
+    ),
+    perdoc AS (
+      SELECT doc_id, source, MAX(hit) AS contaminated
+      FROM bw GROUP BY doc_id, source
+    ),
+    docstats AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+             CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+             CAST(COUNT(*) - SUM(contaminated) AS BIGINT) AS n_clean
+      FROM perdoc GROUP BY source
+    ),
+    winstats AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT wh) AS BIGINT) AS batch_windows,
+             CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN wh END) AS BIGINT)
+               AS matched_windows
+      FROM bw GROUP BY source
+    )
+    SELECT d.source, d.n_batch_docs, d.n_contaminated, d.n_clean,
+           ws.batch_windows, ws.matched_windows
+    FROM docstats d JOIN winstats ws ON d.source = ws.source
+    ORDER BY d.source
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against the standing corpus
+    — the shape production pipelines actually run at 100 TB, where
+    re-deduplicating the whole corpus per ingest (what every all-corpus
+    gate above models) is off the table. Batch = ``doc_id % 5 = 0``
+    (a deterministic ~20% "daily crawl"); corpus = the rest. Both sides
+    are chunked into the repo-standard 64-char stride-32 windows (short
+    docs contribute their whole text as one window), and a batch doc is
+    CONTAMINATED when any of its windows already exists in the corpus.
+    Output per source: batch doc counts, contaminated/clean split, and
+    the distinct-window hit accounting a pipeline owner uses to size the
+    overlap.
+
+    Scale shape — the whole point of this gate: the corpus side is never
+    shuffled or collected. Distinct batch window hashes (bounded by
+    batch bytes / 32) broadcast to the corpus scan; a broadcast LEFT
+    SEMI join emits only the matched hashes (<= batch distinct count),
+    which broadcast back onto the batch windows. Total shuffle traffic
+    is proportional to the BATCH, the 100 TB corpus is one map-side
+    pass, and nothing grows with corpus size except that scan. When the
+    daily batch itself outgrows broadcast (~8 GB hashes at petabyte
+    ingest), the same plan degrades gracefully to a digest-keyed shuffle
+    hash join (AQE picks it when the build side exceeds the threshold),
+    or a Bloom filter over batch hashes replaces the broadcast set —
+    neither changes this operator's dataflow. The md5 hex digest is the
+    repo-standard cross-engine-exact oracle hash; production would use
+    xxhash64 for 8-byte keys (dedup.py:169 note).
+    """
+    t = load_tables(spark, sf_dir, ("documents",))
+
+    def windows(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id", "source",
+                F.explode(
+                    F.expr("sequence(1, greatest(n_chars - 63, 1), 32)")
+                ).alias("s"),
+                "text")
+            .select("doc_id", "source",
+                    F.md5(F.expr("substring(text, s, 64)")).alias("wh"))
+        )
+
+    docs = t["documents"]
+    batch = windows(docs.filter("doc_id % 5 = 0"))
+    corpus = windows(docs.filter("doc_id % 5 <> 0"))
+
+    batch_hashes = batch.select("wh").distinct()
+    matched = (corpus.join(F.broadcast(batch_hashes), "wh", "leftsemi")
+               .select("wh").distinct())
+    flagged = (batch.join(
+        F.broadcast(matched.withColumn("hit", F.lit(1))), "wh", "left")
+        .withColumn("hit", F.coalesce("hit", F.lit(0))))
+
+    perdoc = (flagged.groupBy("doc_id", "source")
+              .agg(F.max("hit").alias("contaminated")))
+    docstats = (perdoc.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_batch_docs"),
+                     F.sum("contaminated").cast("bigint")
+                      .alias("n_contaminated"),
+                     (F.count(F.lit(1)) - F.sum("contaminated"))
+                      .cast("bigint").alias("n_clean")))
+    winstats = (flagged.groupBy("source")
+                .agg(F.countDistinct("wh").alias("batch_windows"),
+                     F.countDistinct(F.when(F.col("hit") == 1, F.col("wh")))
+                      .alias("matched_windows")))
+    return (docstats.join(winstats, "source")
+            .orderBy("source"))

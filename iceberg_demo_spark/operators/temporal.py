@@ -521,3 +521,61 @@ def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.count(F.lit(1)), 4).alias("avg_days"))
         .orderBy("gap_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two ingest periods (dataset-shift monitor)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_distribution_drift",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM agg)
+    SELECT event_type, n_a, n_b,
+           CAST((10000 * n_a) // tot_a AS BIGINT) AS bps_a,
+           CAST((10000 * n_b) // tot_b AS BIGINT) AS bps_b,
+           CAST(abs((10000 * n_a) // tot_a - (10000 * n_b) // tot_b)
+                AS BIGINT) AS drift_bps
+    FROM agg, tot
+    ORDER BY event_type
+    """,
+)
+def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-share drift between two ingest periods — the dataset-shift
+    monitor a training pipeline runs between crawl snapshots before
+    mixing them (per-class share moves of a few hundred bps change
+    mixture weights downstream). Events before/after a fixed split point
+    are the two periods; per event_type, the share of each period in
+    integer basis points and the absolute drift. All-integer arithmetic
+    (floor division on both engines), so the oracle is exact.
+
+    Scale shape: ONE pass over the fact — the period split is a
+    conditional SUM inside the same map-side-combined groupBy, so the
+    shuffle carries |event_type| partial rows per task, not rows.
+    Period totals come from the already-aggregated frame (a scalar
+    cross-join broadcast back onto it), never a second fact scan. At
+    100 TB this is a scan + a 5-row exchange; drift over N snapshot
+    pairs reuses the same per-period aggregate table."""
+    t = load_tables(spark, sf_dir, ("events",))
+    split = "2024-01-16 00:00:00"
+    agg = (t["events"].groupBy("event_type")
+           .agg(F.sum(F.when(F.col("ts") < F.lit(split).cast("timestamp"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_a"),
+                F.sum(F.when(F.col("ts") >= F.lit(split).cast("timestamp"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_b")))
+    tot = agg.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("event_type", "n_a", "n_b",
+                    F.expr("(10000 * n_a) div tot_a").alias("bps_a"),
+                    F.expr("(10000 * n_b) div tot_b").alias("bps_b"),
+                    F.expr("abs((10000 * n_a) div tot_a - "
+                           "(10000 * n_b) div tot_b)").alias("drift_bps"))
+            .orderBy("event_type"))

@@ -568,3 +568,62 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram vocabulary induction (the first BPE merge-ranking step)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_bigram_vocab",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[s::INT] || ' ' || tk[s::INT + 1] AS bigram
+      FROM toks, UNNEST(range(1, len(tk))) AS t(s)
+    )
+    SELECT bigram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 40
+    """,
+)
+def doc_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair (bigram) frequency ranking — the first
+    merge-candidate step of BPE/WordPiece vocabulary induction, run over
+    the whole corpus rather than per document (contrast
+    doc_bpe_token_stats, which scores documents against a FIXED merge
+    table). Raw occurrence counts (not per-doc distinct — merge ranking
+    weighs every occurrence) plus document spread, top 40 with a full
+    deterministic tiebreak (count DESC, bigram ASC).
+
+    Scale shape: the explode is a pure map ∝ corpus tokens; the count is
+    one map-side-combined groupBy on the bigram key (high cardinality,
+    distributes well — the head bigrams are exactly the rows partial
+    aggregation collapses hardest); the top-40 is
+    TakeOrderedAndProject, never a global sort. At 100 TB this is the
+    canonical two-phase count — the same job that seeds a real BPE
+    trainer's first merge."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks) - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(40)
+    )

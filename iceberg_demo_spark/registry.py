@@ -79,15 +79,17 @@ def load_all() -> None:
     (VERDICT r6 #1, queue order fixed by COVERAGE.md / VERDICT r5-r6):
     the six late-round-6 gates that have never had a driver row lead at
     positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
-    driver-verified, standing policy) follow at 6-11; the five
+    driver-verified, standing policy) follow at 6-11; the eight
     late-round-7 gates (emb_semdedup, multimodal_audio_stats,
-    dedup_minhash_recall, sim_ann_recall, doc_dup_span_coverage) at
-    12-16; then the five r3-green gates displaced late in round 6, all
-    nine gates last green in round 4, and 19 of the 50 round-5-green
-    gates (the parity-critical write-path / MV / changelog / streaming
-    / dedup set). The remaining 31 r5-green gates queue for round 8 and
-    are covered every round by the full local oracle artifact
-    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
+    dedup_minhash_recall, sim_ann_recall, doc_dup_span_coverage,
+    dedup_incremental_batch, events_distribution_drift,
+    doc_bigram_vocab) at 12-19; then the five r3-green gates displaced
+    late in round 6, all nine gates last green in round 4, and 16 of
+    the 50 round-5-green gates (the parity-critical write-path / MV /
+    changelog / streaming / dedup set). The remaining 34 r5-green gates
+    queue for round 8 and are covered every round by the full local
+    oracle artifact (ORACLES_LOCAL_r{N}.json via
+    tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -127,6 +129,9 @@ def load_all() -> None:
         "dedup_minhash_recall",
         "sim_ann_recall",
         "doc_dup_span_coverage",
+        "dedup_incremental_batch",
+        "events_distribution_drift",
+        "doc_bigram_vocab",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -157,15 +162,15 @@ def load_all() -> None:
         "sql_ctas_rtas",
         "streaming_ingest_hourly",
         "streaming_running_counts",
-        "streaming_stateful_dedup",
-        "bucketed_colocated_join",
-        "dedup_minhash_lsh_pairs",
         # (skew_salted_agg, skew_salted_join, q15_top_supplier,
-        #  cube_flag_status_price and dedup_simhash_hamming_pairs rotate
-        #  to the round-8 queue — their slots went to the late-round-7
-        #  emb_semdedup, multimodal_audio_stats, dedup_minhash_recall,
-        #  sim_ann_recall and doc_dup_span_coverage gates, which must
-        #  sit in the window per the standing new-gate policy)
+        #  cube_flag_status_price, dedup_simhash_hamming_pairs,
+        #  streaming_stateful_dedup, bucketed_colocated_join and
+        #  dedup_minhash_lsh_pairs rotate to the round-8 queue — their
+        #  slots went to the late-round-7 emb_semdedup,
+        #  multimodal_audio_stats, dedup_minhash_recall, sim_ann_recall,
+        #  doc_dup_span_coverage, dedup_incremental_batch,
+        #  events_distribution_drift and doc_bigram_vocab gates, which
+        #  must sit in the window per the standing new-gate policy)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])
