@@ -1088,15 +1088,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = t["documents"]
-    batch = windows(docs.filter("doc_id % 5 = 0"))
+    # persisted: consumed twice (hash-set build + contamination probe) —
+    # one batch scan total, the multi-consumer discipline of dedup.py:255
+    batch = windows(docs.filter("doc_id % 5 = 0")).persist()
     corpus = windows(docs.filter("doc_id % 5 <> 0"))
 
     batch_hashes = batch.select("wh").distinct()
     matched = (corpus.join(F.broadcast(batch_hashes), "wh", "leftsemi")
                .select("wh").distinct())
+    # persisted: feeds both the per-doc and per-window aggregates — the
+    # corpus map-pass and semi-join run once, not once per consumer
     flagged = (batch.join(
         F.broadcast(matched.withColumn("hit", F.lit(1))), "wh", "left")
-        .withColumn("hit", F.coalesce("hit", F.lit(0))))
+        .withColumn("hit", F.coalesce("hit", F.lit(0)))
+        .persist())
 
     perdoc = (flagged.groupBy("doc_id", "source")
               .agg(F.max("hit").alias("contaminated")))
@@ -1106,9 +1111,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_contaminated"),
                      (F.count(F.lit(1)) - F.sum("contaminated"))
                       .cast("bigint").alias("n_clean")))
-    winstats = (flagged.groupBy("source")
-                .agg(F.countDistinct("wh").alias("batch_windows"),
-                     F.countDistinct(F.when(F.col("hit") == 1, F.col("wh")))
-                      .alias("matched_windows")))
+    # two-phase distinct (combine on (source, wh), then count) instead of
+    # a double countDistinct, whose Expand doubles the shuffled rows
+    perwin = flagged.groupBy("source", "wh").agg(F.max("hit").alias("hit"))
+    winstats = (perwin.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("batch_windows"),
+                     F.sum("hit").cast("bigint").alias("matched_windows")))
     return (docstats.join(winstats, "source")
             .orderBy("source"))

@@ -560,10 +560,13 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE pass over the fact — the period split is a
     conditional SUM inside the same map-side-combined groupBy, so the
     shuffle carries |event_type| partial rows per task, not rows.
-    Period totals come from the already-aggregated frame (a scalar
-    cross-join broadcast back onto it), never a second fact scan. At
-    100 TB this is a scan + a 5-row exchange; drift over N snapshot
-    pairs reuses the same per-period aggregate table."""
+    Period totals come from a window over the ALREADY-AGGREGATED frame
+    (a SinglePartition exchange of |event_type| rows — a deliberate
+    tiny-frame exception to the partitioned-window rule), never a
+    second fact scan: a scalar-subquery formulation re-derives the
+    whole lineage and reads the fact twice, which is the difference
+    between one and two 100 TB scans. Drift over N snapshot pairs
+    reuses the same per-period aggregate table."""
     t = load_tables(spark, sf_dir, ("events",))
     split = "2024-01-16 00:00:00"
     agg = (t["events"].groupBy("event_type")
@@ -571,8 +574,9 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(0)).cast("bigint").alias("n_a"),
                 F.sum(F.when(F.col("ts") >= F.lit(split).cast("timestamp"), 1)
                       .otherwise(0)).cast("bigint").alias("n_b")))
-    tot = agg.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
-    return (agg.crossJoin(F.broadcast(tot))
+    w = Window.partitionBy(F.lit(1))
+    return (agg.withColumn("tot_a", F.sum("n_a").over(w))
+            .withColumn("tot_b", F.sum("n_b").over(w))
             .select("event_type", "n_a", "n_b",
                     F.expr("(10000 * n_a) div tot_a").alias("bps_a"),
                     F.expr("(10000 * n_b) div tot_b").alias("bps_b"),

@@ -278,3 +278,49 @@ def test_dup_span_coverage_matches_pure_python(spark):
                spark, SF_SMALL).collect()}
     assert got == {s: tuple(v) for s, v in agg.items()}
     assert got  # nonempty at this SF — the synth corpus repeats spans
+
+
+def test_incremental_batch_dedup_matches_pure_python(spark):
+    """dedup_incremental_batch against an independent pure-Python
+    recompute at sf0.001: same batch split (doc_id % 5), same 64-char
+    stride-32 windows (short docs contribute one whole-text window),
+    same corpus-membership contamination rule — every aggregate must be
+    equal, not merely consistent."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source", "n_chars", "text").collect())
+
+    def wins(r):
+        return [hashlib.md5(r["text"][s - 1:s + 63].encode()).hexdigest()
+                for s in range(1, max(r["n_chars"] - 63, 1) + 1, 32)]
+
+    corpus = set()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            corpus.update(wins(r))
+    agg = defaultdict(lambda: [0, 0, set(), set()])
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            continue
+        ws = wins(r)
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += any(w in corpus for w in ws)
+        a[2].update(ws)
+        a[3].update(w for w in ws if w in corpus)
+    got = {r["source"]: r
+           for r in registry.QUERIES["dedup_incremental_batch"](
+               spark, SF_SMALL).collect()}
+    assert set(got) == set(agg)
+    for src, (nd, nc, bw, mw) in agg.items():
+        row = got[src]
+        assert row["n_batch_docs"] == nd
+        assert row["n_contaminated"] == nc
+        assert row["n_clean"] == nd - nc
+        assert row["batch_windows"] == len(bw)
+        assert row["matched_windows"] == len(mw)
+    # the synthetic corpus repeats spans across docs, so the batch must
+    # see real contamination — otherwise the gate degenerates
+    assert sum(v[1] for v in agg.values()) > 0

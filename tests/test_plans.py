@@ -416,3 +416,45 @@ def test_dup_span_coverage_plan_properties(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_incremental_batch_dedup_plan_properties(spark):
+    """dedup_incremental_batch: documents is read exactly TWICE (one
+    batch pass, one corpus pass) — the persisted batch/flagged frames
+    feed every downstream consumer from cache; the corpus probe is a
+    broadcast semi-join (corpus side never shuffles); no Expand (the
+    per-window distinct is two-phase, not a double countDistinct); no
+    cartesian product."""
+    plan = _plan(spark, "dedup_incremental_batch")
+    assert plan.count("InMemoryFileIndex") == 2
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "InMemoryTableScan" in plan  # cache reuse is in the plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_distribution_drift_plan_single_scan(spark):
+    """events_distribution_drift: ONE scan of the fact — totals come
+    from a window over the aggregated |event_type|-row frame (a tiny
+    SinglePartition exchange), not a scalar subquery that re-derives
+    the lineage and reads events twice."""
+    plan = _plan(spark, "events_distribution_drift")
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "SinglePartition" in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_vocab_plan_properties(spark):
+    """doc_bigram_vocab: single documents scan reading only
+    doc_id+text, map-side partial aggregation before the bigram
+    shuffle, and a TakeOrderedAndProject top-k — never a global sort."""
+    plan = _plan(spark, "doc_bigram_vocab")
+    assert plan.count("InMemoryFileIndex") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+    assert ", 200]" not in plan  # no default-parallelism exchange
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "struct<doc_id:bigint,text:string>" in line, line

@@ -131,3 +131,33 @@ def test_type_transitions_match_python_recompute(spark):
         k = (r["prev_type"], r["next_type"])
         assert r["n"] == pairs[k]
         assert r["p_next"] == round(pairs[k] / outdeg[k[0]], 4)
+
+
+def test_distribution_drift_matches_pure_python(spark):
+    """events_distribution_drift vs a pure-Python recompute at sf0.001:
+    period split at the fixed timestamp, integer-bps shares, exact
+    equality on every column."""
+    import datetime
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts").collect()
+    split = datetime.datetime(2024, 1, 16)
+    n = defaultdict(lambda: [0, 0])
+    for r in rows:
+        n[r["event_type"]][0 if r["ts"] < split else 1] += 1
+    tot_a = sum(v[0] for v in n.values())
+    tot_b = sum(v[1] for v in n.values())
+    got = {r["event_type"]: r
+           for r in registry.QUERIES["events_distribution_drift"](
+               spark, SF_SMALL).collect()}
+    assert set(got) == set(n)
+    for et, (na, nb) in n.items():
+        row = got[et]
+        assert (row["n_a"], row["n_b"]) == (na, nb)
+        assert row["bps_a"] == 10000 * na // tot_a
+        assert row["bps_b"] == 10000 * nb // tot_b
+        assert row["drift_bps"] == abs(10000 * na // tot_a
+                                       - 10000 * nb // tot_b)
+    # both periods must be populated or the monitor is vacuous
+    assert tot_a > 0 and tot_b > 0

@@ -258,3 +258,26 @@ def test_wav_codec_roundtrip_and_chunk_walking():
     body = bad_fmt + b"data" + struct.pack("<I", 0)
     with _pytest.raises(ValueError, match="unsupported"):
         parse_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_bigram_vocab_matches_pure_python(spark):
+    """doc_bigram_vocab vs a pure-Python recompute at sf0.001: raw
+    occurrence counts, per-doc spread, and the full deterministic
+    (count DESC, bigram ASC) top-40 ordering."""
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text").collect()
+    occ: Counter = Counter()
+    spread = defaultdict(set)
+    for r in docs:
+        tk = r["text"].split(" ")
+        for i in range(len(tk) - 1):
+            bg = tk[i] + " " + tk[i + 1]
+            occ[bg] += 1
+            spread[bg].add(r["doc_id"])
+    expect = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    rows = registry.QUERIES["doc_bigram_vocab"](spark, SF_SMALL).collect()
+    assert [(r["bigram"], r["n_occurrences"]) for r in rows] == expect
+    for r in rows:
+        assert r["n_docs"] == len(spread[r["bigram"]])
