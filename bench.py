@@ -76,8 +76,11 @@ HEADLINE = [
     "emb_semdedup",
     # late round-7: overlapping-window duplicated-span coverage — the
     # corpus-proportional explode + digest-only shuffles stress the
-    # map-side-combine path like nothing else in the set.
+    # map-side-combine path like nothing else in the set — and the
+    # batch-vs-corpus incremental dedup (broadcast hash probe + cached
+    # batch frame), the production ingest shape.
     "doc_dup_span_coverage",
+    "dedup_incremental_batch",
 ]
 
 

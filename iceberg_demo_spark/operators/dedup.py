@@ -1074,24 +1074,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 for 8-byte keys (dedup.py:169 note).
     """
     t = load_tables(spark, sf_dir, ("documents",))
-
-    def windows(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                "doc_id", "source",
-                F.explode(
-                    F.expr("sequence(1, greatest(n_chars - 63, 1), 32)")
-                ).alias("s"),
-                "text")
-            .select("doc_id", "source",
-                    F.md5(F.expr("substring(text, s, 64)")).alias("wh"))
-        )
-
     docs = t["documents"]
     # persisted: consumed twice (hash-set build + contamination probe) —
     # one batch scan total, the multi-consumer discipline of dedup.py:255
-    batch = windows(docs.filter("doc_id % 5 = 0")).persist()
-    corpus = windows(docs.filter("doc_id % 5 <> 0"))
+    batch = _ingest_windows(docs.filter("doc_id % 5 = 0")).persist()
+    corpus = _ingest_windows(docs.filter("doc_id % 5 <> 0"))
 
     batch_hashes = batch.select("wh").distinct()
     matched = (corpus.join(F.broadcast(batch_hashes), "wh", "leftsemi")
@@ -1102,7 +1089,30 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(matched.withColumn("hit", F.lit(1))), "wh", "left")
         .withColumn("hit", F.coalesce("hit", F.lit(0)))
         .persist())
+    return _ingest_accounting(flagged)
 
+
+def _ingest_windows(df: DataFrame) -> DataFrame:
+    """Repo-standard dedup chunking: 64-char stride-32 window hashes per
+    doc (short docs contribute their whole text as one window) as
+    (doc_id, source, wh)."""
+    return (
+        df.select(
+            "doc_id", "source",
+            F.explode(
+                F.expr("sequence(1, greatest(n_chars - 63, 1), 32)")
+            ).alias("s"),
+            "text")
+        .select("doc_id", "source",
+                F.md5(F.expr("substring(text, s, 64)")).alias("wh"))
+    )
+
+
+def _ingest_accounting(flagged: DataFrame) -> DataFrame:
+    """Per-source contamination accounting over a (doc_id, source, wh,
+    hit) frame: doc counts with contaminated/clean split plus
+    distinct-window hit totals. ``flagged`` should be persisted by the
+    caller — it feeds two aggregate consumers."""
     perdoc = (flagged.groupBy("doc_id", "source")
               .agg(F.max("hit").alias("contaminated")))
     docstats = (perdoc.groupBy("source")
@@ -1119,3 +1129,80 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("hit").cast("bigint").alias("matched_windows")))
     return (docstats.join(winstats, "source")
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a PERSISTED bucketed corpus hash index
+# ---------------------------------------------------------------------------
+
+#: bucket count for the standing window-hash index — sized like the
+#: co-located join demo (layout.py): on a cluster, one bucket ≈ one
+#: task's comfortable input (a 100 TB corpus ≈ 50 TB of distinct digests
+#: wants ~8192 buckets; 16 keeps the demo readable at test SF).
+_DEDUP_IDX_BUCKETS = 16
+
+
+def dedup_index_name(sf_dir: str) -> str:
+    """Deterministic per-SF catalog name of the corpus hash index."""
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    return f"glacier_dedup_idx_{_sf_tag(sf_dir)}"
+
+
+def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the standing corpus window-hash index ONCE per SF: the
+    DISTINCT corpus digests written ``bucketBy(N, wh) sortBy(wh)`` — the
+    one-time shuffle every later ingest probe no longer pays. Built only
+    if absent (testdata is immutable), so bench reps measure the PROBE,
+    exactly as a production dedup service amortizes its index."""
+    import os
+
+    from iceberg_demo_spark.operators.layout import write_bucketed, _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    name = dedup_index_name(sf_dir)
+    path = scratch_path(f"glacier_dedup_idx_{_sf_tag(sf_dir)}")
+    if not (spark.catalog.tableExists(name) and os.path.isdir(path)):
+        t = load_tables(spark, sf_dir, ("documents",))
+        corpus = (_ingest_windows(t["documents"].filter("doc_id % 5 <> 0"))
+                  .select("wh").distinct())
+        write_bucketed(corpus, "wh", name, path,
+                       n_buckets=_DEDUP_IDX_BUCKETS)
+    return name
+
+
+@query("dedup_incremental_indexed", oracle=None)  # shares the batch oracle
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_batch's accounting computed against the
+    PERSISTED bucketed corpus hash index — the shape that remains when
+    the daily batch outgrows the broadcast threshold (the degradation
+    path the broadcast gate's docstring promises, made real).
+
+    Scale shape: the corpus text is hashed ONCE into a standing
+    digest-only index (16-byte digests vs raw text — a ~100 TB corpus
+    becomes a few-TB index), bucketed and bucket-sorted on the digest.
+    Each ingest probe shuffles ONLY the batch windows into the bucket
+    partitioning and sort-merge-joins them against the index, whose side
+    needs ZERO exchange (plan-asserted: one exchange below the join, on
+    the batch side; the index-side sort collapses too once compaction
+    leaves one file per bucket). Nothing in the probe grows with corpus
+    size except the index scan, and successive daily batches keep
+    amortizing the same index — append-only corpus growth appends to the
+    index buckets without re-hashing history. Semantics are identical to
+    dedup_incremental_batch; the two gates share one oracle, which
+    proves the layout doesn't change the answer."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    idx = (spark.table(ensure_dedup_index(spark, sf_dir))
+           .withColumn("hit", F.lit(1)))
+    # persisted: the flagged frame feeds both aggregate consumers, so the
+    # probe join runs once. The merge hint only disables broadcast at
+    # test SF — a real batch at this tier is past any broadcast
+    # threshold, so the hint is a no-op there.
+    flagged = (_ingest_windows(t["documents"].filter("doc_id % 5 = 0"))
+               .join(idx.hint("merge"), "wh", "left")
+               .withColumn("hit", F.coalesce("hit", F.lit(0)))
+               .persist())
+    return _ingest_accounting(flagged)
+
+
+_OR["dedup_incremental_indexed"] = _OR["dedup_incremental_batch"]

@@ -324,3 +324,15 @@ def test_incremental_batch_dedup_matches_pure_python(spark):
     # the synthetic corpus repeats spans across docs, so the batch must
     # see real contamination — otherwise the gate degenerates
     assert sum(v[1] for v in agg.values()) > 0
+
+
+def test_indexed_incremental_dedup_equals_broadcast_variant(spark):
+    """The persisted bucketed index is a physical layout, not a semantic
+    change: dedup_incremental_indexed must return row-for-row the same
+    accounting as dedup_incremental_batch at sf0.001."""
+    a = registry.QUERIES["dedup_incremental_batch"](spark, SF_SMALL)
+    b = registry.QUERIES["dedup_incremental_indexed"](spark, SF_SMALL)
+    assert a.columns == b.columns
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra

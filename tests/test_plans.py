@@ -458,3 +458,17 @@ def test_bigram_vocab_plan_properties(spark):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "struct<doc_id:bigint,text:string>" in line, line
+
+
+def test_indexed_incremental_dedup_plan_properties(spark):
+    """dedup_incremental_indexed: the probe sort-merge join reads the
+    bucketed hash index with ZERO exchange — the only exchange below the
+    join is the batch side shuffling into the bucket partitioning."""
+    plan = _plan(spark, "dedup_incremental_indexed")
+    tree = plan.split("\n\n")[0]
+    i = tree.index("SortMergeJoin LeftOuter")
+    j = tree.index("glacier_dedup_idx")
+    assert tree[i:j].count("Exchange") == 1, tree[i:j]
+    assert "Bucketed: true" in plan
+    assert "BroadcastHashJoin" not in tree[i:j]
+    assert "CartesianProduct" not in plan
