@@ -1102,3 +1102,140 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("delay_us").alias("min_delay_us"),
         F.max("delay_us").alias("max_delay_us"),
     )
+
+
+# -- Streaming: continuous ingest dedup against a growing hash index -------
+
+def _dedup_ingest_src(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic 3-file staging of the ingest docs (doc_id % 5 = 0,
+    the same batch split as the dedup_incremental_* gates): file i holds
+    the docs with (doc_id div 5) % 3 = i, mtimes staggered ascending so
+    the file stream source processes them as micro-batches 0,1,2 in that
+    order — the batch assignment the oracle reproduces arithmetically.
+    Reused across invocations (content is a pure function of sf_dir)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    tag = _sf_tag(sf_dir)
+    out = scratch_path(f"glacier_stream_docs_{tag}")
+    if all(_os.path.exists(f"{out}/{i:03d}.parquet") for i in range(3)):
+        return out
+    stage = scratch_path(f"glacier_stream_docs_stage_{tag}")
+    _os.makedirs(out, exist_ok=True)
+    docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+            .select("doc_id", "source", "n_chars", "text")
+            .filter("doc_id % 5 = 0"))
+    for i in range(3):
+        (docs.filter(F.expr(f"(doc_id div 5) % 3 = {i}"))
+         .coalesce(1).write.mode("overwrite").parquet(f"{stage}/f{i}"))
+    now = _time.time()
+    for i in range(3):
+        part = _glob.glob(f"{stage}/f{i}/part-*.parquet")[0]
+        dst = f"{out}/{i:03d}.parquet"
+        _shutil.copy(part, dst)
+        _os.utime(dst, (now - 300 + i * 50, now - 300 + i * 50))
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+@query(
+    "streaming_dedup_ingest",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, (doc_id // 5) % 3 AS b,
+             md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+      WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+      WHERE doc_id % 5 <> 0
+    ),
+    d0 AS (SELECT DISTINCT w.doc_id FROM w JOIN corpus c ON w.wh = c.wh
+           WHERE w.b = 0),
+    k0 AS (SELECT DISTINCT doc_id FROM w
+           WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM d0)),
+    i1 AS (SELECT wh FROM corpus
+           UNION SELECT w.wh FROM w JOIN k0 USING (doc_id)),
+    d1 AS (SELECT DISTINCT w.doc_id FROM w JOIN i1 ON w.wh = i1.wh
+           WHERE w.b = 1),
+    k1 AS (SELECT DISTINCT doc_id FROM w
+           WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM d1)),
+    i2 AS (SELECT wh FROM i1
+           UNION SELECT w.wh FROM w JOIN k1 USING (doc_id)),
+    d2 AS (SELECT DISTINCT w.doc_id FROM w JOIN i2 ON w.wh = i2.wh
+           WHERE w.b = 2),
+    k2 AS (SELECT DISTINCT doc_id FROM w
+           WHERE b = 2 AND doc_id NOT IN (SELECT doc_id FROM d2)),
+    kept AS (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+             UNION ALL SELECT doc_id FROM k2),
+    docs AS (SELECT DISTINCT doc_id, source FROM w)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_ingested,
+           CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous streaming dedup: three document micro-batches flow
+    through stream_dedup_to_table, each probed against a hash index
+    seeded with the standing corpus (doc_id % 5 <> 0) and GROWN by every
+    kept doc's hashes — so a batch-2 doc duplicating a doc accepted in
+    batch 0 is dropped even though neither is in the original corpus.
+    The final clean table's per-source keep/drop accounting must equal
+    the oracle's unrolled batch-by-batch recursion. Dropped docs do NOT
+    grow the index (their content is already represented) — the
+    kept-only policy both engines implement.
+
+    Scale shape: see stream_dedup_to_table — per batch O(batch) hash +
+    probe work, index grows by novel digests only, ingested text is
+    never re-read. The per-invocation index seed is this gate's test
+    harness; production seeds once and the stream runs forever."""
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    src = _dedup_ingest_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    # the stream MUTATES the index, so it is re-seeded fresh per
+    # invocation (contrast ensure_dedup_index, which is immutable)
+    idx_dir = scratch_path(f"glacier_stream_idx_{_sf_tag(sf_dir)}")
+    _shutil.rmtree(idx_dir, ignore_errors=True)
+    corpus_docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+                   .filter("doc_id % 5 <> 0"))
+    (_ingest_windows(corpus_docs).select("wh").distinct()
+     .write.mode("overwrite").parquet(idx_dir))
+
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.docs_clean",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    stream_dedup_to_table(
+        spark, src, schema, t, _fresh_ckpt(sf_dir, "sdi"), idx_dir,
+        _ingest_windows, max_files_per_trigger=1)
+    t.refresh()
+    kept = (t.scan().groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+    ingested = (spark.read.parquet(src).groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_ingested")))
+    return (ingested.join(kept, "source", "left")
+            .select("source", "n_ingested",
+                    F.coalesce("n_kept", F.lit(0)).cast("bigint")
+                     .alias("n_kept"),
+                    (F.col("n_ingested") - F.coalesce("n_kept", F.lit(0)))
+                     .cast("bigint").alias("n_dropped"))
+            .orderBy("source"))

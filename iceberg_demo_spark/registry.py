@@ -83,13 +83,14 @@ def load_all() -> None:
     late-round-7 gates (emb_semdedup, multimodal_audio_stats,
     dedup_minhash_recall, sim_ann_recall, doc_dup_span_coverage,
     dedup_incremental_batch, events_distribution_drift,
-    doc_bigram_vocab, dedup_incremental_indexed) at 12-20; then the
-    five r3-green gates displaced late in round 6, all nine gates last
-    green in round 4, and 15 of the 50 round-5-green gates (the
-    parity-critical write-path / MV / changelog / streaming / dedup
-    set). The remaining 35 r5-green gates queue for round 8 and are
-    covered every round by the full local oracle artifact
-    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
+    doc_bigram_vocab, dedup_incremental_indexed,
+    streaming_dedup_ingest) at 12-21; then the five r3-green gates
+    displaced late in round 6, all nine gates last green in round 4,
+    and 14 of the 50 round-5-green gates (the parity-critical
+    write-path / MV / changelog / streaming / dedup set). The remaining
+    36 r5-green gates queue for round 8 and are covered every round by
+    the full local oracle artifact (ORACLES_LOCAL_r{N}.json via
+    tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -133,6 +134,7 @@ def load_all() -> None:
         "events_distribution_drift",
         "doc_bigram_vocab",
         "dedup_incremental_indexed",
+        "streaming_dedup_ingest",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -161,17 +163,20 @@ def load_all() -> None:
         "partition_evolution_read",
         "partition_pruned_scan",
         "sql_ctas_rtas",
-        "streaming_ingest_hourly",
         # (skew_salted_agg, skew_salted_join, q15_top_supplier,
         #  cube_flag_status_price, dedup_simhash_hamming_pairs,
         #  streaming_stateful_dedup, bucketed_colocated_join,
-        #  dedup_minhash_lsh_pairs and streaming_running_counts rotate
-        #  to the round-8 queue — their slots went to the late-round-7
-        #  emb_semdedup, multimodal_audio_stats, dedup_minhash_recall,
-        #  sim_ann_recall, doc_dup_span_coverage,
-        #  dedup_incremental_batch, events_distribution_drift,
-        #  doc_bigram_vocab and dedup_incremental_indexed gates, which
-        #  must sit in the window per the standing new-gate policy)
+        #  dedup_minhash_lsh_pairs, streaming_running_counts and
+        #  streaming_ingest_hourly rotate to the round-8 queue — their
+        #  slots went to the late-round-7 emb_semdedup,
+        #  multimodal_audio_stats, dedup_minhash_recall, sim_ann_recall,
+        #  doc_dup_span_coverage, dedup_incremental_batch,
+        #  events_distribution_drift, doc_bigram_vocab,
+        #  dedup_incremental_indexed and streaming_dedup_ingest gates,
+        #  which must sit in the window per the standing new-gate
+        #  policy; streaming coverage stays in-window through
+        #  streaming_stream_stream_join at position 5 and the new
+        #  streaming_dedup_ingest itself)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -360,3 +360,60 @@ def stream_stream_join_to_table(
     )
     q.awaitTermination()
     return q
+
+
+def stream_dedup_to_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table: Table,
+    checkpoint_dir: str,
+    index_dir: str,
+    window_fn,
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 1,
+):
+    """Continuous ingest dedup — the streaming form of
+    operators/dedup.py::dedup_incremental_indexed: per micro-batch,
+    probe the GROWING window-hash index at ``index_dir``, append only
+    novel documents to ``table``, then fold the kept docs' new hashes
+    back into the index so every LATER batch sees them. ``window_fn``
+    maps a doc frame to its (``id_col``, wh) window hashes.
+
+    Scale shape: per batch, only that batch's windows are hashed and
+    probed (a semi-join against the index — broadcast while the batch
+    hash set fits, the bucketed layout beyond); the index grows by the
+    kept docs' NOVEL hashes only (an anti-join keeps it duplicate-free),
+    so index size ∝ distinct corpus content, and no batch ever re-reads
+    or re-hashes previously ingested text. This is the pipeline a 100
+    TB/day crawl runs: dedup is an O(batch) streaming pass, not a
+    periodic O(corpus²) job.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        wins = window_fn(batch_df)
+        idx = spark.read.parquet(index_dir)
+        dropped = (wins.join(idx, "wh", "leftsemi")
+                   .select(id_col).distinct())
+        kept = batch_df.join(F.broadcast(dropped), id_col, "left_anti")
+        snap = table.append(kept)
+        _stamp_batch(table, snap, batch_id)
+        # kept-only index growth: a dropped doc's content is already
+        # represented; the anti-join keeps the index one-row-per-digest
+        (window_fn(kept).select("wh").distinct()
+         .join(idx, "wh", "left_anti")
+         .write.mode("append").parquet(index_dir))
+        return snap
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -424,3 +424,59 @@ def test_stream_from_timestamp(spark, tmp_path):
     got2 = list(stream_table_appends(
         t, start_snapshot_id=chain[1].snapshot_id, from_timestamp_ms=cut))
     assert [sid for sid, _ in got2] == [chain[2].snapshot_id]
+
+
+def test_streaming_dedup_ingest_grows_index_across_batches(spark):
+    """streaming_dedup_ingest vs a pure-Python batch-by-batch recompute
+    at sf0.001 — and proof the GROWING index bites: at least one doc
+    must be dropped because of a doc KEPT in an earlier micro-batch,
+    not because of the standing corpus (otherwise the gate degenerates
+    to the static dedup_incremental_batch)."""
+    import hashlib
+    from collections import defaultdict
+
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source", "n_chars", "text").collect())
+
+    def wins(r):
+        return {hashlib.md5(r["text"][s - 1:s + 63].encode()).hexdigest()
+                for s in range(1, max(r["n_chars"] - 63, 1) + 1, 32)}
+
+    index = set()
+    for r in docs:
+        if r["doc_id"] % 5 != 0:
+            index |= wins(r)
+    corpus_only = set(index)
+    batches = defaultdict(list)
+    for r in docs:
+        if r["doc_id"] % 5 == 0:
+            batches[(r["doc_id"] // 5) % 3].append(r)
+    kept, cross_batch_drop = defaultdict(lambda: [0, 0]), 0
+    for b in (0, 1, 2):
+        new_hashes = set()
+        for r in batches[b]:
+            ws = wins(r)
+            a = kept[r["source"]]
+            a[0] += 1
+            if ws & index:
+                if not ws & corpus_only:
+                    cross_batch_drop += 1
+            else:
+                a[1] += 1
+                new_hashes |= ws
+        index |= new_hashes  # batch boundary: kept docs' hashes land
+    got = {r["source"]: r
+           for r in registry.QUERIES["streaming_dedup_ingest"](
+               spark, SF_SMALL).collect()}
+    assert set(got) == set(kept)
+    for src, (n_in, n_kept) in kept.items():
+        row = got[src]
+        assert row["n_ingested"] == n_in
+        assert row["n_kept"] == n_kept
+        assert row["n_dropped"] == n_in - n_kept
+    assert cross_batch_drop > 0, (
+        "no doc was dropped due to an earlier micro-batch; the gate "
+        "no longer exercises index growth")
