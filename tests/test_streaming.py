@@ -480,3 +480,45 @@ def test_streaming_dedup_ingest_grows_index_across_batches(spark):
     assert cross_batch_drop > 0, (
         "no doc was dropped due to an earlier micro-batch; the gate "
         "no longer exercises index growth")
+
+
+def test_stream_dedup_restart_is_noop_and_index_stays_distinct(
+        spark, tmp_path):
+    """Restart discipline for the continuous-dedup writer: re-running
+    with the same checkpoint re-delivers nothing (no new snapshots, no
+    table change, no index growth), and the grown index never holds a
+    digest twice (the anti-join guard)."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.operators.table_ops import _dedup_ingest_src
+    from iceberg_demo_spark.sources import load_tables
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    src = _dedup_ingest_src(spark, SF_SMALL)
+    schema = spark.read.parquet(src).schema
+    idx_dir = str(tmp_path / "idx")
+    corpus = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+              .filter("doc_id % 5 <> 0"))
+    (_ingest_windows(corpus).select("wh").distinct()
+     .write.parquet(idx_dir))
+    catalog = Catalog(spark, str(tmp_path / "wh_sdi"))
+    t = catalog.create_table(
+        "db.clean",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    ck = str(tmp_path / "ck")
+    stream_dedup_to_table(spark, src, schema, t, ck, idx_dir,
+                          _ingest_windows)
+    t.refresh()
+    kept = {r["doc_id"] for r in t.scan().select("doc_id").collect()}
+    n_snaps = len(t.metadata.snapshots)
+    n_idx = spark.read.parquet(idx_dir).count()
+    assert kept and n_idx > 0
+    assert spark.read.parquet(idx_dir).distinct().count() == n_idx
+
+    stream_dedup_to_table(spark, src, schema, t, ck, idx_dir,
+                          _ingest_windows)
+    t.refresh()
+    assert {r["doc_id"]
+            for r in t.scan().select("doc_id").collect()} == kept
+    assert len(t.metadata.snapshots) == n_snaps
+    assert spark.read.parquet(idx_dir).count() == n_idx
