@@ -522,3 +522,86 @@ def test_stream_dedup_restart_is_noop_and_index_stays_distinct(
             for r in t.scan().select("doc_id").collect()} == kept
     assert len(t.metadata.snapshots) == n_snaps
     assert spark.read.parquet(idx_dir).count() == n_idx
+
+
+def test_stream_dedup_randomized_sweep(spark, tmp_path):
+    """Randomized batch-split sweep of stream_dedup_to_table (the
+    discipline of the randomized DML sweep): synthetic docs built from a
+    small pool of 64-char span units (so cross-doc window collisions are
+    common), random corpus/batch split, 4 micro-batches — the kept set
+    must equal a pure-Python simulation of the grow-as-you-keep index
+    for every seed."""
+    import hashlib
+    import os
+    import random
+    import time
+
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    def wins(text):
+        n = len(text)
+        return {hashlib.md5(text[s - 1:s + 63].encode()).hexdigest()
+                for s in range(1, max(n - 63, 1) + 1, 32)}
+
+    for seed in (11, 23):
+        rnd = random.Random(seed)
+        units = ["%063dU" % rnd.randrange(10 ** 18) for _ in range(12)]
+        docs = []
+        for i in range(48):
+            text = "".join(rnd.choice(units)
+                           for _ in range(rnd.randrange(1, 4)))
+            docs.append((i, f"s{i % 3}", len(text), text))
+        corpus = [d for d in docs if rnd.random() < 0.4]
+        batch_docs = [d for d in docs if d not in corpus]
+        assign = {d[0]: rnd.randrange(4) for d in batch_docs}
+
+        base = tmp_path / f"sweep{seed}"
+        src = str(base / "src")
+        os.makedirs(src)
+        df_all = spark.createDataFrame(
+            batch_docs, "doc_id long, source string, n_chars int, text string")
+        now = time.time()
+        for b in range(4):
+            ids = [i for i, v in assign.items() if v == b]
+            part = str(base / f"stage{b}")
+            (df_all.filter(F.col("doc_id").isin(ids))
+             .coalesce(1).write.parquet(part))
+            import glob as _glob
+            import shutil as _shutil
+            f = _glob.glob(f"{part}/part-*.parquet")[0]
+            dst = f"{src}/{b:03d}.parquet"
+            _shutil.copy(f, dst)
+            os.utime(dst, (now - 400 + b * 50, now - 400 + b * 50))
+
+        idx_dir = str(base / "idx")
+        corpus_df = spark.createDataFrame(
+            corpus or [(10 ** 6, "s0", 64, "x" * 64)],
+            "doc_id long, source string, n_chars int, text string")
+        (_ingest_windows(corpus_df).select("wh").distinct()
+         .write.parquet(idx_dir))
+
+        catalog = Catalog(spark, str(base / "wh"))
+        t = catalog.create_table(
+            "db.sweep", "doc_id bigint, source string, n_chars int, "
+            "text string")
+        stream_dedup_to_table(spark, src, df_all.schema, t,
+                              str(base / "ck"), idx_dir, _ingest_windows)
+        t.refresh()
+        got = {r["doc_id"] for r in t.scan().select("doc_id").collect()}
+
+        index = set()
+        for d in (corpus or [(10 ** 6, "s0", 64, "x" * 64)]):
+            index |= wins(d[3])
+        exp = set()
+        for b in range(4):
+            new_hashes = set()
+            for d in sorted(batch_docs):
+                if assign[d[0]] != b:
+                    continue
+                ws = wins(d[3])
+                if not (ws & index):
+                    exp.add(d[0])
+                    new_hashes |= ws
+            index |= new_hashes
+        assert got == exp, f"seed {seed}: {got ^ exp}"
