@@ -1206,3 +1206,71 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["dedup_incremental_indexed"] = _OR["dedup_incremental_batch"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (inter-dataset overlap accounting)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_cross_source_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT source, doc_id,
+             md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ),
+    sw AS (SELECT DISTINCT source, wh FROM w),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_windows
+      FROM sw a JOIN sw b ON a.wh = b.wh AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    contaminated AS (
+      SELECT a.source AS source_a, d.source AS source_b,
+             CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS docs_b_overlapping
+      FROM sw a JOIN w d ON a.wh = d.wh AND a.source < d.source
+      GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared_windows,
+           c.docs_b_overlapping
+    FROM pairs p JOIN contaminated c
+      ON p.source_a = c.source_a AND p.source_b = c.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise inter-dataset contamination matrix — the accounting a
+    pipeline owner runs BEFORE mixing datasets: for every unordered
+    source pair (a < b), how many distinct 64-char windows the two share
+    and how many of b's documents carry at least one window that also
+    appears in a. Decides mixture weights and which dataset pays the
+    dedup (the incremental gates above then act on the chosen
+    direction).
+
+    Scale shape: one explode pass over the corpus, collapsed IMMEDIATELY
+    to the distinct (source, wh) frame — with S sources the self-join
+    input is at most S rows per digest, so the join fan-out is bounded
+    by S²/2 per digest regardless of how many documents repeat it (the
+    same per-key-bounded self-join discipline as the MinHash band join,
+    dedup.py:255). Everything shuffled is digests and source labels;
+    text dies at the hash projection. At 100 TB: two digest-keyed
+    shuffles, output |S|² rows."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = _ingest_windows(t["documents"]).persist()
+    sw = w.select("source", "wh").distinct().persist()
+    a = sw.select(F.col("source").alias("source_a"), "wh")
+    pairs = (a.join(sw.select(F.col("source").alias("source_b"), "wh"),
+                    "wh")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("shared_windows")))
+    docs_b = (a.join(w.select(F.col("source").alias("source_b"),
+                              F.col("doc_id").alias("doc_b"), "wh"), "wh")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.countDistinct("doc_b").alias("docs_b_overlapping")))
+    return (pairs.join(docs_b, ["source_a", "source_b"])
+            .orderBy("source_a", "source_b"))

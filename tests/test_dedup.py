@@ -336,3 +336,36 @@ def test_indexed_incremental_dedup_equals_broadcast_variant(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb and ra
+
+
+def test_cross_source_matrix_matches_pure_python(spark):
+    """dedup_cross_source_matrix vs a pure-Python recompute at sf0.001:
+    distinct shared windows per unordered source pair plus b-side
+    contaminated doc counts, exact equality."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = (spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .select("doc_id", "source", "n_chars", "text").collect())
+    src_wh = defaultdict(set)        # source -> window hashes
+    doc_wh = {}                      # doc -> (source, hashes)
+    for r in docs:
+        ws = {hashlib.md5(r["text"][s - 1:s + 63].encode()).hexdigest()
+              for s in range(1, max(r["n_chars"] - 63, 1) + 1, 32)}
+        src_wh[r["source"]] |= ws
+        doc_wh[r["doc_id"]] = (r["source"], ws)
+    sources = sorted(src_wh)
+    exp = {}
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            shared = len(src_wh[a] & src_wh[b])
+            if not shared:
+                continue
+            docs_b = sum(1 for d, (s, ws) in doc_wh.items()
+                         if s == b and ws & src_wh[a])
+            exp[(a, b)] = (shared, docs_b)
+    got = {(r["source_a"], r["source_b"]):
+           (r["shared_windows"], r["docs_b_overlapping"])
+           for r in registry.QUERIES["dedup_cross_source_matrix"](
+               spark, SF_SMALL).collect()}
+    assert got == exp and got
