@@ -550,3 +550,104 @@ _OR["sim_ann_recall"] = f"""
            (10000 * m.n_match) // e2.n_exact AS recall_bp
     FROM e2, a2, m
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF index maintenance (exactly-once partitioned file sink)
+# ---------------------------------------------------------------------------
+
+def _stage_emb_src(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic 3-file staging of the embeddings table (split by
+    vec_id % 3, mtimes staggered) — reused across invocations; the
+    streamed-index RESULT is split-order-invariant anyway (the index is
+    a union and assignment is a pure map), the stagger just keeps the
+    micro-batch boundaries reproducible."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    out = scratch_path(f"glacier_stream_emb_{_sf_tag(sf_dir)}")
+    if all(_os.path.exists(f"{out}/{i:03d}.parquet") for i in range(3)):
+        return out
+    stage = scratch_path(f"glacier_stream_emb_stage_{_sf_tag(sf_dir)}")
+    _os.makedirs(out, exist_ok=True)
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding")
+    now = _time.time()
+    for i in range(3):
+        (emb.filter(F.col("vec_id") % 3 == i)
+         .coalesce(1).write.mode("overwrite").parquet(f"{stage}/f{i}"))
+        part = _glob.glob(f"{stage}/f{i}/part-*.parquet")[0]
+        dst = f"{out}/{i:03d}.parquet"
+        _shutil.copy(part, dst)
+        _os.utime(dst, (now - 300 + i * 50, now - 300 + i * 50))
+    _shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+@query("streaming_ann_ingest", oracle=None)  # shares the IVF oracle below
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance: embeddings arrive in three
+    micro-batches, each centroid-assigned in-stream (the same broadcast
+    fold as sim_ann_ivf_topk — a pure map, no shuffle) and written by
+    Structured Streaming's EXACTLY-ONCE partitioned parquet file sink
+    (`partitionBy(cell_id)` + `_spark_metadata` transaction log). The
+    final top-5 probe over the streamed index must equal the batch IVF
+    answer exactly — shared oracle — proving continuous index growth
+    changes nothing about query results.
+
+    Scale shape: this is how a served ANN system ingests — new vectors
+    stream into their cells (append-only, O(batch) per trigger, the
+    standing index is never rewritten), queries keep partition-pruned
+    reads of probed cells only. Centroids are trained offline and
+    broadcast (re-clustering is a periodic batch job, not the stream's
+    concern). The file sink's metadata log gives atomic per-batch
+    visibility: a reader never sees a half-committed batch."""
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    emb, cent = _ivf_emb_cent(spark, sf_dir)
+    src = _stage_emb_src(spark, sf_dir)
+    tag = _sf_tag(sf_dir)
+    idx_dir = scratch_path(f"glacier_stream_ann_{tag}")
+    ck = scratch_path(f"glacier_stream_ann_ck_{tag}")
+    for d in (idx_dir, ck):
+        _shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v")))
+    q = (_ivf_assign(stream, cent)
+         .writeStream.format("parquet")
+         .option("path", idx_dir)
+         .partitionBy("cell_id")
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    probe = _ivf_probe(emb, cent)
+    cells = sorted(r["cell_id"]
+                   for r in probe.select("cell_id").distinct().collect())
+    inv = (spark.read.parquet(idx_dir)
+           .filter(F.col("cell_id").isin(cells)))
+    cand = (
+        inv.join(F.broadcast(probe), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_sim(F.col("qv"), F.col("v")).alias("sim"))
+    )
+    return _ivf_rank(cand)
+
+
+_OR["streaming_ann_ingest"] = _OR["sim_ann_ivf_topk"]

@@ -85,12 +85,12 @@ def load_all() -> None:
     dedup_incremental_batch, events_distribution_drift,
     doc_bigram_vocab, dedup_incremental_indexed,
     streaming_dedup_ingest, dedup_cross_source_matrix,
-    graph_doc_pagerank) at 12-23; then the five r3-green gates
-    displaced late in round 6, all nine gates last green in round 4,
-    and 12 of the 50 round-5-green gates (the parity-critical
-    write-path / MV / changelog set). The remaining 38 r5-green gates
-    queue for round 8 and are covered every round by the full local
-    oracle artifact (ORACLES_LOCAL_r{N}.json via
+    graph_doc_pagerank, streaming_ann_ingest) at 12-24; then the five
+    r3-green gates displaced late in round 6, all nine gates last green
+    in round 4, and 11 of the 50 round-5-green gates (the
+    parity-critical write-path / MV / changelog set). The remaining 39
+    r5-green gates queue for round 8 and are covered every round by the
+    full local oracle artifact (ORACLES_LOCAL_r{N}.json via
     tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
@@ -139,6 +139,7 @@ def load_all() -> None:
         "streaming_dedup_ingest",
         "dedup_cross_source_matrix",
         "graph_doc_pagerank",
+        "streaming_ann_ingest",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -171,14 +172,15 @@ def load_all() -> None:
         #  cube_flag_status_price, dedup_simhash_hamming_pairs,
         #  streaming_stateful_dedup, bucketed_colocated_join,
         #  dedup_minhash_lsh_pairs, streaming_running_counts,
-        #  streaming_ingest_hourly, partition_pruned_scan and
-        #  sql_ctas_rtas rotate to the round-8 queue — their slots went
-        #  to the twelve late-round-7 gates at positions 12-23, which
-        #  must sit in the window per the standing new-gate policy;
-        #  partition_pruned_scan and sql_ctas_rtas stay in the tuple so
-        #  they lead the post-window order, and streaming coverage
-        #  stays in-window through streaming_stream_stream_join at
-        #  position 5 and the new streaming_dedup_ingest itself)
+        #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas
+        #  and partition_evolution_read rotate to the round-8 queue —
+        #  their slots went to the thirteen late-round-7 gates at
+        #  positions 12-24, which must sit in the window per the
+        #  standing new-gate policy; the displaced gates stay in the
+        #  tuple so they lead the post-window order, and streaming
+        #  coverage stays in-window through streaming_stream_stream_join
+        #  at position 5 plus the new streaming_dedup_ingest and
+        #  streaming_ann_ingest)
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -472,3 +472,16 @@ def test_indexed_incremental_dedup_plan_properties(spark):
     assert "Bucketed: true" in plan
     assert "BroadcastHashJoin" not in tree[i:j]
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_ann_index_probe_is_partition_pruned(spark):
+    """streaming_ann_ingest: the probe over the STREAMED index reads
+    through the file sink's MetadataLogFileIndex and still partition-
+    prunes to the probed cells — continuous ingest does not cost the
+    query side its pruning."""
+    plan = _plan(spark, "streaming_ann_ingest")
+    i = plan.index("MetadataLogFileIndex")
+    seg = plan[i:i + 600]
+    assert "PartitionFilters" in seg
+    assert "INSET" in seg
+    assert "CartesianProduct" not in plan

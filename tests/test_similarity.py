@@ -62,3 +62,21 @@ def test_ann_ivf_recall_vs_brute_force(spark):
         brute_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(brute_sets[q] & ivf_sets[q]) for q in brute_sets) / (5 * 8)
     assert recall >= 0.2, recall
+
+
+def test_streaming_ann_ingest_equals_batch_ivf(spark):
+    """The streamed cell-partitioned index is pure layout: the probe
+    result must equal sim_ann_ivf_topk row-for-row, and the index must
+    hold every corpus vector exactly once after the 3-batch drain."""
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    from tests.conftest import SF_SMALL
+
+    a = registry.QUERIES["sim_ann_ivf_topk"](spark, SF_SMALL).collect()
+    b = registry.QUERIES["streaming_ann_ingest"](spark, SF_SMALL).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+    idx = spark.read.parquet(
+        scratch_path(f"glacier_stream_ann_{_sf_tag(SF_SMALL)}"))
+    n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert idx.count() == n
+    assert idx.select("vec_id").distinct().count() == n
