@@ -352,3 +352,23 @@ def test_pareto_share_matches_python_recompute(spark):
         assert row["n_top80"] == n80
         top1 = ranked[0][1]
         assert abs(row["top1_share_pct"] - float(top1 * 100 / total)) < 1e-3
+
+
+def test_approx_percentile_rank_error_within_accuracy(spark):
+    """Audit of Spark's approx_percentile sketch (the scale path when
+    exact percentiles' full sort is too expensive): for each decile of
+    l_extendedprice at sf0.01, the approximate answer's TRUE rank must
+    sit within accuracy=100's guaranteed 1/100 rank-error band. This is
+    the approximation-audit discipline of dedup_minhash_recall /
+    sim_ann_recall applied to the quantile sketch."""
+    from tests.conftest import SF_MED
+
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+    n = li.count()
+    qs = [i / 10 for i in range(1, 10)]
+    approx = li.agg(
+        F.expr(f"approx_percentile(l_extendedprice, array({','.join(map(str, qs))}), 100)")
+        .alias("ap")).collect()[0]["ap"]
+    for q, v in zip(qs, approx):
+        true_rank = li.filter(F.col("l_extendedprice") <= v).count()
+        assert abs(true_rank / n - q) <= 1.0 / 100 + 1e-9, (q, v, true_rank / n)
