@@ -1347,3 +1347,76 @@ def quantity_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n"),
     )
     return agg.orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window — the streaming-capable form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_session_window_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             date_diff('second', MIN(ts), MAX(ts)) AS span_s
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(span_s) AS BIGINT) AS total_active_s
+    FROM g GROUP BY user_id
+    HAVING COUNT(*) >= 2
+    ORDER BY user_id
+    """,
+)
+def events_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats via Spark's NATIVE ``session_window``
+    (contrast events_sessionization above, which builds sessions by
+    hand with LAG): dynamic-gap windows that merge while consecutive
+    events are STRICTLY closer than the 30-minute gap (an exact-gap
+    pair starts a new session — the oracle's ``>= INTERVAL 30 MINUTE``
+    break mirrors that boundary). n_sessions / largest session /
+    total active span (last-first per session; the window's ``end``
+    carries the trailing gap, subtracted here) per user with ≥2
+    sessions. Same-timestamp ties are order-insensitive: a 0 gap always
+    merges, so the oracle needs no tiebreak.
+
+    Scale shape: ONE shuffle on user_id; session assembly is Spark's
+    native merging aggregation (updatable state — the same operator
+    works over a stream with watermark eviction, which the LAG
+    formulation cannot). The second aggregate reuses the user_id
+    partitioning — no extra exchange (AQE folds it)."""
+    t = load_tables(spark, sf_dir, ("events",))
+    sess = (
+        t["events"]
+        .groupBy("user_id",
+                 F.session_window(F.col("ts").cast("timestamp"),
+                                  "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events",
+                (F.unix_timestamp("sw.end") - F.unix_timestamp("sw.start")
+                 - F.lit(1800)).alias("span_s"))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"),
+             F.sum("span_s").cast("bigint").alias("total_active_s"))
+        .filter(F.col("n_sessions") >= 2)
+        .orderBy("user_id")
+    )

@@ -85,12 +85,13 @@ def load_all() -> None:
     dedup_incremental_batch, events_distribution_drift,
     doc_bigram_vocab, dedup_incremental_indexed,
     streaming_dedup_ingest, dedup_cross_source_matrix,
-    graph_doc_pagerank, streaming_ann_ingest) at 12-24; then the five
-    r3-green gates displaced late in round 6, all nine gates last green
-    in round 4, and 11 of the 50 round-5-green gates (the
-    parity-critical write-path / MV / changelog set). The remaining 39
-    r5-green gates queue for round 8 and are covered every round by the
-    full local oracle artifact (ORACLES_LOCAL_r{N}.json via
+    graph_doc_pagerank, streaming_ann_ingest,
+    events_session_window_stats) at 12-25; then the five r3-green gates
+    displaced late in round 6, all nine gates last green in round 4,
+    and 10 of the 50 round-5-green gates (the parity-critical
+    write-path / MV / changelog set). The remaining 40 r5-green gates
+    queue for round 8 and are covered every round by the full local
+    oracle artifact (ORACLES_LOCAL_r{N}.json via
     tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
@@ -140,6 +141,7 @@ def load_all() -> None:
         "dedup_cross_source_matrix",
         "graph_doc_pagerank",
         "streaming_ann_ingest",
+        "events_session_window_stats",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -172,10 +174,11 @@ def load_all() -> None:
         #  cube_flag_status_price, dedup_simhash_hamming_pairs,
         #  streaming_stateful_dedup, bucketed_colocated_join,
         #  dedup_minhash_lsh_pairs, streaming_running_counts,
-        #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas
-        #  and partition_evolution_read rotate to the round-8 queue —
-        #  their slots went to the thirteen late-round-7 gates at
-        #  positions 12-24, which must sit in the window per the
+        #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas,
+        #  partition_evolution_read and schema_evolution_read rotate to
+        #  the round-8 queue — their slots went to the fourteen
+        #  late-round-7 gates at
+        #  positions 12-25, which must sit in the window per the
         #  standing new-gate policy; the displaced gates stay in the
         #  tuple so they lead the post-window order, and streaming
         #  coverage stays in-window through streaming_stream_stream_join

@@ -485,3 +485,14 @@ def test_streaming_ann_index_probe_is_partition_pruned(spark):
     assert "PartitionFilters" in seg
     assert "INSET" in seg
     assert "CartesianProduct" not in plan
+
+
+def test_session_window_plan_single_session_shuffle(spark):
+    """events_session_window_stats: Spark's native MergingSessions
+    operator runs after ONE user-keyed exchange, and the per-user
+    rollup reuses that partitioning — the only other exchange is the
+    final ORDER BY range partition."""
+    plan = _plan(spark, "events_session_window_stats")
+    tree = plan.split("\n\n")[0]
+    assert "MergingSessions" in tree
+    assert tree.count("Exchange") == 2
