@@ -1420,3 +1420,61 @@ def events_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_sessions") >= 2)
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT (wide↔long reshaping; SURVEY §2.4 aggregation family)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_pivot_hourly_matrix",
+    oracle=f"""
+    WITH wide AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             {', '.join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)}
+      FROM events GROUP BY 1
+    ),
+    long AS (
+      SELECT hour_of_day, k AS event_type, v AS n
+      FROM wide
+      UNPIVOT (v FOR k IN ({', '.join(_EVENT_TYPES)}))
+    )
+    SELECT hour_of_day, event_type, CAST(n AS BIGINT) AS n
+    FROM long WHERE n > 0
+    ORDER BY hour_of_day, event_type
+    """,
+)
+def events_pivot_hourly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT then UNPIVOT round-trip: the hour-of-day × event-type count
+    matrix built with DataFrame.pivot (explicit value list — no extra
+    distinct-discovery pass, deterministic column order) and melted back
+    to long form with DataFrame.unpivot, dropping empty cells. The
+    round-trip is the point: both reshaping operators run in one query
+    and the result is provably the plain GROUP BY — the wide form is a
+    LAYOUT for consumers, never different data.
+
+    Scale shape: pivot-with-values compiles to a two-level aggregate —
+    map-side-combined (hour, type) partials, then the per-hour pivot
+    fold — so both exchanges carry at most |hours|×|types| partial rows,
+    never events (pivot WITHOUT a value list would first run a distinct
+    scan to discover columns — always pass the list at scale); unpivot
+    is a pure map (Expand over the 24 wide rows), no shuffle."""
+    t = load_tables(spark, sf_dir, ("events",))
+    wide = (
+        t["events"]
+        .select(F.hour(F.col("ts").cast("timestamp"))
+                .cast("bigint").alias("hour_of_day"), "event_type")
+        .groupBy("hour_of_day")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+    long = wide.unpivot(
+        ["hour_of_day"], list(_EVENT_TYPES), "event_type", "n")
+    return (long.filter(F.col("n") > 0)
+            .select("hour_of_day", "event_type",
+                    F.col("n").cast("bigint").alias("n"))
+            .orderBy("hour_of_day", "event_type"))

@@ -86,13 +86,13 @@ def load_all() -> None:
     doc_bigram_vocab, dedup_incremental_indexed,
     streaming_dedup_ingest, dedup_cross_source_matrix,
     graph_doc_pagerank, streaming_ann_ingest,
-    events_session_window_stats) at 12-25; then the five r3-green gates
-    displaced late in round 6, all nine gates last green in round 4,
-    and 10 of the 50 round-5-green gates (the parity-critical
-    write-path / MV / changelog set). The remaining 40 r5-green gates
-    queue for round 8 and are covered every round by the full local
-    oracle artifact (ORACLES_LOCAL_r{N}.json via
-    tools/check_oracles.py --emit).
+    events_session_window_stats, events_pivot_hourly_matrix) at 12-26;
+    then the five r3-green gates displaced late in round 6, all nine
+    gates last green in round 4, and 9 of the 50 round-5-green gates
+    (the parity-critical write-path / MV / changelog set). The
+    remaining 41 r5-green gates queue for round 8 and are covered every
+    round by the full local oracle artifact (ORACLES_LOCAL_r{N}.json
+    via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -142,6 +142,7 @@ def load_all() -> None:
         "graph_doc_pagerank",
         "streaming_ann_ingest",
         "events_session_window_stats",
+        "events_pivot_hourly_matrix",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -175,10 +176,10 @@ def load_all() -> None:
         #  streaming_stateful_dedup, bucketed_colocated_join,
         #  dedup_minhash_lsh_pairs, streaming_running_counts,
         #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas,
-        #  partition_evolution_read and schema_evolution_read rotate to
-        #  the round-8 queue — their slots went to the fourteen
-        #  late-round-7 gates at
-        #  positions 12-25, which must sit in the window per the
+        #  partition_evolution_read, schema_evolution_read and
+        #  mv_rollup_correctness rotate to the round-8 queue — their
+        #  slots went to the fifteen late-round-7 gates at
+        #  positions 12-26, which must sit in the window per the
         #  standing new-gate policy; the displaced gates stay in the
         #  tuple so they lead the post-window order, and streaming
         #  coverage stays in-window through streaming_stream_stream_join

@@ -496,3 +496,15 @@ def test_session_window_plan_single_session_shuffle(spark):
     tree = plan.split("\n\n")[0]
     assert "MergingSessions" in tree
     assert tree.count("Exchange") == 2
+
+
+def test_pivot_matrix_plan_carries_partials_not_events(spark):
+    """events_pivot_hourly_matrix: both aggregate exchanges sit above
+    map-side partial aggregation (the shuffle carries hour×type
+    partials, never event rows) and the unpivot is a pure-map Expand —
+    no extra exchange between the pivot fold and the final sort."""
+    plan = _plan(spark, "events_pivot_hourly_matrix")
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Exchange") == 3  # two agg levels + final sort
+    assert "partial_count" in plan or "partial_first" in plan
