@@ -1239,3 +1239,51 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("n_ingested") - F.coalesce("n_kept", F.lit(0)))
                      .cast("bigint").alias("n_dropped"))
             .orderBy("source"))
+
+
+# -- Custom Python DataSource (Spark 4 extension point) ---------------------
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    WHERE n_chars >= 200
+    GROUP BY source ORDER BY source
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the custom Python DataSource
+    (sources/pydatasource.py — the Spark 4 `pyspark.sql.datasource`
+    extension point): the documents metadata staged once as JSONL (the
+    'foreign format' the source exists for), scanned with one partition
+    per file, the `n_chars >= 200` predicate PUSHED into the reader
+    (rows fail inside Python before crossing the Arrow boundary), and
+    rows transferred as columnar RecordBatches. The rollup must equal
+    the parquet-derived oracle — format plumbing must not change data.
+
+    Scale shape: parallelism = file count (the parquet unit); pushdown
+    happens before the Python→JVM hop; batches are Arrow, never
+    tuple-at-a-time. A Python source won't beat the native parquet
+    reader — this is the sanctioned bridge for formats Spark lacks, and
+    those are its scale levers."""
+    from iceberg_demo_spark.sources.pydatasource import (
+        register_jsonl_source,
+        stage_jsonl_docs,
+    )
+
+    register_jsonl_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = stage_jsonl_docs(spark, sf_dir)
+    df = spark.read.format("glacier_jsonl").option("path", path).load()
+    return (
+        df.filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.countDistinct("lang").alias("n_langs"))
+        .orderBy("source")
+    )

@@ -1,0 +1,166 @@
+"""Custom Python DataSource (Spark 4 extension point, round 7).
+
+Demonstrates the `pyspark.sql.datasource` API — the sanctioned way to
+teach Spark a format it doesn't ship: a newline-delimited-JSON reader
+with
+
+- **one InputPartition per file** (scan parallelism = file count, the
+  same unit parquet uses),
+- **filter pushdown** (`pushFilters`): equality on `source` and
+  comparisons on `n_chars` are evaluated inside the reader, so
+  non-matching rows never cross the Python→JVM boundary (the remaining
+  filters are returned to Spark, which re-applies them),
+- **Arrow RecordBatch output**: rows are decoded into columnar batches,
+  not yielded tuple-at-a-time — the vectorized transfer path.
+
+Scale posture: a Python datasource IS Python in the scan, so it will
+never beat the native parquet reader — the point of the extension is
+formats Spark lacks (proprietary logs, custom binary framing). The
+design transfers: partition-per-file parallelism, pushdown before the
+boundary, Arrow batches across it. For formats Spark DOES support,
+convert-to-parquet-once remains the answer (sources/testdata.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_SCHEMA = ("doc_id bigint, source string, n_chars bigint, lang string")
+
+#: rows per Arrow batch crossing the Python→JVM boundary
+_BATCH_ROWS = 4096
+
+
+class _JsonlPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class GlacierJsonlReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self._dir = options["path"]
+        self._fields = [f.name for f in schema.fields]
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Keep the filters this reader evaluates natively; hand back
+        the rest. AND semantics: every kept filter is applied to every
+        row inside read()."""
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("source",):
+                self._pushed.append(("source", "==", f.value))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                LessThan, LessThanOrEqual)) \
+                    and f.attribute == ("n_chars",):
+                op = {GreaterThan: ">", GreaterThanOrEqual: ">=",
+                      LessThan: "<", LessThanOrEqual: "<="}[type(f)]
+                self._pushed.append(("n_chars", op, f.value))
+            else:
+                unsupported.append(f)
+        return iter(unsupported)
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self._dir, p) for p in os.listdir(self._dir)
+            if (p.startswith("part-") and ".json" in p) or
+            p.endswith(".jsonl"))
+        return [_JsonlPartition(p) for p in files]
+
+    def _admit(self, rec) -> bool:
+        for col, op, val in self._pushed:
+            x = rec[col]
+            if op == "==" and not x == val:
+                return False
+            if op == ">" and not x > val:
+                return False
+            if op == ">=" and not x >= val:
+                return False
+            if op == "<" and not x < val:
+                return False
+            if op == "<=" and not x <= val:
+                return False
+        return True
+
+    def read(self, partition: _JsonlPartition):
+        import pyarrow as pa
+
+        cols = self._fields
+        buf: list[list] = [[] for _ in cols]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(buf[i]) for i in range(len(cols))], names=cols)
+            for b in buf:
+                b.clear()
+            return batch
+
+        with open(partition.path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if not self._admit(rec):
+                    continue
+                for i, c in enumerate(cols):
+                    buf[i].append(rec[c])
+                if len(buf[0]) >= _BATCH_ROWS:
+                    yield flush()
+        if buf[0]:
+            yield flush()
+
+
+class GlacierJsonlDataSource(DataSource):
+    """``spark.read.format("glacier_jsonl").option("path", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "glacier_jsonl"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema: StructType) -> GlacierJsonlReader:
+        return GlacierJsonlReader(self.options, schema)
+
+
+_REGISTERED = set()
+
+
+def register_jsonl_source(spark) -> None:
+    """Idempotent per-session registration."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(GlacierJsonlDataSource)
+        _REGISTERED.add(key)
+
+
+def stage_jsonl_docs(spark, sf_dir: str, n_files: int = 4) -> str:
+    """JSONL staging of the documents metadata columns — the 'foreign
+    format' fixture the custom source exists to read (production data
+    would already be on disk in its foreign format). Written by Spark's
+    own distributed JSON writer (no driver-side row funnel); the file
+    split is partitioner-chosen, which is fine — every consumer below
+    is split-invariant. Reused per SF."""
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    from iceberg_demo_spark.sources import load_tables
+
+    out = scratch_path(f"glacier_jsonl_{_sf_tag(sf_dir)}")
+    if not os.path.exists(f"{out}/_SUCCESS"):
+        (load_tables(spark, sf_dir, ("documents",))["documents"]
+         .select("doc_id", "source", "n_chars", "lang")
+         .repartition(n_files)
+         .write.mode("overwrite").json(out))
+    return out
