@@ -412,9 +412,11 @@ def test_dup_span_coverage_plan_properties(spark):
     assert "hashpartitioning(wh" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
-    # text survives only up to the md5 projection: no exchange row lists it
+    # text survives only up to the md5 projection: no partitioning key or
+    # exchange argument lists it (formatted mode puts the Arguments on
+    # their own line, so match on 'hashpartitioning', not the node name)
     for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line:
+        if "hashpartitioning" in line:
             assert "text" not in line, line
 
 
@@ -508,3 +510,18 @@ def test_pivot_matrix_plan_carries_partials_not_events(spark):
     assert "Expand" in tree
     assert tree.count("Exchange") == 3  # two agg levels + final sort
     assert "partial_count" in plan or "partial_first" in plan
+
+
+def test_cross_source_matrix_plan_digest_only_shuffles(spark):
+    """dedup_cross_source_matrix: text dies at the md5 projection — no
+    exchange carries it; the self-join is digest-keyed, never a
+    cartesian product."""
+    import re
+
+    plan = _plan(spark, "dedup_cross_source_matrix")
+    assert re.search(r"hashpartitioning\([^)]*wh", plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
