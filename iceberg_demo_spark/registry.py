@@ -87,14 +87,14 @@ def load_all() -> None:
     streaming_dedup_ingest, dedup_cross_source_matrix,
     graph_doc_pagerank, streaming_ann_ingest,
     events_session_window_stats, events_pivot_hourly_matrix,
-    source_python_datasource) at 12-27; then the five r3-green gates
-    displaced late in round 6, all nine gates last green in round 4,
-    and 9 of the 50 round-5-green gates (the parity-critical write-path
-    set: the dml/merge/branch/compaction block, changelog_row_counts
-    and mv_incremental_refresh). The remaining 41 r5-green gates queue
-    for round 8 and are covered every round by the full local oracle
-    artifact (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py
-    --emit).
+    source_python_datasource, dedup_fuzzy_name_pairs) at 12-28; then
+    the five r3-green gates displaced late in round 6, all nine gates
+    last green in round 4, and 8 of the 50 round-5-green gates (the
+    parity-critical write-path set: the dml/branch/compaction block,
+    dml_merge_upsert, changelog_row_counts and mv_incremental_refresh).
+    The remaining 42 r5-green gates queue for round 8 and are covered
+    every round by the full local oracle artifact
+    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -146,6 +146,7 @@ def load_all() -> None:
         "events_session_window_stats",
         "events_pivot_hourly_matrix",
         "source_python_datasource",
+        "dedup_fuzzy_name_pairs",
         "sim_cosine_topk",
         "doc_token_stats",
         "doc_quality_buckets",
@@ -163,15 +164,17 @@ def load_all() -> None:
         "dml_merge_upsert",
         "dml_delete_update",
         "dml_delete_update_mor",
-        "merge_not_matched_by_source",
         "branch_write_isolation",
         "compaction_preserves_table",
         "changelog_row_counts",
         "mv_incremental_refresh",
-        # changelog_update_images yields its slot to keep the MV
-        # representative in-window (changelog coverage stays via
-        # changelog_row_counts); it heads the round-8 queue below
+        # changelog_update_images and merge_not_matched_by_source yield
+        # their slots to keep the MV representative in-window and admit
+        # dedup_fuzzy_name_pairs (changelog coverage stays via
+        # changelog_row_counts, MERGE coverage via dml_merge_upsert);
+        # they head the round-8 queue below
         "changelog_update_images",
+        "merge_not_matched_by_source",
         "mv_rollup_correctness",
         "schema_evolution_read",
         "partition_evolution_read",
@@ -183,10 +186,10 @@ def load_all() -> None:
         #  dedup_minhash_lsh_pairs, streaming_running_counts,
         #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas,
         #  partition_evolution_read, schema_evolution_read,
-        #  mv_rollup_correctness and changelog_update_images rotate to
-        #  the round-8 queue — their slots went to the sixteen
-        #  late-round-7 gates at
-        #  positions 12-27, which must sit in the window per the
+        #  mv_rollup_correctness, changelog_update_images and
+        #  merge_not_matched_by_source rotate to the round-8 queue —
+        #  their slots went to the seventeen late-round-7 gates at
+        #  positions 12-28, which must sit in the window per the
         #  standing new-gate policy; the displaced gates stay in the
         #  tuple so they lead the post-window order, and streaming
         #  coverage stays in-window through streaming_stream_stream_join

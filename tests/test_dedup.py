@@ -369,3 +369,41 @@ def test_cross_source_matrix_matches_pure_python(spark):
            for r in registry.QUERIES["dedup_cross_source_matrix"](
                spark, SF_SMALL).collect()}
     assert got == exp and got
+
+
+def test_fuzzy_name_pairs_matches_pure_python(spark):
+    """dedup_fuzzy_name_pairs vs a pure-Python recompute at sf0.001:
+    same block key (name minus last 2 chars), same Levenshtein<=1 rule
+    (verified with a hand-rolled DP — not Spark's own function), same
+    three aggregates."""
+    from collections import defaultdict
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = (spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+            .select("c_custkey", "c_name").collect())
+    blocks = defaultdict(list)
+    for r in rows:
+        blocks[r["c_name"][:-2]].append((r["c_name"], r["c_custkey"]))
+    n_pairs, matched, blk_hit = 0, set(), set()
+    for blk, members in blocks.items():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                if lev(members[i][0], members[j][0]) <= 1:
+                    n_pairs += 1
+                    matched |= {members[i][1], members[j][1]}
+                    blk_hit.add(blk)
+    got = registry.QUERIES["dedup_fuzzy_name_pairs"](
+        spark, SF_SMALL).collect()[0]
+    assert got["n_pairs"] == n_pairs > 0
+    assert got["n_customers_matched"] == len(matched)
+    assert got["n_blocks"] == len(blk_hit)
