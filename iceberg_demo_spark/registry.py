@@ -27,11 +27,14 @@ def oracle_cte_body(sql: str) -> str:
     non-trailing match must NOT be cut mid-query, so anything unrecognized
     raises instead of silently corrupting the composed oracle.
     """
-    head, sep, tail = sql.rpartition("ORDER BY")
-    if not sep:
-        return sql
     import re as _re
 
+    # case-insensitive: a lowercase/mixed-case trailing ORDER BY must get
+    # the same strip-or-refuse treatment, never silently pass through
+    matches = list(_re.finditer(r"(?i)ORDER\s+BY", sql))
+    if not matches:
+        return sql
+    head, tail = sql[:matches[-1].start()], sql[matches[-1].end():]
     if _re.fullmatch(
             r"(?is)\s*[\w.\"]+(\s+(asc|desc))?(\s+nulls\s+(first|last))?"
             r"(\s*,\s*[\w.\"]+(\s+(asc|desc))?(\s+nulls\s+(first|last))?)*"

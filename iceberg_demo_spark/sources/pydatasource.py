@@ -83,6 +83,10 @@ class GlacierJsonlReader(DataSourceReader):
     def _admit(self, rec) -> bool:
         for col, op, val in self._pushed:
             x = rec[col]
+            if x is None:
+                # SQL comparison semantics: NULL compared to anything is
+                # not TRUE, so the row is filtered out — never a TypeError
+                return False
             if op == "==" and not x == val:
                 return False
             if op == ">" and not x > val:

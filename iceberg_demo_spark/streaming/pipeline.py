@@ -24,16 +24,24 @@ from iceberg_demo_spark.tables.format import MAIN_BRANCH
 from iceberg_demo_spark.tables.table import Table
 
 
-def _stamp_batch(table: Table, snap, batch_id: int) -> None:
+def _stamp_batch(table: Table, snap, batch_id: int,
+                 checkpoint: str | None = None) -> None:
     """Tag the snapshot a micro-batch just committed with its epoch id.
 
     Guarded on the commit actually happening: a no-op batch (e.g. MERGE
     with nothing matched or inserted) returns None, and stamping then
     would relabel the PREVIOUS batch's snapshot and burn a metadata
-    version for nothing."""
+    version for nothing.
+
+    ``checkpoint`` additionally records the run scope: batch ids are only
+    unique within one checkpoint lineage (a fresh checkpoint restarts at
+    0), so replay detection must match (checkpoint, batch_id), mirroring
+    Iceberg's (queryId, epochId) exactly-once key."""
     if snap is None:
         return
     snap.summary["streaming-batch-id"] = str(batch_id)
+    if checkpoint is not None:
+        snap.summary["streaming-checkpoint"] = checkpoint
     table.metadata.save()
 
 
@@ -388,16 +396,42 @@ def stream_dedup_to_table(
     or re-hashes previously ingested text. This is the pipeline a 100
     TB/day crawl runs: dedup is an O(batch) streaming pass, not a
     periodic O(corpus²) job.
+
+    Replay safety: foreachBatch is at-least-once, so a crash between the
+    table append and the checkpoint commit re-delivers the batch with the
+    SAME batch_id. The batch-id stamp on the committed snapshot detects
+    this: a replayed batch skips the table append (no duplicate rows) and
+    instead REPAIRS the index from the stamped snapshot's own rows (an
+    anti-join append, a no-op when the first attempt already folded them
+    in) — covering the crash window between the two appends.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        wins = window_fn(batch_df)
         idx = spark.read.parquet(index_dir)
+        done = next((s for s in table.metadata.snapshots
+                     if s.summary.get("streaming-batch-id")
+                     == str(batch_id)
+                     and s.summary.get("streaming-checkpoint")
+                     == checkpoint_dir), None)
+        if done is not None:
+            # checkpoint replay: rows already landed under this epoch.
+            # Re-derive the kept docs from the stamped snapshot itself and
+            # complete the (possibly skipped) index fold idempotently.
+            chain = table.metadata.ancestors(MAIN_BRANCH)
+            prev = next((s.snapshot_id for prior, s in zip(chain, chain[1:])
+                         if prior.snapshot_id == done.snapshot_id), None)
+            kept = table.scan_incremental(start_snapshot_id=prev,
+                                          end_snapshot_id=done.snapshot_id)
+            (window_fn(kept).select("wh").distinct()
+             .join(idx, "wh", "left_anti")
+             .write.mode("append").parquet(index_dir))
+            return None
+        wins = window_fn(batch_df)
         dropped = (wins.join(idx, "wh", "leftsemi")
                    .select(id_col).distinct())
         kept = batch_df.join(F.broadcast(dropped), id_col, "left_anti")
         snap = table.append(kept)
-        _stamp_batch(table, snap, batch_id)
+        _stamp_batch(table, snap, batch_id, checkpoint=checkpoint_dir)
         # kept-only index growth: a dropped doc's content is already
         # represented; the anti-join keeps the index one-row-per-digest
         (window_fn(kept).select("wh").distinct()

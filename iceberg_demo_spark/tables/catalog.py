@@ -256,11 +256,12 @@ class Catalog:
         an error. With cascade, the read-only guard runs FIRST across every
         contained table — one read-only table blocks the whole drop, exactly
         like the reference's check rule
-        (ReadOnlyTableCheckRule.scala:134-143). The namespace directory is
-        always reclaimed on success, so the database leaves SHOW DATABASES
-        and can be re-created; data-file preservation is a DROP TABLE
-        (no PURGE) concern, not a database-level one — dropping the
-        database reclaims its managed location like Spark's catalog does."""
+        (ReadOnlyTableCheckRule.scala:134-143). The namespace directory
+        always leaves SHOW DATABASES on success and the name can be
+        re-created; PURGE semantics mirror DROP TABLE's — without PURGE
+        any surviving data files are preserved (the directory is moved
+        aside to a hidden ``.dropped-*`` path outside the visible catalog
+        tree), with PURGE everything is deleted."""
         root = os.path.join(self.warehouse, *namespace.split("."))
         if not os.path.isdir(root):
             if if_exists:
@@ -274,7 +275,20 @@ class Catalog:
                 self.load_table(name).check_writable("DROP DATABASE CASCADE")
         for name in tables:
             self.drop_table(name, purge=purge)
-        shutil.rmtree(root, ignore_errors=True)
+        if purge or not any(fs for _, _, fs in os.walk(root)):
+            # purged, or nothing survived the per-table drops (metadata
+            # is already gone; an all-empty tree has nothing to preserve)
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            # no PURGE: preserve surviving data files, but hide the
+            # directory from list_databases (dot-prefixed dirs are
+            # excluded) so the database is gone from the catalog's view
+            base = os.path.join(self.warehouse, f".dropped-{namespace}")
+            dest, i = base, 0
+            while os.path.exists(dest):
+                i += 1
+                dest = f"{base}-{i}"
+            os.replace(root, dest)
         return tables
 
     def list_tables(self, namespace: str | None = None) -> list[str]:

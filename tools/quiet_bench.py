@@ -68,6 +68,10 @@ def main() -> int:
     if proc.returncode != 0:
         print(f"bench.py failed (rc {proc.returncode})", file=sys.stderr)
         return proc.returncode
+    if not proc.stdout.strip():
+        print("bench.py exited 0 but produced no stdout; cannot parse a "
+              "payload line", file=sys.stderr)
+        return 1
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
 
     out = {
