@@ -94,12 +94,76 @@ def _null_propagating_over(expr: str, nt: str) -> bool:
     return re.fullmatch(r"[\s()+\-*/%|,]*", resid) is not None
 
 
+def _split_top_comparator(s: str) -> tuple[str, str] | None:
+    """Split ``s`` at its single paren-depth-0, outside-quotes comparison
+    operator; None when there is no comparator at depth 0, more than one,
+    or a depth-0 OR / IS / CASE keyword (whose NULL semantics are not the
+    comparator's)."""
+    depth, i, n = 0, 0, len(s)
+    found: tuple[int, str] | None = None
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            if j < 0:
+                return None
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            for op in ("<>", "!=", "<=", ">=", "=", "<", ">"):
+                if s.startswith(op, i):
+                    if found is not None:
+                        return None
+                    found = (i, op)
+                    i += len(op) - 1
+                    break
+        i += 1
+    if found is None:
+        return None
+    if re.search(r"\b(or|is|case|not|and)\b",
+                 _blank_parens(s)):
+        return None
+    i, op = found
+    return s[:i], s[i + len(op):]
+
+
+def _blank_parens(s: str) -> str:
+    """``s`` with every parenthesized span and string literal blanked —
+    what remains is the depth-0 text."""
+    out, depth, i, n = [], 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            i = (j + 1) if j >= 0 else n
+            out.append(" ")
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            i += 1
+            out.append(" ")
+            continue
+        out.append(ch if depth == 0 else " ")
+        i += 1
+    return "".join(out)
+
+
 def _null_rejecting(cond: str, nt: str) -> bool:
     """True when the WHERE conjunct provably evaluates to non-true on a
     NULL-extended row of ``nt`` (so it can never ADMIT a row the
-    matched-row probes don't see): ``nt.col <op> literal`` and friends.
-    Anything else referencing ``nt`` (IS NULL, coalesce, OR, refs to other
-    tables in the same conjunct) stays refused."""
+    matched-row probes don't see): ``nt.col <op> literal`` and friends,
+    plus (round 8, VERDICT r7 #5) ANY single depth-0 comparison whose
+    ``nt``-referencing side(s) are strict (null-propagating)
+    compositions — SQL comparisons are strict, so a NULL side makes the
+    whole conjunct NULL, never TRUE, regardless of the other side.
+    IS NULL, OR, CASE, COALESCE-family over ``nt`` stay refused (the MV
+    then takes the always-correct full recompute)."""
     c = cond.strip().lower()
     col = rf"{re.escape(nt)}\.\w+"
     lit = r"(?:'[^']*'|-?\d+(?:\.\d+)?|true|false)"
@@ -107,12 +171,24 @@ def _null_rejecting(cond: str, nt: str) -> bool:
     pats = [
         rf"{col}\s*{op}\s*{lit}",
         rf"{lit}\s*{op}\s*{col}",
-        rf"{col}\s+in\s*\(\s*{lit}(?:\s*,\s*{lit})*\s*\)",
+        rf"{col}\s+(?:not\s+)?in\s*\(\s*{lit}(?:\s*,\s*{lit})*\s*\)",
         rf"{col}\s+between\s+{lit}\s+and\s+{lit}",
         rf"{col}\s+(?:not\s+)?like\s+{lit}",
         rf"{col}\s+is\s+not\s+null",
     ]
-    return any(re.fullmatch(p, c) for p in pats)
+    if any(re.fullmatch(p, c) for p in pats):
+        return True
+    # strict-expression comparison form: upper(nt.a) = 'X',
+    # nt.a + nt.b > 5, nt.a * 2 <= other.c …
+    parts = _split_top_comparator(c)
+    if parts is None:
+        return False
+    for side in parts:
+        side = side.strip()
+        if re.search(rf"\b{re.escape(nt)}\.", side) and \
+                not _null_propagating_over(side, nt):
+            return False
+    return True
 
 
 def _unqualified_idents(expr: str) -> set[str]:

@@ -1,16 +1,25 @@
-"""Graph operators over the document-similarity graph (round 7).
+"""Graph operators over the document-similarity graph (rounds 7-8).
 
 The fleet's iterative-algorithm family: dedup_clusters (dedup.py) does
 min-label propagation to a fixpoint; this module adds fixed-iteration
 PageRank — the canonical "loop of shuffles" workload — with ALL-INTEGER
-arithmetic so each unrolled iteration is value-exact against the DuckDB
-oracle (no float accumulation-order hazard).
+arithmetic so every iteration is value-exact against the DuckDB oracle
+(no float accumulation-order hazard).
+
+Round 8 (VERDICT r7 #3) makes it canonical PageRank: the rank frame
+covers ALL nodes (sources, internal, and out-degree-zero sinks), and the
+mass sinks would otherwise swallow is redistributed through the teleport
+term each iteration — and the document graph is now DIRECTED
+(first-seen copy → later duplicate), so genuine sinks exist and the
+dangling path is exercised cross-engine, not just in a pytest fixture.
+The loop runs N=10 iterations with a localCheckpoint every 5 to cut
+lineage — the production loop structure the round-7 docstring promised
+(the connected_components pattern, dedup.py).
 
 Scale design: one shuffle per iteration (contributions grouped by dst);
-the rank and degree frames are node-sized, the edge frame is persisted
-once and re-joined per iteration — exactly how a 100-iteration run would
-be structured (checkpoint every ~10 iterations to cut the lineage, as
-dedup.py::connected_components already demonstrates).
+the rank and node frames are node-sized, the edge frame is persisted
+once and re-joined per iteration; the dangling mass is a 1-row broadcast
+aggregate, never a driver collect, so the loop stays fully distributed.
 """
 
 from __future__ import annotations
@@ -25,6 +34,94 @@ from iceberg_demo_spark.sources import load_tables
 #: every iteration bit-exact across engines
 _S = 1_000_000_000
 
+#: iterations / lineage-cut cadence for the gate
+_N_ITER = 10
+_CKPT_EVERY = 5
+
+
+def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
+                     checkpoint_every: int = _CKPT_EVERY) -> DataFrame:
+    """Canonical PageRank over a directed edge frame (``src``, ``dst``)
+    in fixed-point bigint arithmetic, damping 0.85:
+
+        r'(b) = 0.15·S + floor(0.85 · (Σ_{a→b} floor(r(a)/outdeg(a))
+                                       + floor(D/N)) / 1)      [floors]
+
+    where D = Σ rank over out-degree-zero sinks (the dangling mass,
+    folded into every node's teleport share) and N = |nodes|. Every
+    division is a bigint floor, so Spark and DuckDB agree bit-exactly.
+    Mass is conserved up to quantified floor loss: one iteration loses
+    < E + 2N units (each share floor < 1 per edge, the dangling split
+    < 1 per node, the 85% floor < 1 per node), and damping shrinks
+    carried loss ×0.85 per round, so at any depth
+    N·S − ⌈(E + 2N)/0.15⌉ ≤ Σ rank ≤ N·S — asserted per-iteration in
+    tests/test_graph.py.
+
+    Scale shape: ``edges`` is persisted once; each iteration is ONE
+    shuffle (contributions grouped by dst) plus node-sized joins; the
+    dangling mass is a 1-row broadcast aggregate (no driver collect);
+    ``localCheckpoint`` every ``checkpoint_every`` iterations cuts the
+    growing lineage so a 100-iteration run has bounded plan depth."""
+    e = edges.persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n_nodes = nodes.count()
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+           .persist())
+    rank = nodes.select("node", F.lit(_S).cast("bigint").alias("rank"))
+    for i in range(n_iter):
+        dang = (rank.join(deg, rank.node == deg.src, "left")
+                .filter(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                     .cast("bigint").alias("d")))
+        contrib = (e.join(rank, e.src == rank.node)
+                   .join(deg, "src")
+                   .select("dst", F.expr("rank div outdeg").alias("share")))
+        agg = (contrib.groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("share").cast("bigint").alias("s")))
+        rank = (nodes.join(agg, "node", "left")
+                .crossJoin(F.broadcast(dang))
+                .select("node",
+                        (F.lit(15 * _S // 100)
+                         + F.expr(f"(85 * (coalesce(s, CAST(0 AS BIGINT))"
+                                  f" + d div {n_nodes})) div 100"))
+                        .cast("bigint").alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            rank = rank.localCheckpoint()
+    return rank
+
+
+def _pagerank_sql_iterations(n_iter: int) -> str:
+    """The oracle's unrolled mirror of integer_pagerank: per iteration a
+    contribution CTE, a dangling-share CTE (scalar), and a rank CTE over
+    ALL nodes (LEFT JOIN keeps zero-in-degree nodes; COALESCE keeps
+    their contribution at 0)."""
+    parts = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        # MATERIALIZED: each rank CTE is referenced twice (contributions
+        # + dangling sum); inlined CTEs would expand the whole pipeline
+        # 2^n_iter times
+        parts.append(f"""
+    c{i} AS MATERIALIZED (SELECT e.dst AS node,
+                  CAST(SUM(r{p}.rank // d.outdeg) AS BIGINT) AS s
+           FROM e JOIN r{p} ON e.src = r{p}.node
+                JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    dsh{i} AS (SELECT CAST(COALESCE((
+                  SELECT SUM(r{p}.rank) FROM r{p}
+                  LEFT JOIN deg ON r{p}.node = deg.src
+                  WHERE deg.src IS NULL), 0) AS BIGINT)
+                  // (SELECT n FROM nn) AS dsh),
+    r{i} AS MATERIALIZED (SELECT n.node,
+                  CAST({15 * _S // 100}
+                       + (85 * (COALESCE(c{i}.s, 0)
+                                + (SELECT dsh FROM dsh{i}))) // 100
+                       AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)""")
+    return ",".join(parts)
+
 
 @query(
     "graph_doc_pagerank",
@@ -34,54 +131,44 @@ _S = 1_000_000_000
       FROM documents,
            UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id <> b.doc_id
+      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
     ),
-    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
             FROM e GROUP BY src),
-    r0 AS (SELECT src AS node, CAST({_S} AS BIGINT) AS rank FROM deg),
-    c1 AS (SELECT e.dst AS node,
-                  CAST(SUM(r0.rank // d.outdeg) AS BIGINT) AS s
-           FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r1 AS (SELECT node,
-                  CAST({15 * _S // 100} + (85 * s) // 100 AS BIGINT)
-                    AS rank
-           FROM c1),
-    c2 AS (SELECT e.dst AS node,
-                  CAST(SUM(r1.rank // d.outdeg) AS BIGINT) AS s
-           FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    r2 AS (SELECT node,
-                  CAST({15 * _S // 100} + (85 * s) // 100 AS BIGINT)
-                    AS rank
-           FROM c2)
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({_S} AS BIGINT) AS rank FROM nodes),
+    {_pagerank_sql_iterations(_N_ITER)}
     SELECT node AS doc_id, rank
-    FROM r2 ORDER BY rank DESC, doc_id LIMIT 20
+    FROM r{_N_ITER} ORDER BY rank DESC, doc_id LIMIT 20
     """,
 )
 def graph_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two unrolled PageRank iterations over the shared-window document
-    graph (edges = doc pairs sharing a 64-char dedup window, both
-    directions), damping 0.85, fixed-point integer arithmetic at scale
-    10^9 — the hub documents whose content radiates through the corpus,
-    i.e. the ones whose removal de-duplicates the most. Top 20 by
-    (rank DESC, doc_id).
+    """Ten iterations of canonical integer PageRank over the DIRECTED
+    shared-window document graph — an edge runs first-seen copy →
+    later duplicate (doc_id order over pairs sharing a 64-char dedup
+    window), so rank accumulates on the documents whose content is
+    most downstream-duplicated, and maximal duplicates are genuine
+    SINKS whose mass the dangling term redistributes each iteration
+    (round 8; previously 2 symmetric-edge iterations with sink mass
+    silently dropped). Top 20 by (rank DESC, doc_id).
 
-    Integer discipline: start rank = S; each iteration is
-    r(b) = 0.15·S + floor(0.85 · Σ floor(r(a)/outdeg(a)))
-    with every division a floor on bigints, so Spark and DuckDB agree
-    bit-exactly — no float accumulation-order hazard, unlike a naive
-    double-based PageRank.
+    Integer discipline: start rank = S = 10^9; each iteration is
+    r(b) = 0.15·S + floor(0.85·(Σ floor(r(a)/outdeg(a)) + floor(D/N)))
+    with every division a bigint floor, so Spark and DuckDB agree
+    bit-exactly — see integer_pagerank, whose per-iteration mass-
+    conservation band is pytest-asserted.
 
     Scale shape: the edge list is built once from the distinct
     (doc_id, wh) frame (digest-keyed self-join, per-key fan-out bounded
-    by window repetition) and persisted; each iteration is ONE shuffle —
-    contributions grouped by dst — with the node-sized rank frame
-    re-joined to the edge frame on src. A production 50-iteration run
-    keeps this exact loop, checkpointing every ~10 iterations to cut
-    lineage (the connected-components pattern, dedup.py:599). Isolated
+    by window repetition) and persisted; each of the 10 iterations is
+    ONE shuffle, the dangling mass a 1-row broadcast aggregate, and
+    localCheckpoint every 5 iterations cuts the lineage — the loop
+    structure a production 100-iteration run keeps verbatim. Isolated
     documents never enter the edge frame and are excluded, matching the
     oracle."""
     t = load_tables(spark, sf_dir, ("documents",))
@@ -91,23 +178,10 @@ def graph_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select("doc_id", "wh").distinct())
     x, y = w.alias("x"), w.alias("y")
     e = (x.join(y, "wh")
-         .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
          .select(F.col("x.doc_id").alias("src"),
                  F.col("y.doc_id").alias("dst"))
-         .distinct()
-         .persist())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    rank = deg.select(F.col("src").alias("node"),
-                      F.lit(_S).cast("bigint").alias("rank"))
-    for _ in range(2):
-        contrib = (e.join(rank, e.src == rank.node)
-                   .join(deg, "src")
-                   .select("dst", F.expr("rank div outdeg").alias("share")))
-        rank = (contrib.groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("share").cast("bigint").alias("s"))
-                .select("node",
-                        (F.lit(15 * _S // 100)
-                         + F.expr("(85 * s) div 100"))
-                        .cast("bigint").alias("rank")))
+         .distinct())
+    rank = integer_pagerank(e)
     return (rank.select(F.col("node").alias("doc_id"), "rank")
             .orderBy(F.desc("rank"), "doc_id").limit(20))

@@ -78,25 +78,20 @@ def load_all() -> None:
     registration order, so a gate registered past that point is never
     externally verified.
 
-    ROUND-7 WINDOW — continues the stalest-first freshness rotation
-    (VERDICT r6 #1, queue order fixed by COVERAGE.md / VERDICT r5-r6):
-    the six late-round-6 gates that have never had a driver row lead at
-    positions 0-5; the six NEW round-7 TPC-H partsupp gates (never
-    driver-verified, standing policy) follow at 6-11; the eight
-    late-round-7 gates (emb_semdedup, multimodal_audio_stats,
-    dedup_minhash_recall, sim_ann_recall, doc_dup_span_coverage,
-    dedup_incremental_batch, events_distribution_drift,
-    doc_bigram_vocab, dedup_incremental_indexed,
-    streaming_dedup_ingest, dedup_cross_source_matrix,
-    graph_doc_pagerank, streaming_ann_ingest,
-    events_session_window_stats, events_pivot_hourly_matrix,
-    source_python_datasource, dedup_fuzzy_name_pairs) at 12-28; then
-    the five r3-green gates displaced late in round 6, all nine gates
-    last green in round 4, and 8 of the 50 round-5-green gates (the
-    parity-critical write-path set: the dml/branch/compaction block,
-    dml_merge_upsert, changelog_row_counts and mv_incremental_refresh).
-    The remaining 42 r5-green gates queue for round 8 and are covered
-    every round by the full local oracle artifact
+    ROUND-8 WINDOW — the stalest-first rotation (VERDICT r7 #1): the 43
+    gates whose last driver row is ROUND 5 — the only gates not
+    driver-verified since then (freshness histogram entering r8: r7:50,
+    r6:50, r5:43) — LEAD at positions 0-42, in the queue order VERDICT
+    r7 fixed (alphabetical). Positions 43-46 hold the round-8 gates that
+    MUST be (re-)verified: dedup_fuzzy_name_pairs (semantics changed —
+    symmetric-delete multi-pass blocking + ubiquitous-key cap, VERDICT
+    r7 #2/#6), dedup_fuzzy_recall (new recall audit),
+    graph_doc_pagerank (semantics changed — directed edges, dangling
+    mass, 10 iterations, VERDICT r7 #3), sim_ann_index_compact (new
+    streamed-index bin-packing gate, VERDICT r7 #4). Positions 47-49
+    are reserved for late-round-8 gates. After this window runs, no
+    gate's last driver row is older than round 6. Every other gate is
+    covered each round by the full local oracle artifact
     (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
@@ -116,88 +111,64 @@ def load_all() -> None:
         graph,
     )
 
-    # Round-7 window: explicit, stalest-first (see docstring). Derived
-    # from CORRECTNESS_r01..r06 — each gate's LAST driver-green round.
+    # Round-8 window: explicit, stalest-first (see docstring). Positions
+    # 0-42 are exactly the 43 gates whose last driver-green round is 5
+    # (computed from CORRECTNESS_r01..r07: green in r5, absent from the
+    # r6 and r7 windows), in VERDICT r7's queue order.
     _window = (
-        "doc_bm25_search",
-        "doc_token_entropy",
-        "orders_pareto_share",
-        "lineitem_column_profile",
-        "referential_integrity_audit",
-        "streaming_stream_stream_join",
-        "q2_min_cost_supplier",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q16_supplier_part_counts",
-        "q20_promotion_suppliers",
-        "q21_suppliers_kept_waiting",
-        # -- never driver-verified: round-7 semantic dedup + audio codec
-        #    + the two approximation-audit gates --
-        "emb_semdedup",
-        "multimodal_audio_stats",
-        "dedup_minhash_recall",
-        "sim_ann_recall",
-        "doc_dup_span_coverage",
-        "dedup_incremental_batch",
-        "events_distribution_drift",
-        "doc_bigram_vocab",
-        "dedup_incremental_indexed",
-        "streaming_dedup_ingest",
-        "dedup_cross_source_matrix",
-        "graph_doc_pagerank",
-        "streaming_ann_ingest",
-        "events_session_window_stats",
-        "events_pivot_hourly_matrix",
-        "source_python_datasource",
-        "dedup_fuzzy_name_pairs",
-        "sim_cosine_topk",
-        "doc_token_stats",
-        "doc_quality_buckets",
-        "doc_bpe_token_stats",
-        "multimodal_payload_stats",
-        "dml_overwrite_dynamic",
-        "tt_snapshot_counts",
-        "insert_overwrite_static",
-        "incremental_read_appends",
-        "sim_threshold_pairs",
-        "sim_ann_lsh_topk",
-        "asof_click_attribution",
-        "range_join_error_window",
-        "sim_label_centroid_norms",
-        "dml_merge_upsert",
-        "dml_delete_update",
-        "dml_delete_update_mor",
-        "branch_write_isolation",
-        "compaction_preserves_table",
-        "changelog_row_counts",
-        "mv_incremental_refresh",
-        # changelog_update_images and merge_not_matched_by_source yield
-        # their slots to keep the MV representative in-window and admit
-        # dedup_fuzzy_name_pairs (changelog coverage stays via
-        # changelog_row_counts, MERGE coverage via dml_merge_upsert);
-        # they head the round-8 queue below
+        "bucketed_colocated_join",
         "changelog_update_images",
+        "cube_flag_status_price",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_hamming_pairs",
+        "doc_decontamination",
+        "doc_mixture_weights",
+        "doc_per_source_cap",
+        "doc_pii_redaction",
+        "doc_quality_pipeline",
+        "doc_repetition_metrics",
+        "doc_sequence_packing",
+        "doc_shard_assignment",
+        "doc_stratified_sample",
+        "doc_tfidf_top_terms",
+        "emb_dominant_dims",
+        "emb_feature_norm_stats",
+        "emb_int8_quantization",
+        "emb_kmeans_clusters",
+        "events_funnel_conversion",
+        "events_gap_fill_resample",
+        "events_hourly_anomalies",
+        "events_type_transitions",
         "merge_not_matched_by_source",
+        "multimodal_decode_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
         "mv_rollup_correctness",
-        "schema_evolution_read",
+        "orders_cohort_retention",
+        "orders_market_basket",
+        "orders_rfm_segments",
         "partition_evolution_read",
         "partition_pruned_scan",
+        "q15_top_supplier",
+        "quantity_percentiles_by_flag",
+        "schema_evolution_read",
+        "sim_ann_ivf_topk",
+        "skew_salted_agg",
+        "skew_salted_join",
         "sql_ctas_rtas",
-        # (skew_salted_agg, skew_salted_join, q15_top_supplier,
-        #  cube_flag_status_price, dedup_simhash_hamming_pairs,
-        #  streaming_stateful_dedup, bucketed_colocated_join,
-        #  dedup_minhash_lsh_pairs, streaming_running_counts,
-        #  streaming_ingest_hourly, partition_pruned_scan, sql_ctas_rtas,
-        #  partition_evolution_read, schema_evolution_read,
-        #  mv_rollup_correctness, changelog_update_images and
-        #  merge_not_matched_by_source rotate to the round-8 queue —
-        #  their slots went to the seventeen late-round-7 gates at
-        #  positions 12-28, which must sit in the window per the
-        #  standing new-gate policy; the displaced gates stay in the
-        #  tuple so they lead the post-window order, and streaming
-        #  coverage stays in-window through streaming_stream_stream_join
-        #  at position 5 plus the new streaming_dedup_ingest and
-        #  streaming_ann_ingest)
+        "streaming_ingest_hourly",
+        "streaming_running_counts",
+        "streaming_stateful_dedup",
+        # -- positions 43-46: round-8 new/changed gates (standing
+        #    policy: every new or semantics-changed gate sits inside the
+        #    50-entry window so the driver value-verifies it this round)
+        "dedup_fuzzy_name_pairs",
+        "dedup_fuzzy_recall",
+        "graph_doc_pagerank",
+        "sim_ann_index_compact",
+        # -- positions 47-49 reserved for late-round-8 gates; the
+        #    r6/r7-green gates (freshest) follow in QUERIES order and
+        #    stay covered by ORACLES_LOCAL_r08 --
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -371,39 +371,117 @@ def test_cross_source_matrix_matches_pure_python(spark):
     assert got == exp and got
 
 
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _delete1_keys(name):
+    return {name} | {name[:i] + name[i + 1:] for i in range(len(name))}
+
+
 def test_fuzzy_name_pairs_matches_pure_python(spark):
     """dedup_fuzzy_name_pairs vs a pure-Python recompute at sf0.001:
-    same block key (name minus last 2 chars), same Levenshtein<=1 rule
-    (verified with a hand-rolled DP — not Spark's own function), same
-    three aggregates."""
+    same symmetric-delete key set (name + every delete-1 variant, capped
+    blocks), same Levenshtein<=1 rule (verified with a hand-rolled DP —
+    not Spark's own function), same three aggregates. Because the
+    delete-1 construction is complete at distance 1, n_pairs must ALSO
+    equal the unblocked all-pairs ground truth — asserted too."""
     from collections import defaultdict
-
-    def lev(a, b):
-        prev = list(range(len(b) + 1))
-        for i, ca in enumerate(a, 1):
-            cur = [i]
-            for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[-1] + 1,
-                               prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
 
     rows = (spark.read.parquet(f"{SF_SMALL}/customer.parquet")
             .select("c_custkey", "c_name").collect())
     blocks = defaultdict(list)
     for r in rows:
-        blocks[r["c_name"][:-2]].append((r["c_name"], r["c_custkey"]))
-    n_pairs, matched, blk_hit = 0, set(), set()
+        for k in _delete1_keys(r["c_name"]):
+            blocks[k].append((r["c_name"], r["c_custkey"]))
+    pairs, blk_hit = set(), set()
     for blk, members in blocks.items():
-        members.sort()
+        if len(members) > 256:
+            continue
         for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                if lev(members[i][0], members[j][0]) <= 1:
-                    n_pairs += 1
-                    matched |= {members[i][1], members[j][1]}
+            for j in range(len(members)):
+                (na, ia), (nb, ib) = members[i], members[j]
+                if na < nb and _lev(na, nb) <= 1:
+                    pairs.add((ia, ib))
                     blk_hit.add(blk)
+    matched = {x for p in pairs for x in p}
+    exact = {(ia, ib)
+             for na, ia in ((r["c_name"], r["c_custkey"]) for r in rows)
+             for nb, ib in ((r["c_name"], r["c_custkey"]) for r in rows)
+             if na < nb and _lev(na, nb) <= 1}
+    assert pairs == exact, "delete-1 blocking lost recall at distance 1"
     got = registry.QUERIES["dedup_fuzzy_name_pairs"](
         spark, SF_SMALL).collect()[0]
-    assert got["n_pairs"] == n_pairs > 0
+    assert got["n_pairs"] == len(pairs) > 0
     assert got["n_customers_matched"] == len(matched)
     assert got["n_blocks"] == len(blk_hit)
+
+
+def test_fuzzy_multipass_catches_mid_name_edit_prefix_misses(spark):
+    """The round-7 concession, now closed: an edit INSIDE the prefix
+    block key escaped the single-pass form. 'abXcdef' vs 'abYcdef'
+    share no length-minus-2 prefix block, but the delete-3 variants
+    collide — the multipass finds the pair."""
+    from iceberg_demo_spark.operators.dedup import (
+        _fuzzy_delete1_keys, _fuzzy_hits)
+
+    df = spark.createDataFrame(
+        [(1, "abXcdef"), (2, "abYcdef"), (3, "zzzzzzz")], "id long, nm string")
+    hits = _fuzzy_hits(_fuzzy_delete1_keys(df, "id", "nm"), "id", "nm")
+    assert {(r["id_a"], r["id_b"]) for r in hits.collect()} == {(1, 2)}
+    # the old prefix block key indeed separates them
+    assert "abXcdef"[:-2] != "abYcdef"[:-2]
+
+
+def test_fuzzy_skew_guard_caps_ubiquitous_blocks(spark):
+    """Adversarial skew fixture — the 'everyone named UNKNOWN' hazard
+    the round-7 docstring only named: 400 identical names would form a
+    400²-pair block; with max_block=50 the guard drops every key they
+    share BEFORE the self-join, so per-task candidate fan-out stays
+    bounded (≤ cap² per key) and the distinct minority names still
+    match each other."""
+    from iceberg_demo_spark.operators.dedup import (
+        _fuzzy_delete1_keys, _fuzzy_hits)
+
+    rows = [(i, "UNKNOWN") for i in range(400)]
+    rows += [(1000, "acme corp"), (1001, "acme c0rp")]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    keys = _fuzzy_delete1_keys(df, "id", "nm", max_block=50)
+    per_key = keys.groupBy("k").count().agg(
+        F.max("count").alias("mx")).collect()[0]["mx"]
+    assert per_key <= 50, "a block above the cap survived"
+    got = {(r["id_a"], r["id_b"])
+           for r in _fuzzy_hits(keys, "id", "nm")
+           .select("id_a", "id_b").distinct().collect()}
+    assert got == {(1001, 1000)} or got == {(1000, 1001)}
+
+
+def test_fuzzy_recall_gate_matches_pure_python(spark):
+    """dedup_fuzzy_recall vs a pure-Python recompute at sf0.001: exact
+    sample ground truth (all-pairs DP), prefix-pass subset, multipass
+    subset, floor-division bps."""
+    rows = (spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+            .select("c_custkey", "c_name")
+            .filter("c_custkey % 3 = 0").collect())
+    names = [(r["c_name"], r["c_custkey"]) for r in rows]
+    exact = {(ia, ib) for na, ia in names for nb, ib in names
+             if na < nb and _lev(na, nb) <= 1}
+    pfx = {(ia, ib) for na, ia in names for nb, ib in names
+           if na < nb and na[:-2] == nb[:-2] and _lev(na, nb) <= 1}
+    multi = {(ia, ib) for na, ia in names for nb, ib in names
+             if na < nb and (_delete1_keys(na) & _delete1_keys(nb))
+             and _lev(na, nb) <= 1}
+    got = registry.QUERIES["dedup_fuzzy_recall"](
+        spark, SF_SMALL).collect()[0]
+    assert got["n_exact_pairs"] == len(exact) > 0
+    assert got["n_prefix_pairs"] == len(pfx)
+    assert got["n_multipass_pairs"] == len(multi) == len(exact)
+    assert got["recall_prefix_bps"] == 10000 * len(pfx) // len(exact)
+    assert got["recall_multipass_bps"] == 10000

@@ -1045,3 +1045,97 @@ def test_left_join_mv_non_strict_expression_key_still_refuses(engine):
         "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
         "GROUP BY coalesce(d.zone, 'none')")
     assert not engine.mv_catalog.get("co_mv").source_snapshots
+
+
+# -- round 8 (VERDICT r7 #5): strict-expression WHEREs over nullable
+# -- tables enroll for incremental join-MV refresh ------------------------
+
+def test_null_rejecting_strict_expression_forms():
+    """Unit matrix for the round-8 _null_rejecting extension: any single
+    depth-0 comparison whose nullable-side refs are strict compositions
+    is null-rejecting; OR / IS NULL / COALESCE / CASE forms still
+    refuse."""
+    from iceberg_demo_spark.mv.manager import _null_rejecting as nr
+
+    assert nr("d.tier + 1 > 1", "d")
+    assert nr("upper(d.zone) = 'Z1'", "d")
+    assert nr("d.tier * 10 <= s.amount", "d")      # other table on rhs: ok
+    assert nr("abs(d.tier - 3) <> 2", "d")
+    assert nr("'z1' = lower(d.zone)", "d")
+    assert not nr("d.tier is null", "d")
+    assert not nr("coalesce(d.tier, 0) > 5", "d")
+    assert not nr("d.tier > 5 or d.tier is null", "d")
+    assert not nr("(d.tier > 5 or s.amount > 1)", "d")
+    assert not nr("case when d.tier > 5 then true else false end", "d")
+    assert not nr("d.tier > 5 and s.amount > 1", "d")  # not a single cmp
+    assert not nr("not (d.tier > 5)", "d")             # conservative
+
+
+def test_left_join_mv_strict_expression_where_enrolls_and_matches(engine):
+    """Randomized DML sweep (the expression-KEY pattern shipped in round
+    7, now for WHERE): a strict arithmetic WHERE over the nullable dim
+    (d.tier + 1 > 1 — NULL-extended rows provably rejected) ENROLLS for
+    incremental join refresh (round 7 fell back to full recompute) and
+    stays equal to a from-scratch recompute through fact/dim appends and
+    deletes."""
+    import random
+
+    rng = random.Random(53)
+    t = _setup(engine, ROWS)
+    d = engine.catalog.create_table("db.wdim", "region string, tier bigint")
+    d.append(engine.spark.createDataFrame(
+        [("east", 1), ("west", 2)], "region string, tier bigint"))
+    engine.register("db.wdim")
+    engine.sql(
+        "CREATE MATERIALIZED VIEW we_mv AS "
+        "SELECT d.tier AS tier, count(*) AS n, sum(s.amount) AS total "
+        "FROM db_sales s LEFT JOIN db_wdim d ON s.region = d.region "
+        "WHERE d.tier + 1 > 1 "
+        "GROUP BY d.tier")
+    # the round-8 lift: this MV now ENROLLS (round 7: source_snapshots
+    # stayed empty and every refresh was a full recompute)
+    assert set(engine.mv_catalog.get("we_mv").source_snapshots) == {
+        "db_sales", "db_wdim"}
+
+    def expected():
+        return {
+            tuple(r)
+            for r in t.scan().alias("s")
+            .join(d.scan().alias("d"),
+                  F.col("s.region") == F.col("d.region"), "left")
+            .filter(F.col("d.tier") + 1 > 1)
+            .groupBy(F.col("d.tier").alias("tier"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("amount").alias("total")).collect()
+        }
+
+    regions = ["east", "west", "north", "south"]
+    for step in range(8):
+        if rng.random() < 0.5:
+            t.append(engine.spark.createDataFrame(
+                [(rng.choice(regions), "w", float(rng.randint(1, 99)))],
+                schema=t.schema()))
+        elif rng.random() < 0.5 and step % 2:
+            d.delete_where(f"region = '{rng.choice(regions)}'")
+        else:
+            d.append(engine.spark.createDataFrame(
+                [(rng.choice(regions), rng.randint(1, 4))],
+                "region string, tier bigint"))
+        engine.mv.refresh("we_mv", incremental=True)
+        got = {tuple(r) for r in engine.mv.backing_df(
+            engine.mv_catalog.get("we_mv")).collect()}
+        assert got == expected(), f"divergence at step {step}"
+
+
+def test_left_join_mv_null_passing_where_still_refuses(engine):
+    """IS NULL over the nullable dim can ADMIT NULL-extended rows the
+    matched-row probes never see — enrollment must still refuse (refresh
+    falls back to the always-correct full recompute)."""
+    _left_join_setup_no_mv(engine)
+    engine.sql(
+        "CREATE MATERIALIZED VIEW np_mv AS "
+        "SELECT s.region AS region, count(*) AS n "
+        "FROM db_sales s LEFT JOIN db_dim d ON s.region = d.region "
+        "WHERE d.zone IS NULL "
+        "GROUP BY s.region")
+    assert not engine.mv_catalog.get("np_mv").source_snapshots

@@ -489,6 +489,18 @@ def test_streaming_ann_index_probe_is_partition_pruned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_compacted_ann_index_probe_is_partition_pruned(spark):
+    """sim_ann_index_compact: after bin-packing the streamed tier into
+    one file per cell, the probe still partition-prunes to the probed
+    cells — compaction must not cost the query side its pruning."""
+    plan = _plan(spark, "sim_ann_index_compact")
+    i = plan.index("glacier_stream_ann_compact")
+    seg = plan[max(0, i - 900):i + 600]
+    assert "PartitionFilters" in seg
+    assert "INSET" in seg
+    assert "CartesianProduct" not in plan
+
+
 def test_session_window_plan_single_session_shuffle(spark):
     """events_session_window_stats: Spark's native MergingSessions
     operator runs after ONE user-keyed exchange, and the per-user

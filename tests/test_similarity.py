@@ -80,3 +80,38 @@ def test_streaming_ann_ingest_equals_batch_ivf(spark):
     n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert idx.count() == n
     assert idx.select("vec_id").distinct().count() == n
+
+
+def test_ann_index_compact_equals_batch_and_packs_files(spark):
+    """sim_ann_index_compact (round 8): compaction is pure layout — the
+    probe over the bin-packed tier equals the batch IVF answer
+    row-for-row — and it actually packs: the streamed tier holds one
+    fragment per cell per micro-batch (>1 somewhere after 3 batches),
+    the compacted tier exactly ONE file per cell, with no rows lost."""
+    import glob
+    import os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    from tests.conftest import SF_SMALL
+
+    a = registry.QUERIES["sim_ann_ivf_topk"](spark, SF_SMALL).collect()
+    b = registry.QUERIES["sim_ann_index_compact"](spark, SF_SMALL).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+    def files_per_cell(root):
+        return {os.path.basename(d): len(glob.glob(f"{d}/*.parquet"))
+                for d in glob.glob(f"{root}/cell_id=*")}
+
+    streamed = files_per_cell(
+        scratch_path(f"glacier_stream_ann_{_sf_tag(SF_SMALL)}"))
+    packed = files_per_cell(
+        scratch_path(f"glacier_stream_ann_compact_{_sf_tag(SF_SMALL)}"))
+    assert streamed and max(streamed.values()) > 1, streamed
+    assert packed and set(packed.values()) == {1}, packed
+    assert set(packed) == set(streamed)
+    n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    comp = spark.read.parquet(
+        scratch_path(f"glacier_stream_ann_compact_{_sf_tag(SF_SMALL)}"))
+    assert comp.count() == n
+    assert comp.select("vec_id").distinct().count() == n
