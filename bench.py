@@ -81,6 +81,12 @@ HEADLINE = [
     # batch frame), the production ingest shape.
     "doc_dup_span_coverage",
     "dedup_incremental_batch",
+    # round-8 addition: canonical integer PageRank (directed doc graph,
+    # dangling redistribution, 10 checkpointed iterations) — the
+    # iterative loop-of-shuffles family was unrepresented in the
+    # headline set. Rounds 1-7 benched the first 31 queries; that
+    # subtotal stays comparable as value_r7_comparable.
+    "graph_doc_pagerank",
 ]
 
 
@@ -122,6 +128,7 @@ def main() -> None:
     # round-over-round comparisons stay apples-to-apples after the round-5
     # headline extension
     r4_set = HEADLINE[:19]
+    r7_set = HEADLINE[:31]
     print(
         json.dumps(
             {
@@ -133,6 +140,8 @@ def main() -> None:
                 "queries_median": medians,
                 "value_r4_comparable": round(
                     sum(timings[q] for q in r4_set), 3),
+                "value_r7_comparable": round(
+                    sum(timings[q] for q in r7_set), 3),
                 "sf": sf,
             }
         )

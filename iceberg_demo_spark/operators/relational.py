@@ -1478,3 +1478,49 @@ def events_pivot_hourly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("hour_of_day", "event_type",
                     F.col("n").cast("bigint").alias("n"))
             .orderBy("hour_of_day", "event_type"))
+
+
+@query("sql_pivot_unpivot", oracle=None)  # shares the pivot oracle below
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events_pivot_hourly_matrix round-trip expressed as SQL TEXT
+    through ``Engine.sql`` over an engine catalog table (round 8,
+    VERDICT r7 #8 — completing the SQL-surface parity theme of the
+    round-7 SHOW/DESCRIBE work): Spark's native PIVOT clause (explicit
+    value list with aliases) builds the wide hour-of-day × event-type
+    matrix, the UNPIVOT clause melts it back, and the dotted table ref
+    binds through the engine catalog like every other statement. Shares
+    the DataFrame form's oracle — proving the two surfaces compute the
+    same matrix.
+
+    Scale shape: identical plan family to the DataFrame form — PIVOT
+    with a value list compiles to the two-level partial aggregate
+    (shuffles carry hour×type partials only), UNPIVOT is an Expand-only
+    map. The engine-table copy is the gate's setup cost, not the
+    query's."""
+    import tempfile
+
+    from iceberg_demo_spark.engine import Engine
+
+    t = load_tables(spark, sf_dir, ("events",))
+    eng = Engine(spark, tempfile.mkdtemp(prefix="glacier_sqlpivot_"))
+    eng.catalog.create_table_as(
+        "db.ev", t["events"].select("event_type", "ts"))
+    in_list = ", ".join(f"'{t}' AS {t}" for t in _EVENT_TYPES)
+    cols = ", ".join(_EVENT_TYPES)
+    return eng.sql(f"""
+        SELECT hour_of_day, event_type, CAST(n AS BIGINT) AS n FROM (
+          SELECT * FROM (
+            SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     AS hour_of_day,
+                   event_type
+            FROM db.ev
+          ) PIVOT (count(1) FOR event_type IN ({in_list}))
+        ) UNPIVOT (n FOR event_type IN ({cols}))
+        WHERE n > 0
+        ORDER BY hour_of_day, event_type
+    """)
+
+
+from iceberg_demo_spark.registry import ORACLES as _RELORACLES  # noqa: E402
+
+_RELORACLES["sql_pivot_unpivot"] = _RELORACLES["events_pivot_hourly_matrix"]

@@ -166,7 +166,8 @@ def load_all() -> None:
         "dedup_fuzzy_recall",
         "graph_doc_pagerank",
         "sim_ann_index_compact",
-        # -- positions 47-49 reserved for late-round-8 gates; the
+        "sql_pivot_unpivot",
+        # -- positions 48-49 reserved for late-round-8 gates; the
         #    r6/r7-green gates (freshest) follow in QUERIES order and
         #    stay covered by ORACLES_LOCAL_r08 --
     )

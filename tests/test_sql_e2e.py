@@ -348,3 +348,57 @@ def test_database_statements_route_through_engine_sql(engine):
             "TBLPROPERTIES ('hive-ext.readOnly' = 'true')")
     with pytest.raises(Exception, match="read-only|read only"):
         eng.sql("DROP DATABASE ro CASCADE")
+
+
+def test_sql_pivot_unpivot_round_trip(engine, spark):
+    """Round 8 (VERDICT r7 #8, SQL-surface parity): the PIVOT / UNPIVOT
+    matrix from events_pivot_hourly_matrix expressed as SQL TEXT through
+    Engine.sql over an engine catalog table — the wide PIVOT clause, the
+    UNPIVOT melt back to long, and equality with the DataFrame-form gate
+    on the same rows."""
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    eng = engine
+    eng.sql("CREATE TABLE db.ev (event_type STRING, ts TIMESTAMP_NTZ)")
+    src = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    eng.catalog.load_table("db.ev").append(
+        src.select("event_type", "ts"))
+
+    types = ("click", "error", "purchase", "signup", "view")
+    in_list = ", ".join(f"'{t}' AS {t}" for t in types)
+    cols = ", ".join(types)
+    wide_sql = f"""
+        SELECT * FROM (
+          SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+                 event_type
+          FROM db.ev
+        ) PIVOT (count(1) FOR event_type IN ({in_list}))
+    """
+    wide = eng.sql(wide_sql)
+    assert set(wide.columns) == {"hour_of_day", *types}
+
+    long_sql = f"""
+        SELECT hour_of_day, event_type, CAST(n AS BIGINT) AS n FROM (
+          {wide_sql}
+        ) UNPIVOT (n FOR event_type IN ({cols}))
+        WHERE n > 0
+        ORDER BY hour_of_day, event_type
+    """
+    got = [tuple(r) for r in eng.sql(long_sql).collect()]
+    exp = [tuple(r) for r in registry.QUERIES["events_pivot_hourly_matrix"](
+        spark, SF_SMALL).collect()]
+    assert got == exp and got
+
+
+def test_sql_pivot_resolves_engine_catalog_table(engine, spark):
+    """PIVOT over a dotted engine-table ref binds through
+    _bind_catalog_refs like any plain SELECT — no pre-registration."""
+    eng = engine
+    eng.sql("CREATE TABLE db.pv (k STRING, v BIGINT)")
+    eng.catalog.load_table("db.pv").append(spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "k string, v bigint"))
+    r = eng.sql("SELECT * FROM db.pv "
+                "PIVOT (SUM(v) FOR k IN ('a' AS a, 'b' AS b))").collect()
+    assert [tuple(x) for x in r] == [(3, 5)]
