@@ -954,3 +954,266 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                            bcast=True))
     )
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 8): the memory-side ANN compression lever —
+# IVF prunes WHAT you read (similarity.py), PQ shrinks WHAT you store.
+# Together they are the canonical billion-scale serving recipe (IVF-PQ).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4                  #: subspaces (64 dims → 4 × 16)
+_PQ_SUB = _DIMS // _PQ_M   #: dims per subspace
+_PQ_K = 8                  #: codes per subspace codebook
+
+
+@query(
+    "emb_pq_codes",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding AS e FROM embeddings
+    ),
+    cb AS (
+      SELECT t.m, vec_id AS code,
+             list_slice(embedding, t.m * {_PQ_SUB} + 1,
+                        t.m * {_PQ_SUB} + {_PQ_SUB}) AS c
+      FROM embeddings, range(0, {_PQ_M}) t(m)
+      WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+      SELECT p.vec_id, cb.m, cb.code,
+             list_sum(list_transform(generate_series(1, {_PQ_SUB}), i ->
+               (CAST(p.e[cb.m * {_PQ_SUB} + i] AS DOUBLE)
+                - CAST(cb.c[i] AS DOUBLE))
+               * (CAST(p.e[cb.m * {_PQ_SUB} + i] AS DOUBLE)
+                  - CAST(cb.c[i] AS DOUBLE)))) AS dist
+      FROM pts p CROSS JOIN cb
+    ),
+    asg AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT vec_id, m, code, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT CAST(m AS BIGINT) AS subspace,
+           CAST(code AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS distortion
+    FROM asg
+    GROUP BY m, code
+    ORDER BY subspace, code
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding audit: split every 64-dim embedding
+    into {M}=4 contiguous 16-dim subvectors, assign each to its nearest
+    entry of a per-subspace {K}=8-code codebook (seeded from the first
+    {K} vectors — codebook TRAINING is emb_kmeans_clusters' Lloyd loop,
+    run per subspace offline; encoding is the hot path this gate pins),
+    and report the code histogram and total quantization distortion per
+    (subspace, code) — the numbers that decide whether a PQ config is
+    usable before re-encoding a corpus (empty codes = wasted codebook,
+    distortion spikes = lost recall). PQ is the memory lever of the
+    IVF-PQ serving stack: 64 float32 dims → 4 bytes/vector at this
+    config (16x), with asymmetric distances computed from 4 lookup
+    tables.
+
+    Scale shape: the whole codebook (M·K subvectors) travels as ONE
+    broadcast row; per-vector encoding is an inline transform-over-
+    subspaces with a nested argmin fold — a pure map, ZERO corpus
+    shuffle (the emb_kmeans_clusters discipline). The only exchange
+    carries n·M narrow (subspace, code, fixed-point dist) rows into the
+    histogram aggregate, map-side combined to ≤ M·K rows per task.
+    Distortion uses the sequential in-array fold (bit-identical across
+    engines) quantized to 1e-6 fixed point, summed exactly, divided and
+    rounded once — no float accumulation-order hazard."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pts = t["embeddings"].select("vec_id", F.col("embedding").alias("e"))
+    cb = (
+        pts.filter(F.col("vec_id") < _PQ_K)
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), m -> "
+            f"named_struct('m', m, 'code', CAST(vec_id AS BIGINT), "
+            f"'c', slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB})))")).alias("s"))
+        .select("s.*")
+    )
+    cents = cb.agg(F.expr(
+        "array_sort(collect_list(struct(m, code, c)))").alias("cbs"))
+    _D = (f"aggregate(zip_with(slice(e, s.m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+          " s.c, (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),"
+          " 0D, (a, v) -> a + v)")
+    codes = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.explode(F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), mm -> "
+            " aggregate(filter(cbs, s -> s.m = mm),"
+            "  named_struct('m', mm, 'code', CAST(-1 AS BIGINT),"
+            "               'dist', double('Infinity')),"
+            f" (acc, s) -> CASE WHEN {_D} < acc.dist"
+            f" THEN named_struct('m', mm, 'code', s.code, 'dist', {_D})"
+            "  ELSE acc END))")).alias("a"))
+        .select(F.col("a.m").alias("subspace"), F.col("a.code").alias("code"),
+                F.col("a.dist").alias("dist"))
+    )
+    return (
+        codes.groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.round(F.sum(F.round(F.col("dist") * 1e6).cast("bigint"))
+                     / F.lit(1e6), 2).alias("distortion"))
+        .select(F.col("subspace").cast("bigint").alias("subspace"),
+                F.col("code").cast("bigint").alias("code"),
+                F.col("n_vectors").cast("bigint").alias("n_vectors"),
+                "distortion")
+        .orderBy("subspace", "code")
+    )
+
+
+_PQ_ENC = (
+    f"transform(sequence(0, {_PQ_M - 1}), mm -> "
+    " aggregate(filter(cbs, s -> s.m = mm),"
+    "  named_struct('m', mm, 'code', CAST(-1 AS BIGINT),"
+    "               'dist', double('Infinity'),"
+    f"              'c', slice(e, mm * {_PQ_SUB} + 1, {_PQ_SUB})),"
+    " (acc, s) -> CASE WHEN {d} < acc.dist"
+    " THEN named_struct('m', mm, 'code', s.code, 'dist', {d}, 'c', s.c)"
+    "  ELSE acc END))"
+)
+
+
+@query(
+    "sim_pq_adc_recall",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM pts WHERE vec_id < 8),
+    cb AS (
+      SELECT t.m, vec_id AS code,
+             list_slice(e, t.m * {_PQ_SUB} + 1,
+                        t.m * {_PQ_SUB} + {_PQ_SUB}) AS c
+      FROM pts, range(0, {_PQ_M}) t(m)
+      WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+      SELECT p.vec_id, cb.m, cb.code, cb.c,
+             list_sum(list_transform(generate_series(1, {_PQ_SUB}), i ->
+               (p.e[cb.m * {_PQ_SUB} + i] - cb.c[i])
+               * (p.e[cb.m * {_PQ_SUB} + i] - cb.c[i]))) AS dist
+      FROM pts p CROSS JOIN cb
+    ),
+    asg AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY m)) AS rhat
+      FROM asg GROUP BY vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, r.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {_DIMS}), i ->
+                   (q.qv[i] - r.rhat[i]) * (q.qv[i] - r.rhat[i]))),
+                 r.vec_id) AS rank
+        FROM q JOIN recon r ON r.vec_id <> q.query_id)
+      WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, p.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {_DIMS}), i ->
+                   (q.qv[i] - p.e[i]) * (q.qv[i] - p.e[i]))),
+                 p.vec_id) AS rank
+        FROM q JOIN pts p ON p.vec_id <> q.query_id)
+      WHERE rank <= 5
+    ),
+    m AS (SELECT COUNT(*) AS n_match
+          FROM approx a JOIN exact e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    e2 AS (SELECT COUNT(*) AS n_exact FROM exact),
+    a2 AS (SELECT COUNT(*) AS n_approx FROM approx)
+    SELECT CAST(e2.n_exact AS BIGINT) AS n_exact,
+           CAST(a2.n_approx AS BIGINT) AS n_approx,
+           CAST(m.n_match AS BIGINT) AS n_match,
+           CAST((10000 * m.n_match) // e2.n_exact AS BIGINT) AS recall_bp
+    FROM e2, a2, m
+    """,
+)
+def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search + recall audit (round 8, the
+    emb_pq_codes companion — every approximation in this engine ships
+    with its measured tradeoff: dedup_minhash_recall, sim_ann_recall,
+    dedup_fuzzy_recall, now PQ): retrieve each query's top-5 neighbors
+    by L2 distance to the PQ RECONSTRUCTION (distance-to-reconstruction
+    is exactly the ADC lookup-table sum when codebooks partition the
+    dimensions), and measure recall@5 against the exact L2 top-5. The
+    one number that decides whether an (M, K) config is usable before
+    re-encoding a corpus for IVF-PQ serving. The measured 2250 bps at
+    this deliberately untrained (seeded) 8-code config is the point:
+    the audit QUANTIFIES what per-subspace Lloyd training
+    (emb_kmeans_clusters' loop) and larger K must buy back before this
+    codebook ships.
+
+    Scale shape: encoding is the emb_pq_codes pure map (broadcast
+    codebook, zero corpus shuffle); the reconstruction never leaves the
+    row it was built in; the query join is the sim_cosine_topk
+    broadcast-queries shape — the corpus streams through one scan, the
+    only exchange carries (query, neighbor, dist) candidate rows into
+    the per-query top-k window. At serving scale the same distances come
+    from M-entry lookup-table sums over 1-byte codes instead of
+    64-float reconstructions — 16x less memory traffic, identical
+    ranking."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    pts = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    queries = pts.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
+    cb = (
+        pts.filter(F.col("vec_id") < _PQ_K)
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, {_PQ_M - 1}), m -> "
+            f"named_struct('m', m, 'code', CAST(vec_id AS BIGINT), "
+            f"'c', slice(e, m * {_PQ_SUB} + 1, {_PQ_SUB})))")).alias("s"))
+        .select("s.*")
+    )
+    cents = cb.agg(F.expr(
+        "array_sort(collect_list(struct(m, code, c)))").alias("cbs"))
+    _D = (f"aggregate(zip_with(slice(e, s.m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+          " s.c, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    recon = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.expr(
+            "flatten(transform(" + _PQ_ENC.format(d=_D) + ", a -> a.c))")
+            .alias("rhat"))
+    )
+    _L2 = ("aggregate(zip_with(qv, {v}, (x, y) -> (x - y) * (x - y)),"
+           " 0D, (a, v) -> a + v)")
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+
+    def top5(frame: DataFrame, vcol: str) -> DataFrame:
+        cand = (frame.join(F.broadcast(queries),
+                           F.col("vec_id") != F.col("query_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        F.expr(_L2.format(v=vcol)).alias("dist")))
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .select("query_id", "neighbor_id"))
+
+    approx = top5(recon, "rhat")
+    exact = top5(pts, "e")
+    m = (approx.join(exact, ["query_id", "neighbor_id"])
+         .agg(F.count(F.lit(1)).alias("n_match")))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        ne.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(m))
+        .select("n_exact", "n_approx", "n_match",
+                F.expr("(10000 * n_match) div n_exact").alias("recall_bp"))
+    )

@@ -167,9 +167,12 @@ def load_all() -> None:
         "graph_doc_pagerank",
         "sim_ann_index_compact",
         "sql_pivot_unpivot",
-        # -- positions 48-49 reserved for late-round-8 gates; the
-        #    r6/r7-green gates (freshest) follow in QUERIES order and
-        #    stay covered by ORACLES_LOCAL_r08 --
+        # -- positions 48-49: late-round-8 product-quantization pair
+        #    (encoding audit + ADC search recall) --
+        "emb_pq_codes",
+        "sim_pq_adc_recall",
+        # -- the r6/r7-green gates (freshest) follow in QUERIES order
+        #    and stay covered by ORACLES_LOCAL_r08 --
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

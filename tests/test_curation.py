@@ -272,3 +272,76 @@ def test_referential_integrity_counts_planted_orphans(spark, tmp_path):
     # the planted orders also have no lineitems — that's fine (FK points
     # the other way); the lineitem->orders audit must stay clean
     assert got["lineitem.l_orderkey -> orders"]["n_orphans"] == 0
+
+
+# -- round 8: product quantization encoding audit --------------------------
+
+def test_pq_codes_match_pure_python(spark):
+    """emb_pq_codes vs a pure-Python recompute at sf0.001: same 4x16
+    subspace split, same seeded 8-code codebooks, same (dist, code)
+    argmin tie-break, same fixed-point distortion accounting."""
+    from iceberg_demo_spark.operators.curation import _PQ_K, _PQ_M, _PQ_SUB
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in _embs(spark).collect()}
+    cb = {(m, code): vecs[code][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+          for m in range(_PQ_M) for code in range(_PQ_K)}
+    hist = defaultdict(int)
+    dist_fp = defaultdict(int)
+    for v in vecs.values():
+        for m in range(_PQ_M):
+            sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cb[(m, c)])), c)
+                for c in range(_PQ_K))
+            hist[(m, best[1])] += 1
+            dist_fp[(m, best[1])] += round(best[0] * 1e6)
+    got = {(r["subspace"], r["code"]): r
+           for r in registry.QUERIES["emb_pq_codes"](spark, SF_SMALL)
+           .collect()}
+    assert set(got) == {k for k, n in hist.items() if n > 0}
+    for key, r in got.items():
+        assert r["n_vectors"] == hist[key]
+        assert abs(r["distortion"] - round(dist_fp[key] / 1e6, 2)) < 1e-9
+    # every vector got exactly one code per subspace
+    assert sum(hist.values()) == len(vecs) * _PQ_M
+
+
+def test_pq_adc_recall_matches_pure_python(spark):
+    """sim_pq_adc_recall vs a pure-Python recompute at sf0.001: same
+    reconstruction (chosen centroid subvectors concatenated), same L2
+    (dist, id) ranking for both exact and approx top-5, same bps."""
+    from iceberg_demo_spark.operators.curation import _PQ_K, _PQ_M, _PQ_SUB
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in _embs(spark).collect()}
+    cb = {(m, code): vecs[code][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+          for m in range(_PQ_M) for code in range(_PQ_K)}
+    recon = {}
+    for vid, v in vecs.items():
+        rhat = []
+        for m in range(_PQ_M):
+            sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, cb[(m, c)])), c)
+                for c in range(_PQ_K))
+            rhat += cb[(m, best[1])]
+        recon[vid] = rhat
+
+    def top5(space):
+        out = set()
+        for q in range(8):
+            qv = vecs[q]
+            ranked = sorted(
+                (sum((a - b) ** 2 for a, b in zip(qv, space[v])), v)
+                for v in space if v != q)[:5]
+            out |= {(q, v) for _, v in ranked}
+        return out
+
+    exact, approx = top5(vecs), top5(recon)
+    got = registry.QUERIES["sim_pq_adc_recall"](
+        spark, SF_SMALL).collect()[0]
+    assert got["n_exact"] == len(exact) == 40
+    assert got["n_approx"] == len(approx) == 40
+    assert got["n_match"] == len(exact & approx)
+    assert got["recall_bp"] == 10000 * len(exact & approx) // len(exact)
