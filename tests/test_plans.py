@@ -537,3 +537,47 @@ def test_cross_source_matrix_plan_digest_only_shuffles(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_fuzzy_name_pairs_plan_key_blocked_no_cartesian(spark):
+    """dedup_fuzzy_name_pairs (round-8 symmetric-delete form): the
+    candidate self-join runs on the delete-1 key — every exchange before
+    the pair aggregates is hash(k) or pair/id-keyed, never a cartesian
+    or nested-loop over the corpus."""
+    plan = _plan(spark, "dedup_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(k" in plan
+    # the Levenshtein filter runs inside the join stage, JVM-side
+    assert "levenshtein" in plan
+
+
+def test_fuzzy_recall_plan_equi_join_ground_truth(spark):
+    """dedup_fuzzy_recall: the exact ground truth is length-KEYED equi
+    joins with the sample broadcast — no cartesian, no nested-loop."""
+    plan = _plan(spark, "dedup_fuzzy_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_plan_zero_corpus_shuffle(spark):
+    """emb_pq_codes: the codebook is one broadcast row and encoding is a
+    pure map — the ONLY hash exchange carries (subspace, code) partial
+    rows; the corpus is never hash-partitioned."""
+    plan = _plan(spark, "emb_pq_codes")
+    import re
+    keys = re.findall(r"hashpartitioning\(([a-z_]+)", plan)
+    assert keys and set(keys) <= {"subspace"}, keys
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_recall_plan_broadcast_queries(spark):
+    """sim_pq_adc_recall: both candidate streams join the corpus against
+    BROADCAST queries; exchanges are query/pair-keyed only."""
+    plan = _plan(spark, "sim_pq_adc_recall")
+    import re
+    keys = re.findall(r"hashpartitioning\((query_id|neighbor_id)", plan)
+    assert keys, "expected query-keyed exchanges"
+    other = re.findall(r"hashpartitioning\((?!query_id|neighbor_id)([a-z_]+)",
+                       plan)
+    assert not other, other
+    assert "CartesianProduct" not in plan
