@@ -966,6 +966,23 @@ _PQ_M = 4                  #: subspaces (64 dims → 4 × 16)
 _PQ_SUB = _DIMS // _PQ_M   #: dims per subspace
 _PQ_K = 8                  #: codes per subspace codebook
 
+#: shared encode fold — per subspace, argmin over that subspace's codes
+#: with the oracle's (dist, code) tie-break (cbs is sorted by (m, code)
+#: and the fold keeps a strictly-smaller minimum); the chosen centroid
+#: subvector rides along in 'c' for reconstruction-based consumers.
+#: ONE definition so emb_pq_codes and sim_pq_adc_recall can never
+#: silently desync on the tie-break.
+_PQ_ENC = (
+    f"transform(sequence(0, {_PQ_M - 1}), mm -> "
+    " aggregate(filter(cbs, s -> s.m = mm),"
+    "  named_struct('m', mm, 'code', CAST(-1 AS BIGINT),"
+    "               'dist', double('Infinity'),"
+    f"              'c', slice(e, mm * {_PQ_SUB} + 1, {_PQ_SUB})),"
+    " (acc, s) -> CASE WHEN {d} < acc.dist"
+    " THEN named_struct('m', mm, 'code', s.code, 'dist', {d}, 'c', s.c)"
+    "  ELSE acc END))"
+)
+
 
 @query(
     "emb_pq_codes",
@@ -1016,9 +1033,9 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (subspace, code) — the numbers that decide whether a PQ config is
     usable before re-encoding a corpus (empty codes = wasted codebook,
     distortion spikes = lost recall). PQ is the memory lever of the
-    IVF-PQ serving stack: 64 float32 dims → 4 bytes/vector at this
-    config (16x), with asymmetric distances computed from 4 lookup
-    tables.
+    IVF-PQ serving stack: 64 float32 dims (256 B) → 4 one-byte codes
+    per vector at this config (64x), with asymmetric distances computed
+    from 4 lookup tables.
 
     Scale shape: the whole codebook (M·K subvectors) travels as ONE
     broadcast row; per-vector encoding is an inline transform-over-
@@ -1046,14 +1063,8 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
           " 0D, (a, v) -> a + v)")
     codes = (
         pts.crossJoin(F.broadcast(cents))
-        .select("vec_id", F.explode(F.expr(
-            f"transform(sequence(0, {_PQ_M - 1}), mm -> "
-            " aggregate(filter(cbs, s -> s.m = mm),"
-            "  named_struct('m', mm, 'code', CAST(-1 AS BIGINT),"
-            "               'dist', double('Infinity')),"
-            f" (acc, s) -> CASE WHEN {_D} < acc.dist"
-            f" THEN named_struct('m', mm, 'code', s.code, 'dist', {_D})"
-            "  ELSE acc END))")).alias("a"))
+        .select("vec_id",
+                F.explode(F.expr(_PQ_ENC.format(d=_D))).alias("a"))
         .select(F.col("a.m").alias("subspace"), F.col("a.code").alias("code"),
                 F.col("a.dist").alias("dist"))
     )
@@ -1069,17 +1080,6 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("subspace", "code")
     )
 
-
-_PQ_ENC = (
-    f"transform(sequence(0, {_PQ_M - 1}), mm -> "
-    " aggregate(filter(cbs, s -> s.m = mm),"
-    "  named_struct('m', mm, 'code', CAST(-1 AS BIGINT),"
-    "               'dist', double('Infinity'),"
-    f"              'c', slice(e, mm * {_PQ_SUB} + 1, {_PQ_SUB})),"
-    " (acc, s) -> CASE WHEN {d} < acc.dist"
-    " THEN named_struct('m', mm, 'code', s.code, 'dist', {d}, 'c', s.c)"
-    "  ELSE acc END))"
-)
 
 
 @query(
@@ -1168,8 +1168,8 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchange carries (query, neighbor, dist) candidate rows into
     the per-query top-k window. At serving scale the same distances come
     from M-entry lookup-table sums over 1-byte codes instead of
-    64-float reconstructions — 16x less memory traffic, identical
-    ranking."""
+    64-float reconstructions — 64x less index memory traffic (256 B →
+    4 B per vector), identical ranking."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     pts = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))

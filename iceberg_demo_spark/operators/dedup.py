@@ -1283,6 +1283,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: drop delete-1 block keys shared by more rows than this (skew guard)
 FUZZY_MAX_BLOCK = 256
 
+#: highest delete position considered (keys from a name's first
+#: _FUZZY_MAX_POS+1 chars); names longer than this still match on their
+#: other positions' keys — bounds key fan-out for pathological long
+#: names, and the ORACLE SQL interpolates the SAME constant so the two
+#: engines can never silently diverge on it
+_FUZZY_MAX_POS = 63
+
 
 def _fuzzy_delete1_keys(df: DataFrame, id_col: str, name_col: str,
                         max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
@@ -1296,8 +1303,12 @@ def _fuzzy_delete1_keys(df: DataFrame, id_col: str, name_col: str,
     of "rotated block keys": one pass per character position, every
     single-position edit caught by the pass that deletes that position.
 
-    Skew guard (the "everyone named UNKNOWN" hazard): keys shared by
-    more than ``max_block`` rows are DROPPED before the self-join,
+    Skew guard (the "everyone named UNKNOWN" hazard): keys emitted by
+    more than ``max_block`` ROWS are DROPPED before the self-join (row
+    multiplicity, not distinct records: a name whose repeated adjacent
+    characters produce the same variant twice counts twice — a
+    conservative over-count, mirrored exactly by the oracle's
+    COUNT(*) OVER (PARTITION BY k)),
     exactly as ``max_df`` drops ubiquitous shingles in shingles_col —
     per-task candidate fan-out is thereby ≤ max_block² per key no matter
     how degenerate the data; the recall cost of the cap is measurable
@@ -1306,7 +1317,8 @@ def _fuzzy_delete1_keys(df: DataFrame, id_col: str, name_col: str,
     keys = df.select(
         F.col(id_col), F.col(name_col),
         F.explode(F.expr(
-            f"transform(sequence(0, length({name_col})), i -> "
+            f"transform(sequence(0, least(length({name_col}),"
+            f" {_FUZZY_MAX_POS})), i -> "
             f"CASE WHEN i = 0 THEN {name_col} "
             f"ELSE concat(substring({name_col}, 1, i - 1), "
             f"substring({name_col}, i + 1)) END)")).alias("k"))
@@ -1327,18 +1339,18 @@ def _fuzzy_hits(keys: DataFrame, id_col: str, name_col: str) -> DataFrame:
             .filter(F.levenshtein("name_a", "name_b") <= 1))
 
 
-_FUZZY_KEYS_SQL = """
+_FUZZY_KEYS_SQL = f"""
     k0 AS (
       SELECT c_custkey, c_name,
              CASE WHEN t.i = 0 THEN c_name
                   ELSE substr(c_name, 1, t.i - 1) || substr(c_name, t.i + 1)
              END AS k
-      FROM customer, range(0, 64) t(i)
+      FROM customer, range(0, {_FUZZY_MAX_POS + 1}) t(i)
       WHERE t.i <= length(c_name)
     ),
     kf AS (
       SELECT * FROM k0
-      QUALIFY COUNT(*) OVER (PARTITION BY k) <= 256
+      QUALIFY COUNT(*) OVER (PARTITION BY k) <= {FUZZY_MAX_BLOCK}
     ),
     hit AS (
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.k
@@ -1399,7 +1411,7 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_fuzzy_recall",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
     ),
@@ -1425,12 +1437,12 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN t.i = 0 THEN c_name
                   ELSE substr(c_name, 1, t.i - 1) || substr(c_name, t.i + 1)
              END AS k
-      FROM s, range(0, 64) t(i)
+      FROM s, range(0, {_FUZZY_MAX_POS + 1}) t(i)
       WHERE t.i <= length(c_name)
     ),
     kf AS (
       SELECT * FROM k0
-      QUALIFY COUNT(*) OVER (PARTITION BY k) <= 256
+      QUALIFY COUNT(*) OVER (PARTITION BY k) <= {FUZZY_MAX_BLOCK}
     ),
     multi AS (
       SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
@@ -1443,10 +1455,10 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
            CAST(n_prefix_pairs AS BIGINT) AS n_prefix_pairs,
            CAST(n_multipass_pairs AS BIGINT) AS n_multipass_pairs,
-           CAST((10000 * n_prefix_pairs) // n_exact_pairs AS BIGINT)
-             AS recall_prefix_bps,
-           CAST((10000 * n_multipass_pairs) // n_exact_pairs AS BIGINT)
-             AS recall_multipass_bps
+           CAST((10000 * n_prefix_pairs) // greatest(n_exact_pairs, 1)
+                AS BIGINT) AS recall_prefix_bps,
+           CAST((10000 * n_multipass_pairs) // greatest(n_exact_pairs, 1)
+                AS BIGINT) AS recall_multipass_bps
     FROM n
     """,
 )
@@ -1511,7 +1523,7 @@ def dedup_fuzzy_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float-then-cast would round in DuckDB but truncate in Spark
     return n.select(
         "n_exact_pairs", "n_prefix_pairs", "n_multipass_pairs",
-        F.expr("(10000 * n_prefix_pairs) div n_exact_pairs")
+        F.expr("(10000 * n_prefix_pairs) div greatest(n_exact_pairs, 1L)")
         .cast("bigint").alias("recall_prefix_bps"),
-        F.expr("(10000 * n_multipass_pairs) div n_exact_pairs")
+        F.expr("(10000 * n_multipass_pairs) div greatest(n_exact_pairs, 1L)")
         .cast("bigint").alias("recall_multipass_bps"))

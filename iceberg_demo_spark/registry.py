@@ -82,14 +82,16 @@ def load_all() -> None:
     gates whose last driver row is ROUND 5 — the only gates not
     driver-verified since then (freshness histogram entering r8: r7:50,
     r6:50, r5:43) — LEAD at positions 0-42, in the queue order VERDICT
-    r7 fixed (alphabetical). Positions 43-46 hold the round-8 gates that
+    r7 fixed (alphabetical). Positions 43-47 hold the round-8 gates that
     MUST be (re-)verified: dedup_fuzzy_name_pairs (semantics changed —
     symmetric-delete multi-pass blocking + ubiquitous-key cap, VERDICT
     r7 #2/#6), dedup_fuzzy_recall (new recall audit),
     graph_doc_pagerank (semantics changed — directed edges, dangling
     mass, 10 iterations, VERDICT r7 #3), sim_ann_index_compact (new
-    streamed-index bin-packing gate, VERDICT r7 #4). Positions 47-49
-    are reserved for late-round-8 gates. After this window runs, no
+    streamed-index bin-packing gate, VERDICT r7 #4), sql_pivot_unpivot
+    (new SQL-surface gate, VERDICT r7 #8); positions 48-49 the
+    late-round-8 product-quantization pair (emb_pq_codes,
+    sim_pq_adc_recall). After this window runs, no
     gate's last driver row is older than round 6. Every other gate is
     covered each round by the full local oracle artifact
     (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
@@ -159,7 +161,7 @@ def load_all() -> None:
         "streaming_ingest_hourly",
         "streaming_running_counts",
         "streaming_stateful_dedup",
-        # -- positions 43-46: round-8 new/changed gates (standing
+        # -- positions 43-47: round-8 new/changed gates (standing
         #    policy: every new or semantics-changed gate sits inside the
         #    50-entry window so the driver value-verifies it this round)
         "dedup_fuzzy_name_pairs",

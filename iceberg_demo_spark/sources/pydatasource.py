@@ -82,7 +82,7 @@ class GlacierJsonlReader(DataSourceReader):
 
     def _admit(self, rec) -> bool:
         for col, op, val in self._pushed:
-            x = rec[col]
+            x = rec.get(col)
             if x is None:
                 # SQL comparison semantics: NULL compared to anything is
                 # not TRUE, so the row is filtered out — never a TypeError
@@ -118,7 +118,10 @@ class GlacierJsonlReader(DataSourceReader):
                 if not self._admit(rec):
                     continue
                 for i, c in enumerate(cols):
-                    buf[i].append(rec[c])
+                    # .get: a key omitted from a JSONL record is NULL,
+                    # same as an explicit null — never a KeyError task
+                    # crash
+                    buf[i].append(rec.get(c))
                 if len(buf[0]) >= _BATCH_ROWS:
                     yield flush()
         if buf[0]:

@@ -24,24 +24,31 @@ from iceberg_demo_spark.tables.format import MAIN_BRANCH
 from iceberg_demo_spark.tables.table import Table
 
 
-def _stamp_batch(table: Table, snap, batch_id: int,
-                 checkpoint: str | None = None) -> None:
-    """Tag the snapshot a micro-batch just committed with its epoch id.
-
-    Guarded on the commit actually happening: a no-op batch (e.g. MERGE
-    with nothing matched or inserted) returns None, and stamping then
-    would relabel the PREVIOUS batch's snapshot and burn a metadata
-    version for nothing.
+def _batch_summary(batch_id: int, checkpoint: str | None = None) -> dict:
+    """Epoch-stamp summary entries, passed INTO the commit so stamp and
+    snapshot are atomic — a crash can never leave a committed-but-
+    unstamped snapshot for replay detection to miss.
 
     ``checkpoint`` additionally records the run scope: batch ids are only
     unique within one checkpoint lineage (a fresh checkpoint restarts at
     0), so replay detection must match (checkpoint, batch_id), mirroring
     Iceberg's (queryId, epochId) exactly-once key."""
+    out = {"streaming-batch-id": str(batch_id)}
+    if checkpoint is not None:
+        out["streaming-checkpoint"] = checkpoint
+    return out
+
+
+def _stamp_batch(table: Table, snap, batch_id: int) -> None:
+    """Post-hoc epoch tag for writers whose commit API cannot carry a
+    summary (the MERGE upsert path — its idempotency comes from the
+    newer-than guard, the stamp is observability). Guarded on the commit
+    actually happening: a no-op batch (MERGE with nothing matched or
+    inserted) returns None, and stamping then would relabel the PREVIOUS
+    batch's snapshot and burn a metadata version for nothing."""
     if snap is None:
         return
     snap.summary["streaming-batch-id"] = str(batch_id)
-    if checkpoint is not None:
-        snap.summary["streaming-checkpoint"] = checkpoint
     table.metadata.save()
 
 
@@ -70,10 +77,9 @@ def stream_to_table(
     def write_batch(batch_df: DataFrame, batch_id: int):
         # Epoch-tagged append: re-delivered batches (checkpoint replay after
         # crash) are detectable via the summary, mirroring Iceberg's
-        # exactly-once epoch tracking.
-        snap = table.append(batch_df, branch=branch)
-        _stamp_batch(table, snap, batch_id)
-        return snap
+        # exactly-once epoch tracking. The stamp rides the commit itself.
+        return table.append(batch_df, branch=branch,
+                            summary=_batch_summary(batch_id))
 
     writer = (
         df.writeStream.foreachBatch(write_batch)
@@ -355,9 +361,7 @@ def stream_stream_join_to_table(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        snap = table.append(batch_df)
-        _stamp_batch(table, snap, batch_id)
-        return snap
+        return table.append(batch_df, summary=_batch_summary(batch_id))
 
     q = (
         joined.writeStream.foreachBatch(write_batch)
@@ -430,8 +434,11 @@ def stream_dedup_to_table(
         dropped = (wins.join(idx, "wh", "leftsemi")
                    .select(id_col).distinct())
         kept = batch_df.join(F.broadcast(dropped), id_col, "left_anti")
-        snap = table.append(kept)
-        _stamp_batch(table, snap, batch_id, checkpoint=checkpoint_dir)
+        # the (checkpoint, batch_id) stamp rides the commit — atomic, so
+        # a crash can never leave committed rows invisible to the replay
+        # guard above
+        snap = table.append(kept, summary=_batch_summary(
+            batch_id, checkpoint=checkpoint_dir))
         # kept-only index growth: a dropped doc's content is already
         # represented; the anti-join keeps the index one-row-per-digest
         (window_fn(kept).select("wh").distinct()

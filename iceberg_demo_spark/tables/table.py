@@ -935,7 +935,8 @@ class Table:
 
     # -- DML ---------------------------------------------------------------
 
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
+               summary: dict | None = None) -> Snapshot:
         """INSERT INTO / fast append. An append conflicts with a
         concurrent commit only at the metadata CAS — the written data
         files stay valid — so a lost race auto-retries on refreshed
@@ -943,7 +944,11 @@ class Table:
         set 0 to surface the conflict). Row-rewriting DML
         (DELETE/UPDATE/MERGE/overwrite) does NOT auto-retry: its file
         rewrites were planned against the pre-conflict snapshot, so the
-        caller must refresh and re-run the operation."""
+        caller must refresh and re-run the operation.
+
+        ``summary`` entries land in the snapshot summary ATOMICALLY with
+        the commit — streaming writers stamp their epoch id this way, so
+        a crash can never leave a committed-but-unstamped snapshot."""
         self.check_writable("INSERT INTO / append")
         new = self._write_files(df)
         retries = int(self.metadata.properties.get(
@@ -952,7 +957,7 @@ class Table:
             try:
                 return self._commit(
                     "append", self._branch_files(branch) + new, new, [],
-                    branch)
+                    branch, summary=summary)
             except CommitConflictError:
                 if attempt == retries:
                     raise

@@ -397,9 +397,14 @@ def test_fuzzy_name_pairs_matches_pure_python(spark):
 
     rows = (spark.read.parquet(f"{SF_SMALL}/customer.parquet")
             .select("c_custkey", "c_name").collect())
+    # blocks carry ROW multiplicity (a name whose repeated adjacent chars
+    # yield the same delete-1 variant twice emits two key rows) — the cap
+    # in the implementation and the oracle counts exploded rows, not
+    # distinct (key, record) pairs
     blocks = defaultdict(list)
     for r in rows:
-        for k in _delete1_keys(r["c_name"]):
+        for k in [r["c_name"]] + [r["c_name"][:i] + r["c_name"][i + 1:]
+                                  for i in range(len(r["c_name"]))]:
             blocks[k].append((r["c_name"], r["c_custkey"]))
     pairs, blk_hit = set(), set()
     for blk, members in blocks.items():
