@@ -87,6 +87,14 @@ HEADLINE = [
     # headline set. Rounds 1-7 benched the first 31 queries; that
     # subtotal stays comparable as value_r7_comparable.
     "graph_doc_pagerank",
+    # late round-8: the bigram-LM quality scorer (two corpus passes +
+    # a (w1,w2)-keyed scoring join — the heaviest pure-text shuffle in
+    # the set), the LSH→cosine two-stage cascade (stage-2 cost is
+    # candidate-bound, benched to prove it), and the SCD2 build (three
+    # window frames sharing one custkey exchange).
+    "doc_lm_quality_score",
+    "dedup_cascade_lsh_cosine",
+    "orders_scd2_history",
 ]
 
 

@@ -1527,3 +1527,92 @@ def dedup_fuzzy_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("recall_prefix_bps"),
         F.expr("(10000 * n_multipass_pairs) div greatest(n_exact_pairs, 1L)")
         .cast("bigint").alias("recall_multipass_bps"))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage dedup cascade: syntactic LSH candidates -> semantic cosine confirm
+# ---------------------------------------------------------------------------
+
+#: Confirm threshold for the cascade gate. The synthetic embeddings are NOT
+#: correlated with text near-duplication (every LSH candidate pair sits below
+#: the 0.40 near-dup threshold, cosine ∈ [-0.22, 0.28] at sf0.01), so the
+#: demo confirm line is 0.0 — the value that actually splits this corpus'
+#: candidate set and exercises both branches of the verdict. On real,
+#: trained embeddings this would be ~0.95 (and _COS_DUP_THRESHOLD itself is
+#: the same kind of synthetic-corpus calibration, see above).
+_CASCADE_CONFIRM = 0.0
+
+
+@query(
+    "dedup_cascade_lsh_cosine",
+    oracle=None,  # composed from the LSH oracle right below
+)
+def dedup_cascade_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production dedup cascade: cheap SYNTACTIC candidate generation
+    (banded MinHash-LSH over text shingles) followed by a SEMANTIC
+    confirm (exact embedding cosine on just the candidate pairs). This
+    is the two-stage shape corpus pipelines run at 100 TB — the O(n²)
+    semantic pass is never materialized; cosine is computed only for
+    the LSH survivors, so the expensive stage's cost is ∝ candidates,
+    not ∝ corpus². Output: every candidate pair with its syntactic
+    estimate, its exact cosine, and the confirm verdict at
+    `_CASCADE_CONFIRM` (see that constant for the synthetic-corpus
+    calibration honesty note).
+
+    Scale shape: stage 1 is the shipped banded LSH join (shuffle
+    carries 3 longs/row); stage 2 re-attaches normalized vectors to the
+    candidate frame by id — two hash joins whose build side is the
+    candidate list (tiny relative to the corpus), then a JVM-side
+    fold for the dot product (zip_with + aggregate, no UDF, no numpy
+    round trip for a candidate-sized frame). vec_id ≡ doc_id in the
+    testdata (1:1 by construction). Normalization mirrors the DuckDB
+    oracle's fold order element-for-element; ROUND(·,4) parity is the
+    same contract dedup_embedding_cosine already proves."""
+    cand = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "id_a", "id_b", "est_jaccard")
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    norm = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> x / sqrt(aggregate(transform(v, y -> y * y),"
+            " 0D, (a, b) -> a + b)))"
+        ).alias("u"),
+    )
+    a = norm.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = norm.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+    cos = F.expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D,"
+                 " (a, b) -> a + b)")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", "est_jaccard",
+            F.round(cos, 4).alias("cos_sim"),
+            (cos >= F.lit(_CASCADE_CONFIRM)).cast("int").alias("confirmed"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_OR["dedup_cascade_lsh_cosine"] = f"""
+    WITH cand AS ({_as_cte_body(_OR["dedup_minhash_lsh_pairs"])}),
+    n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                x -> x / sqrt(list_reduce(list_transform(embedding::DOUBLE[], y -> y*y),
+                                          (a, b) -> a + b))) AS u
+      FROM embeddings
+    ), s AS (
+      SELECT c.id_a, c.id_b, c.est_jaccard,
+             list_reduce(list_transform(list_zip(a.u, b.u), q -> q[1] * q[2]),
+                         (x, y) -> x + y) AS cos
+      FROM cand c
+      JOIN n a ON a.vec_id = c.id_a
+      JOIN n b ON b.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, ROUND(cos, 4) AS cos_sim,
+           CASE WHEN cos >= {_CASCADE_CONFIRM} THEN 1 ELSE 0 END AS confirmed
+    FROM s ORDER BY id_a, id_b
+""".strip()

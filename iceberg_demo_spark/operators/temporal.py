@@ -583,3 +583,71 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("abs((10000 * n_a) div tot_a - "
                            "(10000 * n_b) div tot_b)").alias("drift_bps"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (change capture via windows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_scd2_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM h
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey,
+           o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(ROW_NUMBER() OVER
+             (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version_n
+    FROM chg
+    ORDER BY o_custkey, version_n
+    """,
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse each customer's
+    order-status timeline into versioned validity ranges (valid_from,
+    valid_to, version_n; open-ended current version has valid_to NULL)
+    — the standard warehouse dimension-history shape, derived here from
+    the fact stream with LAG change detection + LEAD range closing.
+
+    Scale shape: everything rides ONE hash partitioning on o_custkey —
+    the change-detection LAG, the range-closing LEAD, and the version
+    ROW_NUMBER all share (partition key, ordering), so Catalyst plans a
+    single exchange and runs all three window frames in the same sorted
+    pass (the filter between them preserves distribution AND order).
+    No unpartitioned window anywhere; per-customer timelines are tiny,
+    so there is no skew axis. Ties inside a day are broken by
+    o_orderkey in BOTH engines, which is what makes the change sequence
+    — and therefore every downstream value — deterministic."""
+    t = load_tables(spark, sf_dir, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        t["orders"]
+        .select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev_status").isNull()
+                | (F.col("prev_status") != F.col("o_orderstatus")))
+    )
+    return (
+        chg.select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("bigint").alias("version_n"),
+        )
+        .orderBy("o_custkey", "version_n")
+    )

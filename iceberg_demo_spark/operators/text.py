@@ -627,3 +627,103 @@ def doc_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_lm_quality_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, source, t[i] AS w1, t[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), lm AS (
+      SELECT c2.w1, c2.w2, CAST((1000000 * n2) // n1 AS BIGINT) AS ppm
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ), perdoc AS (
+      SELECT doc_id, lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(ppm) AS BIGINT) AS s
+      FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id, lang, source
+    ), d AS (
+      SELECT doc_id, lang, source, CAST(s // n_bg AS BIGINT) AS doc_ppm
+      FROM perdoc
+    )
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_ppm) // COUNT(*) AS BIGINT) AS avg_ppm,
+           MIN(doc_ppm) AS min_ppm, MAX(doc_ppm) AS max_ppm
+    FROM d GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality scoring — the CCNet/CC-Net
+    perplexity-filter shape (train an n-gram LM, score every document,
+    keep the fluent tail) as a first-class pipeline operator. The LM is
+    the corpus itself: P(w2|w1) = c(w1 w2)/c(w1), kept in exact integer
+    parts-per-million (``div``, never a float log) so the Spark and
+    DuckDB sides have no float boundary anywhere; a document's score is
+    the integer mean of its bigram ppm values, reported per
+    (lang, source) with doc counts and min/max.
+
+    Scale shape: the bigram stream is a pure map (split + sequence
+    explode, no UDF) derived TWICE from the pruned parquet scan — once
+    to train the LM, once to score — which at 100 TB is deliberately
+    cheaper than persisting an exploded token stream ~8× the text
+    bytes; the unigram denominators re-aggregate from the bigram
+    counts as a window over the (vocab-sized) LM frame, never a third
+    corpus pass (plan-pinned: exactly two document ReadSchemas, the
+    scoring one text-only). Scoring joins the bigram stream to the LM
+    on the (w1, w2) key: high cardinality, map-side-combinable counts,
+    no skew beyond natural token frequency. A production run would add
+    a min-count floor + top-K vocabulary cut to bound the LM table; at
+    this corpus the full table is smaller than a shuffle partition.
+    Documents with <2 tokens have no bigrams and drop out of scoring in
+    both engines (no NULL-score branch)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(F.col("t")) - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    bg = (
+        t["documents"]
+        .select("doc_id", "lang", "source", toks.alias("t"))
+        .select("doc_id", "lang", "source", "t", F.explode(idx).alias("i"))
+        .select(
+            "doc_id", "lang", "source",
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # n1 = Σ_w2 c2 as a WINDOW over the (already tiny) LM frame — a
+    # groupBy-then-join formulation re-derives the whole c2 lineage
+    # (Catalyst does not CSE subtrees) and costs a THIRD corpus scan
+    lm = c2.withColumn(
+        "n1", F.sum("n2").over(Window.partitionBy("w1"))
+    ).select("w1", "w2", F.expr("(1000000 * n2) div n1").alias("ppm"))
+    perdoc = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_bg"), F.sum("ppm").alias("s"))
+        .select("doc_id", "lang", "source",
+                F.expr("s div n_bg").alias("doc_ppm"))
+    )
+    return (
+        perdoc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(doc_ppm) div count(1)").alias("avg_ppm"),
+            F.min("doc_ppm").alias("min_ppm"),
+            F.max("doc_ppm").alias("max_ppm"),
+        )
+        .orderBy("lang", "source")
+    )

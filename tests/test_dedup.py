@@ -490,3 +490,29 @@ def test_fuzzy_recall_gate_matches_pure_python(spark):
     assert got["n_multipass_pairs"] == len(multi) == len(exact)
     assert got["recall_prefix_bps"] == 10000 * len(pfx) // len(exact)
     assert got["recall_multipass_bps"] == 10000
+
+
+def test_cascade_stage1_is_exactly_lsh_candidates(spark):
+    """The cascade's pair set IS the LSH candidate set — the semantic
+    stage re-attaches vectors and verdicts but never adds/drops pairs."""
+    cand = {(r.id_a, r.id_b) for r in registry.QUERIES
+            ["dedup_minhash_lsh_pairs"](spark, SF_SMALL).collect()}
+    casc = registry.QUERIES["dedup_cascade_lsh_cosine"](
+        spark, SF_SMALL).collect()
+    assert {(r.id_a, r.id_b) for r in casc} == cand
+
+
+def test_cascade_cosine_matches_numpy(spark):
+    import numpy as np
+
+    from iceberg_demo_spark.sources import load_tables
+
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in load_tables(spark, SF_SMALL, ("embeddings",))
+           ["embeddings"].collect()}
+    for r in registry.QUERIES["dedup_cascade_lsh_cosine"](
+            spark, SF_SMALL).collect():
+        a, b = emb[r.id_a], emb[r.id_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_sim - cos) < 5e-4
+        assert r.confirmed == int(cos >= 0.0) or abs(cos) < 5e-4

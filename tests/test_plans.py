@@ -581,3 +581,60 @@ def test_pq_adc_recall_plan_broadcast_queries(spark):
                        plan)
     assert not other, other
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_custkey_exchange(spark):
+    """orders_scd2_history: LAG change-detection, LEAD range-closing and
+    the version ROW_NUMBER all ride ONE hashpartitioning(o_custkey) —
+    the filter between the windows preserves distribution and ordering,
+    so the only other exchange is the final presentation sort."""
+    plan = _plan(spark, "orders_scd2_history")
+    import re
+    hash_keys = re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan)
+    assert set(hash_keys) == {"o_custkey"}, hash_keys
+    # formatted mode: exchange args live in the details section — one
+    # hash exchange (shared by all three windows) + the final sort's
+    # range exchange, nothing else
+    args = [l for l in plan.splitlines() if l.startswith("Arguments: ")]
+    assert sum("hashpartitioning(" in l for l in args) == 1, args
+    assert sum("rangepartitioning(" in l for l in args) == 1, args
+    assert "CartesianProduct" not in plan
+    # column pruning: the scan reads only key/status/date/tiebreak
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "o_totalprice" not in line and "o_comment" not in line
+            break
+    else:
+        pytest.fail("no orders ReadSchema found")
+
+
+def test_lm_quality_plan_two_scans_no_third_pass(spark):
+    """doc_lm_quality_score: the bigram stream is derived twice (train +
+    score) and the unigram denominator is a window over the LM frame —
+    NOT a groupBy-join that would re-derive the corpus lineage a third
+    time. Pinned: exactly two document ReadSchemas, the training one
+    pruned to text-only; exchanges keyed on bigram/doc/group keys only."""
+    plan = _plan(spark, "doc_lm_quality_score")
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(scans) == 2, scans
+    assert sum("text:string>" in l and "doc_id" not in l for l in scans) == 1
+    import re
+    keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
+    assert keys <= {"w1", "w2", "doc_id", "lang", "source"}, keys
+    assert "CartesianProduct" not in plan
+
+
+def test_cascade_cosine_only_on_candidates(spark):
+    """dedup_cascade_lsh_cosine: the semantic stage is two id-keyed hash
+    joins re-attaching normalized vectors to the LSH candidate frame —
+    never an all-pairs vector join (no cartesian / nested-loop); the
+    dot product folds JVM-side (no Python stage in the confirm)."""
+    plan = _plan(spark, "dedup_cascade_lsh_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # embeddings are scanned exactly twice (a/b sides), pruned to id+vec
+    emb = [l for l in plan.splitlines()
+           if "ReadSchema" in l and "embedding" in l]
+    assert len(emb) == 2, emb
+    assert all("label" not in l for l in emb)

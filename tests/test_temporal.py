@@ -161,3 +161,41 @@ def test_distribution_drift_matches_pure_python(spark):
                                        - 10000 * nb // tot_b)
     # both periods must be populated or the monitor is vacuous
     assert tot_a > 0 and tot_b > 0
+
+
+def test_scd2_history_matches_python_recompute(spark):
+    from iceberg_demo_spark.sources import load_tables
+
+    rows = registry.QUERIES["orders_scd2_history"](spark, SF_SMALL).collect()
+    orders = (load_tables(spark, SF_SMALL, ("orders",))["orders"]
+              .select("o_custkey", "o_orderstatus", "o_orderdate",
+                      "o_orderkey").collect())
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    expected = []
+    for ck, rs in by_cust.items():
+        rs.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        versions = []
+        for r in rs:
+            if not versions or versions[-1][0] != r.o_orderstatus:
+                versions.append([r.o_orderstatus, r.o_orderdate])
+        for i, (st, frm) in enumerate(versions):
+            to = versions[i + 1][1] if i + 1 < len(versions) else None
+            expected.append((ck, st, frm, to, i + 1))
+    assert sorted((r.o_custkey, r.status, r.valid_from, r.valid_to,
+                   r.version_n) for r in rows) == sorted(expected)
+
+
+def test_scd2_invariants(spark):
+    rows = registry.QUERIES["orders_scd2_history"](spark, SF_SMALL).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for vs in by_cust.values():
+        vs.sort(key=lambda r: r.version_n)
+        assert [v.version_n for v in vs] == list(range(1, len(vs) + 1))
+        assert vs[-1].valid_to is None  # open-ended current version
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from  # gap-free ranges
+            assert a.status != b.status  # a version IS a change

@@ -281,3 +281,38 @@ def test_bigram_vocab_matches_pure_python(spark):
     assert [(r["bigram"], r["n_occurrences"]) for r in rows] == expect
     for r in rows:
         assert r["n_docs"] == len(spread[r["bigram"]])
+
+
+def test_lm_quality_matches_python_recompute(spark):
+    """Exact integer recompute of the bigram-LM ppm scoring at sf0.001:
+    train P(w2|w1) counts in pure Python, score every doc with the same
+    integer-division pipeline, aggregate per (lang, source)."""
+    from collections import Counter, defaultdict
+
+    from iceberg_demo_spark.sources import load_tables
+
+    docs = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+            .select("doc_id", "lang", "source", "text").collect())
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    doc_bgs = {}
+    for d in docs:
+        t = d.text.split(" ")
+        bgs = list(zip(t, t[1:]))
+        doc_bgs[d.doc_id] = (d.lang, d.source, bgs)
+        for b in bgs:
+            c2[b] += 1
+            c1[b[0]] += 1
+    groups = defaultdict(list)
+    for lang, source, bgs in doc_bgs.values():
+        if not bgs:
+            continue
+        s = sum((1_000_000 * c2[b]) // c1[b[0]] for b in bgs)
+        groups[(lang, source)].append(s // len(bgs))
+    expected = sorted(
+        (lang, source, len(v), sum(v) // len(v), min(v), max(v))
+        for (lang, source), v in groups.items())
+    rows = registry.QUERIES["doc_lm_quality_score"](spark, SF_SMALL).collect()
+    got = sorted((r.lang, r.source, r.n_docs, r.avg_ppm, r.min_ppm,
+                  r.max_ppm) for r in rows)
+    assert got == expected
