@@ -95,6 +95,11 @@ HEADLINE = [
     "doc_lm_quality_score",
     "dedup_cascade_lsh_cosine",
     "orders_scd2_history",
+    # and the mixture materialization (source-keyed window cumsum over
+    # the whole corpus) + hard-negative mining (broadcast anchors,
+    # query-keyed rank window) — both corpus-scan-bound.
+    "doc_mixture_materialize",
+    "emb_hard_negatives",
 ]
 
 

@@ -1217,3 +1217,115 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_exact", "n_approx", "n_match",
                 F.expr("(10000 * n_match) div n_exact").alias("recall_bp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture materialization: fill per-source token budgets with actual docs
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_mixture_materialize",
+    oracle=None,  # composed from the mixture-weights oracle right below
+)
+def doc_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training mixture: turn the per-source temperature
+    weights (doc_mixture_weights, α=0.5 in ppm) into an ACTUAL document
+    selection against a global token budget — the step that follows
+    weight computation in every real pretraining-data build. Budget =
+    half the corpus' tokens, split per source as
+    (B · mixture_ppm) div 10⁶; each source's docs are ranked by a
+    deterministic content hash (md5 hex — portable, unbiased by doc_id
+    assignment order) and picked while the running token sum fits the
+    budget. Output per source: budget, picked docs/tokens, and
+    fill_bps — under 10000 means the source EXHAUSTED before its budget
+    (the multi-epoch / upsampling signal temperature mixing exists to
+    manage). Integer arithmetic end-to-end.
+
+    Scale shape: one pruned corpus pass maps each doc to (source,
+    md5, n_tokens); the pick is a per-source window cumsum — ONE hash
+    exchange on source, ordered by the hash key (at 100 TB with few
+    sources this keys the window on (source, hash-range bucket) with a
+    two-pass budget split to avoid single-reducer sources; the per-doc
+    stream stays narrow either way). Budgets ride a broadcast
+    (#sources rows). The LEFT join keeps exhausted-to-zero sources
+    visible instead of silently dropping them."""
+    w = doc_mixture_weights(spark, sf_dir).select(
+        "source", "n_tokens", "mixture_ppm")
+    tot = Window.partitionBy()
+    budgets = (
+        w.withColumn("total_tokens", F.sum("n_tokens").over(tot))
+        .select(
+            "source",
+            F.expr("((total_tokens div 2) * mixture_ppm) div 1000000")
+            .alias("budget_tokens"),
+        )
+    )
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select(
+        "source", "doc_id",
+        F.md5(F.col("text")).alias("pri"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    cum = Window.partitionBy("source").orderBy("pri", "doc_id")
+    picked = (
+        docs.withColumn("cum_tok", F.sum("n_tok").over(cum))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tok") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("picked_docs"),
+             F.sum("n_tok").alias("picked_tokens"))
+    )
+    return (
+        budgets.join(picked, "source", "left")
+        .select(
+            "source", "budget_tokens",
+            F.coalesce("picked_docs", F.lit(0)).alias("picked_docs"),
+            F.coalesce("picked_tokens", F.lit(0)).alias("picked_tokens"),
+            F.expr("(10000 * coalesce(picked_tokens, 0))"
+                   " div greatest(budget_tokens, 1L)").alias("fill_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+from iceberg_demo_spark.registry import (  # noqa: E402
+    ORACLES as _OR,
+    oracle_cte_body as _as_cte_body,
+)
+
+_OR["doc_mixture_materialize"] = f"""
+    WITH w AS ({_as_cte_body(_OR["doc_mixture_weights"])}),
+    budgets AS (
+      SELECT source,
+             ((SUM(n_tokens) OVER () // 2) * mixture_ppm) // 1000000
+               AS budget_tokens
+      FROM w
+    ),
+    docs AS (
+      SELECT source, doc_id, md5(text) AS pri,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM docs
+    ),
+    picked AS (
+      SELECT c.source,
+             CAST(COUNT(*) AS BIGINT) AS picked_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS picked_tokens
+      FROM c JOIN budgets b ON c.source = b.source
+      WHERE cum_tok <= budget_tokens
+      GROUP BY c.source
+    )
+    SELECT b.source,
+           CAST(budget_tokens AS BIGINT) AS budget_tokens,
+           COALESCE(picked_docs, 0) AS picked_docs,
+           COALESCE(picked_tokens, 0) AS picked_tokens,
+           CAST((10000 * COALESCE(picked_tokens, 0))
+                // GREATEST(budget_tokens, 1) AS BIGINT) AS fill_bps
+    FROM budgets b LEFT JOIN picked p ON b.source = p.source
+    ORDER BY b.source
+""".strip()

@@ -717,3 +717,75 @@ def sim_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _OR["sim_ann_index_compact"] = _OR["sim_ann_ivf_topk"]
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: the mid-rank band behind the top-k positives
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+             {_cos_sql('q.qv', 'e.embedding::DOUBLE[]')} AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, q_label, neighbor_id, label, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, rank, neighbor_id, ROUND(sim, 4) AS sim,
+           CAST(label = q_label AS INT) AS same_label
+    FROM ranked WHERE rank BETWEEN 6 AND 15
+    ORDER BY query_id, rank
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the MID-RANK band (ranks 6–15) behind the top-5 positives — close
+    enough to be informative gradients, far enough to (probably) be
+    true negatives; `same_label` flags the probable false negatives a
+    curation pass would drop before batching. Same anchors, cosine and
+    deterministic tiebreak as sim_cosine_topk, so the two gates compose
+    into a (positives, hard negatives) training-pair feed.
+
+    Scale shape: anchors are training-batch-sized and travel as ONE
+    broadcast (the corpus is never shuffled to meet them); similarities
+    are a pure map over the corpus. The rank window keys on query_id —
+    at production anchor counts the band select runs behind the IVF
+    probe (sim_ann_ivf_*) so the window ranks candidate lists, not the
+    corpus; this gate is the exact-reference form of that feed."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("qv"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "q_label",
+        F.col("vec_id").alias("neighbor_id"), "label",
+        cosine_sim(F.col("qv"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") >= 6) & (F.col("rank") <= 15))
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round("sim", 4).alias("sim"),
+            (F.col("label") == F.col("q_label")).cast("int")
+            .alias("same_label"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -345,3 +345,51 @@ def test_pq_adc_recall_matches_pure_python(spark):
     assert got["n_approx"] == len(approx) == 40
     assert got["n_match"] == len(exact & approx)
     assert got["recall_bp"] == 10000 * len(exact & approx) // len(exact)
+
+
+def test_mixture_materialize_matches_python_recompute(spark):
+    """Recompute the whole budget → hash-order pick in pure Python at
+    sf0.001 (integer arithmetic end-to-end, α=0.5 ppm weights)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from iceberg_demo_spark.sources import load_tables
+
+    docs = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+            .select("source", "doc_id", "text").collect())
+    per_src = defaultdict(lambda: [0, 0])
+    for d in docs:
+        n = len(d.text.split(" "))
+        per_src[d.source][0] += 1
+        per_src[d.source][1] += n
+    w_raw = {s: math.floor(1_000_000 * math.sqrt(float(v[1])))
+             for s, v in per_src.items()}
+    tot_w = sum(w_raw.values())
+    ppm = {s: int(round(1_000_000 * float(w) / float(tot_w)))
+           for s, w in w_raw.items()}
+    total_tokens = sum(v[1] for v in per_src.values())
+    budget = {s: ((total_tokens // 2) * ppm[s]) // 1_000_000
+              for s in per_src}
+    ranked = defaultdict(list)
+    for d in docs:
+        ranked[d.source].append(
+            (hashlib.md5(d.text.encode()).hexdigest(), d.doc_id,
+             len(d.text.split(" "))))
+    expected = {}
+    for s, rows in ranked.items():
+        rows.sort()
+        cum = picked_docs = picked_tokens = 0
+        for _, _, n in rows:
+            cum += n
+            if cum > budget[s]:
+                break
+            picked_docs += 1
+            picked_tokens += n
+        expected[s] = (budget[s], picked_docs, picked_tokens,
+                       (10_000 * picked_tokens) // max(budget[s], 1))
+    rows = registry.QUERIES["doc_mixture_materialize"](
+        spark, SF_SMALL).collect()
+    got = {r.source: (r.budget_tokens, r.picked_docs, r.picked_tokens,
+                      r.fill_bps) for r in rows}
+    assert got == expected

@@ -638,3 +638,28 @@ def test_cascade_cosine_only_on_candidates(spark):
            if "ReadSchema" in l and "embedding" in l]
     assert len(emb) == 2, emb
     assert all("label" not in l for l in emb)
+
+
+def test_mixture_materialize_window_keyed_on_source(spark):
+    """doc_mixture_materialize: the pick is ONE source-keyed window
+    cumsum over a narrow (source, hash, n_tok) stream; budgets ride a
+    broadcast — no cartesian, no data-scale exchange on anything but
+    the source key (the weights subplan's SinglePartition step is the
+    #sources-row normalization, not corpus data)."""
+    plan = _plan(spark, "doc_mixture_materialize")
+    import re
+    keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
+    assert keys <= {"source"}, keys
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_no_corpus_shuffle(spark):
+    """emb_hard_negatives: anchors broadcast, similarity is a pure map;
+    the only hash exchange keys the rank window on query_id."""
+    plan = _plan(spark, "emb_hard_negatives")
+    import re
+    keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
+    assert keys <= {"query_id"}, keys
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

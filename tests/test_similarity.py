@@ -115,3 +115,32 @@ def test_ann_index_compact_equals_batch_and_packs_files(spark):
         scratch_path(f"glacier_stream_ann_compact_{_sf_tag(SF_SMALL)}"))
     assert comp.count() == n
     assert comp.select("vec_id").distinct().count() == n
+
+
+def test_hard_negatives_band_matches_numpy(spark):
+    """ranks 6-15 of the exact cosine ordering, per anchor, with the
+    (sim DESC, neighbor_id) tiebreak — recomputed with numpy."""
+    import numpy as np
+
+    from iceberg_demo_spark.sources import load_tables
+
+    emb = {r.vec_id: (r.label, np.asarray(r.embedding, dtype=np.float64))
+           for r in load_tables(spark, SF_SMALL, ("embeddings",))
+           ["embeddings"].collect()}
+    rows = registry.QUERIES["emb_hard_negatives"](spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {i for i in emb if i < 8}
+    for qid, band in by_q.items():
+        ql, qv = emb[qid]
+        sims = sorted(
+            ((-float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), nid)
+             for nid, (_, v) in emb.items() if nid != qid))
+        expect = [(i + 1, nid, -s) for i, (s, nid) in enumerate(sims)][5:15]
+        band.sort(key=lambda r: r.rank)
+        assert [(r.rank, r.neighbor_id) for r in band] == [
+            (rk, nid) for rk, nid, _ in expect]
+        for r, (_, _, s) in zip(band, expect):
+            assert abs(r.sim - s) < 5e-4
+            assert r.same_label == int(emb[r.neighbor_id][0] == ql)
