@@ -1616,3 +1616,114 @@ _OR["dedup_cascade_lsh_cosine"] = f"""
            CASE WHEN cos >= {_CASCADE_CONFIRM} THEN 1 ELSE 0 END AS confirmed
     FROM s ORDER BY id_a, id_b
 """.strip()
+
+
+
+# ---------------------------------------------------------------------------
+# Cluster survivorship: near-dup clusters -> kept doc + what dedup removed
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_cluster_survivorship",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    -- MATERIALIZED: the recursive closure references bidir every
+    -- iteration; DuckDB inlines plain CTEs, which would re-run the
+    -- whole shingle pipeline per iteration
+    bidir AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+    ), lbl AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_root
+      FROM reach GROUP BY src
+    ), mem AS (
+      SELECT l.doc_id, l.cluster_root, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_root
+                                ORDER BY d.n_chars DESC, l.doc_id)
+               AS keep_rank
+      FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+    ), agg AS (
+      SELECT cluster_root,
+             CAST(COUNT(*) AS BIGINT) AS cluster_size,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM mem GROUP BY cluster_root
+    )
+    SELECT a.cluster_root AS cluster_root,
+           k.doc_id AS kept_doc_id,
+           CAST(k.n_chars AS BIGINT) AS kept_chars,
+           a.cluster_size,
+           a.cluster_size - 1 AS dropped_docs,
+           a.total_chars - k.n_chars AS dropped_chars
+    FROM agg a JOIN mem k
+      ON k.cluster_root = a.cluster_root AND k.keep_rank = 1
+    ORDER BY cluster_root
+    """,
+)
+def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SURVIVORSHIP — the decision dedup_clusters sets up: per
+    connected component of the n-gram-Jaccard dup graph, ELECT the
+    kept document (the keep-longest policy real corpus dedup ships:
+    max n_chars, ties to min doc_id) and account for what deletion
+    removes (dropped docs and chars per cluster). This is the actual
+    mutation step of corpus dedup — clusters are bookkeeping; the
+    survivor list and the removal ledger are what the pipeline writes.
+
+    Spark runs iterative min-label propagation (connected_components);
+    the oracle computes the identical closure with a recursive CTE
+    whose adjacency list is MATERIALIZED (DuckDB inlines plain CTEs —
+    re-deriving the shingle pipeline once per closure iteration).
+    Survivor election is one ROW_NUMBER window per cluster, identical
+    tiebreak in both engines.
+
+    Scale shape: everything downstream of pair-finding shuffles ids +
+    one int (n_chars) only — never text; the CC loop is ≈ diameter
+    rounds (near-dup clusters are shallow); election + the removal
+    ledger share one cluster_root partitioning. Dense-component
+    hazard: a blocked candidate graph (this one is banded/blocked
+    upstream) keeps components content-shaped, not grid-shaped — the
+    symmetric-delete CUSTOMER name graph, by contrast, is a synthetic
+    adjacency grid that collapses to ONE giant component (the failure
+    mode we measured and kept out: transitive closure over a dense
+    component is quadratic in BOTH engines)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components(pairs)
+    docs = t["documents"].select("doc_id", F.col("n_chars").cast("bigint"))
+    mem = labels.select(F.col("id").alias("doc_id"), "cluster_root").join(
+        docs, "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    ranked = mem.withColumn("keep_rank", F.row_number().over(w))
+    agg = ranked.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").alias("total_chars"))
+    kept = ranked.filter(F.col("keep_rank") == 1).select(
+        "cluster_root", F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").alias("kept_chars"))
+    return (
+        agg.join(kept, "cluster_root")
+        .select(
+            "cluster_root", "kept_doc_id", "kept_chars", "cluster_size",
+            (F.col("cluster_size") - 1).alias("dropped_docs"),
+            (F.col("total_chars") - F.col("kept_chars"))
+            .alias("dropped_chars"),
+        )
+        .orderBy("cluster_root")
+    )

@@ -96,17 +96,18 @@ def load_all() -> None:
     covered each round by the full local oracle artifact
     (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
 
-    ROUND-9 QUEUE: five gates were added AFTER the r8 window was fixed
+    ROUND-9 QUEUE: six gates were added AFTER the r8 window was fixed
     and full — doc_lm_quality_score (bigram-LM quality scoring),
     dedup_cascade_lsh_cosine (LSH-candidates → cosine-confirm cascade),
     orders_scd2_history (SCD Type-2 dimension build),
     doc_mixture_materialize (temperature-mixture token-budget
     materialization), emb_hard_negatives (mid-rank-band hard-negative
-    mining). They register past position 50 (locally oracle-verified in
-    ORACLES_LOCAL_r08) and, per the standing policy, must LEAD the
-    round-9 window together with whatever gates are then stalest
-    (entering r9 the histogram is r8:50, r7:50, late-r8+r6-carryover
-    for the rest).
+    mining), dedup_cluster_survivorship (keep-longest election + removal
+    ledger over the near-dup clusters). They register past position 50
+    (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
+    policy, must LEAD the round-9 window together with whatever gates
+    are then stalest (entering r9 the histogram is r8:50, r7:50,
+    late-r8+r6-carryover for the rest).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

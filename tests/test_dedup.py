@@ -516,3 +516,43 @@ def test_cascade_cosine_matches_numpy(spark):
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cos_sim - cos) < 5e-4
         assert r.confirmed == int(cos >= 0.0) or abs(cos) < 5e-4
+
+
+def test_survivorship_matches_python_recompute(spark):
+    """Union-find + keep-longest election recomputed in pure Python from
+    the pair gate's own output at sf0.001."""
+    from iceberg_demo_spark.sources import load_tables
+
+    pairs = [(r.id_a, r.id_b) for r in registry.QUERIES
+             ["dedup_ngram_jaccard_pairs"](spark, SF_SMALL).collect()]
+    chars = {r.doc_id: r.n_chars for r in load_tables(
+        spark, SF_SMALL, ("documents",))["documents"]
+        .select("doc_id", "n_chars").collect()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    expected = {}
+    for members in clusters.values():
+        root = min(members)
+        kept = min(members, key=lambda d: (-chars[d], d))
+        total = sum(chars[d] for d in members)
+        expected[root] = (kept, chars[kept], len(members),
+                          len(members) - 1, total - chars[kept])
+    rows = registry.QUERIES["dedup_cluster_survivorship"](
+        spark, SF_SMALL).collect()
+    got = {r.cluster_root: (r.kept_doc_id, r.kept_chars, r.cluster_size,
+                            r.dropped_docs, r.dropped_chars) for r in rows}
+    assert got == expected

@@ -663,3 +663,16 @@ def test_hard_negatives_broadcast_anchors_no_corpus_shuffle(spark):
     assert keys <= {"query_id"}, keys
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_survivorship_shuffles_ids_not_text(spark):
+    """dedup_cluster_survivorship: downstream of pair-finding everything
+    is (id, cluster_root, n_chars) — the documents side of the
+    election join reads doc_id+n_chars only, never text; election and
+    the removal ledger share the cluster_root partitioning."""
+    plan = _plan(spark, "dedup_cluster_survivorship")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cluster_root" in plan
+    stats_scans = [l for l in plan.splitlines()
+                   if "ReadSchema" in l and "n_chars" in l]
+    assert stats_scans and all("text" not in l for l in stats_scans)
