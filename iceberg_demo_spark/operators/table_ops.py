@@ -1287,3 +1287,67 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("lang").alias("n_langs"))
         .orderBy("source")
     )
+
+
+@query(
+    "streaming_pydatasource_ingest",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def streaming_pydatasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM through the custom Python DataSource — the other half of
+    the Spark 4 extension point (`streamReader`, round 8; the batch
+    `reader` is source_python_datasource above): the JSONL staging
+    directory is treated as an append-only log, offsets are the count
+    of consumed files ({"index": n} in sorted-name order, checkpointed
+    by Structured Streaming), each micro-batch is the file range
+    [start, end) with ONE InputPartition per file, and the rows land
+    through the exactly-once parquet file sink. The rollup over the
+    streamed table must equal the parquet-derived oracle — transport
+    (batch vs micro-batch) must not change data.
+
+    Exactly-once contract: files are immutable and names sort stably,
+    so any checkpointed offset range replays to the same rows — the
+    whole recovery story a custom streaming source owes the engine.
+    Scale shape: per-trigger work is O(new files); the sink's
+    `_spark_metadata` log gives atomic per-batch visibility; scan
+    parallelism inside a batch = file count, same unit as the batch
+    reader. maxFilesPerTrigger-style pacing belongs in latestOffset
+    (cap end-start) — noted, not needed at gate scale."""
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.sources.pydatasource import (
+        register_jsonl_source,
+        stage_jsonl_docs,
+    )
+
+    register_jsonl_source(spark)
+    src = stage_jsonl_docs(spark, sf_dir)
+    tag = _sf_tag(sf_dir)
+    out = scratch_path(f"glacier_pds_stream_{tag}")
+    ck = scratch_path(f"glacier_pds_stream_ck_{tag}")
+    for d in (out, ck):
+        _shutil.rmtree(d, ignore_errors=True)
+    q = (spark.readStream.format("glacier_jsonl").option("path", src).load()
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("sum_chars"),
+             F.countDistinct("lang").alias("n_langs"))
+        .orderBy("source")
+    )

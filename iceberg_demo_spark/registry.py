@@ -103,7 +103,10 @@ def load_all() -> None:
     doc_mixture_materialize (temperature-mixture token-budget
     materialization), emb_hard_negatives (mid-rank-band hard-negative
     mining), dedup_cluster_survivorship (keep-longest election + removal
-    ledger over the near-dup clusters). They register past position 50
+    ledger over the near-dup clusters), streaming_pydatasource_ingest
+    (the streamReader half of the Spark 4 Python DataSource extension
+    point — checkpointed file-index offsets, exactly-once across
+    restarts). They register past position 50
     (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
     policy, must LEAD the round-9 window together with whatever gates
     are then stalest (entering r9 the histogram is r8:50, r7:50,

@@ -29,6 +29,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -141,6 +142,9 @@ class GlacierJsonlDataSource(DataSource):
     def reader(self, schema: StructType) -> GlacierJsonlReader:
         return GlacierJsonlReader(self.options, schema)
 
+    def streamReader(self, schema: StructType) -> "GlacierJsonlStreamReader":
+        return GlacierJsonlStreamReader(self.options, schema)
+
 
 _REGISTERED = set()
 
@@ -171,3 +175,73 @@ def stage_jsonl_docs(spark, sf_dir: str, n_files: int = 4) -> str:
          .repartition(n_files)
          .write.mode("overwrite").json(out))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming side of the extension point (round 8)
+# ---------------------------------------------------------------------------
+
+class _JsonlRangePartition(InputPartition):
+    def __init__(self, paths: list):
+        self.paths = paths
+
+
+class GlacierJsonlStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the JSONL directory as an APPEND-ONLY log.
+
+    Offsets are {"index": n} — the count of files (in sorted-name order)
+    already consumed; a micro-batch is the file range [start, end).
+    Determinism/exactly-once contract: files are immutable once written
+    and names sort stably, so any (start, end) range replays to the
+    SAME rows — which is all Structured Streaming needs from a source
+    to recover from checkpointed offsets. partitions() returns one
+    InputPartition per file, so scan parallelism inside a micro-batch
+    matches the batch reader's unit."""
+
+    def __init__(self, options, schema: StructType):
+        self._dir = options["path"]
+        self._fields = [f.name for f in schema.fields]
+
+    def _files(self) -> list:
+        return sorted(
+            os.path.join(self._dir, p) for p in os.listdir(self._dir)
+            if (p.startswith("part-") and ".json" in p) or
+            p.endswith(".jsonl"))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"]:end["index"]]
+        return [_JsonlRangePartition([p]) for p in files]
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint; the source keeps no state
+        pass
+
+    def read(self, partition: _JsonlRangePartition):
+        import pyarrow as pa
+
+        cols = self._fields
+        buf: list[list] = [[] for _ in cols]
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(buf[i]) for i in range(len(cols))], names=cols)
+            for b in buf:
+                b.clear()
+            return batch
+
+        for path in partition.paths:
+            with open(path, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    for i, c in enumerate(cols):
+                        buf[i].append(rec.get(c))
+                    if len(buf[0]) >= _BATCH_ROWS:
+                        yield flush()
+        if buf[0]:
+            yield flush()

@@ -99,3 +99,55 @@ def test_datasource_scan_matches_parquet_and_pins_pushdown_gate(spark):
             run()
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
+def _run_stream(spark, src, out, ck):
+    from iceberg_demo_spark.sources.pydatasource import register_jsonl_source
+
+    register_jsonl_source(spark)
+    q = (spark.readStream.format("glacier_jsonl")
+         .option("path", src).load()
+         .writeStream.format("parquet")
+         .option("path", str(out)).option("checkpointLocation", str(ck))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_stream_reader_exactly_once_across_restarts(spark, tmp_path):
+    """A second availableNow run on the SAME checkpoint re-ingests
+    nothing (offsets recovered); a file appended between runs is
+    ingested exactly once (only the [start, end) delta is read)."""
+    recs = [{"doc_id": i, "source": "s0", "n_chars": 10 * i, "lang": "en"}
+            for i in range(1, 5)]
+    src = _mk_dir(tmp_path, {"a.jsonl": recs[:2], "b.jsonl": recs[2:]})
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_stream(spark, src, out, ck)
+    assert spark.read.parquet(str(out)).count() == 4
+    _run_stream(spark, src, out, ck)  # restart, no new files
+    assert spark.read.parquet(str(out)).count() == 4
+    (tmp_path / "jsonl" / "c.jsonl").write_text(
+        json.dumps({"doc_id": 9, "source": "s1", "n_chars": 1,
+                    "lang": "fr"}) + "\n")
+    _run_stream(spark, src, out, ck)  # delta only
+    df = spark.read.parquet(str(out))
+    assert df.count() == 5
+    assert df.filter("doc_id = 9").count() == 1
+
+
+def test_stream_gate_matches_batch_gate_transport_invariance(spark):
+    """The streamed rollup equals the same rollup computed through the
+    batch reader path — transport must not change data."""
+    got = {tuple(r) for r in registry.QUERIES
+           ["streaming_pydatasource_ingest"](spark, SF_SMALL).collect()}
+    from iceberg_demo_spark.sources.pydatasource import (
+        register_jsonl_source, stage_jsonl_docs)
+    from pyspark.sql import functions as F
+
+    register_jsonl_source(spark)
+    path = stage_jsonl_docs(spark, SF_SMALL)
+    batch = (spark.read.format("glacier_jsonl").option("path", path).load()
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                  F.countDistinct("lang").alias("n_langs")))
+    assert got == {tuple(r) for r in batch.collect()}
