@@ -372,3 +372,30 @@ def test_approx_percentile_rank_error_within_accuracy(spark):
     for q, v in zip(qs, approx):
         true_rank = li.filter(F.col("l_extendedprice") <= v).count()
         assert abs(true_rank / n - q) <= 1.0 / 100 + 1e-9, (q, v, true_rank / n)
+
+
+def test_approx_count_distinct_error_within_rsd(spark):
+    """Audit of Spark's HLL++ approx_count_distinct (the scale path when
+    exact COUNT(DISTINCT) per group is too expensive): per l_returnflag
+    group AND globally over l_orderkey / l_partkey at sf0.01, the
+    relative error must sit within ~3x the requested rsd (HLL++'s rsd
+    is a standard deviation, not a hard bound — 3 sigma is the audit
+    line). Same approximation-audit discipline as the percentile and
+    recall audits: no approximation ships unmeasured."""
+    from tests.conftest import SF_MED
+
+    li = spark.read.parquet(f"{SF_MED}/lineitem.parquet")
+    rsd = 0.02
+    for col in ("l_orderkey", "l_partkey"):
+        rows = (li.groupBy("l_returnflag")
+                .agg(F.countDistinct(col).alias("exact"),
+                     F.approx_count_distinct(col, rsd).alias("approx"))
+                .collect())
+        rows.append(li.agg(
+            F.countDistinct(col).alias("exact"),
+            F.approx_count_distinct(col, rsd).alias("approx"),
+        ).collect()[0])
+        for r in rows:
+            rel = abs(r.approx - r.exact) / r.exact
+            assert rel <= 3 * rsd, (col, getattr(r, "l_returnflag", "ALL"),
+                                    r.exact, r.approx, rel)
