@@ -1351,3 +1351,114 @@ def streaming_pydatasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
              F.countDistinct("lang").alias("n_langs"))
         .orderBy("source")
     )
+
+
+@query(
+    "changelog_replication",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, c_mktsegment,
+             -- integer-rounding only: ROUND(x, 2) is NOT cross-engine
+             -- stable (Spark rounds the exact decimal of the double,
+             -- DuckDB rounds in double arithmetic); ROUND to integer is
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST(ROUND(c_acctbal * 125) AS BIGINT)
+                  ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+             END AS cents
+      FROM customer
+      WHERE NOT (c_custkey % 11 = 0)
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_bal_cents,
+           CAST(0 AS BIGINT) AS n_mismatches
+    FROM src GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def changelog_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION — the changelog's reason to exist, closed
+    end-to-end: a source table takes a three-commit DML history
+    (initial load → keyed UPDATE via MERGE → predicate DELETE), a
+    replica starts EMPTY and consumes only the changelog view, applying
+    each commit in _change_ordinal order as a net keyed MERGE (
+    after-images upsert; keys whose only rows are DELETE are removed —
+    an UPDATE's before-image never masks its own after-image). The gate
+    returns the REPLICA's rollup plus an n_mismatches column computed
+    by a full anti-join of source vs replica — the oracle pins it to
+    literal 0, so replica drift is a VALUE failure, not a test warning.
+
+    Scale shape: each apply step is one distributed MERGE whose source
+    is that commit's change rows — O(changes), never O(table); the
+    per-commit loop collects only the ordinal list (#commits rows, the
+    same bounded planning collect every DML gate uses). This is how an
+    Iceberg-style changelog feeds a downstream replica/materialization
+    at 100 TB: the replica pays for what changed, not for what exists."""
+    t_in = load_tables(spark, sf_dir, ("customer",))
+    cust = t_in["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    cat = _scratch(spark)
+    cols = [("c_custkey", "bigint", False), ("c_mktsegment", "string", True),
+            ("c_acctbal", "double", True)]
+    src_t = cat.create_table("db.cust_repl_src", cols)
+    src_t.set_identifier_fields("c_custkey")
+    src_t.append(cust)                                     # commit 1: load
+    bump = cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    src_t.update_matching(                                 # commit 2: update
+        # cents-domain bump: integer ROUND is the only cross-engine-stable
+        # rounding (see the oracle comment), so the 25% raise is
+        # round(bal*125)/100, never round(bal*1.25, 2)
+        {"c_acctbal": "round(t.c_acctbal * 125) / 100"},
+        bump, on="t.c_custkey = s.c_custkey")
+    src_t.delete_where("c_custkey % 11 = 0")               # commit 3: delete
+
+    rep_t = cat.create_table("db.cust_repl_dst", cols)
+    data_cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    # Materialize the change stream ONCE (it is O(changes)); the apply
+    # loop then filters materialized rows instead of re-deriving the
+    # whole changelog lineage (file diffs + exceptAll per snapshot) for
+    # every ordinal — the same reason a production consumer lands the
+    # change batch before applying it.
+    cl = (proc.create_changelog_view(src_t, "cust_repl_changes")
+          .select(*data_cols, "_change_type", "_change_ordinal")
+          .localCheckpoint())
+    ordinals = sorted(
+        r[0] for r in cl.select("_change_ordinal").distinct().collect())
+    for o in ordinals:
+        batch = cl.filter(F.col("_change_ordinal") == o)
+        after = (batch.filter(F.col("_change_type")
+                              .isin("INSERT", "UPDATE_AFTER"))
+                 .select(*data_cols))
+        dels = (batch.filter(F.col("_change_type") == "DELETE")
+                .select("c_custkey")
+                .join(after.select("c_custkey"), "c_custkey", "left_anti"))
+        # head(1) gates on the MATERIALIZED change rows (cheap) so a
+        # pure-delete or pure-upsert commit pays one replica commit,
+        # not two
+        if after.head(1):
+            rep_t.merge(
+                after, on="t.c_custkey = s.c_custkey",
+                matched=[{"condition": None, "action": "update",
+                          "set": {"c_mktsegment": "s.c_mktsegment",
+                                  "c_acctbal": "s.c_acctbal"}}],
+                not_matched=[{"condition": None, "values": None}],
+                check_cardinality=False)  # after-images are key-unique
+        if dels.head(1):
+            rep_t.delete_matching(dels, on="t.c_custkey = s.c_custkey")
+
+    src_rows = src_t.scan().select(*data_cols)
+    rep_rows = rep_t.scan().select(*data_cols)
+    mism = (src_rows.exceptAll(rep_rows).agg(F.count(F.lit(1)).alias("a"))
+            .crossJoin(F.broadcast(
+                rep_rows.exceptAll(src_rows)
+                .agg(F.count(F.lit(1)).alias("b"))))
+            .select((F.col("a") + F.col("b")).alias("n_mismatches")))
+    return (
+        rep_rows.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             # bal*100 sits within 1 ulp of the true integer cents for
+             # both the original and the /100-bumped values; integer
+             # ROUND recovers it exactly in both engines
+             F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+             .alias("total_bal_cents"))
+        .crossJoin(F.broadcast(mism))
+        .orderBy("c_mktsegment")
+    )

@@ -106,7 +106,10 @@ def load_all() -> None:
     ledger over the near-dup clusters), streaming_pydatasource_ingest
     (the streamReader half of the Spark 4 Python DataSource extension
     point — checkpointed file-index offsets, exactly-once across
-    restarts). They register past position 50
+    restarts), changelog_replication (CDC apply: an empty replica
+    consumes the changelog per-commit and must converge to the source
+    exactly — n_mismatches pinned to 0 by the oracle). They register
+    past position 50
     (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
     policy, must LEAD the round-9 window together with whatever gates
     are then stalest (entering r9 the histogram is r8:50, r7:50,

@@ -579,3 +579,39 @@ def test_metadata_load_recovers_from_stale_hint(tmp_path):
     # explicit version= still time-travels to the requested file
     old = TableMetadata.load(loc, version=1)
     assert old.version == 1 and "k" not in old.properties
+
+
+def test_changelog_replication_replica_converges(spark):
+    """The CDC apply loop converges the replica to the source exactly:
+    n_mismatches (full exceptAll both ways) is 0 in every group and the
+    replicated totals equal a pure-Python recompute from base data."""
+    from collections import defaultdict
+
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.sources import load_tables
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    rows = registry.QUERIES["changelog_replication"](
+        spark, SF_SMALL).collect()
+    assert rows and all(r.n_mismatches == 0 for r in rows)
+    cust = (load_tables(spark, SF_SMALL, ("customer",))["customer"]
+            .select("c_custkey", "c_mktsegment", "c_acctbal").collect())
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round_half_away(x: float) -> int:
+        # Spark's round() takes the EXACT decimal of the double then
+        # HALF_UP (away from zero); Python's round() is half-even
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    exp = defaultdict(lambda: [0, 0])
+    for c in cust:
+        if c.c_custkey % 11 == 0:
+            continue
+        cents = _round_half_away(
+            c.c_acctbal * 125 if c.c_custkey % 7 == 0
+            else c.c_acctbal * 100)
+        exp[c.c_mktsegment][0] += 1
+        exp[c.c_mktsegment][1] += cents
+    assert {r.c_mktsegment: [r.n_rows, r.total_bal_cents]
+            for r in rows} == dict(exp)
