@@ -1727,3 +1727,86 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_root")
     )
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style, lossless at tau)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle=None,  # EXACTLY the n-gram Jaccard oracle — assigned below
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published alternative to banding for set-similarity self-join:
+    PREFIX FILTERING (Chaudhuri et al. / PPJoin family). Order each
+    document's distinct shingles by ascending global document frequency
+    (rarest first, ties on the shingle), keep only the first
+    |s| − ⌈τ·|s|⌉ + 1 as its PREFIX, and generate candidates from the
+    prefix-token equi-join. Completeness at Jaccard ≥ τ is a theorem,
+    not a tuning outcome: two qualifying sets share ≥ ⌈τ·|s|⌉ elements,
+    more than either suffix can hold, so their smallest-ranked common
+    shingle sits in BOTH prefixes. Candidates are then verified with
+    the exact intersection count — the output is therefore IDENTICAL
+    to dedup_ngram_jaccard_pairs, which is why this gate SHARES that
+    gate's oracle verbatim: same answer, different (scalable) plan —
+    the dedup_incremental_indexed discipline.
+
+    Scale shape: the candidate join keys on PREFIX tokens only — and
+    because prefixes are rarest-first, the high-frequency shingles that
+    make the naive co-shingle join quadratic are exactly the ones
+    pushed into suffixes and never joined on. At τ=0.2 the prefix is
+    still ~80% of the set (filter power grows with τ — at τ=0.8 it is
+    ~20%); the win at low τ is the fan-out cap from rare keys, the win
+    at high τ is both. Verification joins full shingle lists for
+    candidate pairs only: cost ∝ candidates, not ∝ co-shingle pairs.
+    Three keyed exchanges (shingle freq, per-doc rank window, pair
+    count) — no cartesian anywhere."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = t["documents"].select(
+        "doc_id", F.explode(shingles_col()).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rk = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("rk", F.row_number().over(rk))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk")
+                <= F.col("n_sh") - F.ceil(0.2 * F.col("n_sh")) + 1)
+        .select("doc_id", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("id_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "s")
+    cand = (a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+    return _prefix_verify(cand, sh, sizes)
+
+
+def _prefix_verify(cand: DataFrame, sh: DataFrame,
+                   sizes: DataFrame) -> DataFrame:
+    """Exact Jaccard verification for candidate pairs: join both docs'
+    full shingle lists on the pair, count matches, apply the threshold.
+    Shared tail of the prefix-filter gate."""
+    sa = sh.select(F.col("doc_id").alias("id_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("_idb"), F.col("s").alias("sb"))
+    common = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb"))
+              & (F.col("s") == F.col("sb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.lit(1.0) * F.col("n_common")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (
+        common.join(na, "id_a").join(nb, "id_b")
+        .filter(jac >= 0.2)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_OR["dedup_prefix_filter_pairs"] = _OR["dedup_ngram_jaccard_pairs"]

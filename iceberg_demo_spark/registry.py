@@ -108,8 +108,10 @@ def load_all() -> None:
     point — checkpointed file-index offsets, exactly-once across
     restarts), changelog_replication (CDC apply: an empty replica
     consumes the changelog per-commit and must converge to the source
-    exactly — n_mismatches pinned to 0 by the oracle). They register
-    past position 50
+    exactly — n_mismatches pinned to 0 by the oracle),
+    dedup_prefix_filter_pairs (PPJoin-style prefix filtering — lossless
+    at τ, shares the exact Jaccard gate's oracle verbatim). They
+    register past position 50
     (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
     policy, must LEAD the round-9 window together with whatever gates
     are then stalest (entering r9 the histogram is r8:50, r7:50,

@@ -556,3 +556,13 @@ def test_survivorship_matches_python_recompute(spark):
     got = {r.cluster_root: (r.kept_doc_id, r.kept_chars, r.cluster_size,
                             r.dropped_docs, r.dropped_chars) for r in rows}
     assert got == expected
+
+
+def test_prefix_filter_is_lossless_vs_exact(spark):
+    """Prefix filtering is COMPLETE at the threshold: the gate's output
+    equals the exact n-gram Jaccard gate row-for-row."""
+    exact = registry.QUERIES["dedup_ngram_jaccard_pairs"](
+        spark, SF_SMALL).collect()
+    pf = registry.QUERIES["dedup_prefix_filter_pairs"](
+        spark, SF_SMALL).collect()
+    assert sorted(map(tuple, pf)) == sorted(map(tuple, exact))

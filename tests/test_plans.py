@@ -676,3 +676,15 @@ def test_survivorship_shuffles_ids_not_text(spark):
     stats_scans = [l for l in plan.splitlines()
                    if "ReadSchema" in l and "n_chars" in l]
     assert stats_scans and all("text" not in l for l in stats_scans)
+
+
+def test_prefix_filter_join_keys_are_tokens_and_pairs(spark):
+    """dedup_prefix_filter_pairs: candidate generation joins on prefix
+    shingles, verification on pair keys — no cartesian, no
+    nested-loop; the rank window is doc-partitioned."""
+    plan = _plan(spark, "dedup_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
+    assert keys <= {"s", "doc_id", "id_a", "id_b"}, keys
