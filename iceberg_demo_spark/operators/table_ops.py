@@ -1318,8 +1318,15 @@ def streaming_pydatasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: per-trigger work is O(new files); the sink's
     `_spark_metadata` log gives atomic per-batch visibility; scan
     parallelism inside a batch = file count, same unit as the batch
-    reader. maxFilesPerTrigger-style pacing belongs in latestOffset
-    (cap end-start) — noted, not needed at gate scale."""
+    reader. maxFilesPerTrigger-style pacing was PROTOTYPED and
+    deliberately rejected: the Python runner instantiates multiple
+    reader objects and calls latestOffset before initialOffset (traced
+    empirically), so reader-LOCAL pacing state is unsound — on restart
+    it can emit an offset below the recovered start (offset
+    regression → re-ingest); Spark's engine-side ReadLimit is not
+    exposed to Python stream readers. Backlog pacing therefore belongs
+    to the writer of the log (bounded files per producer flush), not
+    this reader."""
     import shutil as _shutil
 
     from iceberg_demo_spark.operators.layout import _sf_tag
