@@ -1329,3 +1329,66 @@ _OR["doc_mixture_materialize"] = f"""
     FROM budgets b LEFT JOIN picked p ON b.source = p.source
     ORDER BY b.source
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Train/validation split with a near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_split_leakage_audit",
+    oracle=None,  # composed from the exact-Jaccard pair oracle below
+)
+def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split hygiene: assign every document to a split
+    by a content hash (md5 hex < '2' → ~1/8 validation — content-keyed,
+    so re-crawled copies of the same text land in the SAME split by
+    construction; id- or order-keyed splits don't have that property),
+    then AUDIT the boundary with the near-dup pair set: an exact-dup
+    lands together by construction, but a NEAR-dup pair straddling the
+    boundary is eval-set leakage that only a similarity join can see —
+    the failure mode behind inflated eval numbers on crawled corpora.
+    Output: one row per (split of a, split of b) bucket of the dup-pair
+    graph plus per-split doc counts; the train↔valid row IS the leakage
+    measurement.
+
+    Scale shape: the split column is a pure map over the corpus (one
+    md5 per doc); the audit reuses the shipped candidate-join pair
+    machinery (blocked/banded upstream) and joins the pair list to the
+    tiny (doc_id, split) projection twice — pair-count-bound, never a
+    new quadratic. The same audit composes over the LSH pairs at scale
+    (swap dedup_ngram_jaccard_pairs for dedup_minhash_lsh_pairs)."""
+    from iceberg_demo_spark.operators.dedup import dedup_ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    split = t["documents"].select(
+        "doc_id",
+        F.when(F.substring(F.md5(F.col("text")), 1, 1) < "2", "valid")
+        .otherwise("train").alias("split"),
+    )
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    sa = split.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("split_b"))
+    # unordered bucket: (min, max) so train->valid and valid->train
+    # are ONE leakage row
+    leak = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(F.least("split_a", "split_b").alias("side_a"),
+                F.greatest("split_a", "split_b").alias("side_b"))
+        .groupBy("side_a", "side_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    sizes = split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    da = sizes.select(F.col("split").alias("side_a"),
+                      F.col("n_docs").alias("docs_a"))
+    db = sizes.select(F.col("split").alias("side_b"),
+                      F.col("n_docs").alias("docs_b"))
+    return (
+        leak.join(F.broadcast(da), "side_a")
+        .join(F.broadcast(db), "side_b")
+        .select("side_a", "side_b", "n_pairs", "docs_a", "docs_b")
+        .orderBy("side_a", "side_b")
+    )
+

@@ -1810,3 +1810,36 @@ def _prefix_verify(cand: DataFrame, sh: DataFrame,
 
 
 _OR["dedup_prefix_filter_pairs"] = _OR["dedup_ngram_jaccard_pairs"]
+
+
+# Composed oracle for curation.doc_split_leakage_audit — registered HERE
+# because module import order loads curation before this module, so the
+# exact-Jaccard pair oracle it nests only exists once dedup has loaded.
+_OR["doc_split_leakage_audit"] = f"""
+    WITH pairs AS ({_as_cte_body(_OR["dedup_ngram_jaccard_pairs"])}),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(text), 1, 1) < '2'
+                  THEN 'valid' ELSE 'train' END AS split
+      FROM documents
+    ),
+    leak AS (
+      SELECT LEAST(a.split, b.split) AS side_a,
+             GREATEST(a.split, b.split) AS side_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN split a ON a.doc_id = p.id_a
+      JOIN split b ON b.doc_id = p.id_b
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM split GROUP BY split
+    )
+    SELECT l.side_a, l.side_b, l.n_pairs,
+           da.n_docs AS docs_a, db.n_docs AS docs_b
+    FROM leak l
+    JOIN sizes da ON da.split = l.side_a
+    JOIN sizes db ON db.split = l.side_b
+    ORDER BY side_a, side_b
+""".strip()

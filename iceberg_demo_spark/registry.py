@@ -110,7 +110,9 @@ def load_all() -> None:
     consumes the changelog per-commit and must converge to the source
     exactly — n_mismatches pinned to 0 by the oracle),
     dedup_prefix_filter_pairs (PPJoin-style prefix filtering — lossless
-    at τ, shares the exact Jaccard gate's oracle verbatim). They
+    at τ, shares the exact Jaccard gate's oracle verbatim),
+    doc_split_leakage_audit (content-hash train/valid split + near-dup
+    pairs straddling the boundary — the eval-leakage number). They
     register past position 50
     (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
     policy, must LEAD the round-9 window together with whatever gates

@@ -393,3 +393,26 @@ def test_mixture_materialize_matches_python_recompute(spark):
     got = {r.source: (r.budget_tokens, r.picked_docs, r.picked_tokens,
                       r.fill_bps) for r in rows}
     assert got == expected
+
+
+def test_split_leakage_matches_python_recompute(spark):
+    """Split assignment + boundary buckets recomputed in pure Python
+    from the pair gate's own output at sf0.001."""
+    import hashlib
+
+    from iceberg_demo_spark.sources import load_tables
+
+    docs = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+            .select("doc_id", "text").collect())
+    split = {d.doc_id: ("valid" if hashlib.md5(d.text.encode())
+                        .hexdigest()[0] < "2" else "train") for d in docs}
+    pairs = [(r.id_a, r.id_b) for r in registry.QUERIES
+             ["dedup_ngram_jaccard_pairs"](spark, SF_SMALL).collect()]
+    from collections import Counter
+    buckets = Counter(tuple(sorted((split[a], split[b]))) for a, b in pairs)
+    sizes = Counter(split.values())
+    rows = registry.QUERIES["doc_split_leakage_audit"](
+        spark, SF_SMALL).collect()
+    assert {(r.side_a, r.side_b): r.n_pairs for r in rows} == dict(buckets)
+    for r in rows:
+        assert r.docs_a == sizes[r.side_a] and r.docs_b == sizes[r.side_b]

@@ -688,3 +688,13 @@ def test_prefix_filter_join_keys_are_tokens_and_pairs(spark):
     import re
     keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
     assert keys <= {"s", "doc_id", "id_a", "id_b"}, keys
+
+
+def test_split_leakage_audit_is_pair_bound(spark):
+    """doc_split_leakage_audit: the audit joins the pair list to the
+    (doc_id, split) projection — pair-count-bound, no new quadratic,
+    split sizes broadcast."""
+    plan = _plan(spark, "doc_split_leakage_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
