@@ -1392,3 +1392,65 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("side_a", "side_b")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Mixture epoch plan: upsampling factors for budget-exceeding sources
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_mixture_epochs",
+    oracle=None,  # composed from the mixture-weights oracle right below
+)
+def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third act of the mixture trilogy (weights → materialize →
+    EPOCHS): when a source's token budget exceeds its corpus, single-
+    pass sampling can't fill it — the source must repeat. Per source:
+    epochs = ⌈budget / n_tokens⌉ (how many full passes the loader
+    schedules) and repetition_ppm = (10⁶·budget) div n_tokens (the
+    fractional oversampling rate the final epoch is trimmed to). A
+    DoReMi/Pile-style loader consumes exactly this table. Budget here
+    is 3× the corpus-share each source would get at its α=0.5 weight
+    (upsampling regime — low-resource sources land epochs > 3,
+    high-resource ones stay below), computed with the same integer
+    discipline as the materialize gate.
+
+    Scale shape: pure arithmetic over the #sources-row weights frame —
+    the per-source aggregate is the only corpus pass, inherited from
+    doc_mixture_weights; everything after is dozens of rows."""
+    w = doc_mixture_weights(spark, sf_dir).select(
+        "source", "n_tokens", "mixture_ppm")
+    tot = Window.partitionBy()
+    return (
+        w.withColumn("total_tokens", F.sum("n_tokens").over(tot))
+        .select(
+            "source", "n_tokens",
+            F.expr("((3 * total_tokens) * mixture_ppm) div 1000000")
+            .alias("budget_tokens"),
+        )
+        .select(
+            "source", "n_tokens", "budget_tokens",
+            F.expr("(budget_tokens + n_tokens - 1) div n_tokens")
+            .alias("epochs"),
+            F.expr("(1000000 * budget_tokens) div n_tokens")
+            .alias("repetition_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_OR["doc_mixture_epochs"] = f"""
+    WITH w AS ({_as_cte_body(_OR["doc_mixture_weights"])}),
+    b AS (
+      SELECT source, n_tokens,
+             CAST(((3 * SUM(n_tokens) OVER ()) * mixture_ppm) // 1000000
+                  AS BIGINT) AS budget_tokens
+      FROM w
+    )
+    SELECT source, n_tokens, budget_tokens,
+           CAST((budget_tokens + n_tokens - 1) // n_tokens AS BIGINT)
+             AS epochs,
+           CAST((1000000 * budget_tokens) // n_tokens AS BIGINT)
+             AS repetition_ppm
+    FROM b ORDER BY source
+""".strip()

@@ -96,7 +96,7 @@ def load_all() -> None:
     covered each round by the full local oracle artifact
     (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
 
-    ROUND-9 QUEUE: six gates were added AFTER the r8 window was fixed
+    ROUND-9 QUEUE: eleven gates were added AFTER the r8 window was fixed
     and full — doc_lm_quality_score (bigram-LM quality scoring),
     dedup_cascade_lsh_cosine (LSH-candidates → cosine-confirm cascade),
     orders_scd2_history (SCD Type-2 dimension build),
@@ -112,8 +112,9 @@ def load_all() -> None:
     dedup_prefix_filter_pairs (PPJoin-style prefix filtering — lossless
     at τ, shares the exact Jaccard gate's oracle verbatim),
     doc_split_leakage_audit (content-hash train/valid split + near-dup
-    pairs straddling the boundary — the eval-leakage number). They
-    register past position 50
+    pairs straddling the boundary — the eval-leakage number),
+    doc_mixture_epochs (upsampling plan: ⌈budget/corpus⌉ epochs +
+    repetition ppm per source). They register past position 50
     (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
     policy, must LEAD the round-9 window together with whatever gates
     are then stalest (entering r9 the histogram is r8:50, r7:50,

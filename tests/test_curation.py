@@ -416,3 +416,30 @@ def test_split_leakage_matches_python_recompute(spark):
     assert {(r.side_a, r.side_b): r.n_pairs for r in rows} == dict(buckets)
     for r in rows:
         assert r.docs_a == sizes[r.side_a] and r.docs_b == sizes[r.side_b]
+
+
+def test_mixture_epochs_matches_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from iceberg_demo_spark.sources import load_tables
+
+    docs = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+            .select("source", "text").collect())
+    per = defaultdict(int)
+    for d in docs:
+        per[d.source] += len(d.text.split(" "))
+    w_raw = {s: math.floor(1_000_000 * math.sqrt(float(n)))
+             for s, n in per.items()}
+    tot_w = sum(w_raw.values())
+    ppm = {s: int(round(1_000_000 * float(w) / float(tot_w)))
+           for s, w in w_raw.items()}
+    total = sum(per.values())
+    rows = registry.QUERIES["doc_mixture_epochs"](spark, SF_SMALL).collect()
+    for r in rows:
+        budget = ((3 * total) * ppm[r.source]) // 1_000_000
+        assert r.n_tokens == per[r.source]
+        assert r.budget_tokens == budget
+        assert r.epochs == (budget + r.n_tokens - 1) // r.n_tokens
+        assert r.repetition_ppm == (1_000_000 * budget) // r.n_tokens
+        assert r.epochs == math.ceil(r.repetition_ppm / 1_000_000)
