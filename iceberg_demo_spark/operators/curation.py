@@ -1256,7 +1256,14 @@ def doc_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("total_tokens", F.sum("n_tokens").over(tot))
         .select(
             "source",
-            F.expr("((total_tokens div 2) * mixture_ppm) div 1000000")
+            # exact split product: with B = total div 2,
+            # (B*ppm) div 1e6 == (B div 1e6)*ppm + ((B%1e6)*ppm) div 1e6
+            # — no intermediate exceeds max(B, 1e12), so the arithmetic
+            # is int64-safe at any real corpus size (the naive product
+            # overflows at ~1.8e13 tokens, silently under non-ANSI Spark)
+            F.expr("((total_tokens div 2) div 1000000) * mixture_ppm"
+                   " + (((total_tokens div 2) % 1000000) * mixture_ppm)"
+                   " div 1000000")
             .alias("budget_tokens"),
         )
     )
@@ -1361,11 +1368,15 @@ def doc_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_demo_spark.operators.dedup import dedup_ngram_jaccard_pairs
 
     t = load_tables(spark, sf_dir, ("documents",))
+    # materialize the tiny (doc_id, split) projection ONCE: it feeds
+    # three lineages (both pair sides + the size rollup) and Catalyst
+    # does not CSE subtrees — without the cut that is three full text
+    # scans + md5 passes for a map that fits in memory
     split = t["documents"].select(
         "doc_id",
         F.when(F.substring(F.md5(F.col("text")), 1, 1) < "2", "valid")
         .otherwise("train").alias("split"),
-    )
+    ).localCheckpoint()
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
     sa = split.select(F.col("doc_id").alias("id_a"),
                       F.col("split").alias("split_a"))
@@ -1425,14 +1436,19 @@ def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.withColumn("total_tokens", F.sum("n_tokens").over(tot))
         .select(
             "source", "n_tokens",
-            F.expr("((3 * total_tokens) * mixture_ppm) div 1000000")
+            # int64-safe split product (see doc_mixture_materialize)
+            F.expr("((3 * total_tokens) div 1000000) * mixture_ppm"
+                   " + (((3 * total_tokens) % 1000000) * mixture_ppm)"
+                   " div 1000000")
             .alias("budget_tokens"),
         )
         .select(
             "source", "n_tokens", "budget_tokens",
             F.expr("(budget_tokens + n_tokens - 1) div n_tokens")
             .alias("epochs"),
-            F.expr("(1000000 * budget_tokens) div n_tokens")
+            # int64-safe: (1e6*B) div n == (B div n)*1e6 + ((B%n)*1e6) div n
+            F.expr("(budget_tokens div n_tokens) * 1000000"
+                   " + ((budget_tokens % n_tokens) * 1000000) div n_tokens")
             .alias("repetition_ppm"),
         )
         .orderBy("source")

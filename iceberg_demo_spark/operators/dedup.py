@@ -97,6 +97,28 @@ _SHINGLE_SQL = (
     "i -> array_to_string(list_slice(string_split(text,' '), i, i + 2), ' ')))"
 )
 
+#: shared oracle pipeline shingles -> sizes -> co-shingle counts -> the
+#: >= 0.2 Jaccard pair set WITH the rounded jaccard value. Three gates
+#: nest this (exact pairs, clusters, survivorship) — one copy, so a
+#: threshold or shingle change can never silently desynchronize them.
+_PAIRS_SQL = f"""sh AS (
+      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             ROUND(1.0 * n_common / (sa.n_sh + sb.n_sh - n_common), 4)
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    )"""
+
 
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup pairs (exact, SQL-expressible oracle)
@@ -105,21 +127,8 @@ _SHINGLE_SQL = (
 @query(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-    ), common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           ROUND(1.0 * n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    WITH {_PAIRS_SQL}
+    SELECT id_a, id_b, jaccard FROM pairs
     ORDER BY id_a, id_b
     """,
 )
@@ -638,20 +647,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-    ), common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-    ), bidir AS (
+    WITH RECURSIVE {_PAIRS_SQL},
+    -- MATERIALIZED: the recursive closure references bidir every
+    -- iteration; DuckDB inlines plain CTEs, which would re-run the
+    -- whole shingle pipeline per iteration
+    bidir AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ), reach(src, dst) AS (
@@ -1626,20 +1626,7 @@ _OR["dedup_cascade_lsh_cosine"] = f"""
 @query(
     "dedup_cluster_survivorship",
     oracle=f"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id, unnest({_SHINGLE_SQL}) AS shingle FROM documents
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-    ), common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ), pairs AS (
-      SELECT id_a, id_b FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE 1.0 * n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-    ),
+    WITH RECURSIVE {_PAIRS_SQL},
     -- MATERIALIZED: the recursive closure references bidir every
     -- iteration; DuckDB inlines plain CTEs, which would re-run the
     -- whole shingle pipeline per iteration

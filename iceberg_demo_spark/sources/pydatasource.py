@@ -45,6 +45,45 @@ _SCHEMA = ("doc_id bigint, source string, n_chars bigint, lang string")
 _BATCH_ROWS = 4096
 
 
+def _list_jsonl_files(d: str) -> list:
+    """The ONE filename predicate both readers share. The stream reader's
+    offsets are positions in this sorted list, so batch and stream MUST
+    see the identical file set — a predicate edited in only one copy
+    would silently remap stream offsets."""
+    return sorted(
+        os.path.join(d, p) for p in os.listdir(d)
+        if (p.startswith("part-") and ".json" in p) or p.endswith(".jsonl"))
+
+
+def _read_jsonl_batches(paths, cols, admit=None):
+    """Shared JSONL -> Arrow RecordBatch loop (batch + stream readers)."""
+    import pyarrow as pa
+
+    buf = [[] for _ in cols]
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(buf[i]) for i in range(len(cols))], names=cols)
+        for b in buf:
+            b.clear()
+        return batch
+
+    for path in paths:
+        with open(path, "r", encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if admit is not None and not admit(rec):
+                    continue
+                for i, c in enumerate(cols):
+                    # .get: a key omitted from a JSONL record is NULL,
+                    # same as an explicit null — never a KeyError crash
+                    buf[i].append(rec.get(c))
+                if len(buf[0]) >= _BATCH_ROWS:
+                    yield flush()
+    if buf[0]:
+        yield flush()
+
+
 class _JsonlPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -75,11 +114,7 @@ class GlacierJsonlReader(DataSourceReader):
         return iter(unsupported)
 
     def partitions(self):
-        files = sorted(
-            os.path.join(self._dir, p) for p in os.listdir(self._dir)
-            if (p.startswith("part-") and ".json" in p) or
-            p.endswith(".jsonl"))
-        return [_JsonlPartition(p) for p in files]
+        return [_JsonlPartition(p) for p in _list_jsonl_files(self._dir)]
 
     def _admit(self, rec) -> bool:
         for col, op, val in self._pushed:
@@ -101,32 +136,8 @@ class GlacierJsonlReader(DataSourceReader):
         return True
 
     def read(self, partition: _JsonlPartition):
-        import pyarrow as pa
-
-        cols = self._fields
-        buf: list[list] = [[] for _ in cols]
-
-        def flush():
-            batch = pa.RecordBatch.from_arrays(
-                [pa.array(buf[i]) for i in range(len(cols))], names=cols)
-            for b in buf:
-                b.clear()
-            return batch
-
-        with open(partition.path, "r", encoding="utf-8") as fh:
-            for line in fh:
-                rec = json.loads(line)
-                if not self._admit(rec):
-                    continue
-                for i, c in enumerate(cols):
-                    # .get: a key omitted from a JSONL record is NULL,
-                    # same as an explicit null — never a KeyError task
-                    # crash
-                    buf[i].append(rec.get(c))
-                if len(buf[0]) >= _BATCH_ROWS:
-                    yield flush()
-        if buf[0]:
-            yield flush()
+        yield from _read_jsonl_batches(
+            [partition.path], self._fields, admit=self._admit)
 
 
 class GlacierJsonlDataSource(DataSource):
@@ -189,12 +200,16 @@ class _JsonlRangePartition(InputPartition):
 class GlacierJsonlStreamReader(DataSourceStreamReader):
     """Micro-batch reader over the JSONL directory as an APPEND-ONLY log.
 
-    Offsets are {"index": n} — the count of files (in sorted-name order)
-    already consumed; a micro-batch is the file range [start, end).
+    Offsets are {"index": n, "upto": <name of file n-1>} — the count of
+    files (in sorted-name order) already consumed plus the boundary
+    filename; a micro-batch is the file range [start, end).
     Determinism/exactly-once contract: files are immutable once written
-    and names sort stably, so any (start, end) range replays to the
-    SAME rows — which is all Structured Streaming needs from a source
-    to recover from checkpointed offsets. partitions() returns one
+    and the log is append-only in NAME order, so any (start, end) range
+    replays to the SAME rows. That contract is VALIDATED, not assumed:
+    partitions() checks that the file at position start-1 still carries
+    the checkpointed boundary name and raises if a late-arriving file
+    sorted itself before the consumed range (which would silently remap
+    count offsets into re-ingest + skip). partitions() returns one
     InputPartition per file, so scan parallelism inside a micro-batch
     matches the batch reader's unit."""
 
@@ -202,46 +217,37 @@ class GlacierJsonlStreamReader(DataSourceStreamReader):
         self._dir = options["path"]
         self._fields = [f.name for f in schema.fields]
 
-    def _files(self) -> list:
-        return sorted(
-            os.path.join(self._dir, p) for p in os.listdir(self._dir)
-            if (p.startswith("part-") and ".json" in p) or
-            p.endswith(".jsonl"))
-
     def initialOffset(self):
-        return {"index": 0}
+        return {"index": 0, "upto": ""}
 
     def latestOffset(self):
-        return {"index": len(self._files())}
+        files = _list_jsonl_files(self._dir)
+        return {"index": len(files),
+                "upto": os.path.basename(files[-1]) if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()[start["index"]:end["index"]]
-        return [_JsonlRangePartition([p]) for p in files]
+        files = _list_jsonl_files(self._dir)
+        i = start["index"]
+        # fail LOUDLY if the consumed prefix shifted under the offsets
+        # ("upto" missing = offset written by the pre-guard format; the
+        # count is then trusted as before, never silently reinterpreted)
+        expect = start.get("upto")
+        if i > 0 and expect:
+            actual = os.path.basename(files[i - 1]) if i <= len(files) else None
+            if actual != expect:
+                raise RuntimeError(
+                    f"glacier_jsonl stream: file order changed under the "
+                    f"checkpoint — offset {i} was committed with boundary "
+                    f"file {expect!r} but position {i - 1} now holds "
+                    f"{actual!r}; a file was added before the consumed "
+                    f"range (or removed from it), which would silently "
+                    f"re-ingest and skip data. The log must be append-only "
+                    f"in sorted-name order.")
+        return [_JsonlRangePartition([p]) for p in files[i:end["index"]]]
 
     def commit(self, end: dict) -> None:
         # offsets live in the checkpoint; the source keeps no state
         pass
 
     def read(self, partition: _JsonlRangePartition):
-        import pyarrow as pa
-
-        cols = self._fields
-        buf: list[list] = [[] for _ in cols]
-
-        def flush():
-            batch = pa.RecordBatch.from_arrays(
-                [pa.array(buf[i]) for i in range(len(cols))], names=cols)
-            for b in buf:
-                b.clear()
-            return batch
-
-        for path in partition.paths:
-            with open(path, "r", encoding="utf-8") as fh:
-                for line in fh:
-                    rec = json.loads(line)
-                    for i, c in enumerate(cols):
-                        buf[i].append(rec.get(c))
-                    if len(buf[0]) >= _BATCH_ROWS:
-                        yield flush()
-        if buf[0]:
-            yield flush()
+        yield from _read_jsonl_batches(partition.paths, self._fields)

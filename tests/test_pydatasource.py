@@ -151,3 +151,25 @@ def test_stream_gate_matches_batch_gate_transport_invariance(spark):
                   F.sum("n_chars").cast("bigint").alias("sum_chars"),
                   F.countDistinct("lang").alias("n_langs")))
     assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_reader_fails_loudly_on_reordered_log(spark, tmp_path):
+    """A file that sorts BEFORE the consumed range remaps count offsets
+    (re-ingest + skip under the old contract) — the boundary-name guard
+    must turn that into a loud failure instead of silent corruption."""
+    import pytest
+
+    recs = [{"doc_id": i, "source": "s0", "n_chars": i, "lang": "en"}
+            for i in range(2)]
+    src = _mk_dir(tmp_path, {"b.jsonl": recs[:1], "c.jsonl": recs[1:]})
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_stream(spark, src, out, ck)
+    assert spark.read.parquet(str(out)).count() == 2
+    # violate the append-only-in-name-order contract
+    (tmp_path / "jsonl" / "a.jsonl").write_text(
+        json.dumps({"doc_id": 9, "source": "s1", "n_chars": 9,
+                    "lang": "fr"}) + "\n")
+    with pytest.raises(Exception, match="file order changed"):
+        _run_stream(spark, src, out, ck)
+    # nothing was re-ingested or skipped silently
+    assert spark.read.parquet(str(out)).count() == 2
