@@ -1016,8 +1016,8 @@ _PQ_ENC = (
     SELECT CAST(m AS BIGINT) AS subspace,
            CAST(code AS BIGINT) AS code,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           ROUND(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) / 1000000.0, 2)
-             AS distortion
+           CAST(SUM(CAST(ROUND(dist * 1000000) AS BIGINT)) AS BIGINT)
+             AS distortion_micro
     FROM asg
     GROUP BY m, code
     ORDER BY subspace, code
@@ -1044,8 +1044,11 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries n·M narrow (subspace, code, fixed-point dist) rows into the
     histogram aggregate, map-side combined to ≤ M·K rows per task.
     Distortion uses the sequential in-array fold (bit-identical across
-    engines) quantized to 1e-6 fixed point, summed exactly, divided and
-    rounded once — no float accumulation-order hazard."""
+    engines) quantized to 1e-6 fixed point and SUMMED EXACTLY — the
+    output stays in integer micro-units (BIGINT) end-to-end, because a
+    final ROUND(sum/1e6, 2) on a double is the cross-engine HALF_UP
+    instability this repo documents elsewhere (a micro-sum landing on a
+    .xx5 boundary splits Spark vs DuckDB)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     pts = t["embeddings"].select("vec_id", F.col("embedding").alias("e"))
     cb = (
@@ -1071,12 +1074,12 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.groupBy("subspace", "code")
         .agg(F.count(F.lit(1)).alias("n_vectors"),
-             F.round(F.sum(F.round(F.col("dist") * 1e6).cast("bigint"))
-                     / F.lit(1e6), 2).alias("distortion"))
+             F.sum(F.round(F.col("dist") * 1e6).cast("bigint"))
+             .alias("distortion_micro"))
         .select(F.col("subspace").cast("bigint").alias("subspace"),
                 F.col("code").cast("bigint").alias("code"),
                 F.col("n_vectors").cast("bigint").alias("n_vectors"),
-                "distortion")
+                "distortion_micro")
         .orderBy("subspace", "code")
     )
 

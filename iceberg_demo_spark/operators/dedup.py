@@ -1284,10 +1284,13 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUZZY_MAX_BLOCK = 256
 
 #: highest delete position considered (keys from a name's first
-#: _FUZZY_MAX_POS+1 chars); names longer than this still match on their
-#: other positions' keys — bounds key fan-out for pathological long
-#: names, and the ORACLE SQL interpolates the SAME constant so the two
-#: engines can never silently diverge on it
+#: _FUZZY_MAX_POS+1 chars) — bounds key fan-out for pathological long
+#: names. COMPLETENESS CAVEAT: the Lev≤1 guarantee holds only for
+#: names of length ≤ _FUZZY_MAX_POS+1; a longer name whose single edit
+#: sits PAST this position shares no delete-1 key with its partner (the
+#: i=0 identity keys differ, and every in-range delete still differs at
+#: the edit), so such pairs are missed. The ORACLE SQL interpolates the
+#: SAME constant so the two engines can never silently diverge on it.
 _FUZZY_MAX_POS = 63
 
 
@@ -1384,8 +1387,11 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fuzzy_delete1_keys. Round 8 replaces the single prefix-block pass
     (whose docstring conceded an edit inside the block key escapes) with
     the COMPLETE multi-pass union: recall at Levenshtein≤1 is exact by
-    construction, proven empirically by the dedup_fuzzy_recall audit
-    gate. Output: distinct pair count, distinct records matched, distinct
+    construction FOR NAMES OF LENGTH ≤ _FUZZY_MAX_POS+1 (= 64; TPC-H
+    names are ≤ 25 chars, so exact here) — a single edit at a position
+    past _FUZZY_MAX_POS shares no delete-1 key, so longer names' tail
+    edits would be missed; proven empirically by the dedup_fuzzy_recall
+    audit gate. Output: distinct pair count, distinct records matched, distinct
     blocking keys containing a hit. Spark's ``levenshtein`` and DuckDB's
     compute the identical standard DP, so the gate is value-exact.
 

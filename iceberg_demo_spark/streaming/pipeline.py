@@ -392,6 +392,13 @@ def stream_dedup_to_table(
     back into the index so every LATER batch sees them. ``window_fn``
     maps a doc frame to its (``id_col``, wh) window hashes.
 
+    The replay guard matches the stamped ``streaming-checkpoint`` by
+    string equality, so ``checkpoint_dir`` is normalized (abspath, no
+    trailing slash) BEFORE both the stamp and the lookup — a restart
+    passing ``./ckpt/`` vs the original ``/abs/ckpt`` resumes the same
+    Spark checkpoint (same batch_id) and must still hit the stamp, or
+    the replayed batch would append twice.
+
     Scale shape: per batch, only that batch's windows are hashed and
     probed (a semi-join against the index — broadcast while the batch
     hash set fits, the bucketed layout beyond); the index grows by the
@@ -409,6 +416,9 @@ def stream_dedup_to_table(
     anti-join append, a no-op when the first attempt already folded them
     in) — covering the crash window between the two appends.
     """
+    import os
+
+    checkpoint_dir = os.path.abspath(checkpoint_dir).rstrip("/") or "/"
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         idx = spark.read.parquet(index_dir)

@@ -302,7 +302,7 @@ def test_pq_codes_match_pure_python(spark):
     assert set(got) == {k for k, n in hist.items() if n > 0}
     for key, r in got.items():
         assert r["n_vectors"] == hist[key]
-        assert abs(r["distortion"] - round(dist_fp[key] / 1e6, 2)) < 1e-9
+        assert r["distortion_micro"] == dist_fp[key]
     # every vector got exactly one code per subspace
     assert sum(hist.values()) == len(vecs) * _PQ_M
 

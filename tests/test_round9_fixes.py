@@ -1,0 +1,104 @@
+"""Round-9 ADVICE regressions.
+
+1. (low) ``emb_pq_codes`` finished with ROUND(sum/1e6, 2) on a double —
+   the cross-engine HALF_UP instability (Spark rounds the double's
+   shortest decimal, DuckDB rounds its own double arithmetic); a
+   micro-sum on a .xx5 boundary could split the engines. The gate now
+   emits exact integer micro-units (``distortion_micro`` BIGINT).
+2. (low) the ``_FUZZY_MAX_POS`` completeness claim is now bounded to
+   names of length ≤ _FUZZY_MAX_POS+1 (docstring fix; behavior pinned
+   here for the in-range case).
+3. (low) ``sql_pivot_unpivot`` cached the engine-catalog copy of
+   events keyed only by the sf tag and skipped the copy when present —
+   regenerated testdata would leave the gate computing over stale rows
+   while the shared DuckDB oracle reads the live parquet. The copy is
+   now refreshed (RTAS) every invocation.
+4. (low) ``stream_dedup_to_table``'s replay guard compared the stamped
+   checkpoint path by exact string equality; a restart passing an
+   equivalent-but-differently-spelled path (trailing slash, ``/./``)
+   resumed the same Spark checkpoint but missed the stamp, re-appending
+   the replayed batch. The path is normalized before stamp and lookup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from iceberg_demo_spark import registry
+from iceberg_demo_spark.tables.catalog import Catalog
+from tests.conftest import SF_SMALL
+
+registry.load_all()
+
+
+# -- 1: PQ distortion stays in integer space --------------------------------
+
+def test_pq_distortion_column_is_exact_integer(spark):
+    df = registry.QUERIES["emb_pq_codes"](spark, SF_SMALL)
+    field = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert field["distortion_micro"] == "bigint"
+    assert "distortion" not in field  # the double column is gone
+
+
+# -- 3: sql_pivot_unpivot must not serve a stale warehouse copy -------------
+
+def test_sql_pivot_unpivot_refreshes_engine_copy_each_call(spark):
+    from iceberg_demo_spark.engine import Engine
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    fresh = registry.QUERIES["sql_pivot_unpivot"](spark, SF_SMALL).collect()
+    # tamper the cached copy the way stale testdata would: extra rows in
+    # db.ev that the live parquet does not contain
+    eng = Engine(spark, scratch_path(f"glacier_sqlpivot_{_sf_tag(SF_SMALL)}"))
+    eng.sql("INSERT INTO db.ev VALUES ('click', '2020-01-01 23:00:00')")
+    again = registry.QUERIES["sql_pivot_unpivot"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, fresh))
+
+
+# -- 4: replay guard under a differently-spelled checkpoint path ------------
+
+def test_stream_dedup_replay_with_respelled_checkpoint_path(spark, tmp_path):
+    """Same crash-replay simulation as round 8's idempotency test, but
+    the re-run passes the checkpoint path with a trailing slash and a
+    ``/.`` segment — Spark resumes the identical checkpoint (same batch
+    ids), and the normalized stamp must still be found (no duplicate
+    rows, no extra snapshot)."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.operators.table_ops import _dedup_ingest_src
+    from iceberg_demo_spark.sources import load_tables
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    src = _dedup_ingest_src(spark, SF_SMALL)
+    schema = spark.read.parquet(src).schema
+    idx_dir = str(tmp_path / "idx")
+    corpus = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+              .filter("doc_id % 5 <> 0"))
+    (_ingest_windows(corpus).select("wh").distinct()
+     .write.parquet(idx_dir))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.clean",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    ck = str(tmp_path / "ck")
+    stream_dedup_to_table(spark, src, schema, t, ck, idx_dir,
+                          _ingest_windows)
+    t.refresh()
+    kept = sorted(r["doc_id"] for r in t.scan().select("doc_id").collect())
+    n_snaps = len(t.metadata.snapshots)
+    assert kept and n_snaps >= 2, "need >=2 micro-batches for the replay"
+
+    commits = sorted(f for f in os.listdir(os.path.join(ck, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    respelled = ck + "/./"  # same dir, different spelling
+    stream_dedup_to_table(spark, src, schema, t, respelled, idx_dir,
+                          _ingest_windows)
+    t.refresh()
+    assert sorted(r["doc_id"]
+                  for r in t.scan().select("doc_id").collect()) == kept
+    assert len(t.metadata.snapshots) == n_snaps
