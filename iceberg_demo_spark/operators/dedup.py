@@ -1749,48 +1749,114 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the naive co-shingle join quadratic are exactly the ones
     pushed into suffixes and never joined on. At τ=0.2 the prefix is
     still ~80% of the set (filter power grows with τ — at τ=0.8 it is
-    ~20%). Verification RESTRICTS the co-shingle match stream to the
-    candidate set (see _prefix_verify), so total cost is bounded above
-    by the exact gate's join and below by what the prefix prunes.
-    Honesty note: filter power presumes a Zipfian, large-vocabulary
-    token space (real text). This synthetic corpus draws shingles from
-    a TINY uniform vocabulary, so even rarest-first prefixes carry
-    high-df tokens and candidates approach all co-shingle pairs —
-    measured at the dup-dense sf1 derivation (250k true pairs, 56s,
-    cost ≈ the exact join); on crawled text the prefix join is the
-    published order-of-magnitude cut. No cartesian anywhere."""
+    ~20%). Verification is PER-CANDIDATE (the published PPJoin shape):
+    each doc's shingles are grouped ONCE into a sorted array, candidate
+    pairs join to the two arrays by id (two id-keyed joins), and the
+    intersection is counted by the JVM ``array_intersect`` intrinsic —
+    cost ∝ candidates × avg set size, never corpus². On a dup-dense
+    corpus where candidates approach all co-shingle pairs (the tiny-
+    uniform-vocabulary synthetic sf1 derivation: ~250k true pairs) the
+    restricted-stream form — the exact gate's co-shingle join filtered
+    to the candidate set — is the cheaper verifier, so above
+    ``_PREFIX_FANOUT_CAP`` candidates per doc the plan falls back to it
+    (a one-row driver-side count decides; both verifiers are exact, so
+    the output — and the shared oracle — is identical either way). On
+    real Zipfian text candidates are few and the candidate-bound path
+    is the published order-of-magnitude cut; see
+    tests/test_dedup.py::test_prefix_filter_large_vocabulary_power.
+    No cartesian anywhere."""
     t = load_tables(spark, sf_dir, ("documents",))
-    sh = t["documents"].select(
-        "doc_id", F.explode(shingles_col()).alias("s"))
+    return prefix_filter_pairs(t["documents"])
+
+
+#: fall back to the restricted-stream verifier above this many prefix
+#: candidates per document — the dup-dense regime where per-candidate
+#: array joins would materialize nearly all co-shingle pairs TWICE
+_PREFIX_FANOUT_CAP = 64
+
+
+def prefix_filter_pairs(docs: DataFrame, tau: float = 0.2) -> DataFrame:
+    """PPJoin-style set-similarity self-join over ``docs`` (doc_id,
+    text): rarest-first prefix blocking + exact per-candidate verify.
+    See dedup_prefix_filter_pairs for the full contract; factored out so
+    fixtures beyond the testdata corpus (e.g. the large-vocabulary
+    power test) can drive it."""
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    # one grouped pass builds BOTH the size frame and the per-doc sorted
+    # shingle array the candidate-bound verifier joins against
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"))
+    cand = _prefix_candidates(sh, arrs, tau).persist()
+    # bounded driver-side planning decision (two scalar counts, the MV
+    # touched-key-probe discipline): candidates per doc picks the verifier
+    n_cand, n_docs = cand.count(), max(docs.count(), 1)
+    if n_cand <= _PREFIX_FANOUT_CAP * n_docs:
+        return _prefix_verify_candidates(cand, arrs, tau)
+    return _prefix_verify_stream(cand, sh, arrs, tau)
+
+
+def _prefix_candidates(sh: DataFrame, arrs: DataFrame,
+                       tau: float) -> DataFrame:
+    """Candidate pairs from the rarest-first prefix equi-join: rank each
+    doc's shingles by ascending global df (ties on the shingle), keep
+    the first |s| − ⌈τ·|s|⌉ + 1, self-join on the kept tokens."""
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rk = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = (
         sh.join(dfreq, "s")
         .withColumn("rk", F.row_number().over(rk))
-        .join(sizes, "doc_id")
+        .join(arrs.select("doc_id", "n_sh"), "doc_id")
         .filter(F.col("rk")
-                <= F.col("n_sh") - F.ceil(0.2 * F.col("n_sh")) + 1)
+                <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1)
         .select("doc_id", "s")
     )
     a = prefix.select(F.col("doc_id").alias("id_a"), "s")
     b = prefix.select(F.col("doc_id").alias("id_b"), "s")
-    cand = (a.join(b, "s")
+    return (a.join(b, "s")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
-    return _prefix_verify(cand, sh, sizes)
 
 
-def _prefix_verify(cand: DataFrame, sh: DataFrame,
-                   sizes: DataFrame) -> DataFrame:
-    """Exact Jaccard verification for candidate pairs: RESTRICT the
+def _prefix_verify_candidates(cand: DataFrame, arrs: DataFrame,
+                              tau: float) -> DataFrame:
+    """Candidate-bound exact verification (the published PPJoin verify):
+    join each candidate pair to the two per-doc sorted shingle arrays by
+    id and count the intersection with the JVM ``array_intersect``
+    intrinsic (shingle arrays are distinct by construction, so set
+    semantics are exact). Cost ∝ candidates × avg set size; the full
+    co-shingle match stream is NEVER re-joined — the plan carries no
+    second shingle-keyed exchange (plan-pinned)."""
+    aa = arrs.select(F.col("doc_id").alias("id_a"),
+                     F.col("arr").alias("arr_a"),
+                     F.col("n_sh").alias("n_a"))
+    bb = arrs.select(F.col("doc_id").alias("id_b"),
+                     F.col("arr").alias("arr_b"),
+                     F.col("n_sh").alias("n_b"))
+    common = (
+        cand.join(aa, "id_a").join(bb, "id_b")
+        .select("id_a", "id_b", "n_a", "n_b",
+                F.size(F.array_intersect("arr_a", "arr_b"))
+                .cast("bigint").alias("n_common"))
+    )
+    jac = (F.lit(1.0) * F.col("n_common")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (
+        common.filter(jac >= tau)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _prefix_verify_stream(cand: DataFrame, sh: DataFrame,
+                          arrs: DataFrame, tau: float) -> DataFrame:
+    """Fallback exact verification for dup-dense corpora: RESTRICT the
     co-shingle match stream (the exact gate's join) to the candidate
-    set, count, threshold. Verification cost is thereby bounded by the
-    exact gate's join — never by candidates × set-size. (The earlier
-    form re-joined each candidate pair to both FULL shingle lists: on
-    a corpus where the prefix filter is weak that multiplies every
-    candidate by ~|set| rows — measured as a >40× sf0.1→sf1 blow-up on
-    the dup-dense tiny-vocab synthetic corpus before this restructure.)"""
+    set, count, threshold. Cost is bounded by the exact gate's join —
+    the right bound when candidates approach all co-shingle pairs and
+    per-candidate array joins would pay that stream twice (measured as
+    a >40× sf0.1→sf1 blow-up on the dup-dense tiny-vocab synthetic
+    derivation before round 8's restructure)."""
     ma = sh.select(F.col("doc_id").alias("id_a"), "s")
     mb = sh.select(F.col("doc_id").alias("id_b"), "s")
     common = (
@@ -1800,13 +1866,15 @@ def _prefix_verify(cand: DataFrame, sh: DataFrame,
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    na = arrs.select(F.col("doc_id").alias("id_a"),
+                     F.col("n_sh").alias("n_a"))
+    nb = arrs.select(F.col("doc_id").alias("id_b"),
+                     F.col("n_sh").alias("n_b"))
     jac = (F.lit(1.0) * F.col("n_common")
            / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
     return (
         common.join(na, "id_a").join(nb, "id_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= tau)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

@@ -566,3 +566,78 @@ def test_prefix_filter_is_lossless_vs_exact(spark):
     pf = registry.QUERIES["dedup_prefix_filter_pairs"](
         spark, SF_SMALL).collect()
     assert sorted(map(tuple, pf)) == sorted(map(tuple, exact))
+
+
+def _large_vocab_docs(spark, n_base=300, n_dups=100, n_tok=27):
+    """Deterministic LARGE-VOCABULARY fixture — the regime the published
+    prefix filter is built for: every doc opens with one ubiquitous
+    trigram ('the quick fox', df = all docs — the co-shingle join's
+    quadratic key) followed by md5-derived tokens unique to the doc,
+    and each of the last ``n_dups`` docs is a near-dup of doc k-n_base
+    with two mid-text tokens edited (Jaccard 0.75 over trigram sets)."""
+    import hashlib
+
+    def tok(i, j):
+        return hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:10]
+
+    rows = []
+    for i in range(n_base):
+        rows.append((i, "the quick fox " +
+                     " ".join(tok(i, j) for j in range(n_tok))))
+    for k in range(n_base, n_base + n_dups):
+        i = k - n_base
+        toks = [tok(i, j) for j in range(n_tok)]
+        toks[10], toks[11] = tok(k, 10), tok(k, 11)
+        rows.append((k, "the quick fox " + " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_prefix_filter_large_vocabulary_power(spark):
+    """On a large-vocabulary corpus the prefix filter has its PUBLISHED
+    power: the ubiquitous trigram that makes the co-shingle join
+    quadratic (~80k pairs here) is the highest-df shingle, so
+    rarest-first prefixes never join on it — candidates collapse to
+    exactly the 100 planted near-dup pairs, verification is
+    candidate-bound (array_intersect path, ~0.3 candidates/doc), and
+    the output still equals the exact Jaccard ground truth."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from iceberg_demo_spark.operators.dedup import (
+        prefix_filter_pairs, shingles_col)
+
+    docs = _large_vocab_docs(spark)
+    # ground truth + co-shingle pair count, recomputed independently
+    sh = {r["doc_id"]: set(r["arr"]) for r in docs.select(
+        "doc_id", shingles_col().alias("arr")).collect()}
+    ids = sorted(sh)
+    exact, co_shingle = [], 0
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sh[ids[x]], sh[ids[y]]
+            inter = len(a & b)
+            if inter:
+                co_shingle += 1
+                j = inter / (len(a) + len(b) - inter)
+                if j >= 0.2:
+                    exact.append((ids[x], ids[y], round(j, 4)))
+    assert co_shingle >= 79_000          # the quadratic the filter dodges
+    assert len(exact) == 100             # the planted near-dup pairs
+
+    got = sorted(map(tuple, prefix_filter_pairs(docs).collect()))
+    assert got == sorted(exact)
+    # the filter's power: candidates collapse to the true pairs — three
+    # orders of magnitude under the co-shingle pair count
+    from iceberg_demo_spark.operators.dedup import _prefix_candidates
+    sh_df = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    arrs = sh_df.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"))
+    n_cand = _prefix_candidates(sh_df, arrs, 0.2).count()
+    assert n_cand == 100, (n_cand, co_shingle)
+    # the ubiquitous shingle exists and dominates — the quadratic key
+    # the prefix provably never joins on
+    top = (sh_df.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.desc("df")).first())
+    assert top["df"] == 400 and "quick" in top["s"]

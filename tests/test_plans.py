@@ -681,13 +681,50 @@ def test_survivorship_shuffles_ids_not_text(spark):
 def test_prefix_filter_join_keys_are_tokens_and_pairs(spark):
     """dedup_prefix_filter_pairs: candidate generation joins on prefix
     shingles, verification on pair keys — no cartesian, no
-    nested-loop; the rank window is doc-partitioned."""
+    nested-loop; the rank window is doc-partitioned. At SF_MED the
+    candidate fan-out is ~10 pairs/doc, far under _PREFIX_FANOUT_CAP,
+    so the gate must pick the candidate-bound array_intersect verifier
+    (the round-9 fix: verification cost ∝ candidates, never corpus²)."""
     plan = _plan(spark, "dedup_prefix_filter_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan  # candidate-bound path chosen
     import re
     keys = set(re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan))
     assert keys <= {"s", "doc_id", "id_a", "id_b"}, keys
+
+
+def test_prefix_filter_candidate_verify_has_no_shingle_exchange(spark):
+    """The candidate-bound verifier NEVER re-joins the full co-shingle
+    match stream: given the candidate pairs and the per-doc sorted
+    shingle arrays, its whole plan is two id-keyed joins + an
+    array_intersect projection — zero joins or exchanges keyed on the
+    shingle token, zero Generate (no shingle re-explosion), zero
+    aggregates (no co-shingle count)."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_demo_spark.operators.dedup import (
+        _prefix_verify_candidates, shingles_col)
+    from iceberg_demo_spark.sources import load_tables
+
+    docs = load_tables(spark, SF_MED, ("documents",))["documents"]
+    sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.count(F.lit(1)).alias("n_sh"))
+    cand = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _prefix_verify_candidates(cand, arrs, 0.2).explain("formatted")
+    plan = buf.getvalue()
+    assert "array_intersect" in plan
+    join_keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[(\w+)#", plan)
+    assert join_keys and set(join_keys) <= {"id_a", "id_b", "doc_id"}, join_keys
+    assert not re.search(r"hashpartitioning\(s#", plan)
 
 
 def test_split_leakage_audit_is_pair_bound(spark):
