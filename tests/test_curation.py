@@ -310,23 +310,60 @@ def test_pq_codes_match_pure_python(spark):
 def test_pq_adc_recall_matches_pure_python(spark):
     """sim_pq_adc_recall vs a pure-Python recompute at sf0.001: same
     reconstruction (chosen centroid subvectors concatenated), same L2
-    (dist, id) ranking for both exact and approx top-5, same bps."""
-    from iceberg_demo_spark.operators.curation import _PQ_K, _PQ_M, _PQ_SUB
+    (dist, id) ranking for both exact and approx top-5, same bps — for
+    BOTH the seeded codebook and the 2-Lloyd-update trained one (same
+    fixed-point mean + 4dp re-quantization + empty-code carry-over)."""
+    from iceberg_demo_spark.operators.curation import (
+        _PQ_ITERS, _PQ_K, _PQ_M, _PQ_SUB)
 
     vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
             for r in _embs(spark).collect()}
     cb = {(m, code): vecs[code][m * _PQ_SUB:(m + 1) * _PQ_SUB]
           for m in range(_PQ_M) for code in range(_PQ_K)}
-    recon = {}
-    for vid, v in vecs.items():
-        rhat = []
-        for m in range(_PQ_M):
-            sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
-            best = min(
-                (sum((a - b) ** 2 for a, b in zip(sub, cb[(m, c)])), c)
-                for c in range(_PQ_K))
-            rhat += cb[(m, best[1])]
-        recon[vid] = rhat
+
+    def encode(codebook):
+        out = {}
+        for vid, v in vecs.items():
+            for m in range(_PQ_M):
+                sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                best = min(
+                    (sum((a - b) ** 2
+                         for a, b in zip(sub, codebook[(m, c)])), c)
+                    for c in range(_PQ_K))
+                out[(vid, m)] = best[1]
+        return out
+
+    def train(codebook):
+        for _ in range(_PQ_ITERS):
+            asg = encode(codebook)
+            nxt = {}
+            for m in range(_PQ_M):
+                for c in range(_PQ_K):
+                    members = [vid for vid in vecs if asg[(vid, m)] == c]
+                    if not members:
+                        nxt[(m, c)] = codebook[(m, c)]
+                        continue
+                    comp = []
+                    for i in range(_PQ_SUB):
+                        # half-away rounding (Spark/DuckDB ROUND), not
+                        # Python banker's
+                        s = sum(
+                            math.floor(vecs[vid][m * _PQ_SUB + i] * 1e6
+                                       + 0.5)
+                            if vecs[vid][m * _PQ_SUB + i] >= 0 else
+                            math.ceil(vecs[vid][m * _PQ_SUB + i] * 1e6
+                                      - 0.5)
+                            for vid in members)
+                        comp.append(round(s / (1e6 * len(members)), 4))
+                    nxt[(m, c)] = comp
+            codebook = nxt
+        return codebook
+
+    def recon_map(codebook):
+        asg = encode(codebook)
+        return {vid: sum((codebook[(m, asg[(vid, m)])]
+                          for m in range(_PQ_M)), [])
+                for vid in vecs}
 
     def top5(space):
         out = set()
@@ -338,13 +375,18 @@ def test_pq_adc_recall_matches_pure_python(spark):
             out |= {(q, v) for _, v in ranked}
         return out
 
-    exact, approx = top5(vecs), top5(recon)
+    exact = top5(vecs)
+    ap_se, ap_tr = top5(recon_map(cb)), top5(recon_map(train(cb)))
     got = registry.QUERIES["sim_pq_adc_recall"](
         spark, SF_SMALL).collect()[0]
     assert got["n_exact"] == len(exact) == 40
-    assert got["n_approx"] == len(approx) == 40
-    assert got["n_match"] == len(exact & approx)
-    assert got["recall_bp"] == 10000 * len(exact & approx) // len(exact)
+    assert got["n_match_seeded"] == len(exact & ap_se)
+    assert got["recall_bp_seeded"] == 10000 * len(exact & ap_se) // 40
+    assert got["n_match_trained"] == len(exact & ap_tr)
+    assert got["recall_bp_trained"] == 10000 * len(exact & ap_tr) // 40
+    # training must not LOSE recall at any of the shipped SFs (measured:
+    # 2000->2500 sf0.001, 2250->3000 sf0.01, 2250->2750 sf0.1)
+    assert got["recall_bp_trained"] > got["recall_bp_seeded"]
 
 
 def test_mixture_materialize_matches_python_recompute(spark):
