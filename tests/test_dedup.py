@@ -338,6 +338,47 @@ def test_indexed_incremental_dedup_equals_broadcast_variant(spark):
     assert ra == rb and ra
 
 
+def test_dedup_index_compaction_binpacks_and_preserves_answer(spark):
+    """dedup_index_compact: the fragmented index carries one file per
+    bucket PER INGEST EPOCH (3 appends → up to 3 files/bucket); the
+    compacted tier carries exactly one file per non-empty bucket, holds
+    the identical digest set, and the probe over it returns row-for-row
+    the broadcast variant's accounting (it also shares that oracle)."""
+    import os
+    import re
+    from collections import defaultdict
+
+    from iceberg_demo_spark.operators.dedup import (
+        ensure_fragmented_dedup_index)
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    def bucket_files(path):
+        out = defaultdict(int)
+        for f in os.listdir(path):
+            m = re.search(r"_(\d{5})\.c\d+.*\.parquet$", f)
+            if m:
+                out[int(m.group(1))] += 1
+        return dict(out)
+
+    got = registry.QUERIES["dedup_index_compact"](spark, SF_SMALL)
+    ref = registry.QUERIES["dedup_incremental_batch"](spark, SF_SMALL)
+    assert got.columns == ref.columns
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, ref.collect()))
+
+    frag = ensure_fragmented_dedup_index(spark, SF_SMALL)
+    before = bucket_files(scratch_path(frag))
+    cname = f"glacier_dedup_idxcmp_{_sf_tag(SF_SMALL)}"
+    after = bucket_files(scratch_path(cname))
+    assert max(before.values()) >= 2, before       # the drift is real
+    assert after and all(n == 1 for n in after.values()), after
+    # layout only: the digest set is unchanged
+    n_frag = spark.table(frag).distinct().count()
+    assert spark.table(cname).count() == n_frag
+    assert spark.table(cname).distinct().count() == n_frag
+
+
 def test_cross_source_matrix_matches_pure_python(spark):
     """dedup_cross_source_matrix vs a pure-Python recompute at sf0.001:
     distinct shared windows per unordered source pair plus b-side

@@ -476,6 +476,22 @@ def test_indexed_incremental_dedup_plan_properties(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_compacted_dedup_index_probe_keeps_zero_index_exchange(spark):
+    """dedup_index_compact: the probe over the COMPACTED index keeps the
+    bucketed sort-merge shape — zero exchange on the index side (the
+    only exchange below the join shuffles the batch into the bucket
+    partitioning), bucket spec honored. Compaction must not cost the
+    probe its layout."""
+    plan = _plan(spark, "dedup_index_compact")
+    tree = plan.split("\n\n")[0]
+    i = tree.index("SortMergeJoin LeftOuter")
+    j = tree.index("glacier_dedup_idxcmp")
+    assert tree[i:j].count("Exchange") == 1, tree[i:j]
+    assert "Bucketed: true" in plan
+    assert "BroadcastHashJoin" not in tree[i:j]
+    assert "CartesianProduct" not in plan
+
+
 def test_streaming_ann_index_probe_is_partition_pruned(spark):
     """streaming_ann_ingest: the probe over the STREAMED index reads
     through the file sink's MetadataLogFileIndex and still partition-
