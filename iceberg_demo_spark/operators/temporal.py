@@ -589,10 +589,10 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCD Type-2 dimension build (change capture via windows)
 # ---------------------------------------------------------------------------
 
-@query(
-    "orders_scd2_history",
-    oracle="""
-    WITH h AS (
+#: the SCD2 dimension as a nestable CTE body — the gate's audit oracle
+#: wraps it, and keeping ONE copy means the dimension and its audit can
+#: never silently desynchronize
+_SCD2_DIM_SQL = """h AS (
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              LAG(o_orderstatus) OVER
                (PARTITION BY o_custkey
@@ -602,26 +602,29 @@ def events_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
       FROM h
       WHERE prev_status IS NULL OR prev_status <> o_orderstatus
-    )
-    SELECT o_custkey,
-           o_orderstatus AS status,
-           o_orderdate AS valid_from,
-           LEAD(o_orderdate) OVER
-             (PARTITION BY o_custkey
-              ORDER BY o_orderdate, o_orderkey) AS valid_to,
-           CAST(ROW_NUMBER() OVER
-             (PARTITION BY o_custkey
-              ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version_n
-    FROM chg
-    ORDER BY o_custkey, version_n
-    """,
-)
-def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ), dim AS (
+      SELECT o_custkey,
+             o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS valid_to,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version_n
+      FROM chg
+    )"""
+
+
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-Changing-Dimension Type-2 build: collapse each customer's
     order-status timeline into versioned validity ranges (valid_from,
     valid_to, version_n; open-ended current version has valid_to NULL)
     — the standard warehouse dimension-history shape, derived here from
     the fact stream with LAG change detection + LEAD range closing.
+    This is the production output a pipeline WRITES; the driver gate
+    (orders_scd2_history) returns the bounded audit over it instead of
+    funneling the O(customers) dimension to the driver.
 
     Scale shape: everything rides ONE hash partitioning on o_custkey —
     the change-detection LAG, the range-closing LEAD, and the version
@@ -641,13 +644,79 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_status").isNull()
                 | (F.col("prev_status") != F.col("o_orderstatus")))
     )
+    return chg.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+    )
+
+
+@query(
+    "orders_scd2_history",
+    oracle=f"""
+    WITH {_SCD2_DIM_SQL},
+    per_cust AS (
+      SELECT o_custkey,
+             MAX(version_n) AS n_versions,
+             SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+             SUM(CASE WHEN valid_to IS NULL THEN 0
+                      ELSE date_diff('day', valid_from, valid_to)
+                      END) AS span_days,
+             SUM(CASE WHEN status = 'F' THEN 1 ELSE 0 END) AS n_f,
+             SUM(CASE WHEN status = 'O' THEN 1 ELSE 0 END) AS n_o,
+             SUM(CASE WHEN status = 'P' THEN 1 ELSE 0 END) AS n_p
+      FROM dim GROUP BY o_custkey
+    )
+    SELECT n_versions,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_open) AS BIGINT) AS n_open,
+           CAST(SUM(span_days) AS BIGINT) AS covered_days,
+           CAST(SUM(n_f) AS BIGINT) AS n_f,
+           CAST(SUM(n_o) AS BIGINT) AS n_o,
+           CAST(SUM(n_p) AS BIGINT) AS n_p
+    FROM per_cust
+    GROUP BY n_versions
+    ORDER BY n_versions
+    """,
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 build's BOUNDED audit (round 9, VERDICT r8 #5 — the r8
+    form returned the full O(customers) dimension, so its sf1 bench
+    supplemental measured a 1M-row driver collect, not the plan): the
+    per-customer version-count histogram with interval-invariant
+    checksums per bucket — open-version count (must equal customers:
+    every timeline has exactly one open range), closed-range day
+    coverage, and the per-status version composition. Any defect in
+    change detection, range closing, or version numbering moves at
+    least one checksum; the dimension itself stays available as
+    scd2_dimension for writers (pytest keeps verifying it row-for-row
+    against a pure-Python recompute).
+
+    Scale shape: the dimension's three window frames still share ONE
+    o_custkey exchange (plan-pinned); the per-customer rollup reuses
+    that same partitioning (zero new exchange), and only the
+    ~max-versions-sized histogram shuffles after that."""
+    dim = scd2_dimension(spark, sf_dir)
+    per_cust = dim.groupBy("o_custkey").agg(
+        F.max("version_n").alias("n_versions"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .alias("n_open"),
+        F.sum(F.when(F.col("valid_to").isNull(), 0)
+              .otherwise(F.datediff("valid_to", "valid_from")))
+        .alias("span_days"),
+        F.sum(F.when(F.col("status") == "F", 1).otherwise(0)).alias("n_f"),
+        F.sum(F.when(F.col("status") == "O", 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(F.col("status") == "P", 1).otherwise(0)).alias("n_p"),
+    )
     return (
-        chg.select(
-            "o_custkey",
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_orderdate").alias("valid_from"),
-            F.lead("o_orderdate").over(w).alias("valid_to"),
-            F.row_number().over(w).cast("bigint").alias("version_n"),
-        )
-        .orderBy("o_custkey", "version_n")
+        per_cust.groupBy("n_versions")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum("n_open").cast("bigint").alias("n_open"),
+             F.sum("span_days").cast("bigint").alias("covered_days"),
+             F.sum("n_f").cast("bigint").alias("n_f"),
+             F.sum("n_o").cast("bigint").alias("n_o"),
+             F.sum("n_p").cast("bigint").alias("n_p"))
+        .orderBy("n_versions")
     )

@@ -607,12 +607,13 @@ def test_scd2_windows_share_one_custkey_exchange(spark):
     plan = _plan(spark, "orders_scd2_history")
     import re
     hash_keys = re.findall(r"hashpartitioning\(([a-zA-Z0-9_]+)", plan)
-    assert set(hash_keys) == {"o_custkey"}, hash_keys
-    # formatted mode: exchange args live in the details section — one
-    # hash exchange (shared by all three windows) + the final sort's
-    # range exchange, nothing else
+    # round 9: the bounded audit adds ONE histogram-sized exchange on
+    # n_versions; the per-customer rollup must REUSE the windows' single
+    # o_custkey partitioning (zero new corpus-sized exchange)
+    assert set(hash_keys) == {"o_custkey", "n_versions"}, hash_keys
     args = [l for l in plan.splitlines() if l.startswith("Arguments: ")]
-    assert sum("hashpartitioning(" in l for l in args) == 1, args
+    assert sum("hashpartitioning(o_custkey" in l for l in args) == 1, args
+    assert sum("hashpartitioning(n_versions" in l for l in args) == 1, args
     assert sum("rangepartitioning(" in l for l in args) == 1, args
     assert "CartesianProduct" not in plan
     # column pruning: the scan reads only key/status/date/tiebreak

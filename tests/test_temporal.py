@@ -164,9 +164,10 @@ def test_distribution_drift_matches_pure_python(spark):
 
 
 def test_scd2_history_matches_python_recompute(spark):
+    from iceberg_demo_spark.operators.temporal import scd2_dimension
     from iceberg_demo_spark.sources import load_tables
 
-    rows = registry.QUERIES["orders_scd2_history"](spark, SF_SMALL).collect()
+    rows = scd2_dimension(spark, SF_SMALL).collect()
     orders = (load_tables(spark, SF_SMALL, ("orders",))["orders"]
               .select("o_custkey", "o_orderstatus", "o_orderdate",
                       "o_orderkey").collect())
@@ -185,10 +186,32 @@ def test_scd2_history_matches_python_recompute(spark):
             expected.append((ck, st, frm, to, i + 1))
     assert sorted((r.o_custkey, r.status, r.valid_from, r.valid_to,
                    r.version_n) for r in rows) == sorted(expected)
+    # the GATE is the bounded audit over that same dimension (round 9):
+    # recompute the histogram + checksums from the verified rows
+    buckets: dict[int, list] = {}
+    for ck, vs in (
+            (ck, [r for r in rows if r.o_custkey == ck])
+            for ck in {r.o_custkey for r in rows}):
+        buckets.setdefault(len(vs), []).append(vs)
+    got = {r["n_versions"]: r for r in registry.QUERIES[
+        "orders_scd2_history"](spark, SF_SMALL).collect()}
+    assert set(got) == set(buckets)
+    for n, custs in buckets.items():
+        flat = [v for vs in custs for v in vs]
+        assert got[n]["n_customers"] == len(custs)
+        assert got[n]["n_open"] == sum(
+            1 for v in flat if v.valid_to is None) == len(custs)
+        assert got[n]["covered_days"] == sum(
+            (v.valid_to - v.valid_from).days
+            for v in flat if v.valid_to is not None)
+        for st, col in (("F", "n_f"), ("O", "n_o"), ("P", "n_p")):
+            assert got[n][col] == sum(1 for v in flat if v.status == st)
 
 
 def test_scd2_invariants(spark):
-    rows = registry.QUERIES["orders_scd2_history"](spark, SF_SMALL).collect()
+    from iceberg_demo_spark.operators.temporal import scd2_dimension
+
+    rows = scd2_dimension(spark, SF_SMALL).collect()
     by_cust: dict[int, list] = {}
     for r in rows:
         by_cust.setdefault(r.o_custkey, []).append(r)
