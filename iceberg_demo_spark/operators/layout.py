@@ -160,3 +160,102 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order effectiveness audit (round 9, VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+#: the 2-D predicates the audit prices — identical text feeds the Spark
+#: scan, the driver-side candidate pruning AND the DuckDB oracle, so the
+#: three can never drift
+_Z_PREDS = (
+    ("p1", "l_shipdate >= '1996-01-01' AND l_shipdate < '1996-07-01'"
+           " AND l_partkey < 60"),
+    ("p2", "l_shipdate >= '1999-01-01' AND l_shipdate < '2000-01-01'"
+           " AND l_partkey >= 100 AND l_partkey < 160"),
+)
+
+_Z_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{pid}' AS pred_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem WHERE {pred}""" for pid, pred in _Z_PREDS)
+
+
+def _zorder_tables(spark: SparkSession, sf_dir: str):
+    """Build the two compacted layouts the audit compares: the same
+    16-fragment lineitem projection rewritten binpack (coalesce only —
+    every output file keeps full-range column bounds) vs
+    zorder(l_shipdate, l_partkey) (range-partitioned on the interleaved
+    key — every output file gets a tight 2-D bounding box)."""
+    from iceberg_demo_spark.operators.table_ops import _scratch
+    from iceberg_demo_spark.tables import procedures
+
+    t_in = load_tables(spark, sf_dir, ("lineitem",))
+    src = (t_in["lineitem"]
+           .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+           .repartition(16, "l_orderkey"))
+    cat = _scratch(spark)
+    ddl = ("l_orderkey bigint, l_partkey bigint, l_quantity double,"
+           " l_shipdate timestamp")
+    out = {}
+    for name, strat, order in (
+            ("db.li_bin", "binpack", None),
+            ("db.li_z", "zorder",
+             [{"col": "l_shipdate"}, {"col": "l_partkey"}])):
+        t = cat.create_table(name, ddl)
+        t.append(src)
+        total = sum(f.bytes for f in t._branch_files("main"))
+        stats = procedures.rewrite_data_files(
+            t, strategy=strat, sort_order=order,
+            target_file_size_bytes=max(total // 8, 1))
+        assert stats["rewritten_data_files_count"] == 16, stats
+        out[strat] = t
+    return out["binpack"], out["zorder"]
+
+
+@query("layout_zorder_skipping", oracle=_Z_ORACLE)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does z-ordering actually buy file skips? The engine harvests
+    per-file min/max column bounds (tables/table.py) and ships
+    rewrite_data_files(strategy='zorder'); this gate PROVES the two
+    compose: the same fragmented lineitem projection is compacted
+    binpack vs zorder(l_shipdate, l_partkey), and for each 2-D
+    predicate the driver-side stats pruning must admit STRICTLY fewer
+    candidate files under the z-ordered layout (asserted in-gate, the
+    stats_pruned_scan discipline; exact counts pytest-pinned). The
+    returned answer is computed through the z-ordered table and shares
+    the plain-lineitem oracle — layout must never change answers.
+
+    Scale shape: this is the 100 TB lever for MULTI-column selective
+    scans — a 1-D sort gives tight bounds on one column only; the
+    Morton interleave bounds every z-dimension at once, so candidate
+    files scale with the predicate's 2-D box, not the table. The
+    rewrite pays one range shuffle on the interleaved key (amortized
+    maintenance, the compaction family's contract)."""
+    t_bin, t_z = _zorder_tables(spark, sf_dir)
+    for pid, pred in _Z_PREDS:
+        files_b = t_bin._branch_files("main")
+        files_z = t_z._branch_files("main")
+        cand_b = len(t_bin._prune_files(files_b, pred))
+        cand_z = len(t_z._prune_files(files_z, pred))
+        assert cand_z < cand_b, (
+            f"{pid}: zorder must admit fewer candidate files "
+            f"({cand_z=} vs {cand_b=} of {len(files_z)})")
+    parts = []
+    for pid, pred in _Z_PREDS:
+        parts.append(
+            t_z.scan(where=pred).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+                .alias("sum_qty"),
+                F.countDistinct("l_partkey").cast("bigint")
+                .alias("n_parts"))
+            .select(F.lit(pid).alias("pred_id"), "n_rows", "sum_qty",
+                    "n_parts"))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res.orderBy("pred_id")

@@ -92,3 +92,52 @@ def test_bucket_pruning_on_key_filter(spark, tmp_path):
         assert [r["v"] for r in q.collect()] == [421 % 7]
     finally:
         spark.conf.set(key, old)
+
+
+def test_zorder_key_is_a_real_morton_interleave(spark):
+    """_zorder_key: per-column linear binning over [min, max] into 2^16
+    buckets, bits interleaved most-significant-first with the FIRST sort
+    column taking the higher bit of each pair — verified against a pure-
+    Python Morton recompute on a known grid."""
+    from iceberg_demo_spark.tables.procedures import _zorder_key
+
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = [r["z"] for r in df.select(
+        _zorder_key(df, ["a", "b"]).alias("z")).collect()]
+
+    def morton(a, b):
+        ba = a * 65535 // 3          # linear bin over min=0, max=3
+        bb = b * 65535 // 3
+        z = 0
+        for i in range(16):
+            z |= ((ba >> i) & 1) << (i * 2 + 1)   # first col: higher bit
+            z |= ((bb >> i) & 1) << (i * 2)
+        return z
+
+    assert got == [morton(a, b) for a, b in rows]
+    # locality sanity: the all-low corner sorts before the all-high one
+    assert morton(0, 0) < morton(1, 1) < morton(3, 3)
+
+
+def test_zorder_layout_skips_files_binpack_cannot(spark):
+    """layout_zorder_skipping's load-bearing claim, pinned with exact
+    counts at sf0.001: after compaction to ~8 files each, every 2-D
+    predicate admits ALL binpack files (hash-fragmented input keeps
+    full-range bounds through a coalesce) but only a strict subset of
+    the z-ordered ones — and both layouts return identical answers."""
+    from iceberg_demo_spark.operators.layout import (
+        _Z_PREDS, _zorder_tables)
+
+    t_bin, t_z = _zorder_tables(spark, SF_SMALL)
+    files_b = t_bin._branch_files("main")
+    files_z = t_z._branch_files("main")
+    assert len(files_b) >= 4 and len(files_z) >= 4
+    for _pid, pred in _Z_PREDS:
+        cand_b = len(t_bin._prune_files(files_b, pred))
+        cand_z = len(t_z._prune_files(files_z, pred))
+        assert cand_b == len(files_b)      # binpack: no skip possible
+        assert cand_z < cand_b             # zorder: real skips
+        a = sorted(map(tuple, t_bin.scan(where=pred).collect()))
+        b = sorted(map(tuple, t_z.scan(where=pred).collect()))
+        assert a == b and a                # layout never changes answers
