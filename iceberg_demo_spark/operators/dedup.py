@@ -2008,3 +2008,129 @@ _OR["doc_split_leakage_audit"] = f"""
     JOIN sizes db ON db.split = l.side_b
     ORDER BY side_a, side_b
 """.strip()
+
+
+# Composed oracle for curation.doc_curation_pipeline — registered HERE
+# (like doc_split_leakage_audit's) because it nests the shared exact-
+# Jaccard pair pipeline (_PAIRS_SQL) plus the survivorship closure, and
+# module import order loads curation before dedup.
+from iceberg_demo_spark.operators.curation import (  # noqa: E402
+    _PIPE_LM_MIN_PPM as _PIPE_LM)
+
+_OR["doc_curation_pipeline"] = f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), lm AS (
+      SELECT c2.w1, c2.w2, CAST((1000000 * n2) // n1 AS BIGINT) AS ppm
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ), lmdoc AS (
+      SELECT doc_id, CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS doc_ppm
+      FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
+    ), scored AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'and', 'of'))) AS n_en,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+             MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper_id,
+             md5(text) AS pri
+      FROM documents
+    ), qual AS MATERIALIZED (
+      SELECT s.source, s.doc_id, s.n_chars, s.n_tok, s.pri
+      FROM scored s JOIN lmdoc l USING (doc_id)
+      WHERE s.n_en > 0 AND s.n_tok BETWEEN 20 AND 1000
+        AND 10 * s.n_stop >= s.n_tok AND 10 * s.n_stop < 9 * s.n_tok
+        AND s.doc_id = s.keeper_id AND l.doc_ppm >= {_PIPE_LM}
+    ), {_PAIRS_SQL},
+    qpairs AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN qual a ON a.doc_id = p.id_a
+      JOIN qual b ON b.doc_id = p.id_b
+    ), bidir AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM qpairs
+      UNION ALL SELECT id_b, id_a FROM qpairs
+    ), reach(src, dst) AS (
+      SELECT a, b FROM bidir
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN bidir e ON r.dst = e.a
+    ), lbl AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_root
+      FROM reach GROUP BY src
+    ), mem AS (
+      SELECT l.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_root
+                                ORDER BY q.n_chars DESC, l.doc_id)
+               AS keep_rank
+      FROM lbl l JOIN qual q USING (doc_id)
+    ), surv AS MATERIALIZED (
+      SELECT q.*, CASE WHEN substr(pri, 1, 1) < '2'
+                       THEN 'valid' ELSE 'train' END AS split
+      FROM qual q
+      WHERE q.doc_id NOT IN (SELECT doc_id FROM mem WHERE keep_rank > 1)
+    ), tr AS (
+      SELECT * FROM surv WHERE split = 'train'
+    ), per_src AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM tr GROUP BY source
+    ), w AS (
+      SELECT *, CAST(FLOOR(1000000 * sqrt(CAST(n_tokens AS DOUBLE)))
+                     AS BIGINT) AS w_raw
+      FROM per_src
+    ), budgets AS (
+      SELECT source,
+             CAST(((SUM(n_tokens) OVER () // 2)
+                   * CAST(ROUND(1000000 * CAST(w_raw AS DOUBLE)
+                                / CAST(SUM(w_raw) OVER () AS DOUBLE))
+                          AS BIGINT)) // 1000000 AS BIGINT)
+               AS budget_tokens
+      FROM w
+    ), cum AS (
+      SELECT source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM tr
+    ), picked AS (
+      SELECT c.source, CAST(COUNT(*) AS BIGINT) AS picked_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS picked_tokens
+      FROM cum c JOIN budgets b USING (source)
+      WHERE cum_tok <= budget_tokens GROUP BY c.source
+    ), base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM documents GROUP BY source
+    ), nq AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality
+      FROM qual GROUP BY source
+    ), ns AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_surviving,
+             CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_valid
+      FROM surv GROUP BY source
+    )
+    SELECT base.source, base.n_total,
+           COALESCE(n_quality, 0) AS n_quality,
+           COALESCE(n_surviving, 0) AS n_surviving,
+           COALESCE(n_train, 0) AS n_train,
+           COALESCE(n_valid, 0) AS n_valid,
+           COALESCE(budget_tokens, 0) AS budget_tokens,
+           COALESCE(picked_docs, 0) AS picked_docs,
+           COALESCE(picked_tokens, 0) AS picked_tokens,
+           CAST((10000 * COALESCE(picked_tokens, 0))
+                // GREATEST(COALESCE(budget_tokens, 1), 1) AS BIGINT)
+             AS fill_bps
+    FROM base
+    LEFT JOIN nq USING (source)
+    LEFT JOIN ns USING (source)
+    LEFT JOIN budgets USING (source)
+    LEFT JOIN picked USING (source)
+    ORDER BY base.source
+""".strip()

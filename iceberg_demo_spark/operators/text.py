@@ -633,6 +633,45 @@ def doc_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bigram-LM quality scoring (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------
 
+def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Per-document bigram-LM quality scores (doc_id, *carry, doc_ppm)
+    — the trainable core of doc_lm_quality_score, factored out so the
+    composed curation pipeline (curation.py::doc_curation_pipeline) can
+    reuse it verbatim. The LM is the corpus itself: P(w2|w1) =
+    c(w1 w2)/c(w1) in exact integer ppm; a doc's score is the integer
+    mean of its bigram ppms. Two pruned corpus passes (train + score);
+    unigram denominators are a window over the vocab-sized LM frame,
+    never a third scan."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(F.col("t")) - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    bg = (
+        docs
+        .select("doc_id", *carry, toks.alias("t"))
+        .select("doc_id", *carry, "t", F.explode(idx).alias("i"))
+        .select(
+            "doc_id", *carry,
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    # n1 = Σ_w2 c2 as a WINDOW over the (already tiny) LM frame — a
+    # groupBy-then-join formulation re-derives the whole c2 lineage
+    # (Catalyst does not CSE subtrees) and costs a THIRD corpus scan
+    lm = c2.withColumn(
+        "n1", F.sum("n2").over(Window.partitionBy("w1"))
+    ).select("w1", "w2", F.expr("(1000000 * n2) div n1").alias("ppm"))
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", *carry)
+        .agg(F.count(F.lit(1)).alias("n_bg"), F.sum("ppm").alias("s"))
+        .select("doc_id", *carry,
+                F.expr("s div n_bg").alias("doc_ppm"))
+    )
+
+
 @query(
     "doc_lm_quality_score",
     oracle="""
@@ -689,34 +728,7 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with <2 tokens have no bigrams and drop out of scoring in
     both engines (no NULL-score branch)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = F.split(F.col("text"), " ")
-    n = F.size(F.col("t")) - 1
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>"))
-    bg = (
-        t["documents"]
-        .select("doc_id", "lang", "source", toks.alias("t"))
-        .select("doc_id", "lang", "source", "t", F.explode(idx).alias("i"))
-        .select(
-            "doc_id", "lang", "source",
-            F.expr("element_at(t, i)").alias("w1"),
-            F.expr("element_at(t, i + 1)").alias("w2"),
-        )
-    )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    # n1 = Σ_w2 c2 as a WINDOW over the (already tiny) LM frame — a
-    # groupBy-then-join formulation re-derives the whole c2 lineage
-    # (Catalyst does not CSE subtrees) and costs a THIRD corpus scan
-    lm = c2.withColumn(
-        "n1", F.sum("n2").over(Window.partitionBy("w1"))
-    ).select("w1", "w2", F.expr("(1000000 * n2) div n1").alias("ppm"))
-    perdoc = (
-        bg.join(lm, ["w1", "w2"])
-        .groupBy("doc_id", "lang", "source")
-        .agg(F.count(F.lit(1)).alias("n_bg"), F.sum("ppm").alias("s"))
-        .select("doc_id", "lang", "source",
-                F.expr("s div n_bg").alias("doc_ppm"))
-    )
+    perdoc = lm_doc_scores(t["documents"], carry=("lang", "source"))
     return (
         perdoc.groupBy("lang", "source")
         .agg(
