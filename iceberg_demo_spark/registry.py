@@ -78,47 +78,49 @@ def load_all() -> None:
     registration order, so a gate registered past that point is never
     externally verified.
 
-    ROUND-8 WINDOW — the stalest-first rotation (VERDICT r7 #1): the 43
-    gates whose last driver row is ROUND 5 — the only gates not
-    driver-verified since then (freshness histogram entering r8: r7:50,
-    r6:50, r5:43) — LEAD at positions 0-42, in the queue order VERDICT
-    r7 fixed (alphabetical). Positions 43-47 hold the round-8 gates that
-    MUST be (re-)verified: dedup_fuzzy_name_pairs (semantics changed —
-    symmetric-delete multi-pass blocking + ubiquitous-key cap, VERDICT
-    r7 #2/#6), dedup_fuzzy_recall (new recall audit),
-    graph_doc_pagerank (semantics changed — directed edges, dangling
-    mass, 10 iterations, VERDICT r7 #3), sim_ann_index_compact (new
-    streamed-index bin-packing gate, VERDICT r7 #4), sql_pivot_unpivot
-    (new SQL-surface gate, VERDICT r7 #8); positions 48-49 the
-    late-round-8 product-quantization pair (emb_pq_codes,
-    sim_pq_adc_recall). After this window runs, no
-    gate's last driver row is older than round 6. Every other gate is
-    covered each round by the full local oracle artifact
-    (ORACLES_LOCAL_r{N}.json via tools/check_oracles.py --emit).
-
-    ROUND-9 QUEUE: eleven gates were added AFTER the r8 window was fixed
-    and full — doc_lm_quality_score (bigram-LM quality scoring),
-    dedup_cascade_lsh_cosine (LSH-candidates → cosine-confirm cascade),
-    orders_scd2_history (SCD Type-2 dimension build),
-    doc_mixture_materialize (temperature-mixture token-budget
-    materialization), emb_hard_negatives (mid-rank-band hard-negative
-    mining), dedup_cluster_survivorship (keep-longest election + removal
-    ledger over the near-dup clusters), streaming_pydatasource_ingest
-    (the streamReader half of the Spark 4 Python DataSource extension
-    point — checkpointed file-index offsets, exactly-once across
-    restarts), changelog_replication (CDC apply: an empty replica
-    consumes the changelog per-commit and must converge to the source
-    exactly — n_mismatches pinned to 0 by the oracle),
-    dedup_prefix_filter_pairs (PPJoin-style prefix filtering — lossless
-    at τ, shares the exact Jaccard gate's oracle verbatim),
-    doc_split_leakage_audit (content-hash train/valid split + near-dup
-    pairs straddling the boundary — the eval-leakage number),
-    doc_mixture_epochs (upsampling plan: ⌈budget/corpus⌉ epochs +
-    repetition ppm per source). They register past position 50
-    (locally oracle-verified in ORACLES_LOCAL_r08) and, per the standing
-    policy, must LEAD the round-9 window together with whatever gates
-    are then stalest (entering r9 the histogram is r8:50, r7:50,
-    late-r8+r6-carryover for the rest).
+    ROUND-9 WINDOW (VERDICT r8 #1): positions 0-10 are the ELEVEN gates
+    that had never had a driver row (added after the r8 window was
+    fixed and full; all locally oracle-verified in ORACLES_LOCAL_r08
+    and judge-re-run 11/11 PASS): changelog_replication,
+    dedup_cascade_lsh_cosine, dedup_cluster_survivorship,
+    dedup_prefix_filter_pairs (ALSO changed this round — verification
+    is now candidate-bound via per-pair array_intersect with the
+    restricted-stream form as a dup-dense fallback, VERDICT r8 #2;
+    still shares the exact-Jaccard oracle), doc_lm_quality_score,
+    doc_mixture_epochs, doc_mixture_materialize,
+    doc_split_leakage_audit, emb_hard_negatives, orders_scd2_history
+    (ALSO changed — the gate now returns the bounded version-histogram
+    audit instead of the O(customers) dimension, VERDICT r8 #5),
+    streaming_pydatasource_ingest. Positions 11-15 the round-9
+    new/changed gates (standing policy: every new or semantics-changed
+    gate sits inside the window): dedup_index_compact (NEW — the
+    bucketed dedup hash index gets the sim_ann_index_compact bin-pack
+    treatment, VERDICT r8 #4; shares the incremental-batch oracle),
+    doc_curation_pipeline (NEW — the end-to-end composition gate:
+    quality+LM filter → near-dup survivorship → split → mixture fill,
+    VERDICT r8 #8; nested-CTE oracle), layout_zorder_skipping (NEW —
+    real Morton z-order compaction proven to skip files on 2-D
+    predicates, VERDICT r8 #6), emb_pq_codes (CHANGED — distortion now
+    exact integer micro-units, r8 ADVICE #1), sim_pq_adc_recall
+    (CHANGED — reports seeded vs Lloyd-TRAINED recall side by side,
+    VERDICT r8 #3). Positions 16-23 the round-6-stale gates VERDICT r8
+    named explicitly (operator-family representatives):
+    stats_pruned_scan, sim_ann_ivf_bucketed, streaming_dim_join,
+    streaming_upsert_cdc, events_moving_avg, emb_truncation_quality,
+    orders_repeat_interval, setops_customer_supplier_nations.
+    Positions 24-49 the remaining round-6-stale gates in alphabetical
+    order (stalest-first rotation; freshness histogram entering r9:
+    r8:50, r7:48, r6:50, never:11). The 16-gate alphabetical TAIL of
+    the r6-stale list spills to the ROUND-10 LEAD:
+    q14_promo_revenue_share, q17_small_quantity_revenue,
+    q18_large_volume_orders, q19_brand_size_revenue,
+    q1_pricing_summary, q22_idle_customers, q3_top_unshipped_orders,
+    q4_order_priority, q5_local_supplier_volume, q6_forecast_revenue,
+    q7_volume_shipping, q8_market_share, revenue_rollup_region_nation,
+    rollup_flag_status_qty, suppliers_in_rich_nations,
+    top3_customers_per_nation. Every out-of-window gate is covered each
+    round by the full local oracle artifact (ORACLES_LOCAL_r{N}.json
+    via tools/check_oracles.py --emit).
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -137,68 +139,68 @@ def load_all() -> None:
         graph,
     )
 
-    # Round-8 window: explicit, stalest-first (see docstring). Positions
-    # 0-42 are exactly the 43 gates whose last driver-green round is 5
-    # (computed from CORRECTNESS_r01..r07: green in r5, absent from the
-    # r6 and r7 windows), in VERDICT r7's queue order.
+    # Round-9 window: explicit (see docstring). Positions 0-10 the
+    # never-driver-verified round-9 queue (alphabetical); 11-15 the
+    # round-9 new/changed gates; 16-23 the VERDICT-named r6-stale
+    # operator-family representatives; 24-49 the remaining r6-stale
+    # gates alphabetically (tail of 16 spills to the round-10 lead).
     _window = (
-        "bucketed_colocated_join",
-        "changelog_update_images",
-        "cube_flag_status_price",
-        "dedup_minhash_lsh_pairs",
-        "dedup_simhash_hamming_pairs",
-        "doc_decontamination",
-        "doc_mixture_weights",
-        "doc_per_source_cap",
-        "doc_pii_redaction",
-        "doc_quality_pipeline",
-        "doc_repetition_metrics",
-        "doc_sequence_packing",
-        "doc_shard_assignment",
-        "doc_stratified_sample",
-        "doc_tfidf_top_terms",
-        "emb_dominant_dims",
-        "emb_feature_norm_stats",
-        "emb_int8_quantization",
-        "emb_kmeans_clusters",
-        "events_funnel_conversion",
-        "events_gap_fill_resample",
-        "events_hourly_anomalies",
-        "events_type_transitions",
-        "merge_not_matched_by_source",
-        "multimodal_decode_features",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "mv_rollup_correctness",
-        "orders_cohort_retention",
-        "orders_market_basket",
-        "orders_rfm_segments",
-        "partition_evolution_read",
-        "partition_pruned_scan",
-        "q15_top_supplier",
-        "quantity_percentiles_by_flag",
-        "schema_evolution_read",
-        "sim_ann_ivf_topk",
-        "skew_salted_agg",
-        "skew_salted_join",
-        "sql_ctas_rtas",
-        "streaming_ingest_hourly",
-        "streaming_running_counts",
-        "streaming_stateful_dedup",
-        # -- positions 43-47: round-8 new/changed gates (standing
-        #    policy: every new or semantics-changed gate sits inside the
-        #    50-entry window so the driver value-verifies it this round)
-        "dedup_fuzzy_name_pairs",
-        "dedup_fuzzy_recall",
-        "graph_doc_pagerank",
-        "sim_ann_index_compact",
-        "sql_pivot_unpivot",
-        # -- positions 48-49: late-round-8 product-quantization pair
-        #    (encoding audit + ADC search recall) --
+        # -- 0-10: the never-driver-verified queue --
+        "changelog_replication",
+        "dedup_cascade_lsh_cosine",
+        "dedup_cluster_survivorship",
+        "dedup_prefix_filter_pairs",
+        "doc_lm_quality_score",
+        "doc_mixture_epochs",
+        "doc_mixture_materialize",
+        "doc_split_leakage_audit",
+        "emb_hard_negatives",
+        "orders_scd2_history",
+        "streaming_pydatasource_ingest",
+        # -- 11-15: round-9 new/changed --
+        "dedup_index_compact",
+        "doc_curation_pipeline",
+        "layout_zorder_skipping",
         "emb_pq_codes",
         "sim_pq_adc_recall",
-        # -- the r6/r7-green gates (freshest) follow in QUERIES order
-        #    and stay covered by ORACLES_LOCAL_r08 --
+        # -- 16-23: VERDICT-named r6-stale family representatives --
+        "stats_pruned_scan",
+        "sim_ann_ivf_bucketed",
+        "streaming_dim_join",
+        "streaming_upsert_cdc",
+        "events_moving_avg",
+        "emb_truncation_quality",
+        "orders_repeat_interval",
+        "setops_customer_supplier_nations",
+        # -- 24-49: remaining r6-stale gates, alphabetical --
+        "customers_without_orders",
+        "dedup_clusters",
+        "dedup_embedding_cosine",
+        "dedup_exact",
+        "dedup_exact_keepers",
+        "dedup_first_agg",
+        "dedup_ngram_jaccard_pairs",
+        "distinct_parts_per_flag",
+        "doc_chunk_dedup",
+        "doc_fingerprints",
+        "doc_langid_confusion",
+        "doc_quality_yield",
+        "doc_rolling_fingerprints",
+        "doc_zipf_slope",
+        "events_hourly_stats",
+        "events_json_extract",
+        "events_sessionization",
+        "flagship_revenue_by_region",
+        "nation_balance_full_outer",
+        "nations_customers_and_suppliers",
+        "nations_customers_only",
+        "order_size_buckets",
+        "orders_above_customer_avg",
+        "q10_returned_items",
+        "q12_late_shipments_by_priority",
+        "q13_order_count_distribution",
+        # -- the fresher r7/r8-green gates follow in QUERIES order and
+        #    stay covered by ORACLES_LOCAL_r09 --
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])
