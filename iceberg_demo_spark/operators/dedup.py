@@ -1255,8 +1255,13 @@ def compact_dedup_index(spark: SparkSession, src_name: str,
                         name: str, path: str,
                         n_buckets: int = _DEDUP_IDX_BUCKETS) -> str:
     """Bin-pack an append-accumulated bucketed digest index back to ONE
-    file per bucket: repartition on the bucket key (each task then holds
-    exactly one bucket's digests) and rewrite under the SAME
+    file per bucket: repartition on the writer's own BUCKET-ID
+    expression — ``pmod(hash(wh), n)``, the exact mapping the bucketed
+    file writer splits output files by — so every bucket's digests land
+    whole in one task (repartitioning on the raw column does NOT
+    guarantee this: the shuffle's partition assignment and the writer's
+    bucket-id assignment are independent mappings, measured as 3 files
+    per bucket surviving the rewrite) and rewrite under the SAME
     bucketBy/sortBy spec into a fresh serving table — the
     compact_ann_index two-tier treatment applied to the dedup tier.
     Layout-only by construction: ingest appends are novel-only
@@ -1270,8 +1275,9 @@ def compact_dedup_index(spark: SparkSession, src_name: str,
     whole-index, and the live tier keeps taking appends while queries
     move to the compacted tier."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    bucket_id = F.pmod(F.hash("wh"), F.lit(n_buckets))
     (spark.table(src_name)
-     .repartition(n_buckets, "wh")
+     .repartition(n_buckets, bucket_id)
      .write.bucketBy(n_buckets, "wh").sortBy("wh")
      .option("path", path).mode("overwrite").format("parquet")
      .saveAsTable(name))
