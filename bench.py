@@ -100,6 +100,17 @@ HEADLINE = [
     # query-keyed rank window) — both corpus-scan-bound.
     "doc_mixture_materialize",
     "emb_hard_negatives",
+    # round-9 additions: the candidate-bound prefix-filter join (its
+    # sf0.1 path is the dup-dense fallback — benched to track the
+    # verifier decision), the end-to-end curation pipeline (quality+LM →
+    # survivorship → split → mixture in one job — the heaviest composed
+    # gate in the set), and the z-order compaction audit (two full
+    # rewrite passes + stats-pruned probes — the maintenance family).
+    # Rounds 1-8 benched the first 37 queries; that subtotal stays
+    # comparable as value_r8_comparable.
+    "dedup_prefix_filter_pairs",
+    "doc_curation_pipeline",
+    "layout_zorder_skipping",
 ]
 
 
@@ -142,6 +153,7 @@ def main() -> None:
     # headline extension
     r4_set = HEADLINE[:19]
     r7_set = HEADLINE[:31]
+    r8_set = HEADLINE[:37]
     print(
         json.dumps(
             {
@@ -155,6 +167,8 @@ def main() -> None:
                     sum(timings[q] for q in r4_set), 3),
                 "value_r7_comparable": round(
                     sum(timings[q] for q in r7_set), 3),
+                "value_r8_comparable": round(
+                    sum(timings[q] for q in r8_set), 3),
                 "sf": sf,
             }
         )

@@ -587,15 +587,19 @@ def test_pq_encode_plan_zero_corpus_shuffle(spark):
 
 
 def test_pq_adc_recall_plan_broadcast_queries(spark):
-    """sim_pq_adc_recall: both candidate streams join the corpus against
-    BROADCAST queries; exchanges are query/pair-keyed only."""
+    """sim_pq_adc_recall: all three candidate streams (exact, seeded,
+    trained) join the corpus against BROADCAST queries. Exchanges are
+    query/pair-keyed plus the Lloyd-training partials, which key on the
+    (m, code[, pos]) codebook coordinates — M·K·SUB-row frames, never
+    the corpus (no vec_id-keyed exchange anywhere)."""
     plan = _plan(spark, "sim_pq_adc_recall")
     import re
     keys = re.findall(r"hashpartitioning\((query_id|neighbor_id)", plan)
     assert keys, "expected query-keyed exchanges"
-    other = re.findall(r"hashpartitioning\((?!query_id|neighbor_id)([a-z_]+)",
-                       plan)
-    assert not other, other
+    other = re.findall(
+        r"hashpartitioning\((?!query_id|neighbor_id)([a-z_]+)", plan)
+    assert set(other) <= {"m"}, other  # training partials only
+    assert "hashpartitioning(vec_id" not in plan  # corpus never shuffled
     assert "CartesianProduct" not in plan
 
 
