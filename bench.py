@@ -117,6 +117,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # diagnostic subsetting (adjudication runs): comma-separated allowlist
+    # or a "first-N" prefix count — the default full set is unchanged
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        global HEADLINE
+        HEADLINE = ([h for h in HEADLINE if h in only.split(",")]
+                    if not only.isdigit() else HEADLINE[:int(only)])
     spark = get_spark("bench")
 
     # Warmup: touch the session + codegen paths once with a trivial job.
