@@ -1777,3 +1777,226 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (round 9): data selection via hashed-ngram
+# importance resampling (Xie et al. 2023, public) — score every raw doc by
+# the log-likelihood ratio between a TARGET-domain hashed-unigram LM and
+# the raw-corpus LM.
+# ---------------------------------------------------------------------------
+
+#: hashed feature buckets — DSIR's dimensionality knob; md5-bucketed so
+#: both engines hash identically
+_DSIR_BUCKETS = 512
+
+
+@query(
+    "doc_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 10000
+                  AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM tok
+    ), lm AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN source IN ({{bench}}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_t,
+             CAST(COUNT(*) AS BIGINT) AS c_r
+      FROM f GROUP BY b
+    ), lm2 AS (
+      SELECT b, CAST(ROUND(1000000 * (
+               ln(CAST(c_t + 1 AS DOUBLE))
+               - ln(CAST(SUM(c_t) OVER () + {_DSIR_BUCKETS} AS DOUBLE))
+               - ln(CAST(c_r + 1 AS DOUBLE))
+               + ln(CAST(SUM(c_r) OVER () + {_DSIR_BUCKETS} AS DOUBLE))))
+             AS BIGINT) AS u
+      FROM lm
+    ), perdoc AS (
+      SELECT f.doc_id, f.source, CAST(SUM(u) AS BIGINT) AS unats
+      FROM f JOIN lm2 USING (b)
+      WHERE f.source NOT IN ({{bench}})
+      GROUP BY f.doc_id, f.source
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(unats) AS BIGINT) AS s_all
+      FROM perdoc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(unats) AS BIGINT) AS sum_unats,
+           CAST(MIN(unats) AS BIGINT) AS min_unats,
+           CAST(MAX(unats) AS BIGINT) AS max_unats,
+           CAST(SUM(CASE WHEN unats * n_all > s_all THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_selected,
+           CAST((10000 * SUM(CASE WHEN unats * n_all > s_all
+                                  THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS sel_bps
+    FROM perdoc CROSS JOIN tot GROUP BY source ORDER BY source
+    """.replace("{bench}", _BENCH_SQL),
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023): train two add-1-smoothed hashed-unigram LMs — the
+    TARGET domain (the benchmark sources src0/src1, the same target
+    doc_decontamination protects) and the RAW corpus — and score every
+    raw document by its log-likelihood ratio Σ_t [ln p_target(b_t) −
+    ln p_raw(b_t)] — higher = more target-like. DSIR resamples
+    proportionally; the exact-integer selection proxy here is the
+    ABOVE-GLOBAL-MEAN count (unats·n_all > s_all by cross-
+    multiplication — the raw-corpus mean LLR is −KL(raw‖target) < 0, so
+    a sign threshold would select nothing by construction; the mean
+    split always separates, and n_selected / sel_bps is what a
+    proportional sampler's acceptance mass looks like per source).
+    Exactness: ln() runs on exact integer-valued doubles (count sums;
+    the established zipf/BM25 parity), each bucket's LLR is quantized
+    ONCE to integer micro-nats, and everything downstream is exact
+    integer arithmetic — per-doc scores are SUMS (DSIR's actual
+    weight), so no negative integer division anywhere; the
+    cross-multiplied threshold stays in int64 up to ~1e9 docs ×
+    ~1e9 µnats (past that, split the product the
+    doc_mixture_materialize way).
+
+    Scale shape: one token pass builds BOTH LMs (conditional aggregate —
+    target membership is a CASE inside one groupBy, never two corpus
+    scans), producing a bucket-count-sized frame whose LLR column
+    broadcasts back onto the second (scoring) pass — the
+    doc_lm_quality_score two-pass discipline with a bounded-size model
+    by construction (hashing caps the vocabulary, DSIR's own trick).
+    Shuffles: the per-doc aggregate keys on doc_id (narrow int rows),
+    the per-source rollup on ~20 keys."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from iceberg_demo_spark.operators.sampling import hash_bucket
+
+    toks = F.split("text", " ")
+    f = (t["documents"]
+         .select("doc_id", "source", F.explode(toks).alias("tok"))
+         .select("doc_id", "source",
+                 (hash_bucket(F.col("tok")) % _DSIR_BUCKETS).alias("b")))
+    is_t = F.col("source").isin(*_BENCH_SOURCES).cast("bigint")
+    lm = f.groupBy("b").agg(
+        F.sum(is_t).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"))
+    tot = Window.partitionBy()
+    lm2 = lm.select(
+        "b",
+        F.round(1_000_000 * (
+            F.log((F.col("c_t") + 1).cast("double"))
+            - F.log((F.sum("c_t").over(tot) + _DSIR_BUCKETS).cast("double"))
+            - F.log((F.col("c_r") + 1).cast("double"))
+            + F.log((F.sum("c_r").over(tot) + _DSIR_BUCKETS)
+                    .cast("double"))))
+        .cast("bigint").alias("u"))
+    perdoc = (
+        f.filter(~F.col("source").isin(*_BENCH_SOURCES))
+        .join(F.broadcast(lm2), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("u").alias("unats"))
+    )
+    # global mean threshold as ONE broadcast row (never an unpartitioned
+    # window over the O(docs) frame)
+    tot = perdoc.agg(F.count(F.lit(1)).alias("n_all"),
+                     F.sum("unats").alias("s_all"))
+    sel = (F.col("unats") * F.col("n_all") > F.col("s_all")).cast("bigint")
+    return (
+        perdoc.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("unats").cast("bigint").alias("sum_unats"),
+             F.min("unats").cast("bigint").alias("min_unats"),
+             F.max("unats").cast("bigint").alias("max_unats"),
+             F.sum(sel).cast("bigint").alias("n_selected"))
+        .select("source", "n_docs", "sum_unats", "min_unats", "max_unats",
+                "n_selected",
+                F.expr("(10000 * n_selected) div n_docs").alias("sel_bps"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching plan (round 9): the padding-vs-packing tradeoff
+# ---------------------------------------------------------------------------
+
+#: per-batch token budget shared with doc_sequence_packing's stream form
+_BUCKET_SEQ_BUDGET = 2048
+
+#: power-of-2 bucket uppers (docs longer than the last bucket are capped
+#: into it — they'd be truncated by the loader)
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+@query(
+    "doc_length_bucketing",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT n_tok,
+             CASE {" ".join(f"WHEN n_tok <= {u} THEN {u}" for u in _LEN_BUCKETS[:-1])}
+                  ELSE {_LEN_BUCKETS[-1]} END AS bucket_upper
+      FROM d
+    ), g AS (
+      SELECT bucket_upper,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEAST(n_tok, bucket_upper)) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY bucket_upper
+    )
+    SELECT bucket_upper, n_docs, sum_tokens,
+           CAST({_BUCKET_SEQ_BUDGET} // bucket_upper AS BIGINT)
+             AS rows_per_batch,
+           CAST((n_docs + ({_BUCKET_SEQ_BUDGET} // bucket_upper) - 1)
+                // ({_BUCKET_SEQ_BUDGET} // bucket_upper) AS BIGINT)
+             AS n_batches,
+           CAST((1000000 * (n_docs * bucket_upper - sum_tokens))
+                // (n_docs * bucket_upper) AS BIGINT) AS pad_waste_ppm
+    FROM g ORDER BY bucket_upper
+    """,
+)
+def doc_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan — the OTHER loader strategy next to
+    doc_sequence_packing's stream packing: group documents into
+    power-of-2 length buckets, pad every doc to its bucket upper, and
+    fit ⌊budget/upper⌋ rows per batch. Packing wastes ~zero tokens but
+    splices documents across sequence boundaries; bucketing preserves
+    document boundaries and pays measured padding waste — this gate
+    outputs exactly that tradeoff table (rows/batch, batch count,
+    pad_waste_ppm per bucket) so a pipeline owner can price the choice
+    against the packing gate's fill stats. Docs longer than the top
+    bucket are counted at the truncation cap (LEAST), matching what the
+    loader would feed the model.
+
+    Scale shape: one corpus pass projecting a single integer per doc,
+    map-side-combined into ≤{len(_LEN_BUCKETS)} groups — bytes shuffled
+    ∝ buckets, not rows. Pure integer arithmetic end-to-end."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    upper = F.lit(_LEN_BUCKETS[-1])
+    for u in reversed(_LEN_BUCKETS[:-1]):
+        upper = F.when(n_tok <= u, u).otherwise(upper)
+    g = (t["documents"]
+         .select(n_tok.alias("n_tok"), upper.alias("bucket_upper"))
+         .groupBy("bucket_upper")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum(F.least(F.col("n_tok"), F.col("bucket_upper")))
+              .alias("sum_tokens")))
+    _B = _BUCKET_SEQ_BUDGET
+    return (
+        g.select(
+            "bucket_upper",
+            "n_docs",
+            F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+            F.expr(f"{_B} div bucket_upper").cast("bigint")
+            .alias("rows_per_batch"),
+            F.expr(f"(n_docs + ({_B} div bucket_upper) - 1)"
+                   f" div ({_B} div bucket_upper)")
+            .cast("bigint").alias("n_batches"),
+            F.expr("(1000000 * (n_docs * bucket_upper - sum_tokens))"
+                   " div (n_docs * bucket_upper)").alias("pad_waste_ppm"),
+        )
+        .orderBy("bucket_upper")
+    )

@@ -535,3 +535,75 @@ def test_curation_pipeline_plan_is_checkpoint_bounded(spark):
     assert scans <= 3, scans
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_weights_match_python_recompute(spark):
+    """doc_dsir_weights vs a pure-Python recompute at sf0.001: same md5
+    feature buckets, same add-1 hashed-unigram LMs, same per-bucket
+    micro-nat quantization, same integer per-doc LLR sums."""
+    from iceberg_demo_spark.operators.curation import (
+        _BENCH_SOURCES, _DSIR_BUCKETS)
+
+    docs = [(r["doc_id"], r["source"], r["text"].split(" "))
+            for r in _docs(spark).collect()]
+    c_t: Counter = Counter()
+    c_r: Counter = Counter()
+    for _, src, toks in docs:
+        for t in toks:
+            b = _bucket(t) % _DSIR_BUCKETS
+            c_r[b] += 1
+            if src in _BENCH_SOURCES:
+                c_t[b] += 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    u = {b: round(1e6 * (math.log(c_t.get(b, 0) + 1)
+                         - math.log(n_t + _DSIR_BUCKETS)
+                         - math.log(c_r.get(b, 0) + 1)
+                         + math.log(n_r + _DSIR_BUCKETS)))
+         for b in c_r}
+    acc: dict[str, list[int]] = defaultdict(list)
+    for _, src, toks in docs:
+        if src in _BENCH_SOURCES:
+            continue
+        acc[src].append(sum(u[_bucket(t) % _DSIR_BUCKETS] for t in toks))
+    got = {r["source"]: r for r in registry.QUERIES["doc_dsir_weights"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(acc)
+    n_all = sum(len(v) for v in acc.values())
+    s_all = sum(sum(v) for v in acc.values())
+    for src, scores in acc.items():
+        r = got[src]
+        assert r["n_docs"] == len(scores)
+        assert r["sum_unats"] == sum(scores)
+        assert r["min_unats"] == min(scores)
+        assert r["max_unats"] == max(scores)
+        n_sel = sum(1 for s in scores if s * n_all > s_all)
+        assert r["n_selected"] == n_sel
+        assert r["sel_bps"] == 10000 * n_sel // len(scores)
+    # the weights must DISCRIMINATE: not every doc selected, not none
+    total_sel = sum(r["n_selected"] for r in got.values())
+    total = sum(r["n_docs"] for r in got.values())
+    assert 0 < total_sel < total
+
+
+def test_length_bucketing_matches_python_recompute(spark):
+    from iceberg_demo_spark.operators.curation import (
+        _BUCKET_SEQ_BUDGET, _LEN_BUCKETS)
+
+    per: dict[int, list[int]] = defaultdict(list)
+    for r in _docs(spark).collect():
+        n = len(r["text"].split(" "))
+        upper = next((u for u in _LEN_BUCKETS if n <= u), _LEN_BUCKETS[-1])
+        per[upper].append(min(n, upper))
+    got = {r["bucket_upper"]: r
+           for r in registry.QUERIES["doc_length_bucketing"](
+               spark, SF_SMALL).collect()}
+    assert set(got) == {u for u, v in per.items() if v}
+    for upper, lens in per.items():
+        r = got[upper]
+        rpb = _BUCKET_SEQ_BUDGET // upper
+        assert r["n_docs"] == len(lens)
+        assert r["sum_tokens"] == sum(lens)
+        assert r["rows_per_batch"] == rpb
+        assert r["n_batches"] == -(-len(lens) // rpb)
+        padded = len(lens) * upper
+        assert r["pad_waste_ppm"] == 1_000_000 * (padded - sum(lens)) // padded
