@@ -1663,7 +1663,7 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints become persisted tables between maintenance stages —
     same dataflow, durable cuts."""
     from iceberg_demo_spark.operators.dedup import (
-        connected_components, dedup_ngram_jaccard_pairs)
+        connected_components, prefix_filter_pairs)
     from iceberg_demo_spark.operators.text import lm_doc_scores
 
     t = load_tables(spark, sf_dir, ("documents",))
@@ -1697,11 +1697,13 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "n_tok", "pri")
         .localCheckpoint()
     )
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
-    qa = qual.select(F.col("doc_id").alias("id_a"))
-    qb = qual.select(F.col("doc_id").alias("id_b"))
-    qpairs = (pairs.join(qa, "id_a", "leftsemi")
-              .join(qb, "id_b", "leftsemi")
+    # pair-find among the SURVIVORS only (pairwise Jaccard is independent
+    # of other docs, so this equals filtering the full-corpus pair set to
+    # quality endpoints — the oracle's formulation — while the shingle
+    # join pays |survivors|², not corpus²), via the candidate-bound
+    # prefix-filter join: the round's two flagship pieces composed
+    surv_docs = docs.join(qual.select("doc_id"), "doc_id", "leftsemi")
+    qpairs = (prefix_filter_pairs(surv_docs).select("id_a", "id_b")
               .localCheckpoint())  # the CC loop consumes this per round
     labels = connected_components(qpairs)
     wk = Window.partitionBy("cluster_root").orderBy(
