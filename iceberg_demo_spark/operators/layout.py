@@ -259,3 +259,76 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionByName(p)
     return res.orderBy("pred_id")
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (round 9): Catalyst's injected
+# semi-join reduction — the engine-native answer to "pre-filter the fact
+# shuffle by the dim's selective predicate".
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_bloom_pruned_join",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 200000
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def events_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: the selective dim predicate
+    (high-value finished orders, ~20% of customers) is turned by
+    Catalyst into an injected ``bloom_filter_agg`` over the dim's join
+    keys whose ``might_contain`` filter runs on the FACT side BEFORE its
+    shuffle — the engine-native form of the manual broadcast-semi-join
+    pre-filters the dedup family builds by hand, and the standard lever
+    when the dim is too big to broadcast but its filtered keys are not.
+    The gate asserts the injection actually happened (both expressions
+    in the physical plan) and returns the value-oracled join aggregate —
+    the optimization must never change the answer.
+
+    Scale shape: fact rows that cannot join die at the scan, so the
+    fact exchange carries ~selectivity × corpus instead of the corpus.
+    Test-SF surrogates, restored after planning: broadcast is disabled
+    (at 100 TB this dim exceeds any broadcast budget — shuffle join is
+    the real regime) and the application-side size floor is lowered (its
+    10 GB default exists to keep tiny scans from paying bloom-build
+    cost; a 100 TB fact side passes it naturally)."""
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        dim = (t["orders"]
+               .filter((F.col("o_orderstatus") == "F")
+                       & (F.col("o_totalprice") > 200000)))
+        res = (
+            t["events"].join(dim, F.col("user_id") == F.col("o_custkey"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("o_orderkey").alias("n_orders"),
+                 dsum(F.col("value")).alias("total_value"))
+            .orderBy("event_type")
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "runtime bloom filter was not injected")
+        # force materialization while the conf surrogates are active —
+        # the physical plan is already fixed, this just keeps execution
+        # and planning under the same regime
+        res = spark.createDataFrame(res.collect(), res.schema)
+        return res
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

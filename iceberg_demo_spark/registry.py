@@ -108,14 +108,16 @@ def load_all() -> None:
     stats_pruned_scan, sim_ann_ivf_bucketed, streaming_dim_join,
     streaming_upsert_cdc, events_moving_avg, emb_truncation_quality,
     orders_repeat_interval, setops_customer_supplier_nations.
-    Positions 24-47 the remaining round-6-stale gates in alphabetical
+    Positions 24-46 the remaining round-6-stale gates in alphabetical
     order (stalest-first rotation; freshness histogram entering r9:
-    r8:50, r7:48, r6:50, never:11); positions 48-49 the LATE-round-9
+    r8:50, r7:48, r6:50, never:11); positions 47-49 the LATE-round-9
     gates doc_dsir_weights (DSIR hashed-ngram importance resampling
-    weights, Xie et al. 2023 — exact integer micro-nat LLRs) and
+    weights, Xie et al. 2023 — exact integer micro-nat LLRs),
     doc_length_bucketing (the padding-vs-packing batching plan next to
-    doc_sequence_packing). The 18-gate alphabetical TAIL of the
-    r6-stale list spills to the ROUND-10 LEAD:
+    doc_sequence_packing) and events_bloom_pruned_join (Catalyst's
+    injected runtime bloom-filter semi-join reduction, asserted in-plan
+    and value-oracled). The 19-gate alphabetical TAIL of the
+    r6-stale list spills to the ROUND-10 LEAD: q10_returned_items,
     q12_late_shipments_by_priority, q13_order_count_distribution,
     q14_promo_revenue_share, q17_small_quantity_revenue,
     q18_large_volume_orders, q19_brand_size_revenue,
@@ -201,14 +203,15 @@ def load_all() -> None:
         "nations_customers_only",
         "order_size_buckets",
         "orders_above_customer_avg",
-        "q10_returned_items",
-        # -- 48-49: late-round-9 gates (standing policy — new gates must
-        #    sit inside the window): DSIR importance weights + the
-        #    length-bucketed batching plan. Their slots displace
+        # -- 47-49: late-round-9 gates (standing policy — new gates must
+        #    sit inside the window): DSIR importance weights, the
+        #    length-bucketed batching plan, and the runtime bloom-filter
+        #    join. Their slots displace q10_returned_items,
         #    q12_late_shipments_by_priority and
         #    q13_order_count_distribution to the round-10 queue lead.
         "doc_dsir_weights",
         "doc_length_bucketing",
+        "events_bloom_pruned_join",
         # -- the fresher r7/r8-green gates follow in QUERIES order and
         #    stay covered by ORACLES_LOCAL_r09 --
     )

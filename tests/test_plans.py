@@ -756,3 +756,43 @@ def test_split_leakage_audit_is_pair_bound(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_filter_join_injects_fact_side_prefilter(spark):
+    """events_bloom_pruned_join: Catalyst injects the runtime bloom
+    filter — a bloom_filter_agg over the filtered dim's join keys and a
+    might_contain filter evaluated on the FACT side before its
+    exchange — and the join stays a shuffle join (no broadcast of the
+    dim). The in-gate assert already proves injection; this pins the
+    placement."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_demo_spark.sources import load_tables
+
+    t = load_tables(spark, SF_MED, ("events", "orders"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        dim = (t["orders"]
+               .filter((F.col("o_orderstatus") == "F")
+                       & (F.col("o_totalprice") > 200000)))
+        j = (t["events"].join(dim, F.col("user_id") == F.col("o_custkey"))
+             .groupBy("event_type").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    # the might_contain filter applies to the fact's join key (user_id),
+    # i.e. the probe runs fact-side before the exchange
+    m = re.search(r"might_contain\([^)]*xxhash64\((\w+)", plan)
+    assert m and m.group(1) == "user_id", plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
