@@ -2002,3 +2002,221 @@ def doc_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_upper")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ end-to-end serving (late round 9): the canonical billion-scale
+# ANN recipe COMPOSED — IVF prunes WHAT you read, trained PQ shrinks WHAT
+# you rank — with the loss decomposition audited.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 16   #: coarse L2 cells (first 16 vectors, deterministic)
+_IVFPQ_NPROBE = 3   #: cells probed per query
+
+#: L2 distance between two double arrays (sequential fold — the
+#: engine-parity op sequence every PQ/kmeans gate uses)
+_L2_SQL = ("list_sum(list_transform(generate_series(1, {n}), i ->"
+           " ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+
+@query(
+    "sim_ivfpq_search",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM pts WHERE vec_id < 8),
+    cb0 AS (
+      SELECT t.m, vec_id AS code,
+             list_slice(e, t.m * {_PQ_SUB} + 1,
+                        t.m * {_PQ_SUB} + {_PQ_SUB}) AS c
+      FROM pts, range(0, {_PQ_M}) t(m)
+      WHERE vec_id < {_PQ_K}
+    ),
+    subv AS (
+      SELECT vec_id, t.m,
+             list_slice(e, t.m * {_PQ_SUB} + 1,
+                        t.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM pts, range(0, {_PQ_M}) t(m)
+    ),
+    {_pq_lloyd_sql("cb0", "cb1")},
+    {_pq_lloyd_sql("cb1", "cb2")},
+    {_pq_encode_top5_sql("cb2", "tr")},
+    ivfc AS (
+      SELECT vec_id AS cell_id, e AS c FROM pts
+      WHERE vec_id < {_IVFPQ_CELLS}
+    ),
+    asgn AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT p.vec_id, ivfc.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 {_L2_SQL.format(a='p.e', b='ivfc.c', n=_DIMS)}, cell_id)
+                 AS rn
+        FROM pts p CROSS JOIN ivfc) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.query_id, ivfc.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_L2_SQL.format(a='q.qv', b='ivfc.c', n=_DIMS)}, cell_id)
+                 AS rn
+        FROM q CROSS JOIN ivfc) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT pr.query_id, a.vec_id AS neighbor_id
+      FROM probe pr JOIN asgn a ON a.cell_id = pr.cell_id
+      WHERE a.vec_id <> pr.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                 {_L2_SQL.format(a='q.qv', b='r.rhat', n=_DIMS)},
+                 c.neighbor_id) AS rank
+        FROM cand c
+        JOIN recon_tr r ON r.vec_id = c.neighbor_id
+        JOIN q ON q.query_id = c.query_id) c
+      WHERE rank <= 5
+    ),
+    ivfx AS (
+      SELECT c.query_id, c.neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                 {_L2_SQL.format(a='q.qv', b='p.e', n=_DIMS)},
+                 c.neighbor_id) AS rank
+        FROM cand c
+        JOIN pts p ON p.vec_id = c.neighbor_id
+        JOIN q ON q.query_id = c.query_id) c
+      WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, p.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_L2_SQL.format(a='q.qv', b='p.e', n=_DIMS)},
+                 p.vec_id) AS rank
+        FROM q JOIN pts p ON p.vec_id <> q.query_id)
+      WHERE rank <= 5
+    ),
+    m_pq AS (SELECT COUNT(*) AS n FROM adc a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    m_iv AS (SELECT COUNT(*) AS n FROM ivfx a JOIN exact e
+             ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    e2 AS (SELECT COUNT(*) AS n_exact FROM exact),
+    nc AS (SELECT COUNT(*) AS n_candidates FROM cand)
+    SELECT CAST(e2.n_exact AS BIGINT) AS n_exact,
+           CAST(nc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(m_iv.n AS BIGINT) AS n_match_ivf_exact,
+           CAST((10000 * m_iv.n) // e2.n_exact AS BIGINT)
+             AS recall_bp_ivf_exact,
+           CAST(m_pq.n AS BIGINT) AS n_match_ivfpq,
+           CAST((10000 * m_pq.n) // e2.n_exact AS BIGINT)
+             AS recall_bp_ivfpq
+    FROM e2, nc, m_iv, m_pq
+    """,
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (late round 9): the canonical billion-scale ANN
+    serving recipe COMPOSED from this round's pieces — L2 coarse cells
+    prune the corpus to ~nprobe/cells candidates per query, and the
+    Lloyd-TRAINED product quantizer (sim_pq_adc_recall's
+    _pq_train_codebook) ranks the survivors by asymmetric distance to
+    the reconstruction. The audit decomposes the two losses a serving
+    owner tunes independently: recall_bp_ivf_exact (cell pruning alone
+    — raise nprobe to buy it back) vs recall_bp_ivfpq (pruning +
+    quantization — raise K/M or train longer), with n_candidates
+    pinning the cost side of the dial.
+
+    Scale shape: cell assignment AND the PQ reconstruction are computed
+    in ONE map pass over the corpus (two broadcast rows — 16 centroids,
+    M·K codebook — folded inline; zero corpus shuffle, zero
+    row-multiplication); candidates join the tiny broadcast probe frame
+    on cell_id, so everything after the scan is candidate-bound. At
+    production scale the assignment+codes persist partitioned by cell
+    (ensure_ivf_index / compact_ann_index are that tier) and ADC reads
+    4 B of codes per vector instead of 256 B of floats."""
+    pts = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    queries = pts.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
+    cb_tr = _pq_train_codebook(pts)
+    cbs = cb_tr.agg(F.expr(
+        "array_sort(collect_list(struct(m, code, c)))").alias("cbs"))
+    ivfc = (pts.filter(F.col("vec_id") < _IVFPQ_CELLS)
+            .agg(F.expr("array_sort(collect_list(struct("
+                        "vec_id AS cell_id, e AS c)))").alias("cells")))
+    _D = (f"aggregate(zip_with(slice(e, s.m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+          " s.c, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    _CELL_L2 = ("aggregate(zip_with(e, s.c, (x, y) ->"
+                " (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+    _AMIN_CELL = (
+        "aggregate(cells,"
+        " named_struct('cell_id', CAST(-1 AS BIGINT),"
+        "              'dist', double('Infinity')),"
+        f" (acc, s) -> CASE WHEN {_CELL_L2} < acc.dist"
+        f" THEN named_struct('cell_id', s.cell_id, 'dist', {_CELL_L2})"
+        " ELSE acc END).cell_id")
+    # ONE corpus map pass: cell id + PQ reconstruction together
+    corpus = (
+        pts.crossJoin(F.broadcast(ivfc)).crossJoin(F.broadcast(cbs))
+        .select("vec_id", "e",
+                F.expr(_AMIN_CELL).alias("cell_id"),
+                F.expr("flatten(transform(" + _PQ_ENC.format(d=_D)
+                       + ", a -> a.c))").alias("rhat"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("dist", "cell_id")
+    probe = (
+        queries.crossJoin(F.broadcast(ivfc))
+        .select("query_id", "qv", F.explode("cells").alias("s"))
+        .select("query_id", "qv", F.col("s.cell_id").alias("cell_id"),
+                F.expr("aggregate(zip_with(qv, s.c, (x, y) ->"
+                       " (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+                .alias("dist"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = (corpus.join(F.broadcast(probe), "cell_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "qv",
+                    F.col("vec_id").alias("neighbor_id"), "e", "rhat")
+            .persist())
+    _L2C = ("aggregate(zip_with(qv, {v}, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (a, v) -> a + v)")
+    w_rank = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+
+    def top5(vcol: str) -> DataFrame:
+        return (cand
+                .select("query_id", "neighbor_id",
+                        F.expr(_L2C.format(v=vcol)).alias("dist"))
+                .withColumn("rank", F.row_number().over(w_rank))
+                .filter(F.col("rank") <= 5)
+                .select("query_id", "neighbor_id"))
+
+    exact = (
+        pts.join(F.broadcast(queries),
+                 F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.expr(_L2C.format(v="e")).alias("dist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    m_pq = (top5("rhat").join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_match_ivfpq")))
+    m_iv = (top5("e").join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_match_ivf_exact")))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(m_iv)).crossJoin(F.broadcast(m_pq))
+        .select(
+            "n_exact", "n_candidates", "n_match_ivf_exact",
+            F.expr("(10000 * n_match_ivf_exact) div n_exact")
+            .alias("recall_bp_ivf_exact"),
+            "n_match_ivfpq",
+            F.expr("(10000 * n_match_ivfpq) div n_exact")
+            .alias("recall_bp_ivfpq"),
+        )
+    )

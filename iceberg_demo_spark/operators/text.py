@@ -667,7 +667,7 @@ def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
         bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id", *carry)
         .agg(F.count(F.lit(1)).alias("n_bg"), F.sum("ppm").alias("s"))
-        .select("doc_id", *carry,
+        .select("doc_id", *carry, "n_bg",
                 F.expr("s div n_bg").alias("doc_ppm"))
     )
 
@@ -738,4 +738,79 @@ def doc_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_ppm").alias("max_ppm"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-threshold calibration sweep (late round 9)
+# ---------------------------------------------------------------------------
+
+#: the sweep brackets doc_curation_pipeline's fluency floor (33500)
+_LM_SWEEP = (33000, 33250, 33500, 33750, 34000)
+
+
+@query(
+    "doc_lm_threshold_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), lm AS (
+      SELECT c2.w1, c2.w2, CAST((1000000 * n2) // n1 AS BIGINT) AS ppm
+      FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ), d AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS doc_ppm
+      FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT t.thr AS threshold_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_ppm >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST((10000 * SUM(CASE WHEN doc_ppm >= t.thr THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS keep_bps,
+           CAST(SUM(CASE WHEN doc_ppm >= t.thr THEN n_bg + 1 ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM d CROSS JOIN (SELECT unnest([{", ".join(map(str, _LM_SWEEP))}])
+                       AS thr) t
+    GROUP BY t.thr ORDER BY t.thr
+    """,
+)
+def doc_lm_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration yield curve for the bigram-LM quality score: the
+    keep-rate and surviving-token mass at each candidate fluency floor —
+    the table a pipeline owner reads BEFORE fixing a threshold (the
+    composed pipeline's 33500 sits mid-sweep; CCNet picks its perplexity
+    cutoffs from exactly this curve, usually per language bucket). Every
+    approximate or thresholded operator in this engine ships its
+    measured dial: this is the LM filter's.
+
+    Scale shape: the two LM passes are doc_lm_quality_score's (train +
+    score, vocab-sized LM frame in between); the sweep itself multiplies
+    only the per-doc SCORE frame (one row per doc) by the
+    len(_LM_SWEEP)-row literal threshold frame — a broadcast cross of a
+    narrow aggregate, never the corpus — and the rollup shuffles
+    #thresholds keys."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    perdoc = lm_doc_scores(t["documents"])
+    thr = spark.range(0).sparkSession.createDataFrame(
+        [(x,) for x in _LM_SWEEP], "threshold_ppm bigint")
+    kept = (F.col("doc_ppm") >= F.col("threshold_ppm")).cast("bigint")
+    return (
+        perdoc.crossJoin(F.broadcast(thr))
+        .groupBy("threshold_ppm")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(kept).cast("bigint").alias("n_kept"),
+             F.sum(kept * (F.col("n_bg") + 1)).cast("bigint")
+             .alias("kept_tokens"))
+        .select("threshold_ppm", "n_docs", "n_kept",
+                F.expr("(10000 * n_kept) div n_docs").alias("keep_bps"),
+                "kept_tokens")
+        .orderBy("threshold_ppm")
     )

@@ -128,6 +128,18 @@ def load_all() -> None:
     top3_customers_per_nation. Every out-of-window gate is covered each
     round by the full local oracle artifact (ORACLES_LOCAL_r{N}.json
     via tools/check_oracles.py --emit).
+
+    ROUND-10 QUEUE (new-gate half): two gates were added AFTER the r9
+    window was fixed and full — sim_ivfpq_search (the IVF-PQ serving
+    recipe composed end-to-end: L2 coarse-cell pruning + Lloyd-trained
+    PQ ADC ranking, with the pruning-vs-quantization loss decomposition
+    and candidate-count accounting as output columns) and
+    doc_lm_threshold_sweep (the bigram-LM fluency floor's calibration
+    yield curve: keep-rate and surviving-token mass per candidate
+    threshold, bracketing the composed pipeline's 33500). They register
+    past position 50 (locally oracle-verified in ORACLES_LOCAL_r09) and
+    per the standing policy must LEAD the round-10 window together with
+    the 19-gate r6-stale tail listed above.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

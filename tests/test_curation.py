@@ -607,3 +607,92 @@ def test_length_bucketing_matches_python_recompute(spark):
         assert r["n_batches"] == -(-len(lens) // rpb)
         padded = len(lens) * upper
         assert r["pad_waste_ppm"] == 1_000_000 * (padded - sum(lens)) // padded
+
+
+def test_ivfpq_search_matches_pure_python(spark):
+    """sim_ivfpq_search vs a pure-Python recompute at sf0.001: same L2
+    cell assignment/probe, same trained codebook (the PQ recompute's
+    train()), same ADC ranking and loss decomposition."""
+    from iceberg_demo_spark.operators.curation import (
+        _IVFPQ_CELLS, _IVFPQ_NPROBE, _PIPE_LM_MIN_PPM,  # noqa: F401
+        _PQ_ITERS, _PQ_K, _PQ_M, _PQ_SUB)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in _embs(spark).collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    cells = {c: vecs[c] for c in range(_IVFPQ_CELLS)}
+    asgn = {vid: min((l2(v, cv), cid) for cid, cv in cells.items())[1]
+            for vid, v in vecs.items()}
+    probe = {q: [cid for _, cid in sorted(
+        (l2(vecs[q], cv), cid) for cid, cv in cells.items())[:_IVFPQ_NPROBE]]
+        for q in range(8)}
+
+    # trained codebook — same construction as the PQ recompute test
+    cb = {(m, code): vecs[code][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+          for m in range(_PQ_M) for code in range(_PQ_K)}
+    for _ in range(_PQ_ITERS):
+        asg_pq = {}
+        for vid, v in vecs.items():
+            for m in range(_PQ_M):
+                sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+                asg_pq[(vid, m)] = min(
+                    (l2(sub, cb[(m, c)]), c) for c in range(_PQ_K))[1]
+        nxt = {}
+        for m in range(_PQ_M):
+            for c in range(_PQ_K):
+                members = [vid for vid in vecs if asg_pq[(vid, m)] == c]
+                if not members:
+                    nxt[(m, c)] = cb[(m, c)]
+                    continue
+                comp = []
+                for i in range(_PQ_SUB):
+                    s = sum(math.floor(vecs[vid][m * _PQ_SUB + i] * 1e6
+                                       + 0.5)
+                            if vecs[vid][m * _PQ_SUB + i] >= 0 else
+                            math.ceil(vecs[vid][m * _PQ_SUB + i] * 1e6
+                                      - 0.5)
+                            for vid in members)
+                    comp.append(round(s / (1e6 * len(members)), 4))
+                nxt[(m, c)] = comp
+        cb = nxt
+    recon = {}
+    for vid, v in vecs.items():
+        rhat = []
+        for m in range(_PQ_M):
+            sub = v[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            best = min((l2(sub, cb[(m, c)]), c) for c in range(_PQ_K))
+            rhat += cb[(m, best[1])]
+        recon[vid] = rhat
+
+    cand = {q: [vid for vid in vecs
+                if vid != q and asgn[vid] in probe[q]]
+            for q in range(8)}
+    n_candidates = sum(len(v) for v in cand.values())
+
+    def top5(space):
+        out = set()
+        for q in range(8):
+            ranked = sorted((l2(vecs[q], space[v]), v)
+                            for v in cand[q])[:5]
+            out |= {(q, v) for _, v in ranked}
+        return out
+
+    exact = set()
+    for q in range(8):
+        ranked = sorted((l2(vecs[q], vecs[v]), v)
+                        for v in vecs if v != q)[:5]
+        exact |= {(q, v) for _, v in ranked}
+    adc, ivfx = top5(recon), top5(vecs)
+    got = registry.QUERIES["sim_ivfpq_search"](spark, SF_SMALL).collect()[0]
+    assert got["n_exact"] == len(exact) == 40
+    assert got["n_candidates"] == n_candidates
+    assert got["n_match_ivf_exact"] == len(ivfx & exact)
+    assert got["recall_bp_ivf_exact"] == 10000 * len(ivfx & exact) // 40
+    assert got["n_match_ivfpq"] == len(adc & exact)
+    assert got["recall_bp_ivfpq"] == 10000 * len(adc & exact) // 40
+    # the decomposition is meaningful: pruning alone loses less than
+    # pruning + quantization
+    assert got["recall_bp_ivf_exact"] >= got["recall_bp_ivfpq"]
