@@ -1855,24 +1855,34 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is counted by the JVM ``array_intersect`` intrinsic —
     cost ∝ candidates × avg set size, never corpus². On a dup-dense
     corpus where candidates approach all co-shingle pairs (the tiny-
-    uniform-vocabulary synthetic sf1 derivation: ~250k true pairs) the
-    restricted-stream form — the exact gate's co-shingle join filtered
-    to the candidate set — is the cheaper verifier, so above
-    ``_PREFIX_FANOUT_CAP`` candidates per doc the plan falls back to it
-    (a one-row driver-side count decides; both verifiers are exact, so
-    the output — and the shared oracle — is identical either way). On
-    real Zipfian text candidates are few and the candidate-bound path
-    is the published order-of-magnitude cut; see
+    uniform-vocabulary synthetic sf1 derivation: ~250k true pairs)
+    prefix filtering cannot win — so the planner prices it FIRST from a
+    vocab-sized statistic (Σ df_p·(df_p−1)/2 over prefix-token
+    frequencies, a multiplicity upper bound on candidates that
+    ubiquitous shingles never inflate because rarest-first prefixes
+    exclude them) and above ``_PREFIX_MULT_CAP`` per doc short-circuits
+    to the plain exact co-shingle join, paying NEITHER the prefix
+    self-join NOR the candidate dedup shuffle (losslessness cuts both
+    ways: the exact join's thresholded output is the same true pair
+    set, so the shared oracle holds on every path). On real Zipfian
+    text candidates are few and the candidate-bound path is the
+    published order-of-magnitude cut; see
     tests/test_dedup.py::test_prefix_filter_large_vocabulary_power.
     No cartesian anywhere."""
     t = load_tables(spark, sf_dir, ("documents",))
     return prefix_filter_pairs(t["documents"])
 
 
-#: fall back to the restricted-stream verifier above this many prefix
-#: candidates per document — the dup-dense regime where per-candidate
-#: array joins would materialize nearly all co-shingle pairs TWICE
-_PREFIX_FANOUT_CAP = 64
+#: fall back to the plain exact co-shingle join above this many
+#: multiplicity-counted prefix pairs per document (Σ df_p·(df_p−1)/2 /
+#: docs — the vocab-sized planning statistic; true candidates are
+#: bounded above by it with a corpus-dependent overlap factor:
+#: measured ~1.1× on the testdata corpus — 13/12/171 per doc at the
+#: three SFs vs 10.7/10.1/158 actual — and ~5/doc on the
+#: large-vocabulary fixture, so the cap reproduces the prior
+#: actual-candidate decisions exactly while a high-overlap corpus can
+#: only fall back EARLY, which is the safe direction)
+_PREFIX_MULT_CAP = 64
 
 
 def prefix_filter_pairs(docs: DataFrame, tau: float = 0.2) -> DataFrame:
@@ -1887,23 +1897,38 @@ def prefix_filter_pairs(docs: DataFrame, tau: float = 0.2) -> DataFrame:
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("arr"),
         F.count(F.lit(1)).alias("n_sh"))
-    cand = _prefix_candidates(sh, arrs, tau).persist()
-    # bounded driver-side planning decision (two scalar counts, the MV
-    # touched-key-probe discipline): candidates per doc picks the verifier
-    n_cand, n_docs = cand.count(), max(docs.count(), 1)
-    if n_cand <= _PREFIX_FANOUT_CAP * n_docs:
+    prefix = _prefix_tokens(sh, arrs, tau)
+    # bounded driver-side planning decision: Σ df_p·(df_p−1)/2 over the
+    # PREFIX-token frequencies upper-bounds the candidate-pair stream
+    # (with co-shared-shingle multiplicity) from a VOCAB-sized aggregate
+    # — no self-join, no 10⁵-pair dedup shuffle paid just to learn we
+    # are in the dup-dense regime. Ubiquitous shingles never inflate it:
+    # rarest-first prefixes exclude them by construction, so on real
+    # Zipfian text the bound tracks true candidates (~avg-prefix-overlap
+    # × pairs, the one calibration constant in _PREFIX_MULT_CAP).
+    est_pairs = (prefix.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+                 .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("m"))
+                 .first()["m"] or 0)
+    n_docs = max(docs.count(), 1)
+    if est_pairs <= _PREFIX_MULT_CAP * n_docs:
+        cand = _prefix_candidates_from(prefix)
         return _prefix_verify_candidates(cand, arrs, tau)
-    return _prefix_verify_stream(cand, sh, arrs, tau)
+    # dup-dense regime: candidates approach all co-shingle pairs, so the
+    # prefix machinery cannot win — the cheapest CORRECT plan is the
+    # plain exact co-shingle join (its thresholded output IS the true
+    # pair set, which lossless prefix filtering must equal anyway)
+    return _prefix_verify_stream(None, sh, arrs, tau)
 
 
-def _prefix_candidates(sh: DataFrame, arrs: DataFrame,
-                       tau: float) -> DataFrame:
-    """Candidate pairs from the rarest-first prefix equi-join: rank each
-    doc's shingles by ascending global df (ties on the shingle), keep
-    the first |s| − ⌈τ·|s|⌉ + 1, self-join on the kept tokens."""
+def _prefix_tokens(sh: DataFrame, arrs: DataFrame,
+                   tau: float) -> DataFrame:
+    """(doc_id, s): each doc's rarest-first prefix — shingles ranked by
+    ascending global df (ties on the shingle), first |s| − ⌈τ·|s|⌉ + 1
+    kept. The planning statistic and the candidate join both consume
+    this; one derivation keeps them consistent."""
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rk = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (
+    return (
         sh.join(dfreq, "s")
         .withColumn("rk", F.row_number().over(rk))
         .join(arrs.select("doc_id", "n_sh"), "doc_id")
@@ -1911,11 +1936,22 @@ def _prefix_candidates(sh: DataFrame, arrs: DataFrame,
                 <= F.col("n_sh") - F.ceil(tau * F.col("n_sh")) + 1)
         .select("doc_id", "s")
     )
+
+
+def _prefix_candidates_from(prefix: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from the prefix-token equi-join."""
     a = prefix.select(F.col("doc_id").alias("id_a"), "s")
     b = prefix.select(F.col("doc_id").alias("id_b"), "s")
     return (a.join(b, "s")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+
+
+def _prefix_candidates(sh: DataFrame, arrs: DataFrame,
+                       tau: float) -> DataFrame:
+    """Candidate pairs from the rarest-first prefix equi-join (the
+    fixture tests drive this directly)."""
+    return _prefix_candidates_from(_prefix_tokens(sh, arrs, tau))
 
 
 def _prefix_verify_candidates(cand: DataFrame, arrs: DataFrame,
@@ -1948,22 +1984,28 @@ def _prefix_verify_candidates(cand: DataFrame, arrs: DataFrame,
     )
 
 
-def _prefix_verify_stream(cand: DataFrame, sh: DataFrame,
+def _prefix_verify_stream(cand: DataFrame | None, sh: DataFrame,
                           arrs: DataFrame, tau: float) -> DataFrame:
-    """Fallback exact verification for dup-dense corpora: RESTRICT the
-    co-shingle match stream (the exact gate's join) to the candidate
-    set, count, threshold. Cost is bounded by the exact gate's join —
-    the right bound when candidates approach all co-shingle pairs and
-    per-candidate array joins would pay that stream twice (measured as
-    a >40× sf0.1→sf1 blow-up on the dup-dense tiny-vocab synthetic
-    derivation before round 8's restructure)."""
+    """Fallback exact verification for dup-dense corpora: the co-shingle
+    match stream (the exact gate's join), counted and thresholded —
+    optionally restricted to a candidate set when the caller already
+    built one (``cand=None`` skips the restriction entirely: the
+    thresholded co-shingle count IS the true pair set, so on a corpus
+    where candidates approach all co-shingle pairs this is the cheapest
+    correct plan — no prefix self-join, no candidate dedup shuffle.
+    Round 8's restructure measured the per-candidate form at >40×
+    sf0.1→sf1 on the dup-dense derivation; round 9 stops paying even
+    the candidate JOIN there)."""
     ma = sh.select(F.col("doc_id").alias("id_a"), "s")
     mb = sh.select(F.col("doc_id").alias("id_b"), "s")
     common = (
         ma.join(mb, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .join(cand, ["id_a", "id_b"])
-        .groupBy("id_a", "id_b")
+    )
+    if cand is not None:
+        common = common.join(cand, ["id_a", "id_b"])
+    common = (
+        common.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     na = arrs.select(F.col("doc_id").alias("id_a"),

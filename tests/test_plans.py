@@ -703,7 +703,7 @@ def test_prefix_filter_join_keys_are_tokens_and_pairs(spark):
     """dedup_prefix_filter_pairs: candidate generation joins on prefix
     shingles, verification on pair keys — no cartesian, no
     nested-loop; the rank window is doc-partitioned. At SF_MED the
-    candidate fan-out is ~10 pairs/doc, far under _PREFIX_FANOUT_CAP,
+    candidate fan-out is ~12 mult-bound pairs/doc, far under _PREFIX_MULT_CAP,
     so the gate must pick the candidate-bound array_intersect verifier
     (the round-9 fix: verification cost ∝ candidates, never corpus²)."""
     plan = _plan(spark, "dedup_prefix_filter_pairs")
