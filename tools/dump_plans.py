@@ -103,6 +103,14 @@ EXTRA = [
     "doc_curation_pipeline",
     "doc_dsir_weights",
     "doc_length_bucketing",
+    # late round-9: composed IVF-PQ serving (one corpus map pass over two
+    # broadcast rows) and the LM-threshold yield sweep (per-doc score
+    # frame × 5-row literal). events_bloom_pruned_join is pinned in
+    # test_plans instead — its returned frame is a collected 5-row local
+    # relation (the gate materializes under its conf surrogates), so a
+    # snapshot here would show only a LocalTableScan.
+    "sim_ivfpq_search",
+    "doc_lm_threshold_sweep",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
