@@ -134,3 +134,141 @@ def doc_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("min_doc"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted, without replacement) — Duffield, Lund &
+# Thorup, "Priority sampling for estimation of arbitrary subset sums"
+# (JACM 2007, public): each item draws u ~ U(0,1] and gets priority
+# q = w/u; the k highest-priority items are kept, and with
+# τ = (k+1)-th priority, ŵ_i = max(w_i, τ) for kept items is (near-)
+# unbiased for Σw over ANY subset — the canonical fixed-size weighted
+# sample for "give me k docs per source, long docs proportionally more
+# likely, and keep totals estimable".
+# ---------------------------------------------------------------------------
+
+#: per-source sample size (small enough that sf0.01's 25-doc sources
+#: exercise the estimation regime, not just the exhaustive branch)
+_PRIORITY_K = 16
+
+#: u is a 32-bit md5 draw: h ∈ [1, 2^32], u = h/2^32. The integer
+#: priority ⌊w·2^32/h⌋ is int64-exact for w < 2^30 (documents are
+#: n_chars ≤ ~10⁶ by generation; a longer corpus would drop to a
+#: 24-bit draw, same construction).
+_PRIORITY_SCALE = 1 << 32
+
+
+def priority_rank(df: DataFrame, key: str, weight: str,
+                  group: str) -> DataFrame:
+    """Rows + integer priority ``q = ⌊w·2^32/h⌋`` (h the md5 draw) and
+    per-group priority rank ``rn`` (1 = highest; deterministic: priority
+    ties break on the key). The rank filter a caller applies (rn ≤ k)
+    executes as a map-side partial WindowGroupLimit, so the sampling
+    shuffle carries O(tasks·k) rows per group — the corpus itself never
+    reaches the exchange."""
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(":ps"))),
+            1, 8), 16, 10).cast("bigint") + 1)
+    df = df.withColumn("_h", h).withColumn(
+        "q", F.expr(f"({weight} * {_PRIORITY_SCALE}) div _h")).drop("_h")
+    w = Window.partitionBy(group).orderBy(F.col("q").desc(), F.col(key))
+    return df.withColumn("rn", F.row_number().over(w))
+
+
+@query(
+    "doc_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             (n_chars * {_PRIORITY_SCALE}) //
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ps'),
+                                   1, 8))::UBIGINT AS BIGINT) + 1) AS q
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number()
+                OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+      FROM pri QUALIFY rn <= {_PRIORITY_K + 1}
+    ), tau AS (
+      SELECT source,
+             COALESCE(MAX(CASE WHEN rn = {_PRIORITY_K + 1} THEN q END),
+                      0) AS tau
+      FROM ranked GROUP BY source
+    ), sel AS (
+      SELECT r.source,
+             CAST(COUNT(*) AS BIGINT) AS k_used,
+             CAST(SUM(greatest(r.n_chars, t.tau)) AS BIGINT)
+               AS est_total_chars,
+             CAST(SUM(r.doc_id) AS BIGINT) AS sel_docid_sum
+      FROM ranked r JOIN tau t USING (source)
+      WHERE r.rn <= {_PRIORITY_K}
+      GROUP BY r.source
+    ), exact AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS exact_total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT e.source, e.n_docs, s.k_used, s.est_total_chars,
+           e.exact_total_chars,
+           CAST((10000 * abs(s.est_total_chars - e.exact_total_chars))
+                // greatest(e.exact_total_chars, 1) AS BIGINT) AS err_bps,
+           s.sel_docid_sum
+    FROM exact e JOIN sel s USING (source)
+    ORDER BY e.source
+    """,
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling per source — priority sampling with
+    w = n_chars (longer documents proportionally likelier, the natural
+    weight when the budget is tokens): keep the k=16 highest-priority
+    docs per source, and estimate each source's TOTAL character mass
+    from the sample alone via the max(w, τ) estimator. The
+    exact_total_chars / err_bps columns are the audit half (the
+    recall-audit family): the truth is a cheap map-side partial
+    aggregate here, and the estimator's error becomes a measured number.
+    sel_docid_sum pins the SELECTED SET itself, not just the estimate —
+    reruns and other engines must pick identical documents.
+
+    Exactness: the u-draw is a 32-bit md5 prefix, the priority is exact
+    int64 floor arithmetic (⌊w·2^32/h⌋, w < 2^30), ties break on doc_id
+    — DuckDB replays selection and estimator bit-for-bit. The floor
+    quantizes the published continuous priority; the selection it
+    induces is a valid priority sample for the quantized u-grid (bias
+    bounded by one part in 2^32/w per comparison).
+
+    Scale shape: the rank-≤-k+1 filter executes as a map-side partial
+    WindowGroupLimit (plan-pinned) — each task forwards at most k+1 rows
+    per source, so the sampling exchange is O(tasks·k) per source no
+    matter the corpus; the exact audit rides an ordinary partial
+    aggregate (S rows per task). At 100 TB the sample IS the product —
+    k·S rows out of the pipeline, totals still estimable per subset."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    k = _PRIORITY_K
+    ranked = (priority_rank(t["documents"], key="doc_id",
+                            weight="n_chars", group="source")
+              .filter(F.col("rn") <= k + 1)
+              .select("doc_id", "source", "n_chars", "q", "rn")
+              .persist())
+    tau = (ranked.groupBy("source")
+           .agg(F.coalesce(
+                F.max(F.when(F.col("rn") == k + 1, F.col("q"))),
+                F.lit(0)).alias("tau")))
+    sel = (ranked.filter(F.col("rn") <= k)
+           .join(F.broadcast(tau), "source")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("k_used"),
+                F.sum(F.greatest(F.col("n_chars"), F.col("tau")))
+                 .cast("bigint").alias("est_total_chars"),
+                F.sum("doc_id").cast("bigint").alias("sel_docid_sum")))
+    exact = (t["documents"].groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").cast("bigint")
+                   .alias("exact_total_chars")))
+    return (exact.join(sel, "source")
+            .select("source", "n_docs", "k_used", "est_total_chars",
+                    "exact_total_chars",
+                    F.expr("(10000 * abs(est_total_chars"
+                           " - exact_total_chars))"
+                           " div greatest(exact_total_chars, 1)")
+                     .alias("err_bps"),
+                    "sel_docid_sum")
+            .orderBy("source"))

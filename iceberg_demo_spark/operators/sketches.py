@@ -1,0 +1,235 @@
+"""Mergeable sketch operators — the sub-linear estimation tier.
+
+The exact audits in dedup.py (cross-source matrix, pair joins) are the
+ground truth; at 100 TB a pipeline owner first wants the SAME answers
+approximately, from state that is tiny, mergeable and one-pass. This
+module adds that tier, starting with the KMV (k-minimum-values) distinct
+sketch of Bar-Yossef et al. 2002 / Beyer et al. 2007 ("Distinct-value
+synopses for multiset operations"): keep the k smallest hash values of a
+set; the k-th smallest value U_(k) estimates the distinct count as
+(k-1)/U_(k), and two sketches MERGE by taking the k smallest of their
+union — giving union size, Jaccard and intersection estimates for every
+source pair from S·k numbers instead of a digest self-join.
+
+Engine-portability discipline (the repo standard): the hash is an md5 hex
+prefix truncated to 52 bits, so every value is BOTH exactly representable
+and int64-product-safe — (k-1)·2^52 < 2^63 — and the whole estimator is
+exact integer arithmetic DuckDB replays bit-for-bit. No floats anywhere.
+
+Scale shape: one pass over distinct (source, value); the per-source
+bottom-k is a rank-≤-k window that Spark 4 executes with a map-side
+partial WindowGroupLimit (each task forwards at most k rows per source
+before the exchange — plan-pinned in tests/test_plans.py), so the shuffle
+carries O(tasks·S·k) rows, never the corpus. Everything after the sketch
+frame (≤ S·k rows) is driver-trivial and the pairwise stage is S²-bounded,
+independent of corpus size. The EXACT columns in the gate below are the
+audit half (the recall-audit family pattern): they ride the same digest
+self-join as dedup_cross_source_matrix and exist to price the sketch's
+error honestly; the production path at 100 TB returns the estimate
+columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.sources import load_tables
+
+#: sketch size — the standard accuracy knob (relative error ~ 1/sqrt(k))
+_KMV_K = 128
+
+#: hash domain: 52 bits = 13 md5 hex chars. Chosen so (k-1)·M and every
+#: downstream product stays inside int64 AND every value is exactly
+#: representable as a double should a consumer want ratios.
+_KMV_M = 1 << 52
+
+
+def kmv_value(col: Column) -> Column:
+    """52-bit uniform hash value from an md5 hex digest column —
+    engine-portable (DuckDB: ``('0x' || substr(h, 1, 13))::UBIGINT``)."""
+    return F.conv(F.substring(col, 1, 13), 16, 10).cast("bigint")
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = _KMV_K) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 52-bit values.
+
+    One exchange on the group key; the rank-≤-k filter is executed as a
+    map-side partial WindowGroupLimit (each task emits ≤ k rows per
+    group), so the exchange input is bounded by tasks·k per group
+    regardless of group size."""
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (df.select(group_col, value_col).distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))
+
+
+def kmv_estimate(n_sk: Column, vk: Column, k: int = _KMV_K) -> Column:
+    """Distinct-count estimate from sketch cardinality + k-th smallest
+    value: exact when the sketch is unsaturated (it then holds the whole
+    set), else the unbiased (k-1)·M / U_(k) — in exact int64 floor
+    arithmetic (all operands positive)."""
+    return F.when(n_sk < k, n_sk).otherwise(
+        F.expr(f"{k - 1} * {_KMV_M}") / F.greatest(vk, F.lit(1))
+    ).cast("bigint")
+
+
+@query(
+    "dedup_kmv_overlap_matrix",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT source, md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ), sv AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(wh, 1, 13))::UBIGINT AS BIGINT) AS v
+      FROM w
+    ), sk AS (
+      SELECT source, v,
+             row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+      FROM sv QUALIFY rn <= {_KMV_K}
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM sv) a
+      JOIN (SELECT DISTINCT source FROM sv) b ON a.source < b.source
+    ), tagged AS (
+      SELECT p.source_a, p.source_b, s.v,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT *, row_number()
+                OVER (PARTITION BY source_a, source_b ORDER BY v) AS rn
+      FROM tagged
+    ), uagg AS (
+      SELECT source_a, source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union_all,
+             CAST(SUM(CASE WHEN rn <= {_KMV_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ku,
+             CAST(SUM(CASE WHEN rn <= {_KMV_K} THEN in_a * in_b ELSE 0 END)
+                  AS BIGINT) AS shared_in_sketch,
+             MAX(CASE WHEN rn <= {_KMV_K} THEN v END) AS vku
+      FROM ranked GROUP BY 1, 2
+    ), est AS (
+      SELECT source_a, source_b, ku, shared_in_sketch,
+             CAST(CASE WHEN n_union_all < {_KMV_K} THEN n_union_all
+                  ELSE ({_KMV_K - 1} * {_KMV_M}) // greatest(vku, 1)
+                  END AS BIGINT) AS est_union,
+             CAST((10000 * shared_in_sketch) // greatest(ku, 1)
+                  AS BIGINT) AS est_jaccard_bps
+      FROM uagg
+    ), exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_shared
+      FROM sv a JOIN sv b ON a.v = b.v AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.ku AS k_used, e.est_union,
+           e.shared_in_sketch, e.est_jaccard_bps,
+           CAST((e.est_jaccard_bps * e.est_union) // 10000
+                AS BIGINT) AS est_shared,
+           CAST(COALESCE(x.exact_shared, 0) AS BIGINT) AS exact_shared,
+           CAST((10000 * abs((e.est_jaccard_bps * e.est_union) // 10000
+                             - COALESCE(x.exact_shared, 0)))
+                // greatest(COALESCE(x.exact_shared, 0), 1)
+                AS BIGINT) AS err_bps
+    FROM est e LEFT JOIN exact x USING (source_a, source_b)
+    ORDER BY e.source_a, e.source_b
+    """,
+)
+def dedup_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix from MERGED KMV sketches — the
+    sub-linear estimation tier next to the exact
+    ``dedup_cross_source_matrix`` (dedup.py:1344): per source, the k=128
+    smallest 52-bit window-hash values; per source pair, the merged
+    sketch (k smallest of the union) yields the union-size estimate
+    (k-1)·M/U_(k), the Jaccard estimate |both-flagged ∩ merged-k|/k and
+    their product as the shared-window estimate. The ``exact_shared`` and
+    ``err_bps`` columns are the audit half — the recall-audit family
+    pattern (dedup_minhash_recall, sim_ann_recall): they recompute the
+    truth through the digest self-join so the sketch's error is a
+    measured number, not a claim.
+
+    Scale shape: ONE corpus pass to the distinct (source, v) frame; the
+    per-source bottom-k is a rank window whose rank-≤-k filter Spark
+    executes as a map-side partial WindowGroupLimit (≤ k rows per source
+    leave each task — plan-pinned), so the sketch build shuffles
+    O(tasks·k) rows per source. Everything pairwise runs on the S·k-row
+    sketch frame — S²·k work regardless of corpus size, the whole point
+    of the sketch tier. At 100 TB the production form drops the exact
+    columns (their self-join is the cost the sketch avoids) and ships
+    sketches between clusters as S·k ints — they merge associatively.
+
+    Exactness: md5-prefix values, integer floor division everywhere —
+    DuckDB replays the estimator bit-for-bit (oracle above); unsaturated
+    sketches (sources with < k distinct windows, the sf0.001 regime)
+    degrade to exact counts by construction."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    sv = (_ingest_windows(t["documents"])
+          .select("source", "wh").distinct()
+          .select("source", kmv_value(F.col("wh")).alias("v"))
+          .distinct()
+          .persist())
+    sk = kmv_sketch(sv, "source", "v").persist()
+
+    # pairwise stage: everything below runs on the ≤ S·k-row sketch frame
+    srcs = sk.select("source").distinct()
+    pairs = (srcs.select(F.col("source").alias("source_a"))
+             .join(srcs.select(F.col("source").alias("source_b")),
+                   F.col("source_a") < F.col("source_b")))
+    tag_a = (pairs.join(sk.withColumnRenamed("source", "source_a"),
+                        "source_a")
+             .select("source_a", "source_b", "v",
+                     F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    tag_b = (pairs.join(sk.withColumnRenamed("source", "source_b"),
+                        "source_b")
+             .select("source_a", "source_b", "v",
+                     F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    tagged = (tag_a.unionByName(tag_b)
+              .groupBy("source_a", "source_b", "v")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    wnd = Window.partitionBy("source_a", "source_b").orderBy("v")
+    ranked = tagged.withColumn("rn", F.row_number().over(wnd))
+    in_k = F.col("rn") <= _KMV_K
+    uagg = ranked.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_union_all"),
+        F.sum(in_k.cast("bigint")).alias("ku"),
+        F.sum(F.when(in_k, F.col("in_a") * F.col("in_b")).otherwise(0))
+         .cast("bigint").alias("shared_in_sketch"),
+        F.max(F.when(in_k, F.col("v"))).alias("vku"))
+    est = uagg.select(
+        "source_a", "source_b",
+        F.col("ku").alias("k_used"),
+        F.when(F.col("n_union_all") < _KMV_K, F.col("n_union_all"))
+         .otherwise(F.expr(f"({_KMV_K - 1} * {_KMV_M}) div greatest(vku, 1)"))
+         .cast("bigint").alias("est_union"),
+        "shared_in_sketch",
+        F.expr("(10000 * shared_in_sketch) div greatest(ku, 1)")
+         .alias("est_jaccard_bps"))
+    est = est.withColumn(
+        "est_shared",
+        F.expr("(est_jaccard_bps * est_union) div 10000"))
+
+    # audit half: the exact digest self-join the sketch tier replaces
+    exact = (sv.select(F.col("source").alias("source_a"), "v")
+             .join(sv.select(F.col("source").alias("source_b"), "v"), "v")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("exact_shared")))
+    return (est.join(exact, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b", "k_used", "est_union",
+                    "shared_in_sketch", "est_jaccard_bps", "est_shared",
+                    F.coalesce("exact_shared", F.lit(0)).cast("bigint")
+                     .alias("exact_shared"),
+                    F.expr("(10000 * abs(est_shared"
+                           " - coalesce(exact_shared, 0)))"
+                           " div greatest(coalesce(exact_shared, 0), 1)")
+                     .alias("err_bps"))
+            .orderBy("source_a", "source_b"))

@@ -139,7 +139,9 @@ def load_all() -> None:
     threshold, bracketing the composed pipeline's 33500). They register
     past position 50 (locally oracle-verified in ORACLES_LOCAL_r09) and
     per the standing policy must LEAD the round-10 window together with
-    the 19-gate r6-stale tail listed above.
+    the 19-gate r6-stale tail listed above. Further late-round-9 gates
+    join the same queue as they land (operators/sketches.py etc.) —
+    each locally oracle-verified at all three SFs on arrival.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
@@ -156,6 +158,7 @@ def load_all() -> None:
         relational,
         tpch_partsupp,
         graph,
+        sketches,
     )
 
     # Round-9 window: explicit (see docstring). Positions 0-10 the

@@ -796,3 +796,30 @@ def test_bloom_filter_join_injects_fact_side_prefilter(spark):
     m = re.search(r"might_contain\([^)]*xxhash64\((\w+)", plan)
     assert m and m.group(1) == "user_id", plan[:2000]
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_kmv_sketch_bottom_k_is_map_side_group_limited(spark):
+    """dedup_kmv_overlap_matrix: the per-source bottom-k runs as a
+    partial WindowGroupLimit BEFORE the source exchange (each task
+    forwards ≤ k rows per source) plus the final one after — the
+    property that keeps the sketch-build shuffle O(tasks·k), not
+    O(corpus). Text never reaches an exchange."""
+    plan = _plan(spark, "dedup_kmv_overlap_matrix")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_priority_sample_rank_is_map_side_group_limited(spark):
+    """doc_priority_sample: the rank-≤-k+1 filter executes as a partial
+    WindowGroupLimit before the source exchange — the sampling shuffle
+    is O(tasks·k) per source; the exact audit is an ordinary partial
+    aggregate; text never reaches an exchange."""
+    plan = _plan(spark, "doc_priority_sample")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line

@@ -1,0 +1,73 @@
+"""Mergeable sketch tier (operators/sketches.py): KMV distinct sketches —
+exactness when unsaturated, estimator quality when saturated, and the
+merge law that makes them a 100 TB primitive."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.operators.sketches import (
+    _KMV_K, _KMV_M, kmv_estimate, kmv_sketch, kmv_value)
+from iceberg_demo_spark.registry import QUERIES
+from tests.conftest import SF_MED
+
+
+def _values(spark, n, group="g", seed=""):
+    """n distinct md5-derived 52-bit values under one group label."""
+    return (spark.range(n)
+            .select(F.lit(group).alias("g"),
+                    kmv_value(F.md5(F.concat(F.col("id").cast("string"),
+                                             F.lit(seed)))).alias("v")))
+
+
+def test_unsaturated_sketch_is_the_whole_set_and_estimate_exact(spark):
+    df = _values(spark, _KMV_K - 10)
+    sk = kmv_sketch(df, "g", "v")
+    rows = sk.collect()
+    assert len(rows) == _KMV_K - 10
+    est = sk.groupBy("g").agg(
+        kmv_estimate(F.count(F.lit(1)), F.max("v")).alias("e")).collect()
+    assert est[0]["e"] == _KMV_K - 10
+
+
+def test_saturated_estimate_within_3_sigma(spark):
+    # relative error of (k-1)/U_(k) is ~1/sqrt(k-2) ≈ 8.9% at k=128
+    n = 5000
+    sk = kmv_sketch(_values(spark, n), "g", "v")
+    assert sk.count() == _KMV_K
+    est = sk.groupBy("g").agg(
+        kmv_estimate(F.count(F.lit(1)), F.max("v")).alias("e")).collect()
+    assert abs(est[0]["e"] - n) / n < 3 / (_KMV_K - 2) ** 0.5
+
+
+def test_merge_equals_sketch_of_union(spark):
+    """k smallest of (sketch_a ∪ sketch_b) == sketch of (A ∪ B) — the
+    associative merge law that lets per-cluster sketches combine."""
+    a = _values(spark, 700, seed="a")
+    b = _values(spark, 900, seed="b")
+    merged = kmv_sketch(
+        kmv_sketch(a, "g", "v").unionByName(kmv_sketch(b, "g", "v")),
+        "g", "v")
+    direct = kmv_sketch(a.unionByName(b), "g", "v")
+    assert (sorted(r["v"] for r in merged.collect())
+            == sorted(r["v"] for r in direct.collect()))
+
+
+def test_values_are_52_bit(spark):
+    mx = _values(spark, 2000).agg(F.max("v"), F.min("v")).collect()[0]
+    assert 0 <= mx[1] and mx[0] < _KMV_M
+
+
+def test_overlap_matrix_audit_columns_are_consistent(spark):
+    out = QUERIES["dedup_kmv_overlap_matrix"](spark, SF_MED).collect()
+    assert len(out) == 190  # C(20, 2) source pairs
+    for r in out:
+        assert r["k_used"] <= _KMV_K
+        assert r["shared_in_sketch"] <= r["k_used"]
+        assert 0 <= r["est_jaccard_bps"] <= 10000
+        # est_shared is the product contract
+        assert r["est_shared"] == (r["est_jaccard_bps"] * r["est_union"]) // 10000
+        got = (10000 * abs(r["est_shared"] - r["exact_shared"])
+               ) // max(r["exact_shared"], 1)
+        assert r["err_bps"] == got
