@@ -1360,6 +1360,89 @@ def streaming_pydatasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# -- Python UDTF (the third Spark 4 Python extension point) -----------------
+
+def _chunk_udtf():
+    """Arrow-optimized Python UDTF chunking a document into fixed
+    256-char slices — the row-to-rows shape (LATERAL) that neither a
+    scalar UDF (1:1) nor a DataSource (source-only) covers. Defined in a
+    factory so the class object is fresh per registration (the UDTF
+    handle captures no SparkSession)."""
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: bigint, chunk_len: bigint, "
+                     "chunk_hash: string",
+          useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):
+            t = text or ""
+            # empty docs yield ONE empty chunk (mirrors the oracle's
+            # greatest(n_chars, 1) grid)
+            for i, s in enumerate(range(0, max(len(t), 1), 256)):
+                c = t[s:s + 256]
+                yield i, len(c), hashlib.md5(c.encode("utf-8")).hexdigest()
+
+    return ChunkDoc
+
+
+@query(
+    "source_python_udtf",
+    oracle="""
+    WITH ch AS (
+      SELECT d.source, d.doc_id,
+             length(substr(text, s::INT, 256)) AS clen,
+             md5(substr(text, s::INT, 256)) AS chash
+      FROM documents d,
+           UNNEST(range(1, greatest(n_chars, 1) + 1, 256)) AS t(s)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(clen) AS BIGINT) AS sum_chunk_chars,
+           CAST(COUNT(DISTINCT chash) AS BIGINT) AS n_distinct_chunks,
+           CAST(MAX(clen) AS BIGINT) AS max_chunk_len
+    FROM ch GROUP BY source ORDER BY source
+    """,
+)
+def source_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text chunking through a Python USER-DEFINED TABLE FUNCTION — the
+    third Spark 4 Python extension point next to the batch DataSource
+    (`source_python_datasource`) and the streaming DataSource
+    (`streaming_pydatasource_ingest`): one input row fans out to N
+    output rows via SQL `LATERAL chunk_doc(text)`, the canonical
+    row-to-rows shape for context-window chunking ahead of embedding.
+    The per-source rollup (chunk counts, char mass conservation —
+    sum_chunk_chars must equal Σ n_chars — and distinct chunk digests)
+    shares the parquet-derived oracle: the extension point must not
+    change data.
+
+    Exactness: chunk hashes are hashlib.md5 over the chunk's UTF-8
+    bytes — the same bytes DuckDB's md5(substr(...)) digests, so the
+    digest column is value-oracled, not just counted.
+
+    Scale shape: the UDTF runs Arrow-batched (useArrow=True) inside the
+    scan stage — no exchange before chunking; only the (source, digest)
+    partials shuffle for the rollup. A chunker this simple would
+    normally be `sequence`+`explode` (zero Python, see
+    _ingest_windows); the UDTF form exists for chunkers that genuinely
+    need Python (tokenizer-aware splitting) and this gate pins the
+    plumbing — schema, lateral join, Arrow batching — against the
+    declarative oracle."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    spark.udtf.register("chunk_doc", _chunk_udtf())
+    t["documents"].createOrReplaceTempView("udtf_docs")
+    chunks = spark.sql(
+        "SELECT d.source, c.chunk_idx, c.chunk_len, c.chunk_hash "
+        "FROM udtf_docs d, LATERAL chunk_doc(d.text) c")
+    return (chunks.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("chunk_len").cast("bigint").alias("sum_chunk_chars"),
+                 F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+                 F.max("chunk_len").cast("bigint").alias("max_chunk_len"))
+            .orderBy("source"))
+
+
 @query(
     "changelog_replication",
     oracle="""

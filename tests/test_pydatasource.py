@@ -173,3 +173,45 @@ def test_stream_reader_fails_loudly_on_reordered_log(spark, tmp_path):
         _run_stream(spark, src, out, ck)
     # nothing was re-ingested or skipped silently
     assert spark.read.parquet(str(out)).count() == 2
+
+
+# -- Python UDTF (third extension point) -------------------------------------
+
+def test_udtf_chunks_conserve_char_mass(spark):
+    """Σ chunk_len per source == Σ n_chars — the UDTF fans rows out
+    without creating or losing characters."""
+    from iceberg_demo_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+    got = {r["source"]: r["sum_chunk_chars"] for r in
+           QUERIES["source_python_udtf"](spark, SF_SMALL).collect()}
+    want = {r["source"]: r["s"] for r in
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+            .groupBy("source").agg(F.sum("n_chars").alias("s")).collect()}
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_udtf_empty_text_yields_one_empty_chunk(spark):
+    from iceberg_demo_spark.operators.table_ops import _chunk_udtf
+    spark.udtf.register("chunk_doc_t", _chunk_udtf())
+    rows = spark.sql(
+        "SELECT c.* FROM VALUES ('') AS v(t), LATERAL chunk_doc_t(t) c"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["chunk_len"] == 0
+    # 600 chars -> 3 chunks of 256/256/88
+    rows = spark.sql(
+        "SELECT c.* FROM VALUES (repeat('x', 600)) AS v(t), "
+        "LATERAL chunk_doc_t(t) c ORDER BY chunk_idx").collect()
+    assert [r["chunk_len"] for r in rows] == [256, 256, 88]
+
+
+def test_udtf_runs_arrow_batched_in_scan_stage(spark):
+    """The UDTF executes as ArrowEvalPythonUDTF with no exchange below
+    it — chunking happens inside the scan stage, Arrow-batched."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+    df = QUERIES["source_python_udtf"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    below = plan[plan.index("ArrowEvalPythonUDTF"):]
+    assert "Exchange" not in below
