@@ -1360,6 +1360,90 @@ def streaming_pydatasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# -- Source/sink format matrix (CSV / JSON / ORC round-trip) -----------------
+
+#: micros-precision pattern: the CSV/JSON defaults truncate to millis,
+#: silently corrupting microsecond event times on a round-trip
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@query(
+    "source_format_round_trip",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+             CAST(SUM(epoch_us(ts) % 1000000000) AS BIGINT)
+               AS sum_ts_micros_mod,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_floor_sum
+      FROM events
+    )
+    SELECT fmt, n_rows, sum_event_id, sum_ts_micros_mod, n_types,
+           value_floor_sum
+    FROM (VALUES ('csv'), ('json'), ('orc')) t(fmt) CROSS JOIN agg
+    ORDER BY fmt
+    """,
+)
+def source_format_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-equivalence matrix over Spark's built-in file formats:
+    the events table round-trips through CSV, JSON and ORC (write →
+    read-back with the explicit schema), and each format's row must
+    equal the parquet-derived oracle row — including MICROSECOND
+    timestamps (the CSV/JSON default patterns stop at millis; _TS_FMT
+    pins full precision on both legs) and bit-exact doubles (Java
+    emits the shortest round-trip decimal; the checksum is
+    ⌊value·10⁶⌋, IEEE-deterministic in both engines). The staging dirs
+    are OVERWRITTEN per invocation — no stale-copy hazard if the
+    testdata is regenerated (the sql_pivot_unpivot lesson, r8 ADVICE).
+
+    Scale shape: each leg is an embarrassingly parallel scan→write with
+    no shuffle; read-back parallelism is the written file count. The
+    gate exists because format plumbing is where silent data change
+    hides (timestamp truncation, float formatting, null encodings) —
+    at 100 TB nobody eyeballs rows, so equivalence must be a gate."""
+    from iceberg_demo_spark.operators.layout import _sf_tag
+
+    t = load_tables(spark, sf_dir, ("events",))
+    proj = t["events"].select("event_id", "ts", "user_id", "event_type",
+                              "value")
+    schema = proj.schema
+    tag = _sf_tag(sf_dir)
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        path = scratch_path(f"glacier_fmt_{fmt}_{tag}")
+        w = proj.write.mode("overwrite").format(fmt)
+        r = spark.read.format(fmt).schema(schema)
+        if fmt == "csv":
+            w = w.option("header", "true")
+            r = r.option("header", "true")
+        if fmt in ("csv", "json"):
+            # ts is TIMESTAMP_NTZ → the NTZ-specific option governs
+            # (timestampFormat would silently not apply); the default
+            # NTZ pattern stops at millis
+            w = w.option("timestampNTZFormat", _TS_FMT)
+            r = r.option("timestampNTZFormat", _TS_FMT)
+        w.save(path)
+        back = r.load(path)
+        outs.append(back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+            # LTZ cast is wall-time-preserving and matches epoch_us
+            F.sum(F.expr("unix_micros(cast(ts as timestamp))")
+                  % 1_000_000_000).cast("bigint")
+             .alias("sum_ts_micros_mod"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.floor(F.col("value") * 1_000_000)).cast("bigint")
+             .alias("value_floor_sum"),
+        ).select(F.lit(fmt).alias("fmt"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt")
+
+
 # -- Python UDTF (the third Spark 4 Python extension point) -----------------
 
 def _chunk_udtf():

@@ -215,3 +215,31 @@ def test_udtf_runs_arrow_batched_in_scan_stage(spark):
     assert "ArrowEvalPythonUDTF" in plan
     below = plan[plan.index("ArrowEvalPythonUDTF"):]
     assert "Exchange" not in below
+
+
+# -- format round-trip (CSV / JSON / ORC) ------------------------------------
+
+def test_format_round_trip_preserves_every_row(spark):
+    """Stronger than the gate's aggregates: the read-back frame is
+    row-for-row identical (two-way exceptAll empty) for every format,
+    including microsecond timestamps and double bit-patterns."""
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    from tests.conftest import SF_SMALL
+
+    proj = (spark.read.parquet(f"{SF_SMALL}/events.parquet")
+            .select("event_id", "ts", "user_id", "event_type", "value"))
+    fmtspec = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    for fmt in ("csv", "json", "orc"):
+        path = scratch_path(f"glacier_fmt_t_{fmt}_{_sf_tag(SF_SMALL)}")
+        w = proj.write.mode("overwrite").format(fmt)
+        r = spark.read.format(fmt).schema(proj.schema)
+        if fmt == "csv":
+            w, r = w.option("header", "true"), r.option("header", "true")
+        if fmt in ("csv", "json"):
+            w = w.option("timestampNTZFormat", fmtspec)
+            r = r.option("timestampNTZFormat", fmtspec)
+        w.save(path)
+        back = r.load(path)
+        assert back.exceptAll(proj).count() == 0, fmt
+        assert proj.exceptAll(back).count() == 0, fmt
