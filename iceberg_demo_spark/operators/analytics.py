@@ -1031,3 +1031,89 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise OLS via sufficient statistics (single pass, exact rational)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lineitem_price_qty_regression",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DECIMAL(38,0)) AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS DECIMAL(38,0)) AS slope_den,
+           CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+                AS DECIMAL(38,0)) AS intercept_num
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def lineitem_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (extendedprice-cents against
+    quantity, grouped by returnflag) computed ENTIRELY from sufficient
+    statistics — n, Σx, Σy, Σx², Σxy in one partial-aggregated pass —
+    with the fitted line emitted as EXACT RATIONALS: slope =
+    slope_num/slope_den, intercept = intercept_num/slope_den (the
+    normal-equation determinant form). This is the canonical
+    at-scale regression shape: no second centering pass, no driver
+    round, map-side combine does almost all the work, and grouped
+    models (one fit per key) fall out of the same aggregate.
+
+    Exactness: x and y are integer-valued by construction (quantity is
+    integral; price·100 lands within 1e-9 of an integer, and ROUND to
+    an INTEGER of an identical IEEE product is engine-stable — the
+    changelog_replication precedent, unlike ROUND-to-2dp). The
+    determinants exceed int64 (n·Σxy ≈ 2·10¹⁹ at sf0.1), so both
+    engines compute them in 128-bit exact arithmetic — Spark
+    DECIMAL(38,0), DuckDB HUGEINT→DECIMAL(38,0) — and the driver's
+    typed value hash sees identical Decimals. No double ever enters
+    the statistic, so there is nothing to drift: deliberately NOT
+    regr_slope/regr_intercept, whose double accumulation is
+    summation-order-dependent and cannot be value-oracled.
+
+    Shuffles: ONE exchange carrying 3 (flag, 5-int) partial rows per
+    task. At 100 TB this plan is unchanged — sufficient statistics are
+    the whole point."""
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    pts = t["lineitem"].select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"))
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"))
+    dec = "DECIMAL(38,0)"
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sy").cast("bigint").alias("sy"),
+        F.expr(f"CAST(CAST(n AS {dec}) * CAST(sxy AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sy AS {dec}) AS {dec})")
+         .alias("slope_num"),
+        F.expr(f"CAST(CAST(n AS {dec}) * CAST(sxx AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sx AS {dec}) AS {dec})")
+         .alias("slope_den"),
+        F.expr(f"CAST(CAST(sy AS {dec}) * CAST(sxx AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sxy AS {dec}) AS {dec})")
+         .alias("intercept_num"),
+    ).orderBy("l_returnflag")

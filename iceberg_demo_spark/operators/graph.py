@@ -210,3 +210,114 @@ def graph_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = integer_pagerank(e)
     return (rank.select(F.col("node").alias("doc_id"), "rank")
             .orderBy(F.desc("rank"), "doc_id").limit(20))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge join) + global clustering
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_doc_triangles",
+    oracle="""
+    WITH w AS (
+      SELECT DISTINCT doc_id, md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e ab JOIN e bc ON ab.dst = bc.src
+      JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CAST((10000 * 3 * (SELECT n_triangles FROM tri))
+                // greatest((SELECT SUM(d * (d - 1) // 2) FROM deg), 1)
+                AS BIGINT) AS clustering_bps
+    """,
+)
+def graph_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the UNDIRECTED
+    shared-window document graph (same edge set as graph_doc_pagerank,
+    canonical src < dst) — the graph-shape audit of a dedup cluster
+    structure: a high clustering coefficient says near-dup relations are
+    transitive (clean cliques the survivorship election handles well); a
+    low one says chains/stars (partial overlaps — span-level dedup
+    territory).
+
+    Algorithm — the published degree-ordered wedge count (the m^(3/2)
+    bound, Schank & Wagner 2005 / Suri & Vassilvitskii's MapReduce
+    form): re-orient every edge from its LOWER-rank endpoint under the
+    total order (degree, id), count wedges only at each triangle's
+    lowest-rank corner, and close them against the canonical edge set.
+    Orientation caps every vertex's out-degree at O(√m), so the wedge
+    join's per-key fan-out is bounded REGARDLESS of hub degree — the
+    skew story that makes triangle counting feasible at 100 TB, where
+    the naive a<b<c wedge join explodes on the hottest node. The count
+    is algorithm-independent, so the DuckDB oracle uses the simple
+    id-ordered form: same integer, two shapes.
+
+    Shuffles: degree aggregate (ids+ints), two edge-keyed joins for
+    orientation, one u-keyed self-join (fan-out √m-capped), one
+    (min,max)-keyed closing join. Text never leaves the hash
+    projection; everything shuffled is int pairs."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+
+    w = (_ingest_windows(t["documents"])
+         .select("doc_id", "wh").distinct())
+    x, y = w.alias("x"), w.alias("y")
+    e = (x.join(y, "wh")
+         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+         .select(F.col("x.doc_id").alias("src"),
+                 F.col("y.doc_id").alias("dst"))
+         .distinct()
+         .persist())
+    deg = (e.select(F.col("src").alias("v"))
+           .unionByName(e.select(F.col("dst").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+           .persist())
+    # orient each edge low-rank → high-rank under (degree, id)
+    eo = (e.join(deg.select(F.col("v").alias("src"),
+                            F.col("d").alias("ds")), "src")
+          .join(deg.select(F.col("v").alias("dst"),
+                           F.col("d").alias("dd")), "dst")
+          .select(
+              F.when((F.col("ds") < F.col("dd"))
+                     | ((F.col("ds") == F.col("dd"))
+                        & (F.col("src") < F.col("dst"))),
+                     F.col("src")).otherwise(F.col("dst")).alias("u"),
+              F.when((F.col("ds") < F.col("dd"))
+                     | ((F.col("ds") == F.col("dd"))
+                        & (F.col("src") < F.col("dst"))),
+                     F.col("dst")).otherwise(F.col("src")).alias("v"))
+          .persist())
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    wedges = (e1.join(e2, (F.col("e1.u") == F.col("e2.u"))
+                      & (F.col("e1.v") < F.col("e2.v")))
+              .select(F.least("e1.v", "e2.v").alias("src"),
+                      F.greatest("e1.v", "e2.v").alias("dst")))
+    tri = wedges.join(e, ["src", "dst"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"))
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (stats.crossJoin(F.broadcast(edges_n))
+            .crossJoin(F.broadcast(tri))
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.expr("(10000 * 3 * n_triangles)"
+                           " div greatest(n_wedges, 1)")
+                     .alias("clustering_bps")))

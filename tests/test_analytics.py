@@ -399,3 +399,28 @@ def test_approx_count_distinct_error_within_rsd(spark):
             rel = abs(r.approx - r.exact) / r.exact
             assert rel <= 3 * rsd, (col, getattr(r, "l_returnflag", "ALL"),
                                     r.exact, r.approx, rel)
+
+
+def test_regression_rationals_match_numpy_fit(spark):
+    """The exact rational slope/intercept from sufficient statistics
+    agree with numpy's float least-squares to float precision."""
+    import numpy as np
+
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["lineitem_price_qty_regression"](spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (round(r["l_quantity"]), round(r["l_extendedprice"] * 100)))
+    assert rows
+    for r in rows:
+        pts = np.array(by_flag[r["l_returnflag"]], dtype=float)
+        slope, intercept = np.polyfit(pts[:, 0], pts[:, 1], 1)
+        assert abs(float(r["slope_num"]) / float(r["slope_den"]) - slope) \
+            < 1e-6 * max(abs(slope), 1)
+        assert abs(float(r["intercept_num"]) / float(r["slope_den"])
+                   - intercept) < 1e-6 * max(abs(intercept), 1)

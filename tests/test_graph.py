@@ -99,3 +99,35 @@ def test_pagerank_sinks_ranked_and_match_python(spark):
     assert got == exp
     assert set(got) == {1, 2, 3, 4, 5}          # sinks 3 and 5 included
     assert got[3] > got[4]                      # sink out-ranks pure source
+
+
+def test_triangles_match_pure_python(spark):
+    """Degree-ordered count == brute-force enumeration over the
+    collected edge set; wedge/clustering identities hold."""
+    import hashlib
+    from itertools import combinations
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    adj: dict[int, set[int]] = {}
+    whmap: dict[str, set[int]] = {}
+    for r in docs:
+        t = r["text"]
+        for s in range(0, max(len(t) - 63, 1), 32):
+            wh = hashlib.md5(t[s:s + 64].encode()).hexdigest()
+            whmap.setdefault(wh, set()).add(r["doc_id"])
+    edges = set()
+    for ids in whmap.values():
+        for a, b in combinations(sorted(ids), 2):
+            edges.add((a, b))
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in edges
+              for c in (adj[a] & adj[b]) if c > b)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    row = registry.QUERIES["graph_doc_triangles"](spark, SF_SMALL).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    assert row["clustering_bps"] == (10000 * 3 * tri) // max(wedges, 1)

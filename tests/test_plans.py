@@ -823,3 +823,26 @@ def test_priority_sample_rank_is_map_side_group_limited(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_regression_is_one_partial_aggregated_exchange(spark):
+    """lineitem_price_qty_regression: sufficient statistics partial-
+    aggregate map-side — exactly one hash exchange (on the 3-value
+    group key) plus the final sort; no join, no window."""
+    plan = _plan(spark, "lineitem_price_qty_regression")
+    assert plan.count("hashpartitioning(") == 1  # + 1 range for ORDER BY
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_triangles_shuffle_int_pairs_only(spark):
+    """graph_doc_triangles: every exchange carries doc ids / counts —
+    text dies at the md5 projection; no cartesian products."""
+    plan = _plan(spark, "graph_doc_triangles")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the two final single-row broadcast
+    # combines (stats x n_edges x n_triangles) -- never corpus-sized;
+    # formatted plans print each node twice (tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line, line
