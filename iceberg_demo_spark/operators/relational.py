@@ -1533,3 +1533,89 @@ def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 from iceberg_demo_spark.registry import ORACLES as _RELORACLES  # noqa: E402
 
 _RELORACLES["sql_pivot_unpivot"] = _RELORACLES["events_pivot_hourly_matrix"]
+
+
+# ---------------------------------------------------------------------------
+# Window-function matrix: rank / dense_rank / percent_rank / ntile /
+# cume_dist semantics on ONE exchange, integer-exact
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_balance_window_ranks",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), r AS (
+      SELECT c_custkey, c_nationkey, cents,
+             row_number() OVER w_tb AS rn,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w_tb AS quartile,
+             CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT)
+               AS n,
+             CAST(COUNT(*) OVER (
+               PARTITION BY c_nationkey ORDER BY cents DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_ge
+      FROM c
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents DESC),
+             w_tb AS (PARTITION BY c_nationkey
+                      ORDER BY cents DESC, c_custkey)
+    )
+    SELECT c_nationkey, rn, c_custkey, cents,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(drnk AS BIGINT) AS drnk,
+           CAST(((rnk - 1) * 10000) // greatest(n - 1, 1) AS BIGINT)
+             AS pr_bps,
+           CAST(quartile AS BIGINT) AS quartile,
+           CAST((n_ge * 10000) // n AS BIGINT) AS cd_bps
+    FROM r WHERE rn <= 3
+    ORDER BY c_nationkey, rn
+    """,
+)
+def customer_balance_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window matrix on one frame: rank / dense_rank (ties
+    on equal balance-cents), ntile(4) and the integer-exact forms of
+    percent_rank (((rank−1)·10⁴) div (n−1)) and cume_dist ((peers-
+    inclusive running count ·10⁴) div n — a RANGE-frame COUNT, so tied
+    rows share the value exactly as cume_dist defines) — per nation over
+    customer balances, top-3 rows per nation out. The native
+    percent_rank()/cume_dist() return doubles; the div forms emit the
+    same ordering information as oracle-hashable integers (the repo's
+    standing float discipline).
+
+    Scale shape: every window shares ONE c_nationkey exchange (the SCD2
+    pattern — Spark plans a single Exchange feeding the Window chain,
+    plan-pinned), and the rn ≤ 3 output bound keeps the result
+    nation-sized. Balance cents: ROUND of an identical IEEE product to
+    an INTEGER — engine-stable (the changelog_replication precedent)."""
+    t = load_tables(spark, sf_dir, ("customer",))
+    c = t["customer"].select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cents"))
+    w_tb = (Window.partitionBy("c_nationkey")
+            .orderBy(F.desc("cents"), F.col("c_custkey")))
+    w_n = Window.partitionBy("c_nationkey")
+    w_ge = (Window.partitionBy("c_nationkey").orderBy(F.desc("cents"))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    r = c.select(
+        "c_nationkey", "c_custkey", "cents",
+        F.row_number().over(w_tb).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w_tb).alias("quartile"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+        F.count(F.lit(1)).over(w_ge).alias("n_ge"))
+    return (r.filter(F.col("rn") <= 3)
+            .select("c_nationkey", "rn", "c_custkey", "cents",
+                    F.col("rnk").cast("bigint").alias("rnk"),
+                    F.col("drnk").cast("bigint").alias("drnk"),
+                    F.expr("((rnk - 1) * 10000) div greatest(n - 1, 1)")
+                     .cast("bigint").alias("pr_bps"),
+                    F.col("quartile").cast("bigint").alias("quartile"),
+                    F.expr("(n_ge * 10000) div n").cast("bigint")
+                     .alias("cd_bps"))
+            .orderBy("c_nationkey", "rn"))

@@ -846,3 +846,15 @@ def test_triangles_shuffle_int_pairs_only(spark):
     for line in plan.splitlines():
         if "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_window_rank_matrix_shares_one_nationkey_exchange(spark):
+    """customer_balance_window_ranks: all five ranking windows run on a
+    single c_nationkey exchange (the SCD2 pattern)."""
+    plan = _plan(spark, "customer_balance_window_ranks")
+    import re
+    n = len(re.findall(r"hashpartitioning\(c_nationkey", plan))
+    # formatted plans print each node twice (tree shows Exchange, details
+    # repeat the arguments) -- one exchange = at most 2 textual hits
+    assert 1 <= n <= 2, plan[:1500]
+    assert "CartesianProduct" not in plan
