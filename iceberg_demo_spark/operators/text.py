@@ -814,3 +814,107 @@ def doc_lm_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_tokens")
         .orderBy("threshold_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 over a PERSISTED inverted index (the served-retrieval tier)
+# ---------------------------------------------------------------------------
+
+#: term-bucket directory count for the postings layout — the partition-
+#: pruning granularity of every probe
+_TEXT_IDX_BUCKETS = 64
+
+
+def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the standing inverted text index ONCE per SF: postings
+    (tok, doc_id, tf, dl) written ``partitionBy(tok_bucket)`` (md5 term
+    bucket — the directory key every probe prunes on), plus a one-row
+    corpus-stats file (N, avgdl). Built only if absent (testdata is
+    immutable), so bench reps measure the PROBE — exactly how a served
+    retrieval system amortizes indexing."""
+    import os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.operators.sampling import hash_bucket
+    from iceberg_demo_spark.scratch import scratch_path
+
+    path = scratch_path(f"glacier_text_idx_{_sf_tag(sf_dir)}")
+    post = os.path.join(path, "postings")
+    stats = os.path.join(path, "stats")
+    if not os.path.exists(os.path.join(post, "_SUCCESS")):
+        t = load_tables(spark, sf_dir, ("documents",))
+        toks = t["documents"].select(
+            "doc_id", F.explode(tokens_col()).alias("tok"),
+            F.size(tokens_col()).alias("dl"))
+        (toks.groupBy("doc_id", "tok", "dl")
+         .agg(F.count(F.lit(1)).alias("tf"))
+         .withColumn("tok_bucket",
+                     hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS)
+         .write.partitionBy("tok_bucket").mode("overwrite").parquet(post))
+        (t["documents"].agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum(F.size(tokens_col())).cast("double")
+             / F.count(F.lit(1))).alias("avgdl"))
+         .write.mode("overwrite").parquet(stats))
+    return path
+
+
+@query("doc_bm25_indexed", oracle=None)  # shares doc_bm25_search's oracle
+def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_bm25_search's ranking served from the PERSISTED inverted
+    index — the access-path upgrade the relational form's docstring
+    calls itself ("this IS an inverted-index probe expressed
+    relationally"), made physical, completing the index-tier triad:
+    dedup has ensure_dedup_index, ANN has the IVF lists, retrieval now
+    has postings. A |q|-term query reads ONLY the ≤|q| term-bucket
+    DIRECTORIES of the postings layout (PartitionFilters prune,
+    plan-pinned — the corpus is never rescanned, never re-tokenized),
+    filters to the exact terms, and reuses the identical BM25
+    arithmetic; df comes from the probed postings themselves and (N,
+    avgdl) from the one-row stats file. Shares doc_bm25_search's oracle
+    verbatim: the layout must not change the ranking.
+
+    Scale shape: probe I/O ∝ Σ_t |postings(bucket(t))| — independent of
+    corpus size for selective terms; the index build is the one-time
+    tokenize+count shuffle every later query no longer pays; append-only
+    corpus growth appends postings into the same directory scheme. At
+    100 TB the postings tier is the difference between interactive
+    retrieval and a corpus scan per query."""
+    import os
+
+    from iceberg_demo_spark.operators.sampling import hash_bucket
+
+    path = ensure_text_index(spark, sf_dir)
+    buckets = spark.range(0).sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "tok string").select(
+        (hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS).alias("b")
+    ).collect()
+    bucket_ids = sorted({r["b"] for r in buckets})
+    post = (spark.read.parquet(os.path.join(path, "postings"))
+            .filter(F.col("tok_bucket").isin(bucket_ids))
+            .filter(F.col("tok").isin(*_BM25_TERMS)))
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = post.join(F.broadcast(df), "tok").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (F.col("tf")
+           + _BM25_K1 * (1 - _BM25_B
+                         + _BM25_B * F.col("dl") / F.col("avgdl")))
+    ).cast("decimal(20,12)")
+    return (
+        joined.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+from iceberg_demo_spark.registry import ORACLES as _TEXTORACLES  # noqa: E402
+
+_TEXTORACLES["doc_bm25_indexed"] = _TEXTORACLES["doc_bm25_search"]

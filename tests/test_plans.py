@@ -858,3 +858,14 @@ def test_window_rank_matrix_shares_one_nationkey_exchange(spark):
     # repeat the arguments) -- one exchange = at most 2 textual hits
     assert 1 <= n <= 2, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_indexed_probe_is_partition_pruned(spark):
+    """doc_bm25_indexed: the postings scan prunes to the query terms'
+    bucket DIRECTORIES (PartitionFilters) and pushes the exact-term
+    filter — the corpus is never rescanned or re-tokenized."""
+    plan = _plan(spark, "doc_bm25_indexed")
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "tok_bucket" in seg and " IN " in seg
+    assert "In(tok" in plan.split("PushedFilters")[1].splitlines()[0]
+    assert "documents.parquet" not in plan  # no corpus scan in the probe

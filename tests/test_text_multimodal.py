@@ -316,3 +316,13 @@ def test_lm_quality_matches_python_recompute(spark):
     got = sorted((r.lang, r.source, r.n_docs, r.avg_ppm, r.min_ppm,
                   r.max_ppm) for r in rows)
     assert got == expected
+
+
+def test_bm25_indexed_equals_relational_form(spark):
+    """The persisted-postings probe returns the identical ranking to
+    doc_bm25_search — the layout must not change the answer."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_MED
+    a = QUERIES["doc_bm25_search"](spark, SF_MED).collect()
+    b = QUERIES["doc_bm25_indexed"](spark, SF_MED).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

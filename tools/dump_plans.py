@@ -111,6 +111,20 @@ EXTRA = [
     # snapshot here would show only a LocalTableScan.
     "sim_ivfpq_search",
     "doc_lm_threshold_sweep",
+    # session additions after the round-9 artifacts froze (round-10
+    # queue): KMV sketch overlap (map-side WindowGroupLimit bottom-k),
+    # priority sampling (group-limited rank + partial-agg audit),
+    # UDTF chunking (ArrowEvalPythonUDTF inside the scan stage),
+    # degree-ordered triangles, sufficient-statistics regression and
+    # the five-window ranking matrix on one exchange.
+    # source_format_round_trip is pinned in tests only — it writes
+    # scratch per call, so a snapshot would drift per tempdir.
+    "dedup_kmv_overlap_matrix",
+    "doc_priority_sample",
+    "source_python_udtf",
+    "graph_doc_triangles",
+    "lineitem_price_qty_regression",
+    "customer_balance_window_ranks",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
