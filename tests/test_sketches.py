@@ -71,3 +71,38 @@ def test_overlap_matrix_audit_columns_are_consistent(spark):
         got = (10000 * abs(r["est_shared"] - r["exact_shared"])
                ) // max(r["exact_shared"], 1)
         assert r["err_bps"] == got
+
+
+def test_kmv_estimate_floor_is_exact_across_divisors(spark):
+    """The correction-snapped floor equals Python's exact // for
+    divisors spanning the whole magnitude range, including
+    quotient-near-integer cases double division alone can miss."""
+    n_lit = (_KMV_K - 1) * _KMV_M
+    # divisors that make the quotient land exactly on / next to integers
+    divs = ([3, 7, 127, 1000003] +
+            [n_lit // q for q in (5, 127, 128, 1000, 999983)] +
+            [(n_lit // q) + d for q in (17, 129) for d in (-1, 0, 1)])
+    df = spark.createDataFrame([(int(v),) for v in divs], "vk: bigint")
+    got = df.select(
+        "vk",
+        kmv_estimate(F.lit(_KMV_K), F.col("vk")).alias("e")).collect()
+    for r in got:
+        assert r["e"] == n_lit // r["vk"], (r["vk"], r["e"])
+
+
+def test_incremental_epochs_equal_direct_sketch(spark):
+    """Re-sketching the union of three epoch sketches returns the exact
+    per-source rows of the direct full-corpus sketch."""
+    from iceberg_demo_spark.registry import QUERIES
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from tests.conftest import SF_SMALL
+    inc = QUERIES["sketch_kmv_incremental"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sv = (_ingest_windows(docs).select("source", "wh").distinct()
+          .select("source", kmv_value(F.col("wh")).alias("v")).distinct())
+    direct = (kmv_sketch(sv, "source", "v").groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_sk"), F.max("v").alias("vk"),
+                   kmv_estimate(F.count(F.lit(1)), F.max("v"))
+                   .alias("est_distinct"))
+              .orderBy("source").collect())
+    assert [tuple(r) for r in inc] == [tuple(r) for r in direct]
