@@ -139,9 +139,21 @@ def load_all() -> None:
     threshold, bracketing the composed pipeline's 33500). They register
     past position 50 (locally oracle-verified in ORACLES_LOCAL_r09) and
     per the standing policy must LEAD the round-10 window together with
-    the 19-gate r6-stale tail listed above. Further late-round-9 gates
-    join the same queue as they land (operators/sketches.py etc.) —
-    each locally oracle-verified at all three SFs on arrival.
+    the 19-gate r6-stale tail listed above. The SECOND late-round-9
+    wave joins the same queue (each locally oracle-verified at all
+    three SFs on arrival, ORACLES_LOCAL_r09; sf0.1-vs-sf1 supplements
+    in BENCH_SF1_r09): dedup_kmv_overlap_matrix + sketch_kmv_incremental
+    (the mergeable-sketch tier, operators/sketches.py),
+    doc_priority_sample (weighted sampling w/o replacement),
+    source_python_udtf (the third Python extension point),
+    source_format_round_trip (CSV/JSON/ORC transport equivalence),
+    graph_doc_triangles (degree-ordered wedge join),
+    lineitem_price_qty_regression (sufficient-statistics OLS, exact
+    rationals), customer_balance_window_ranks (five ranking windows on
+    one exchange) and doc_bm25_indexed (persisted postings probe,
+    shares doc_bm25_search's oracle). Round-10 window budget: 11 queue
+    gates + 19 r6-stale tail = 30, leaving 20 slots for the then-stalest
+    r7 gates.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,
