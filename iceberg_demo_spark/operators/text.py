@@ -918,3 +918,164 @@ def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 from iceberg_demo_spark.registry import ORACLES as _TEXTORACLES  # noqa: E402
 
 _TEXTORACLES["doc_bm25_indexed"] = _TEXTORACLES["doc_bm25_search"]
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (the merge loop itself, not just pair ranking)
+# ---------------------------------------------------------------------------
+
+#: merge rounds trained (and unrolled in the oracle, pagerank-style)
+_BPE_ROUNDS = 3
+
+
+def _bpe_round(df: DataFrame, top: DataFrame) -> DataFrame:
+    """One BPE merge applied to the (tok, f, pos, sym) symbol frame:
+    greedy left-to-right replacement of the winning adjacent pair
+    (a, b) → ab in every word. Greedy with overlaps (a == b runs like
+    'aaaa') is resolved by island parity: consecutive matching ROWS
+    form an island (gaps-and-islands on row_number − cumulative match
+    count) and every even-offset match within it merges — the classic
+    sequential semantics, computed with window functions only."""
+    wt = Window.partitionBy("tok").orderBy("pos")
+    m = (df
+         .withColumn("nxt", F.lead("sym").over(wt))
+         .withColumn("rn", F.row_number().over(wt))
+         .crossJoin(F.broadcast(top.select(F.col("a").alias("ta"),
+                                           F.col("b").alias("tb"))))
+         .withColumn("match", (F.col("sym") == F.col("ta"))
+                     & (F.col("nxt") == F.col("tb"))))
+    m = m.withColumn("cm", F.sum(F.col("match").cast("int")).over(wt))
+    m = m.withColumn("isl", F.when(F.col("match"),
+                                   F.col("rn") - F.col("cm")))
+    w_isl = Window.partitionBy("tok", "isl")
+    m = m.withColumn(
+        "sel", F.col("match")
+        & ((F.col("rn") - F.min("rn").over(w_isl)) % 2 == 0))
+    m = m.withColumn("consumed",
+                     F.coalesce(F.lag("sel").over(wt), F.lit(False)))
+    return (m.filter(~F.col("consumed"))
+            .select("tok", "f", "pos",
+                    F.when(F.col("sel"),
+                           F.concat("sym", "nxt")).otherwise(F.col("sym"))
+                     .alias("sym")))
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """The oracle's unrolled mirror of the merge loop — one CTE chain
+    per round (the _pagerank_sql_iterations pattern), MATERIALIZED where
+    a frame feeds both the next round and the stats output."""
+    parts = ["""
+    wf AS MATERIALIZED (
+      SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS f
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      GROUP BY u.tok
+    ),
+    s0 AS MATERIALIZED (
+      SELECT tok, f, i AS pos, substr(tok, i::INT, 1) AS sym
+      FROM wf, UNNEST(range(1, len(tok) + 1)) AS u(i)
+    )"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+    m{i} AS (
+      SELECT tok, f, pos, sym,
+             lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt,
+             row_number() OVER (PARTITION BY tok ORDER BY pos) AS rn
+      FROM s{p}
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM m{i} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    k{i} AS (
+      SELECT m.tok, m.f, m.pos, m.sym, m.nxt, m.rn,
+             (m.sym = t.a AND m.nxt IS NOT DISTINCT FROM t.b) AS match,
+             SUM(CASE WHEN m.sym = t.a AND m.nxt IS NOT DISTINCT FROM t.b
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY m.tok ORDER BY m.pos) AS cm
+      FROM m{i} m CROSS JOIN t{i} t
+    ),
+    x{i} AS (
+      SELECT *, CASE WHEN match THEN rn - cm END AS isl FROM k{i}
+    ),
+    y{i} AS (
+      SELECT *, match AND (rn - MIN(rn) OVER (PARTITION BY tok, isl))
+                          % 2 = 0 AS sel
+      FROM x{i}
+    ),
+    z{i} AS (
+      SELECT tok, f, pos,
+             CASE WHEN sel THEN sym || nxt ELSE sym END AS sym,
+             COALESCE(LAG(sel) OVER (PARTITION BY tok ORDER BY pos),
+                      FALSE) AS consumed
+      FROM y{i}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT tok, f, pos, sym FROM z{i} WHERE NOT consumed
+    )""")
+    selects = [f"""
+    SELECT {i} AS merge_rank, a, b, cnt,
+           (SELECT CAST(SUM(f) AS BIGINT) FROM s{i}) AS symbols_after,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM s{i})
+             AS vocab_after
+    FROM t{i}""" for i in range(1, rounds + 1)]
+    return ("WITH " + ",".join(parts) + "\n"
+            + " UNION ALL ".join(selects) + " ORDER BY merge_rank")
+
+
+@query("doc_bpe_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the actual merge loop (Sennrich et al.
+    2016), not just pair ranking: starting from characters, each round
+    counts frequency-weighted adjacent symbol pairs, elects the winner
+    (count DESC, then lexicographic — fully deterministic), and greedily
+    rewrites every word. Output: one row per learned merge (rank, pair,
+    weighted count) plus the post-merge corpus state (weighted symbol
+    total, symbol vocabulary) — the table a tokenizer builder ships.
+
+    The load-bearing scale property: the corpus is read ONCE, collapsing
+    to the (word, frequency) VOCABULARY frame — every merge round then
+    runs on vocab-sized data (the classic BPE-training trick: millions
+    of distinct words regardless of corpus TB). Each round is window
+    work partitioned by word (sequences are short) + a pair aggregate +
+    a 1-row broadcast winner; per-round eager localCheckpoint cuts the
+    growing window lineage exactly as the PageRank loop does
+    (graph.py:106). Greedy overlap semantics (a == b runs) are resolved
+    by island parity — gaps-and-islands over row numbers, no UDF, no
+    recursion; the DuckDB oracle unrolls the identical three rounds
+    (_bpe_oracle, the _pagerank_sql_iterations pattern).
+
+    At 100 TB: one tokenize+count shuffle over the corpus, then rounds
+    whose cost is independent of corpus size — add rounds, not scans.
+    Production BPE runs ~30k merges; the loop body here IS that loop
+    body (3 rounds keep the unrolled oracle reviewable)."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    wf = (t["documents"]
+          .select(F.explode(tokens_col()).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    seq = (wf
+           .select("tok", "f",
+                   F.explode(F.expr("sequence(1, length(tok))"))
+                    .alias("pos"))
+           .select("tok", "f", "pos",
+                   F.expr("substring(tok, pos, 1)").alias("sym"))
+           .localCheckpoint(eager=True))
+    wt = Window.partitionBy("tok").orderBy("pos")
+    out = None
+    for i in range(1, _BPE_ROUNDS + 1):
+        pairs = (seq.withColumn("b", F.lead("sym").over(wt))
+                 .filter(F.col("b").isNotNull())
+                 .groupBy(F.col("sym").alias("a"), "b")
+                 .agg(F.sum("f").alias("cnt")))
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+               .localCheckpoint(eager=True))
+        seq = _bpe_round(seq, top).localCheckpoint(eager=True)
+        stats = seq.agg(
+            F.sum("f").cast("bigint").alias("symbols_after"),
+            F.countDistinct("sym").alias("vocab_after"))
+        row = (top.select(F.lit(i).alias("merge_rank"), "a", "b", "cnt")
+               .crossJoin(F.broadcast(stats)))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("merge_rank")

@@ -869,3 +869,13 @@ def test_bm25_indexed_probe_is_partition_pruned(spark):
     assert "tok_bucket" in seg and " IN " in seg
     assert "In(tok" in plan.split("PushedFilters")[1].splitlines()[0]
     assert "documents.parquet" not in plan  # no corpus scan in the probe
+
+
+def test_bpe_merges_final_plan_rescans_no_corpus(spark):
+    """doc_bpe_merges: every merge round runs on the checkpointed
+    vocab-sized symbol frame — the output plan contains no parquet
+    (re)scan of documents; corpus work happened exactly once, behind
+    the round-1 checkpoint."""
+    plan = _plan(spark, "doc_bpe_merges")
+    assert "documents" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed round frames

@@ -326,3 +326,67 @@ def test_bm25_indexed_equals_relational_form(spark):
     a = QUERIES["doc_bm25_search"](spark, SF_MED).collect()
     b = QUERIES["doc_bm25_indexed"](spark, SF_MED).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _bpe_reference(word_freqs, rounds):
+    """Sequential reference BPE (Sennrich 2016): greedy left-to-right
+    merge of the (count DESC, lexicographic) winning pair each round."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(rounds):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+        n_sym = sum(f * len(seqs[w]) for w, f in word_freqs.items())
+        vocab = len({t for s in seqs.values() for t in s})
+        merges.append((a, b, cnt, n_sym, vocab))
+    return merges
+
+
+def test_bpe_merges_match_sequential_reference(spark):
+    """The distributed island-parity merge equals the classic
+    sequential greedy loop on the real corpus vocabulary."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    wf = {}
+    for r in docs:
+        for tok in r["text"].split(" "):
+            wf[tok] = wf.get(tok, 0) + 1
+    want = _bpe_reference(wf, 3)
+    got = QUERIES["doc_bpe_merges"](spark, SF_SMALL).collect()
+    assert [(r["a"], r["b"], r["cnt"], r["symbols_after"], r["vocab_after"])
+            for r in got] == want
+
+
+def test_bpe_round_handles_equal_symbol_runs(spark):
+    """'aaaa' with winner (a,a) must merge greedily to [aa, aa];
+    'aaa' to [aa, a] — the island-parity overlap semantics."""
+    from iceberg_demo_spark.operators.text import _bpe_round
+    from pyspark.sql import functions as F
+    rows = []
+    for w in ("aaaa", "aaa", "baaab"):
+        for i, ch in enumerate(w):
+            rows.append((w, 1, i + 1, ch))
+    df = spark.createDataFrame(rows, "tok string, f long, pos long, sym string")
+    top = spark.createDataFrame([("a", "a")], "a string, b string")
+    out = _bpe_round(df, top).orderBy("tok", "pos").collect()
+    by_tok = {}
+    for r in out:
+        by_tok.setdefault(r["tok"], []).append(r["sym"])
+    assert by_tok["aaaa"] == ["aa", "aa"]
+    assert by_tok["aaa"] == ["aa", "a"]
+    assert by_tok["baaab"] == ["b", "aa", "a", "b"]
