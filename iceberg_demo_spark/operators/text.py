@@ -960,10 +960,11 @@ def _bpe_round(df: DataFrame, top: DataFrame) -> DataFrame:
                      .alias("sym")))
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """The oracle's unrolled mirror of the merge loop — one CTE chain
-    per round (the _pagerank_sql_iterations pattern), MATERIALIZED where
-    a frame feeds both the next round and the stats output."""
+def _bpe_oracle_parts(rounds: int) -> str:
+    """The oracle's unrolled merge-loop CTE chain — one block per round
+    (the _pagerank_sql_iterations pattern), MATERIALIZED where a frame
+    feeds both the next round and an output; shared by the training
+    gate's merges SELECT and the encode gate's per-source rollup."""
     parts = ["""
     wf AS MATERIALIZED (
       SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS f
@@ -1015,13 +1016,17 @@ def _bpe_oracle(rounds: int) -> str:
     s{i} AS MATERIALIZED (
       SELECT tok, f, pos, sym FROM z{i} WHERE NOT consumed
     )""")
+    return ",".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
     selects = [f"""
     SELECT {i} AS merge_rank, a, b, cnt,
            (SELECT CAST(SUM(f) AS BIGINT) FROM s{i}) AS symbols_after,
            (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM s{i})
              AS vocab_after
     FROM t{i}""" for i in range(1, rounds + 1)]
-    return ("WITH " + ",".join(parts) + "\n"
+    return ("WITH " + _bpe_oracle_parts(rounds) + "\n"
             + " UNION ALL ".join(selects) + " ORDER BY merge_rank")
 
 
@@ -1052,7 +1057,15 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production BPE runs ~30k merges; the loop body here IS that loop
     body (3 rounds keep the unrolled oracle reviewable)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    wf = (t["documents"]
+    out, _ = _bpe_train(t["documents"])
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(docs: DataFrame):
+    """Collapse ``docs`` to the (word, frequency) vocabulary frame and
+    run _BPE_ROUNDS merge rounds; returns (merges frame, final symbol
+    frame) — shared by the training gate and the encode gate."""
+    wf = (docs
           .select(F.explode(tokens_col()).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
     seq = (wf
@@ -1078,4 +1091,59 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (top.select(F.lit(i).alias("merge_rank"), "a", "b", "cnt")
                .crossJoin(F.broadcast(stats)))
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("merge_rank")
+    return out, seq
+
+
+@query(
+    "doc_bpe_encode",
+    oracle=f"""
+    WITH {{parts}},
+    tl AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS ntok
+      FROM s{_BPE_ROUNDS} GROUP BY tok
+    ),
+    st AS (
+      SELECT source, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST((10000 * SUM(ntok)) // SUM(len(tok)) AS BIGINT)
+             AS tokens_per_char_bps
+    FROM st JOIN tl USING (tok)
+    GROUP BY source ORDER BY source
+    """.replace("{parts}", _bpe_oracle_parts(_BPE_ROUNDS)),
+)
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer lifecycle: apply the merges
+    doc_bpe_merges learns to the whole corpus and report per-source
+    token accounting (words, chars, post-BPE tokens, tokens-per-char in
+    bps — the fertility number a pretraining budget is priced in). The
+    two gates chain exactly like mixture weights → materialize: train
+    once, encode everywhere.
+
+    Scale shape: training runs on the vocabulary frame (see
+    doc_bpe_merges); encoding never touches symbol sequences again —
+    each distinct word's post-merge TOKEN COUNT is a vocab-sized lookup
+    table that joins onto the corpus word stream (broadcast at real
+    vocab sizes: millions of words × one int). The corpus pays one
+    tokenize pass + one aggregate; fertility per source falls out of
+    the same join. Oracle nests the identical unrolled merge rounds
+    (shared _bpe_oracle_parts) under the lookup join."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    _, seq = _bpe_train(t["documents"])
+    tl = (seq.groupBy("tok")
+          .agg(F.count(F.lit(1)).alias("ntok")))
+    st = t["documents"].select(
+        "source", F.explode(tokens_col()).alias("tok"))
+    return (st.join(F.broadcast(tl), "tok")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+                 F.sum("ntok").cast("bigint").alias("n_tokens"))
+            .select("source", "n_words", "n_chars", "n_tokens",
+                    F.expr("(10000 * n_tokens) div n_chars")
+                     .alias("tokens_per_char_bps"))
+            .orderBy("source"))

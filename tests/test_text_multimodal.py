@@ -390,3 +390,40 @@ def test_bpe_round_handles_equal_symbol_runs(spark):
     assert by_tok["aaaa"] == ["aa", "aa"]
     assert by_tok["aaa"] == ["aa", "a"]
     assert by_tok["baaab"] == ["b", "aa", "a", "b"]
+
+
+def test_bpe_encode_matches_reference_token_counts(spark):
+    """Per-source post-BPE token totals equal the sequential reference
+    encoding applied to every word occurrence."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    wf = {}
+    for r in docs:
+        for tok in r["text"].split(" "):
+            wf[tok] = wf.get(tok, 0) + 1
+    merges = _bpe_reference(wf, 3)
+    # re-derive final sequences with the reference merges
+    seqs = {w: list(w) for w in wf}
+    for a, b, *_ in merges:
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = out
+    want = {}
+    for r in docs:
+        src = r["source"]
+        agg = want.setdefault(src, [0, 0, 0])
+        for tok in r["text"].split(" "):
+            agg[0] += 1
+            agg[1] += len(tok)
+            agg[2] += len(seqs[tok])
+    got = QUERIES["doc_bpe_encode"](spark, SF_SMALL).collect()
+    for r in got:
+        w = want[r["source"]]
+        assert (r["n_words"], r["n_chars"], r["n_tokens"]) == tuple(w)
+        assert r["tokens_per_char_bps"] == (10000 * w[2]) // w[1]
