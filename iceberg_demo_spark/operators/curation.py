@@ -2220,3 +2220,104 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp_ivfpq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-covariance audit over the int8 codes (embedding QA)
+# ---------------------------------------------------------------------------
+
+@query(
+    "emb_code_covariance",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, {_DIMS})) AS t(i)
+    ),
+    ma AS (
+      SELECT dim, MAX(ABS(x)) AS maxabs FROM expl GROUP BY dim
+    ),
+    codes AS (
+      SELECT e.vec_id, e.dim,
+             CAST(ROUND(e.x * 127 / m.maxabs) AS BIGINT) AS code
+      FROM expl e JOIN ma m USING (dim)
+    ),
+    dsum AS (
+      SELECT dim, CAST(SUM(code) AS BIGINT) AS s FROM codes GROUP BY dim
+    ),
+    pairs AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(a.code * b.code) AS BIGINT) AS sum_cij
+      FROM codes a JOIN codes b
+        ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT p.i, p.j, p.n_vecs,
+           da.s AS sum_ci, db.s AS sum_cj, p.sum_cij,
+           CAST(p.n_vecs * p.sum_cij - da.s * db.s AS BIGINT) AS cov_num
+    FROM pairs p JOIN dsum da ON da.dim = p.i JOIN dsum db ON db.dim = p.j
+    ORDER BY abs(p.n_vecs * p.sum_cij - da.s * db.s) DESC, p.i, p.j
+    LIMIT 15
+    """,
+)
+def emb_code_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding feature-covariance audit in EXACT integer arithmetic:
+    quantize to the same int8 codes as emb_int8_quantization (shared
+    maxabs scaling, bit-identical ROUND expression), then the top-15
+    most-covariant off-diagonal dimension pairs by the exact covariance
+    numerator n.Sxy - Sx.Sy (denominator n^2 is the consumer's) -- the
+    redundancy/correlation QA a pipeline runs before PCA/whitening or
+    Matryoshka truncation decisions: heavily covariant dims mean wasted
+    capacity int8 quantization then spends twice.
+
+    Scale shape: ONE corpus map pass -- the 64-entry maxabs frame folds
+    in as a broadcast array, each row emits its 2016 upper-triangle
+    code products JVM-side (transform+flatten, no Python), and the only
+    exchange carries (i, j) partial sums: 2016 keys regardless of
+    corpus size, the sufficient-statistics discipline of
+    lineitem_price_qty_regression applied to feature space. The oracle
+    computes the same statistic relationally (self-join on vec_id);
+    same integers, two shapes. Magnitudes: |code| <= 127, so
+    n.sum_cij <= 16129.n^2 -- int64-safe through ~10^7 vectors; past
+    that, emit DECIMAL(38,0) like the regression gate."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    expl = t["embeddings"].select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"),
+             F.col("xf").cast("double").alias("x"))
+    stats = expl.groupBy("dim").agg(F.max(F.abs("x")).alias("maxabs"))
+    ma = (stats.agg(F.array_sort(F.collect_list(F.struct("dim", "maxabs")))
+                    .alias("s"))
+          .select(F.expr("transform(s, e -> e.maxabs)").alias("ma")))
+    codes = (t["embeddings"].crossJoin(F.broadcast(ma))
+             .select("vec_id", F.expr(
+                 f"transform(sequence(1, {_DIMS}), i -> "
+                 "CAST(ROUND(CAST(element_at(embedding, i) AS DOUBLE)"
+                 " * 127 / element_at(ma, i)) AS BIGINT))").alias("c")))
+    # outer loop stops at _DIMS-1: sequence(a, b) with a > b runs
+    # DESCENDING in Spark, so i = _DIMS would fabricate (65, 64) pairs
+    pairs = (codes.select(F.explode(F.expr(
+        f"flatten(transform(sequence(1, {_DIMS} - 1), i -> "
+        f"transform(sequence(i + 1, {_DIMS}), j -> "
+        "struct(i AS i, j AS j,"
+        " element_at(c, i) * element_at(c, j) AS p))))")).alias("t"))
+        .select("t.*")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             F.sum("p").alias("sum_cij")))
+    dsum = (codes.select(F.posexplode("c").alias("pos", "code"))
+            .select((F.col("pos") + 1).alias("dim"), "code")
+            .groupBy("dim").agg(F.sum("code").alias("s")))
+    out = (pairs
+           .join(F.broadcast(dsum.select(F.col("dim").alias("i"),
+                                         F.col("s").alias("sum_ci"))), "i")
+           .join(F.broadcast(dsum.select(F.col("dim").alias("j"),
+                                         F.col("s").alias("sum_cj"))), "j")
+           .select("i", "j", "n_vecs", "sum_ci", "sum_cj",
+                   F.col("sum_cij").cast("bigint").alias("sum_cij"),
+                   (F.col("n_vecs") * F.col("sum_cij")
+                    - F.col("sum_ci") * F.col("sum_cj"))
+                   .cast("bigint").alias("cov_num")))
+    return (out.orderBy(F.abs("cov_num").desc(), "i", "j").limit(15)
+            .select("i", "j", "n_vecs", "sum_ci", "sum_cj", "sum_cij",
+                    "cov_num"))

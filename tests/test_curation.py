@@ -696,3 +696,34 @@ def test_ivfpq_search_matches_pure_python(spark):
     # the decomposition is meaningful: pruning alone loses less than
     # pruning + quantization
     assert got["recall_bp_ivf_exact"] >= got["recall_bp_ivfpq"]
+
+
+def test_code_covariance_matches_numpy(spark):
+    """The exact integer covariance numerators equal numpy's
+    computation over the same int8 codes."""
+    import numpy as np
+
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    maxabs = np.abs(X).max(axis=0)
+    # same ROUND-half-up the engines share on these (never-.5) products
+    codes = np.floor(X * 127 / maxabs + 0.5).astype(np.int64)
+    n = codes.shape[0]
+    got = QUERIES["emb_code_covariance"](spark, SF_SMALL).collect()
+    assert len(got) == 15
+    prev = None
+    for r in got:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert r["n_vecs"] == n
+        assert r["sum_ci"] == codes[:, i].sum()
+        assert r["sum_cj"] == codes[:, j].sum()
+        assert r["sum_cij"] == int((codes[:, i] * codes[:, j]).sum())
+        want = n * int((codes[:, i] * codes[:, j]).sum()) \
+            - int(codes[:, i].sum()) * int(codes[:, j].sum())
+        assert r["cov_num"] == want
+        if prev is not None:
+            assert abs(r["cov_num"]) <= prev  # ranked by |cov|
+        prev = abs(r["cov_num"])

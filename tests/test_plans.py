@@ -879,3 +879,14 @@ def test_bpe_merges_final_plan_rescans_no_corpus(spark):
     plan = _plan(spark, "doc_bpe_merges")
     assert "documents" not in plan
     assert "ExistingRDD" in plan  # the checkpointed round frames
+
+
+def test_code_covariance_never_shuffles_vectors(spark):
+    """emb_code_covariance: maxabs folds in as a broadcast array, pair
+    products explode JVM-side, and no exchange carries vec_id — the
+    only wide shuffles are the 2016-key (i, j) partials and the 64-row
+    dim sums."""
+    plan = _plan(spark, "emb_code_covariance")
+    assert "hashpartitioning(vec_id" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the dim-sum joins broadcast
