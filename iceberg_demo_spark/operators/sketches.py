@@ -316,7 +316,8 @@ def sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in epochs[1:]:
         merged = merged.unionByName(e)
     # re-sketch of the union of epoch sketches == direct corpus sketch
-    std = kmv_sketch(merged.distinct(), "source", "v")
+    # (kmv_sketch distincts its input itself — no pre-distinct shuffle)
+    std = kmv_sketch(merged, "source", "v")
     return (std.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_sk"),
                  F.max("v").alias("vk"),

@@ -841,7 +841,9 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     path = scratch_path(f"glacier_text_idx_{_sf_tag(sf_dir)}")
     post = os.path.join(path, "postings")
     stats = os.path.join(path, "stats")
-    if not os.path.exists(os.path.join(post, "_SUCCESS")):
+    # gate on the LAST artifact written: a crash between the postings
+    # and stats writes must trigger a rebuild, not a half-index reuse
+    if not os.path.exists(os.path.join(stats, "_SUCCESS")):
         t = load_tables(spark, sf_dir, ("documents",))
         toks = t["documents"].select(
             "doc_id", F.explode(tokens_col()).alias("tok"),
@@ -1068,7 +1070,11 @@ def _bpe_train(docs: DataFrame):
     wf = (docs
           .select(F.explode(tokens_col()).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    # sequence(1, 0) runs DESCENDING in Spark (the emb_code_covariance
+    # lesson): drop zero-length tokens so the empty word contributes no
+    # symbol rows, exactly like the oracle's range(1, 1)
     seq = (wf
+           .filter(F.length("tok") >= 1)
            .select("tok", "f",
                    F.explode(F.expr("sequence(1, length(tok))"))
                     .alias("pos"))

@@ -150,10 +150,12 @@ def load_all() -> None:
     graph_doc_triangles (degree-ordered wedge join),
     lineitem_price_qty_regression (sufficient-statistics OLS, exact
     rationals), customer_balance_window_ranks (five ranking windows on
-    one exchange) and doc_bm25_indexed (persisted postings probe,
-    shares doc_bm25_search's oracle). Round-10 window budget: 11 queue
-    gates + 19 r6-stale tail = 30, leaving 20 slots for the then-stalest
-    r7 gates.
+    one exchange), doc_bm25_indexed (persisted postings probe, shares
+    doc_bm25_search's oracle), doc_bpe_merges + doc_bpe_encode (the BPE
+    tokenizer train/encode lifecycle, unrolled-round oracle) and
+    emb_code_covariance (exact integer feature-covariance audit).
+    Round-10 window budget: 14 queue gates + 19 r6-stale tail = 33,
+    leaving 17 slots for the then-stalest r7 gates.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

@@ -38,6 +38,8 @@ def measure_one(gate: str, sf_dir: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(__doc__.strip())
     if sys.argv[1] == "--one":
         measure_one(sys.argv[2], sys.argv[3])
         return

@@ -125,6 +125,16 @@ EXTRA = [
     "graph_doc_triangles",
     "lineitem_price_qty_regression",
     "customer_balance_window_ranks",
+    # third late wave: postings-probe BM25 (PartitionFilters on the
+    # term buckets), lossless epoch-merged KMV, BPE encode (the corpus
+    # word stream joined to the broadcast vocab lookup), and the
+    # int8-code covariance (broadcast maxabs array, (i,j)-partials-only
+    # shuffle). doc_bpe_merges' final plan is checkpoint-backed
+    # (ExistingRDD) by design — pinned in test_plans instead.
+    "doc_bm25_indexed",
+    "sketch_kmv_incremental",
+    "doc_bpe_encode",
+    "emb_code_covariance",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
