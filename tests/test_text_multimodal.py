@@ -427,3 +427,23 @@ def test_bpe_encode_matches_reference_token_counts(spark):
         w = want[r["source"]]
         assert (r["n_words"], r["n_chars"], r["n_tokens"]) == tuple(w)
         assert r["tokens_per_char_bps"] == (10000 * w[2]) // w[1]
+
+
+def test_scene_changes_match_pure_python(spark):
+    """Frame signatures, cut counts and deltas equal a direct Python
+    recompute of the 32-char frame stream."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()}
+    got = QUERIES["multimodal_scene_changes"](spark, SF_SMALL).collect()
+    assert got
+    for r in got:
+        t = docs[r["doc_id"]]
+        frames = [t[i:i + 32] for i in range(0, len(t), 32)]
+        sigs = [sum(ord(c) for c in f) for f in frames]
+        deltas = [abs(b - a) for a, b in zip(sigs, sigs[1:])]
+        assert r["n_frames"] == len(frames)
+        assert r["total_sig"] == sum(sigs)
+        assert r["max_delta"] == (max(deltas) if deltas else 0)
+        assert r["n_scene_changes"] == sum(1 for d in deltas if d > 64)
