@@ -153,9 +153,10 @@ def load_all() -> None:
     one exchange), doc_bm25_indexed (persisted postings probe, shares
     doc_bm25_search's oracle), doc_bpe_merges + doc_bpe_encode (the BPE
     tokenizer train/encode lifecycle, unrolled-round oracle) and
-    emb_code_covariance (exact integer feature-covariance audit).
-    Round-10 window budget: 14 queue gates + 19 r6-stale tail = 33,
-    leaving 17 slots for the then-stalest r7 gates.
+    emb_code_covariance (exact integer feature-covariance audit) and
+    multimodal_scene_changes (frame-signature LAG cuts).
+    Round-10 window budget: 15 queue gates + 19 r6-stale tail = 34,
+    leaving 16 slots for the then-stalest r7 gates.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

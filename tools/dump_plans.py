@@ -135,6 +135,8 @@ EXTRA = [
     "sketch_kmv_incremental",
     "doc_bpe_encode",
     "emb_code_covariance",
+    # temporal multimodal pattern: scan-stage signatures + doc_id window
+    "multimodal_scene_changes",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
