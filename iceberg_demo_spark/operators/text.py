@@ -1153,3 +1153,92 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("(10000 * n_tokens) div n_chars")
                      .alias("tokens_per_char_bps"))
             .orderBy("source"))
+
+
+@query(
+    "doc_bpe_packing",
+    oracle=f"""
+    WITH {{parts}},
+    tl AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS ntok
+      FROM s{_BPE_ROUNDS} GROUP BY tok
+    ),
+    st AS (
+      SELECT source, doc_id, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    ),
+    perdoc AS (
+      SELECT source, doc_id, CAST(SUM(ntok) AS BIGINT) AS n_tok
+      FROM st JOIN tl USING (tok)
+      GROUP BY source, doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM perdoc
+    ),
+    flagged AS (
+      SELECT source, n_tok, cum,
+             CASE WHEN (cum - n_tok) // 2048 < (cum - 1) // 2048
+                  THEN 1 ELSE 0 END AS boundary
+      FROM packed
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(MAX(cum) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) - 1) // 2048 + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(boundary) AS BIGINT) AS n_boundary_docs,
+           ROUND(100.0 * (MAX(cum) - ((MAX(cum) - 1) // 2048) * 2048)
+                 / 2048, 2) AS last_fill_pct
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """.replace("{parts}", _bpe_oracle_parts(_BPE_ROUNDS)),
+)
+def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing priced in REAL tokenizer tokens — the
+    composition of doc_bpe_encode's fertility with
+    doc_sequence_packing's budget math (the established
+    weights→materialize chaining pattern): per-document post-BPE token
+    counts come from the trained vocabulary lookup, and the per-source
+    2048-token packing statistics (sequences, boundary-spanning docs,
+    last-sequence fill) are computed over THOSE counts. Whitespace
+    packing (the standalone gate) over- or under-budgets by exactly the
+    fertility ratio; a loader budgets in tokenizer tokens, so this is
+    the number that actually sizes a training run.
+
+    Scale shape: training is vocab-sized (doc_bpe_merges); the corpus
+    pays one tokenize pass into the broadcast vocab lookup + one
+    per-doc aggregate + the per-source cumsum window — the same single
+    wide exchange as doc_sequence_packing. last_fill_pct's ROUND is
+    over an exactly-representable value (100·int / 2^11), the
+    established packing-gate discipline."""
+    t = load_tables(spark, sf_dir, ("documents",))
+    _, seq = _bpe_train(t["documents"])
+    tl = seq.groupBy("tok").agg(F.count(F.lit(1)).alias("ntok"))
+    perdoc = (t["documents"]
+              .select("source", "doc_id",
+                      F.explode(tokens_col()).alias("tok"))
+              .join(F.broadcast(tl), "tok")
+              .groupBy("source", "doc_id")
+              .agg(F.sum("ntok").alias("n_tok")))
+    b = 2048
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (perdoc
+              .withColumn("cum", F.sum("n_tok").over(w))
+              .withColumn("boundary",
+                          F.when(F.expr(f"(cum - n_tok) DIV {b}")
+                                 < F.expr(f"(cum - 1) DIV {b}"), 1)
+                          .otherwise(0)))
+    return (packed.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max("cum").cast("bigint").alias("total_tokens"),
+                 (F.expr(f"(max(cum) - 1) DIV {b}") + 1).cast("bigint")
+                  .alias("n_seqs"),
+                 F.sum("boundary").cast("bigint").alias("n_boundary_docs"),
+                 F.round(100.0 * (F.max("cum")
+                                  - F.expr(f"(max(cum) - 1) DIV {b}") * b)
+                         / b, 2).alias("last_fill_pct"))
+            .orderBy("source"))

@@ -153,10 +153,11 @@ def load_all() -> None:
     one exchange), doc_bm25_indexed (persisted postings probe, shares
     doc_bm25_search's oracle), doc_bpe_merges + doc_bpe_encode (the BPE
     tokenizer train/encode lifecycle, unrolled-round oracle) and
-    emb_code_covariance (exact integer feature-covariance audit) and
-    multimodal_scene_changes (frame-signature LAG cuts).
-    Round-10 window budget: 15 queue gates + 19 r6-stale tail = 34,
-    leaving 16 slots for the then-stalest r7 gates.
+    emb_code_covariance (exact integer feature-covariance audit),
+    multimodal_scene_changes (frame-signature LAG cuts) and
+    doc_bpe_packing (packing budgets priced in trained-tokenizer
+    tokens). Round-10 window budget: 16 queue gates + 19 r6-stale
+    tail = 35, leaving 15 slots for the then-stalest r7 gates.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

@@ -447,3 +447,17 @@ def test_scene_changes_match_pure_python(spark):
         assert r["total_sig"] == sum(sigs)
         assert r["max_delta"] == (max(deltas) if deltas else 0)
         assert r["n_scene_changes"] == sum(1 for d in deltas if d > 64)
+
+
+def test_bpe_packing_consistent_with_encode_totals(spark):
+    """The packing gate's per-source token totals must equal the encode
+    gate's n_tokens — the two consume the same trained vocabulary."""
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+    enc = {r["source"]: r["n_tokens"] for r in
+           QUERIES["doc_bpe_encode"](spark, SF_SMALL).collect()}
+    pack = QUERIES["doc_bpe_packing"](spark, SF_SMALL).collect()
+    assert pack
+    for r in pack:
+        assert r["total_tokens"] == enc[r["source"]]
+        assert r["n_seqs"] == (r["total_tokens"] - 1) // 2048 + 1
