@@ -137,6 +137,9 @@ EXTRA = [
     "emb_code_covariance",
     # temporal multimodal pattern: scan-stage signatures + doc_id window
     "multimodal_scene_changes",
+    # packing priced in trained-tokenizer tokens (broadcast vocab lookup
+    # + per-source cumsum; training half is checkpoint-backed)
+    "doc_bpe_packing",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
