@@ -324,3 +324,132 @@ def sketch_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                  kmv_estimate(F.count(F.lit(1)), F.max("v"))
                   .alias("est_distinct"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (the second classic sketch, beside KMV)
+# ---------------------------------------------------------------------------
+
+#: filter geometry: 63-bit words (shifts stay ≤ 62 — DuckDB refuses
+#: 1<<63 on BIGINT and Spark's would go negative; positive words are
+#: bit-identical across engines), 1024 words ≈ 64k bits, k = 4 probes
+_BLOOM_WORDS = 1024
+_BLOOM_BITS = 63 * _BLOOM_WORDS
+_BLOOM_K = 4
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, source, md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ),
+    corpus AS (SELECT DISTINCT wh FROM w WHERE doc_id % 5 <> 0),
+    batch AS (SELECT DISTINCT source, wh FROM w WHERE doc_id % 5 = 0),
+    cpos AS (
+      SELECT ((CAST(('0x' || substr(wh, 1, 13))::UBIGINT AS BIGINT)
+               % {_BLOOM_BITS})
+              + i * ((CAST(('0x' || substr(wh, 14, 13))::UBIGINT AS BIGINT)
+                      % {_BLOOM_BITS}) * 2 + 1)) % {_BLOOM_BITS} AS pos
+      FROM corpus, UNNEST(range(0, {_BLOOM_K})) AS t(i)
+    ),
+    filt AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % 63)) AS wv
+      FROM cpos GROUP BY pos // 63
+    ),
+    ppos AS (
+      SELECT source, wh,
+             ((CAST(('0x' || substr(wh, 1, 13))::UBIGINT AS BIGINT)
+               % {_BLOOM_BITS})
+              + i * ((CAST(('0x' || substr(wh, 14, 13))::UBIGINT AS BIGINT)
+                      % {_BLOOM_BITS}) * 2 + 1)) % {_BLOOM_BITS} AS pos
+      FROM batch, UNNEST(range(0, {_BLOOM_K})) AS t(i)
+    ),
+    tested AS (
+      SELECT p.source, p.wh,
+             MIN((COALESCE(f.wv, 0) >> (p.pos % 63)) & 1) AS member
+      FROM ppos p LEFT JOIN filt f ON f.word = p.pos // 63
+      GROUP BY p.source, p.wh
+    ),
+    truth AS (
+      SELECT b.source, b.wh,
+             CASE WHEN c.wh IS NULL THEN 0 ELSE 1 END AS is_true
+      FROM batch b LEFT JOIN corpus c ON b.wh = c.wh
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(t.member) AS BIGINT) AS bloom_hits,
+           CAST(SUM(x.is_true) AS BIGINT) AS true_hits,
+           CAST(SUM(t.member) - SUM(x.is_true) AS BIGINT) AS false_pos,
+           CAST((10000 * (SUM(t.member) - SUM(x.is_true)))
+                // greatest(COUNT(*) - SUM(x.is_true), 1) AS BIGINT)
+             AS fp_bps
+    FROM tested t JOIN truth x ON t.source = x.source AND t.wh = x.wh
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership — the second classic mergeable sketch
+    beside KMV: the standing corpus (doc_id % 5 ≠ 0, the incremental-
+    dedup split) is folded into a 64k-bit / k=4 filter via
+    Kirsch–Mitzenmacher double hashing (pos_i = (h1 + i·h2) mod m, both
+    halves md5-derived — the published two-hash construction), and the
+    ingest batch probes it. Output per source: probe count, bloom hits,
+    EXACT hits (the audit half: a digest semi-join recomputes truth),
+    false positives and the measured fp rate in bps — the number that
+    decides whether a 1 KB filter can replace a TB-scale index probe in
+    front of the dedup pipeline. No false negatives by construction
+    (pytest-pinned).
+
+    Exactness: every position is exact int64 arithmetic on md5 halves;
+    the filter itself is 1024 sign-safe 63-bit words built with bit_or
+    and tested with shift/mask — DuckDB replays the BITS, not just the
+    counts. Scale shape: the build is one digest pass + a ≤1024-row
+    bit_or aggregate (the filter broadcasts anywhere — it IS the point:
+    64 KB summarizes the corpus); probes are map-side against the
+    broadcast words; the exact-truth join exists only for the audit.
+    At 100 TB the filter guards the expensive index probe: only
+    bloom-positive windows (true dups + fp_bps of the rest) touch the
+    bucketed hash index."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = _ingest_windows(t["documents"]).persist()
+    corpus = (w.filter(F.col("doc_id") % 5 != 0)
+              .select("wh").distinct().persist())
+    batch = (w.filter(F.col("doc_id") % 5 == 0)
+             .select("source", "wh").distinct().persist())
+    h1 = F.conv(F.substring("wh", 1, 13), 16, 10).cast("bigint") % _BLOOM_BITS
+    h2 = (F.conv(F.substring("wh", 14, 13), 16, 10).cast("bigint")
+          % _BLOOM_BITS) * 2 + 1
+    i = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    pos = ((h1 + F.col("i") * h2) % _BLOOM_BITS).alias("pos")
+    filt = (corpus.select(i, "wh").select(pos)
+            .groupBy(F.expr("pos div 63").alias("word"))
+            .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(pos % 63 AS INT)))").alias("wv")))
+    tested = (batch.select("source", "wh", i).select("source", "wh", pos)
+              .join(F.broadcast(filt),
+                    F.col("word") == F.expr("pos div 63"), "left")
+              .groupBy("source", "wh")
+              .agg(F.min(F.expr("(coalesce(wv, 0) >> "
+                                "CAST(pos % 63 AS INT)) & 1"))
+                    .alias("member")))
+    truth = (batch.join(corpus.withColumn("is_true", F.lit(1)), "wh", "left")
+             .select("source", "wh",
+                     F.coalesce("is_true", F.lit(0)).alias("is_true")))
+    return (tested.join(truth, ["source", "wh"])
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.sum("member").cast("bigint").alias("bloom_hits"),
+                 F.sum("is_true").cast("bigint").alias("true_hits"))
+            .select("source", "n_probes", "bloom_hits", "true_hits",
+                    (F.col("bloom_hits") - F.col("true_hits"))
+                     .cast("bigint").alias("false_pos"),
+                    F.expr("(10000 * (bloom_hits - true_hits))"
+                           " div greatest(n_probes - true_hits, 1)")
+                     .cast("bigint").alias("fp_bps"))
+            .orderBy("source"))

@@ -156,8 +156,9 @@ def load_all() -> None:
     emb_code_covariance (exact integer feature-covariance audit),
     multimodal_scene_changes (frame-signature LAG cuts) and
     doc_bpe_packing (packing budgets priced in trained-tokenizer
-    tokens). Round-10 window budget: 16 queue gates + 19 r6-stale
-    tail = 35, leaving 15 slots for the then-stalest r7 gates.
+    tokens) and sketch_bloom_membership (bit-exact Bloom filter with a
+    measured fp audit). Round-10 window budget: 17 queue gates + 19
+    r6-stale tail = 36, leaving 14 slots for the then-stalest r7 gates.
     """
     from iceberg_demo_spark.operators import (  # noqa: F401
         table_ops,

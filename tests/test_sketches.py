@@ -106,3 +106,29 @@ def test_incremental_epochs_equal_direct_sketch(spark):
                    .alias("est_distinct"))
               .orderBy("source").collect())
     assert [tuple(r) for r in inc] == [tuple(r) for r in direct]
+
+
+def test_bloom_has_no_false_negatives_and_sane_fp(spark):
+    """Every true member must be bloom-positive (zero false negatives —
+    the Bloom contract), and the measured fp rate stays within 4× the
+    textbook (1−e^(−kn/m))^k expectation."""
+    import math
+
+    from tests.conftest import SF_MED
+    from iceberg_demo_spark.operators.sketches import (
+        _BLOOM_BITS, _BLOOM_K)
+    from iceberg_demo_spark.registry import QUERIES
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+
+    rows = QUERIES["sketch_bloom_membership"](spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r["bloom_hits"] >= r["true_hits"], r  # no false negatives
+        assert r["false_pos"] == r["bloom_hits"] - r["true_hits"]
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    n = (_ingest_windows(docs.filter("doc_id % 5 <> 0"))
+         .select("wh").distinct().count())
+    expect = (1 - math.exp(-_BLOOM_K * n / _BLOOM_BITS)) ** _BLOOM_K
+    total_fp = sum(r["false_pos"] for r in rows)
+    total_neg = sum(r["n_probes"] - r["true_hits"] for r in rows)
+    assert total_fp / max(total_neg, 1) <= 4 * expect + 0.01

@@ -140,6 +140,9 @@ EXTRA = [
     # packing priced in trained-tokenizer tokens (broadcast vocab lookup
     # + per-source cumsum; training half is checkpoint-backed)
     "doc_bpe_packing",
+    # bit-exact Bloom membership: broadcast 1024-word filter, map-side
+    # probes, exact-truth join only for the audit
+    "sketch_bloom_membership",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
