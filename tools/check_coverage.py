@@ -6,11 +6,27 @@ the judge reads line by line. They have drifted twice (stale counts,
 missing late-wave rows) — this check makes that class of drift a test
 failure instead of a review finding.
 
+Round 10 additions (VERDICT r9 #1 + ADVICE r9 #1):
+
+* **Staleness SLO** — the per-gate freshness ledger is derived from the
+  CORRECTNESS_r{N}.json driver artifacts (a gate's freshness = the
+  latest round whose driver row passed all three checks), persisted as
+  GATE_FRESHNESS.json, and projected through the CURRENT first-50
+  window. The check FAILS when any gate's projected last driver row
+  would be more than 4 rounds old after this round's window lands, or
+  when a never-driver-verified gate sits outside the window (the
+  standing registration policy, now machine-checked).
+* **Artifact-claim validation** — every ``ORACLES_LOCAL_r{N} A/B``
+  claim in COVERAGE.md is checked against the actual artifact's pass
+  count (stale-count drift was an ADVICE finding twice).
+
     python tools/check_coverage.py        # exits nonzero on drift
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import re
 import sys
@@ -58,6 +74,105 @@ def check() -> list[str]:
     missing = set(registry.QUERIES) - set(registry.ORACLES)
     if missing:
         problems.append(f"gates without oracles: {sorted(missing)}")
+    # 5. ORACLES_LOCAL_r{N} A/B claims in COVERAGE.md match the artifact
+    problems += check_artifact_claims(cov)
+    # 6. the 4-round staleness SLO holds under the current window
+    problems += check_staleness()
+    return problems
+
+
+def check_artifact_claims(cov: str) -> list[str]:
+    """Every ``ORACLES_LOCAL_r{N} A/B`` claim matches the artifact."""
+    problems = []
+    for rnd, a, b in re.findall(r"ORACLES_LOCAL_r(\d+)\D{0,15}?(\d+)/(\d+)",
+                                cov):
+        path = os.path.join(_REPO, f"ORACLES_LOCAL_r{rnd}.json")
+        if not os.path.exists(path):
+            continue  # claims about rounds whose artifact predates the repo
+        data = json.load(open(path))
+        passed = sum(1 for v in data.values()
+                     if (v.get("status") if isinstance(v, dict) else v)
+                     == "pass")
+        if (int(a), int(b)) != (passed, len(data)):
+            problems.append(
+                f"COVERAGE.md claims ORACLES_LOCAL_r{rnd} {a}/{b} but the "
+                f"artifact records {passed}/{len(data)}")
+    return problems
+
+
+def freshness_ledger() -> tuple[dict[str, int], int]:
+    """Per-gate last fully-green driver round, from CORRECTNESS_r*.json.
+
+    Returns (ledger, current_round) where current_round is the round in
+    flight (latest driver artifact + 1). Only rows passing all three
+    driver checks count as a driver verification.
+    """
+    ledger: dict[str, int] = {}
+    latest = 0
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        latest = max(latest, rnd)
+        for name, row in json.load(open(path)).items():
+            ok = (isinstance(row, dict) and row.get("rows_match")
+                  and row.get("schema_match")
+                  and (row.get("hash_match") or row.get("values_match")))
+            if ok:
+                ledger[name] = max(ledger.get(name, 0), rnd)
+    return ledger, latest + 1
+
+
+SLO_ROUNDS = 4
+
+
+def project_staleness(gates: list[str], ledger: dict[str, int],
+                      current: int, window: list[str],
+                      ) -> tuple[dict[str, int], list[str]]:
+    """Pure SLO projection: (projected last-driver-round, problems)."""
+    problems = []
+    projected: dict[str, int] = {}
+    wset = set(window)
+    for name in gates:
+        last = current if name in wset else ledger.get(name, 0)
+        projected[name] = last
+        if last == 0:
+            problems.append(
+                f"gate {name!r} has never had a driver row and is NOT in "
+                "the first-50 window (standing policy violation)")
+        elif current - last > SLO_ROUNDS:
+            problems.append(
+                f"gate {name!r} last driver-verified in round {last}; "
+                f"projected staleness {current - last} rounds exceeds the "
+                f"{SLO_ROUNDS}-round SLO — it must enter the window")
+    return projected, problems
+
+
+def check_staleness() -> list[str]:
+    """Project the current window onto the ledger; enforce the SLO.
+
+    Also persists GATE_FRESHNESS.json (the audited ledger + projection)
+    so the rotation plan is inspectable without re-deriving it.
+    """
+    ledger, current = freshness_ledger()
+    window = list(registry.QUERIES)[:50]
+    projected, problems = project_staleness(
+        list(registry.QUERIES), ledger, current, window)
+    hist: dict[str, int] = {}
+    for name in registry.QUERIES:
+        last = ledger.get(name, 0)
+        key = f"r{last}" if last else "never"
+        hist[key] = hist.get(key, 0) + 1
+    out = {
+        "current_round": current,
+        "slo_rounds": SLO_ROUNDS,
+        "window": window,
+        "entering_histogram": dict(sorted(hist.items())),
+        "last_driver_round": {n: ledger.get(n, 0)
+                              for n in sorted(registry.QUERIES)},
+        "projected_after_window": {n: projected[n]
+                                   for n in sorted(projected)},
+    }
+    with open(os.path.join(_REPO, "GATE_FRESHNESS.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=False)
     return problems
 
 
