@@ -2018,6 +2018,29 @@ _IVFPQ_NPROBE = 3   #: cells probed per query
 _L2_SQL = ("list_sum(list_transform(generate_series(1, {n}), i ->"
            " ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
 
+#: Spark-side shared expressions for the IVF-PQ family — ONE definition
+#: each so the in-gate composition (sim_ivfpq_search) and the persisted
+#: index build/probe (ensure_ivfpq_index / sim_ivfpq_indexed) can never
+#: silently desync on an op sequence or a tie-break.
+_IVFPQ_D = (f"aggregate(zip_with(slice(e, s.m * {_PQ_SUB} + 1, {_PQ_SUB}),"
+            " s.c, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+_IVFPQ_CELL_L2 = ("aggregate(zip_with(e, s.c, (x, y) ->"
+                  " (x - y) * (x - y)), 0D, (a, v) -> a + v)")
+_IVFPQ_AMIN_CELL = (
+    "aggregate(cells,"
+    " named_struct('cell_id', CAST(-1 AS BIGINT),"
+    "              'dist', double('Infinity')),"
+    f" (acc, s) -> CASE WHEN {_IVFPQ_CELL_L2} < acc.dist"
+    f" THEN named_struct('cell_id', s.cell_id, 'dist', {_IVFPQ_CELL_L2})"
+    " ELSE acc END).cell_id")
+#: rebuild a PQ reconstruction from stored per-subspace CODES and the
+#: broadcast codebook — bit-identical to the in-gate `rhat` because the
+#: centroid subvectors are the same persisted doubles
+_IVFPQ_RECON = (
+    f"flatten(transform(sequence(0, {_PQ_M - 1}), mm ->"
+    " element_at(filter(cbs, s -> s.m = mm"
+    " AND s.code = element_at(codes, mm + 1)), 1).c))")
+
 
 @query(
     "sim_ivfpq_search",
@@ -2145,23 +2168,12 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfc = (pts.filter(F.col("vec_id") < _IVFPQ_CELLS)
             .agg(F.expr("array_sort(collect_list(struct("
                         "vec_id AS cell_id, e AS c)))").alias("cells")))
-    _D = (f"aggregate(zip_with(slice(e, s.m * {_PQ_SUB} + 1, {_PQ_SUB}),"
-          " s.c, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)")
-    _CELL_L2 = ("aggregate(zip_with(e, s.c, (x, y) ->"
-                " (x - y) * (x - y)), 0D, (a, v) -> a + v)")
-    _AMIN_CELL = (
-        "aggregate(cells,"
-        " named_struct('cell_id', CAST(-1 AS BIGINT),"
-        "              'dist', double('Infinity')),"
-        f" (acc, s) -> CASE WHEN {_CELL_L2} < acc.dist"
-        f" THEN named_struct('cell_id', s.cell_id, 'dist', {_CELL_L2})"
-        " ELSE acc END).cell_id")
     # ONE corpus map pass: cell id + PQ reconstruction together
     corpus = (
         pts.crossJoin(F.broadcast(ivfc)).crossJoin(F.broadcast(cbs))
         .select("vec_id", "e",
-                F.expr(_AMIN_CELL).alias("cell_id"),
-                F.expr("flatten(transform(" + _PQ_ENC.format(d=_D)
+                F.expr(_IVFPQ_AMIN_CELL).alias("cell_id"),
+                F.expr("flatten(transform(" + _PQ_ENC.format(d=_IVFPQ_D)
                        + ", a -> a.c))").alias("rhat"))
     )
     w_probe = Window.partitionBy("query_id").orderBy("dist", "cell_id")
@@ -2220,6 +2232,181 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_bp_ivfpq"),
         )
     )
+
+
+def ivfpq_index_path(sf_dir: str) -> str:
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    return scratch_path(f"glacier_ivfpq_idx_{_sf_tag(sf_dir)}")
+
+
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the standing IVF-PQ index ONCE per SF (VERDICT r9 #2 — at
+    100 TB you never train at query time): three artifacts under one
+    root, written in dependency order with the source manifest LAST so a
+    crashed or stale build always rebuilds —
+
+    * ``codebook/`` — the Lloyd-TRAINED (m, code, c) product-quantizer
+      codebook (M·K rows; sim_pq_adc_recall's _pq_train_codebook,
+      persisted doubles so every later reconstruction is bit-identical
+      to the in-gate form),
+    * ``cells/`` — the 16 coarse L2 centroids,
+    * ``codes/`` — ONE corpus map pass computing each vector's coarse
+      cell + its M subspace codes, written ``partitionBy(cell_id)``
+      after a cell-keyed repartition (ONE file per cell directory, the
+      compacted serving layout) — 4 small ints per vector instead of
+      64 doubles: the 98% storage cut that makes the candidate tier
+      cache-resident at scale.
+
+    Probe-time reads prune to the nprobe cells' DIRECTORIES; nothing at
+    query time touches raw embeddings except the query rows themselves
+    and the recall audit."""
+    import os
+
+    from iceberg_demo_spark.scratch import (
+        index_current, write_index_manifest)
+
+    path = ivfpq_index_path(sf_dir)
+    if not index_current(path, sf_dir, ("embeddings",)):
+        pts = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]\
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("e"))
+        cb = _pq_train_codebook(pts)
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebook"))
+        cells = pts.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("e").alias("c"))
+        cells.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "cells"))
+        cbs = cb.agg(F.expr(
+            "array_sort(collect_list(struct(m, code, c)))").alias("cbs"))
+        ivfc = cells.agg(F.expr(
+            "array_sort(collect_list(struct(cell_id, c)))").alias("cells"))
+        (pts.crossJoin(F.broadcast(ivfc)).crossJoin(F.broadcast(cbs))
+         .select("vec_id",
+                 F.expr(_IVFPQ_AMIN_CELL).alias("cell_id"),
+                 F.expr("transform(" + _PQ_ENC.format(d=_IVFPQ_D)
+                        + ", a -> a.code)").alias("codes"))
+         .repartition(_IVFPQ_CELLS, "cell_id")
+         .write.partitionBy("cell_id").mode("overwrite")
+         .parquet(os.path.join(path, "codes")))
+        write_index_manifest(path, sf_dir, ("embeddings",))
+    return path
+
+
+@query("sim_ivfpq_indexed", oracle=None)  # shares sim_ivfpq_search's oracle
+def sim_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivfpq_search's answer served from the PERSISTED IVF-PQ index
+    (VERDICT r9 #2) — codebooks trained and cells assigned ONCE by
+    ensure_ivfpq_index; the probe (1) plans its cells against the
+    16-row persisted centroid frame (driver-side, query-batch-sized —
+    the doc_bm25_indexed discipline), (2) reads ONLY the nprobe cells'
+    code PARTITIONS (PartitionFilters prune, plan-pinned; 4 ints per
+    vector, not 64 doubles), (3) reconstructs each candidate from its
+    codes against the broadcast codebook with the exact shared
+    expression (_IVFPQ_RECON) and ADC-ranks. Shares sim_ivfpq_search's
+    oracle verbatim: persistence must not change the answer. The exact
+    ground-truth / IVF-exact audit columns (n_exact, n_match_ivf_exact)
+    necessarily read raw vectors — that is the AUDIT side; the serving
+    path is the pruned code read.
+
+    Scale shape: probe I/O ∝ nprobe/cells of the CODE tier (itself
+    ~2% of raw vector bytes), independent of corpus size for fixed cell
+    occupancy; candidates join a broadcast query frame; the one
+    corpus-sized cost left in the gate is the recall audit, which a
+    production probe simply drops."""
+    import os
+
+    path = ensure_ivfpq_index(spark, sf_dir)
+    pts = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    queries = pts.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qv"))
+    # -- probe planning: 16 persisted centroids x |query batch| rows,
+    #    folded driver-side with the oracle's exact op order
+    #    (left-to-right (x-y)^2 accumulation, (dist, cell_id) tie-break)
+    cell_rows = spark.read.parquet(os.path.join(path, "cells")).collect()
+    probe_pairs: list[tuple[int, int]] = []
+    for q in queries.collect():
+        ds = []
+        for cr in cell_rows:
+            acc = 0.0
+            for x, y in zip(q["qv"], cr["c"]):
+                acc = acc + (x - y) * (x - y)
+            ds.append((acc, cr["cell_id"]))
+        ds.sort()
+        probe_pairs += [(q["query_id"], int(c))
+                        for _, c in ds[:_IVFPQ_NPROBE]]
+    probed = sorted({c for _, c in probe_pairs})
+    probe = (spark.createDataFrame(probe_pairs,
+                                   "query_id bigint, cell_id bigint")
+             .join(queries, "query_id"))
+    # -- the serving read: ONLY the probed cells' code partitions
+    codes = (spark.read.parquet(os.path.join(path, "codes"))
+             .filter(F.col("cell_id").isin(probed)))
+    cbs = (spark.read.parquet(os.path.join(path, "codebook"))
+           .agg(F.expr("array_sort(collect_list(struct(m, code, c)))")
+                .alias("cbs")))
+    cand = (codes.join(F.broadcast(probe), "cell_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .crossJoin(F.broadcast(cbs))
+            .select("query_id", "qv",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.expr(_IVFPQ_RECON).alias("rhat"))
+            .persist())
+    _L2C = ("aggregate(zip_with(qv, {v}, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (a, v) -> a + v)")
+    w_rank = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    adc = (cand
+           .select("query_id", "neighbor_id",
+                   F.expr(_L2C.format(v="rhat")).alias("dist"))
+           .withColumn("rank", F.row_number().over(w_rank))
+           .filter(F.col("rank") <= 5)
+           .select("query_id", "neighbor_id"))
+    # -- audit side: exact vectors for the candidates (broadcast the
+    #    candidate ids into the corpus scan) + the exact top-5 floor
+    ivfx = (pts.join(F.broadcast(cand.select("query_id", "qv",
+                                             "neighbor_id")),
+                     F.col("vec_id") == F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.expr(_L2C.format(v="e")).alias("dist"))
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id"))
+    exact = (
+        pts.join(F.broadcast(queries),
+                 F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.expr(_L2C.format(v="e")).alias("dist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    m_pq = (adc.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_match_ivfpq")))
+    m_iv = (ivfx.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).alias("n_match_ivf_exact")))
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(m_iv)).crossJoin(F.broadcast(m_pq))
+        .select(
+            "n_exact", "n_candidates", "n_match_ivf_exact",
+            F.expr("(10000 * n_match_ivf_exact) div n_exact")
+            .alias("recall_bp_ivf_exact"),
+            "n_match_ivfpq",
+            F.expr("(10000 * n_match_ivfpq) div n_exact")
+            .alias("recall_bp_ivfpq"),
+        )
+    )
+
+
+from iceberg_demo_spark.registry import ORACLES as _OR2  # noqa: E402
+
+# persistence must not change the answer: one oracle proves both plans
+_OR2["sim_ivfpq_indexed"] = _OR2["sim_ivfpq_search"]
 
 
 # ---------------------------------------------------------------------------

@@ -1152,22 +1152,27 @@ def dedup_index_name(sf_dir: str) -> str:
 def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the standing corpus window-hash index ONCE per SF: the
     DISTINCT corpus digests written ``bucketBy(N, wh) sortBy(wh)`` — the
-    one-time shuffle every later ingest probe no longer pays. Built only
-    if absent (testdata is immutable), so bench reps measure the PROBE,
-    exactly as a production dedup service amortizes its index."""
+    one-time shuffle every later ingest probe no longer pays. Rebuilt
+    whenever the SOURCE manifest (documents.parquet mtime+size)
+    mismatches (the ADVICE r9 #3 stale-index hazard, fixed across the
+    whole index tier), so bench reps measure the PROBE, exactly as a
+    production dedup service amortizes its index."""
     import os
 
     from iceberg_demo_spark.operators.layout import write_bucketed, _sf_tag
-    from iceberg_demo_spark.scratch import scratch_path
+    from iceberg_demo_spark.scratch import (
+        index_current, scratch_path, write_index_manifest)
 
     name = dedup_index_name(sf_dir)
     path = scratch_path(f"glacier_dedup_idx_{_sf_tag(sf_dir)}")
-    if not (spark.catalog.tableExists(name) and os.path.isdir(path)):
+    if not (spark.catalog.tableExists(name) and os.path.isdir(path)
+            and index_current(path, sf_dir, ("documents",))):
         t = load_tables(spark, sf_dir, ("documents",))
         corpus = (_ingest_windows(t["documents"].filter("doc_id % 5 <> 0"))
                   .select("wh").distinct())
         write_bucketed(corpus, "wh", name, path,
                        n_buckets=_DEDUP_IDX_BUCKETS)
+        write_index_manifest(path, sf_dir, ("documents",))
     return name
 
 
@@ -1226,15 +1231,18 @@ def ensure_fragmented_dedup_index(spark: SparkSession, sf_dir: str,
     path produce over time). Every append job writes its own file into
     every bucket, so files-per-bucket grows one per ingest epoch — the
     same small-files drift the streamed IVF tier showed, now on the
-    dedup index. Built once per SF (testdata is immutable)."""
+    dedup index. Built once per SF, rebuilt on source-manifest
+    mismatch (ADVICE r9 #3 applied tier-wide)."""
     import os
 
     from iceberg_demo_spark.operators.layout import _sf_tag
-    from iceberg_demo_spark.scratch import scratch_path
+    from iceberg_demo_spark.scratch import (
+        index_current, scratch_path, write_index_manifest)
 
     name = f"glacier_dedup_idxfrag_{_sf_tag(sf_dir)}"
     path = scratch_path(name)
-    if spark.catalog.tableExists(name) and os.path.isdir(path):
+    if (spark.catalog.tableExists(name) and os.path.isdir(path)
+            and index_current(path, sf_dir, ("documents",))):
         return name
     t = load_tables(spark, sf_dir, ("documents",))
     corpus = (_ingest_windows(t["documents"].filter("doc_id % 5 <> 0"))
@@ -1248,6 +1256,7 @@ def ensure_fragmented_dedup_index(spark: SparkSession, sf_dir: str,
          .option("path", path)
          .mode("append" if i else "overwrite")
          .format("parquet").saveAsTable(name))
+    write_index_manifest(path, sf_dir, ("documents",))
     return name
 
 

@@ -460,17 +460,23 @@ def ivf_index_path(sf_dir: str) -> str:
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the IVF inverted lists ONCE per SF: the cell assignment is
     written `partitionBy(cell_id)`, so cell_id becomes a directory key
-    and every later probe is a partition-pruned read. Built only if the
-    index doesn't exist yet (testdata is immutable) — bench reps measure
-    the pruned QUERY, not index construction, exactly as a served ANN
-    system would."""
+    and every later probe is a partition-pruned read. Rebuilt whenever
+    the SOURCE manifest (embeddings.parquet mtime+size) mismatches
+    (ADVICE r9 #3 applied tier-wide) — bench reps measure the pruned
+    QUERY, not index construction, exactly as a served ANN system
+    would."""
     import os
 
+    from iceberg_demo_spark.scratch import (
+        index_current, write_index_manifest)
+
     path = ivf_index_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    if not (index_current(path, sf_dir, ("embeddings",))
+            and os.path.exists(os.path.join(path, "_SUCCESS"))):
         emb, cent = _ivf_emb_cent(spark, sf_dir)
         (_ivf_assign(emb, cent)
          .write.partitionBy("cell_id").mode("overwrite").parquet(path))
+        write_index_manifest(path, sf_dir, ("embeddings",))
     return path
 
 

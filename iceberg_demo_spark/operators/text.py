@@ -829,21 +829,26 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the standing inverted text index ONCE per SF: postings
     (tok, doc_id, tf, dl) written ``partitionBy(tok_bucket)`` (md5 term
     bucket — the directory key every probe prunes on), plus a one-row
-    corpus-stats file (N, avgdl). Built only if absent (testdata is
-    immutable), so bench reps measure the PROBE — exactly how a served
-    retrieval system amortizes indexing."""
+    corpus-stats file (N, avgdl). Rebuilt whenever the SOURCE manifest
+    (documents.parquet mtime+size) mismatches — an index keyed only by
+    the sf-dir tag would silently serve stale rankings after a testdata
+    regeneration (ADVICE r9 #3) — so bench reps measure the PROBE,
+    exactly how a served retrieval system amortizes indexing."""
     import os
 
     from iceberg_demo_spark.operators.layout import _sf_tag
     from iceberg_demo_spark.operators.sampling import hash_bucket
-    from iceberg_demo_spark.scratch import scratch_path
+    from iceberg_demo_spark.scratch import (
+        index_current, scratch_path, write_index_manifest)
 
     path = scratch_path(f"glacier_text_idx_{_sf_tag(sf_dir)}")
     post = os.path.join(path, "postings")
     stats = os.path.join(path, "stats")
-    # gate on the LAST artifact written: a crash between the postings
-    # and stats writes must trigger a rebuild, not a half-index reuse
-    if not os.path.exists(os.path.join(stats, "_SUCCESS")):
+    # gate on the LAST artifacts written (manifest, then before it the
+    # stats _SUCCESS): a crash mid-build must trigger a rebuild, not a
+    # half-index reuse; a source-file change must too
+    if not (index_current(path, sf_dir, ("documents",))
+            and os.path.exists(os.path.join(stats, "_SUCCESS"))):
         t = load_tables(spark, sf_dir, ("documents",))
         toks = t["documents"].select(
             "doc_id", F.explode(tokens_col()).alias("tok"),
@@ -858,6 +863,7 @@ def ensure_text_index(spark: SparkSession, sf_dir: str) -> str:
             (F.sum(F.size(tokens_col())).cast("double")
              / F.count(F.lit(1))).alias("avgdl"))
          .write.mode("overwrite").parquet(stats))
+        write_index_manifest(path, sf_dir, ("documents",))
     return path
 
 

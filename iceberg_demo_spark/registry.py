@@ -206,7 +206,9 @@ def load_all() -> None:
         "dml_merge_upsert",
         "dml_overwrite_dynamic",
         "doc_bigram_vocab",
-        "doc_bm25_search",
+        # -- round-10 NEW gates displace the r7 tail one-for-one
+        #    (standing policy: new gates sit inside the window) --
+        "sim_ivfpq_indexed",
         # -- the fresher r8/r9-green gates follow in QUERIES order and
         #    stay covered by ORACLES_LOCAL_r10 --
     )

@@ -43,3 +43,44 @@ def scratch_dir() -> str:
 def scratch_path(name: str) -> str:
     """A named artifact path under the verified per-user scratch root."""
     return os.path.join(scratch_dir(), name)
+
+
+_MANIFEST = "_SOURCE_MANIFEST.json"
+
+
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> dict:
+    """(mtime_ns, size) of each source parquet a cached index derives
+    from — the cheap staleness fingerprint (testdata is single parquet
+    files; a regenerated file cannot keep both identical)."""
+    out = {}
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        out[t] = {"mtime_ns": st.st_mtime_ns, "size": st.st_size}
+    return out
+
+
+def index_current(path: str, sf_dir: str, tables: tuple[str, ...]) -> bool:
+    """True iff the persisted index at ``path`` carries a source
+    manifest matching the CURRENT source files. A persisted index keyed
+    only by the sf-dir tag silently serves stale results when testdata
+    is regenerated in place — the manifest makes that a rebuild instead
+    (leading-underscore filename, so Spark's parquet reader ignores it
+    inside table directories)."""
+    import json
+
+    try:
+        with open(os.path.join(path, _MANIFEST)) as fh:
+            return json.load(fh) == _source_fingerprint(sf_dir, tables)
+    except (OSError, ValueError):
+        return False
+
+
+def write_index_manifest(path: str, sf_dir: str,
+                         tables: tuple[str, ...]) -> None:
+    """Record the source fingerprint — call LAST, after every index
+    artifact is fully written, so a crashed build reads as stale."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(_source_fingerprint(sf_dir, tables), fh)

@@ -890,3 +890,20 @@ def test_code_covariance_never_shuffles_vectors(spark):
     assert "hashpartitioning(vec_id" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the dim-sum joins broadcast
+
+
+def test_ivfpq_indexed_probe_reads_only_probed_cell_partitions(spark):
+    """sim_ivfpq_indexed (round 10): the serving read of the persisted
+    code tier carries cell_id PartitionFilters (only the nprobe cells'
+    directories are scanned); candidates join the broadcast probe frame;
+    the corpus is never hash-repartitioned on cell_id."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ivfpq_indexed")
+    i = plan.index("/codes]")  # the codes tier's scan location line
+    seg = plan[i:i + 500]
+    assert "PartitionFilters" in seg
+    assert "INSET" in seg
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)

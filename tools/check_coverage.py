@@ -180,7 +180,7 @@ def roster() -> str:
     names = list(registry.QUERIES)
     lines = ["", "## Appendix: full gate roster (auto-generated)", "",
              f"All {len(names)} registered gates in driver registration order",
-             "(first 50 = the round-9 CORRECTNESS window). Regenerate the list",
+             "(first 50 = the current round's CORRECTNESS window). Regenerate",
              "with `python tools/check_coverage.py --roster`.", ""]
     row = []
     for n in names:

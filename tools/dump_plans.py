@@ -143,6 +143,9 @@ EXTRA = [
     # bit-exact Bloom membership: broadcast 1024-word filter, map-side
     # probes, exact-truth join only for the audit
     "sketch_bloom_membership",
+    # round 10: persisted IVF-PQ probe — cell_id PartitionFilters on the
+    # code tier, broadcast probe/codebook frames
+    "sim_ivfpq_indexed",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
