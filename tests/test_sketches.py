@@ -108,15 +108,18 @@ def test_incremental_epochs_equal_direct_sketch(spark):
     assert [tuple(r) for r in inc] == [tuple(r) for r in direct]
 
 
-def test_bloom_has_no_false_negatives_and_sane_fp(spark):
+def test_bloom_has_no_false_negatives_and_tracks_bound(spark):
     """Every true member must be bloom-positive (zero false negatives —
-    the Bloom contract), and the measured fp rate stays within 4× the
-    textbook (1−e^(−kn/m))^k expectation."""
+    the Bloom contract); the measured fp rate stays within 2.5× the
+    emitted analytic bound (the KMV sizing error's exponential
+    amplification is ~×/÷1.6 at 8 bits/key — VERDICT r9 #3); and the
+    bound evaluated at the TRUE cardinality brackets the measurement
+    tightly (the filter itself is ideal; the residual is the
+    estimator)."""
     import math
 
     from tests.conftest import SF_MED
-    from iceberg_demo_spark.operators.sketches import (
-        _BLOOM_BITS, _BLOOM_K)
+    from iceberg_demo_spark.operators.sketches import bloom_fp_bound_bps
     from iceberg_demo_spark.registry import QUERIES
     from iceberg_demo_spark.operators.dedup import _ingest_windows
 
@@ -125,10 +128,36 @@ def test_bloom_has_no_false_negatives_and_sane_fp(spark):
     for r in rows:
         assert r["bloom_hits"] >= r["true_hits"], r  # no false negatives
         assert r["false_pos"] == r["bloom_hits"] - r["true_hits"]
-    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
-    n = (_ingest_windows(docs.filter("doc_id % 5 <> 0"))
-         .select("wh").distinct().count())
-    expect = (1 - math.exp(-_BLOOM_K * n / _BLOOM_BITS)) ** _BLOOM_K
+    bound = rows[0]["fp_bound_bps"]
     total_fp = sum(r["false_pos"] for r in rows)
     total_neg = sum(r["n_probes"] - r["true_hits"] for r in rows)
-    assert total_fp / max(total_neg, 1) <= 4 * expect + 0.01
+    measured_bps = 10000 * total_fp / max(total_neg, 1)
+    assert measured_bps <= 2.5 * bound + 10  # +10 bps noise floor
+    # the bound at TRUE n explains the measurement within noise
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    n_true = (_ingest_windows(docs.filter("doc_id % 5 <> 0"))
+              .select("wh").distinct().count())
+    true_bound = bloom_fp_bound_bps(
+        n_true, rows[0]["m_bits"], rows[0]["k_hashes"])
+    sigma_bps = 10000 * math.sqrt(
+        (true_bound / 10000) / max(total_neg, 1))
+    assert abs(measured_bps - true_bound) <= 4 * sigma_bps + 10
+
+
+def test_bloom_geometry_scales_with_corpus():
+    """VERDICT r9 #3: a 10× corpus gets a ~10× filter (the fixed-64k
+    saturation hazard is gone), k stays at the design point, and the
+    sizing is exact-integer monotone."""
+    from iceberg_demo_spark.operators.sketches import (
+        _BLOOM_BITS_PER_KEY, bloom_geometry)
+
+    for n in (1_000, 30_000, 2_000_000):
+        w1, m1, k1 = bloom_geometry(n)
+        w10, m10, k10 = bloom_geometry(10 * n)
+        assert 9.9 <= m10 / m1 <= 10.1
+        assert k1 == k10
+        assert m1 >= _BLOOM_BITS_PER_KEY * n
+        assert m1 - 63 < _BLOOM_BITS_PER_KEY * n + 63
+    # floor regime: tiny corpora still get a filter, k is capped
+    w, m, k = bloom_geometry(1)
+    assert w == 16 and 1 <= k <= 16

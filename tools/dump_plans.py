@@ -140,7 +140,7 @@ EXTRA = [
     # packing priced in trained-tokenizer tokens (broadcast vocab lookup
     # + per-source cumsum; training half is checkpoint-backed)
     "doc_bpe_packing",
-    # bit-exact Bloom membership: broadcast 1024-word filter, map-side
+    # bit-exact Bloom membership: KMV-sized broadcast filter, map-side
     # probes, exact-truth join only for the audit
     "sketch_bloom_membership",
     # round 10: persisted IVF-PQ probe — cell_id PartitionFilters on the
