@@ -932,26 +932,67 @@ _TEXTORACLES["doc_bm25_indexed"] = _TEXTORACLES["doc_bm25_search"]
 # BPE tokenizer TRAINING (the merge loop itself, not just pair ranking)
 # ---------------------------------------------------------------------------
 
-#: merge rounds trained (and unrolled in the oracle, pagerank-style)
-_BPE_ROUNDS = 3
+#: BPE training geometry (round 10, VERDICT r9 #5): per round the pair
+#: statistics are counted ONCE and a BATCH of mutually non-conflicting
+#: merges is accepted — greedy over the ranked pool, the standard
+#: batched-BPE trainer move — so a realistic vocabulary (≥64 merges;
+#: the testdata vocab saturates at 89) is reached in 8 corpus-count
+#: rounds instead of one round per merge.
+_BPE_ROUNDS = 8     #: pair-count rounds (each unrolled in the oracle)
+_BPE_BATCH_K = 16   #: max merges accepted per round
+_BPE_POOL = 256     #: ranked candidate pool fed to the greedy selection
 
 
-def _bpe_round(df: DataFrame, top: DataFrame) -> DataFrame:
-    """One BPE merge applied to the (tok, f, pos, sym) symbol frame:
-    greedy left-to-right replacement of the winning adjacent pair
-    (a, b) → ab in every word. Greedy with overlaps (a == b runs like
-    'aaaa') is resolved by island parity: consecutive matching ROWS
-    form an island (gaps-and-islands on row_number − cumulative match
-    count) and every even-offset match within it merges — the classic
-    sequential semantics, computed with window functions only."""
+def _bpe_conflict(a: str, b: str, sel: list) -> bool:
+    """True when pair (a, b) cannot join ``sel`` in one rewrite pass
+    with sequential-greedy-equivalent semantics. Two selected pairs may
+    not share a boundary symbol (p.b == q.a in either role — otherwise
+    two matches could claim one symbol occurrence) and no pair may
+    contain another's CONCATENATION (otherwise one merge would create
+    or consume the other's matches mid-pass). Within one pair, a == b
+    runs are legal — island parity resolves them. The equivalence is
+    property-tested against the sequential reference
+    (test_sketch_properties.py)."""
+    ab = a + b
+    for sa, sb, _ in sel:
+        if (b == sa or a == sb or a == sa + sb or b == sa + sb
+                or sa == ab or sb == ab):
+            return True
+    return False
+
+
+def _bpe_select(ranked: list) -> list:
+    """Greedy top-K non-conflicting selection over the ranked pool —
+    the exact sequence the oracle's recursive CTE replays."""
+    sel: list = []
+    for a, b, cnt in ranked:
+        if len(sel) >= _BPE_BATCH_K:
+            break
+        if not _bpe_conflict(a, b, sel):
+            sel.append((a, b, cnt))
+    return sel
+
+
+def _bpe_apply(df: DataFrame, sel_df: DataFrame) -> DataFrame:
+    """One batched BPE rewrite over the (tok, f, pos, sym) symbol frame:
+    greedy left-to-right replacement of EVERY selected pair (a, b) → ab
+    in every word, in one pass. The selection constraint makes matches
+    of distinct pairs position-disjoint, so the only overlap left is a
+    self-pair run ('aaaa' under (a, a)), resolved by island parity:
+    consecutive matching ROWS form an island (gaps-and-islands on
+    row_number − cumulative match count) and every even-offset match
+    within it merges — the classic sequential semantics, computed with
+    window functions only."""
     wt = Window.partitionBy("tok").orderBy("pos")
     m = (df
          .withColumn("nxt", F.lead("sym").over(wt))
          .withColumn("rn", F.row_number().over(wt))
-         .crossJoin(F.broadcast(top.select(F.col("a").alias("ta"),
-                                           F.col("b").alias("tb"))))
-         .withColumn("match", (F.col("sym") == F.col("ta"))
-                     & (F.col("nxt") == F.col("tb"))))
+         .join(F.broadcast(sel_df.select(F.col("a").alias("ta"),
+                                         F.col("b").alias("tb"),
+                                         F.lit(True).alias("m0"))),
+               (F.col("sym") == F.col("ta"))
+               & (F.col("nxt") == F.col("tb")), "left")
+         .withColumn("match", F.coalesce("m0", F.lit(False))))
     m = m.withColumn("cm", F.sum(F.col("match").cast("int")).over(wt))
     m = m.withColumn("isl", F.when(F.col("match"),
                                    F.col("rn") - F.col("cm")))
@@ -968,11 +1009,49 @@ def _bpe_round(df: DataFrame, top: DataFrame) -> DataFrame:
                      .alias("sym")))
 
 
+#: the recursive-CTE greedy selection, validated standalone against the
+#: Python reference; {i} = round, {k}/{p} = batch size / pool size
+_BPE_SEL_SQL = """
+    pr{i} AS (
+      SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM m{i} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    rk{i} AS MATERIALIZED (
+      SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS r
+      FROM (SELECT * FROM pr{i} ORDER BY cnt DESC, a, b LIMIT {p})
+    ),
+    g{i} AS (
+      SELECT 0 AS r, []::VARCHAR[] AS la, []::VARCHAR[] AS lb
+      UNION ALL
+      SELECT rk.r,
+             CASE WHEN ok AND len(g.la) < {k}
+                  THEN list_append(g.la, rk.a) ELSE g.la END,
+             CASE WHEN ok AND len(g.lb) < {k}
+                  THEN list_append(g.lb, rk.b) ELSE g.lb END
+      FROM g{i} g JOIN rk{i} rk ON rk.r = g.r + 1,
+           LATERAL (SELECT NOT (
+               list_contains(g.la, rk.b) OR list_contains(g.lb, rk.a)
+               OR list_contains(list_transform(range(1, len(g.la) + 1),
+                    j -> g.la[j] || g.lb[j]), rk.a)
+               OR list_contains(list_transform(range(1, len(g.la) + 1),
+                    j -> g.la[j] || g.lb[j]), rk.b)
+               OR list_contains(g.la, rk.a || rk.b)
+               OR list_contains(g.lb, rk.a || rk.b)) AS ok) c
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT CAST(t.j AS BIGINT) AS sel_rank, la[t.j] AS a, lb[t.j] AS b
+      FROM (SELECT la, lb FROM g{i} ORDER BY r DESC LIMIT 1),
+           UNNEST(range(1, len(la) + 1)) AS t(j)
+    )"""
+
+
 def _bpe_oracle_parts(rounds: int) -> str:
     """The oracle's unrolled merge-loop CTE chain — one block per round
     (the _pagerank_sql_iterations pattern), MATERIALIZED where a frame
-    feeds both the next round and an output; shared by the training
-    gate's merges SELECT and the encode gate's per-source rollup."""
+    feeds both the next round and an output; each round replays the
+    greedy batch selection with a recursive CTE (callers must open the
+    chain with WITH RECURSIVE). Shared by the training gate's merges
+    SELECT and the encode/packing gates' per-source rollups."""
     parts = ["""
     wf AS MATERIALIZED (
       SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS f
@@ -991,20 +1070,13 @@ def _bpe_oracle_parts(rounds: int) -> str:
              lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt,
              row_number() OVER (PARTITION BY tok ORDER BY pos) AS rn
       FROM s{p}
-    ),
-    t{i} AS MATERIALIZED (
-      SELECT sym AS a, nxt AS b, CAST(SUM(f) AS BIGINT) AS cnt
-      FROM m{i} WHERE nxt IS NOT NULL
-      GROUP BY sym, nxt
-      ORDER BY cnt DESC, a, b LIMIT 1
-    ),
+    ),{_BPE_SEL_SQL.format(i=i, k=_BPE_BATCH_K, p=_BPE_POOL)},
     k{i} AS (
       SELECT m.tok, m.f, m.pos, m.sym, m.nxt, m.rn,
-             (m.sym = t.a AND m.nxt IS NOT DISTINCT FROM t.b) AS match,
-             SUM(CASE WHEN m.sym = t.a AND m.nxt IS NOT DISTINCT FROM t.b
-                      THEN 1 ELSE 0 END)
+             (s.a IS NOT NULL) AS match,
+             SUM(CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END)
                OVER (PARTITION BY m.tok ORDER BY m.pos) AS cm
-      FROM m{i} m CROSS JOIN t{i} t
+      FROM m{i} m LEFT JOIN sel{i} s ON s.a = m.sym AND s.b = m.nxt
     ),
     x{i} AS (
       SELECT *, CASE WHEN match THEN rn - cm END AS isl FROM k{i}
@@ -1029,50 +1101,54 @@ def _bpe_oracle_parts(rounds: int) -> str:
 
 def _bpe_oracle(rounds: int) -> str:
     selects = [f"""
-    SELECT {i} AS merge_rank, a, b, cnt,
+    SELECT {i} AS round, s.sel_rank, s.a, s.b, rk.cnt,
            (SELECT CAST(SUM(f) AS BIGINT) FROM s{i}) AS symbols_after,
            (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) FROM s{i})
              AS vocab_after
-    FROM t{i}""" for i in range(1, rounds + 1)]
-    return ("WITH " + _bpe_oracle_parts(rounds) + "\n"
-            + " UNION ALL ".join(selects) + " ORDER BY merge_rank")
+    FROM sel{i} s JOIN rk{i} rk USING (a, b)""" for i in range(1, rounds + 1)]
+    return ("WITH RECURSIVE " + _bpe_oracle_parts(rounds) + ",\n"
+            + "    allm AS (" + " UNION ALL ".join(selects) + ")\n"
+            + "    SELECT CAST(row_number() OVER (ORDER BY round, sel_rank)"
+            + " AS BIGINT) AS merge_rank, * FROM allm"
+            + " ORDER BY merge_rank")
 
 
 @query("doc_bpe_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING — the actual merge loop (Sennrich et al.
-    2016), not just pair ranking: starting from characters, each round
-    counts frequency-weighted adjacent symbol pairs, elects the winner
-    (count DESC, then lexicographic — fully deterministic), and greedily
-    rewrites every word. Output: one row per learned merge (rank, pair,
-    weighted count) plus the post-merge corpus state (weighted symbol
-    total, symbol vocabulary) — the table a tokenizer builder ships.
+    """BPE tokenizer TRAINING at realistic vocabulary (Sennrich et al.
+    2016; batched per VERDICT r9 #5): starting from characters, each
+    round counts frequency-weighted adjacent symbol pairs ONCE and
+    accepts a greedy BATCH of up to 16 mutually non-conflicting merges
+    (no shared boundary symbol, no pair containing another's
+    concatenation — the constraint under which one rewrite pass is
+    provably equivalent to applying the merges sequentially,
+    property-tested), then rewrites every word in one pass. Eight
+    rounds reach the ≥64-merge regime (the testdata vocabulary
+    saturates at 89 merges — every further pair is blocked or gone).
+    Output: one row per learned merge (global rank, round, within-round
+    rank, pair, weighted count) plus the post-ROUND corpus state
+    (weighted symbol total, symbol vocabulary).
 
-    The load-bearing scale property: the corpus is read ONCE, collapsing
-    to the (word, frequency) VOCABULARY frame — every merge round then
-    runs on vocab-sized data (the classic BPE-training trick: millions
-    of distinct words regardless of corpus TB). Each round is window
-    work partitioned by word (sequences are short) + a pair aggregate +
-    a 1-row broadcast winner; per-round eager localCheckpoint cuts the
-    growing window lineage exactly as the PageRank loop does
-    (graph.py:106). Greedy overlap semantics (a == b runs) are resolved
-    by island parity — gaps-and-islands over row numbers, no UDF, no
-    recursion; the DuckDB oracle unrolls the identical three rounds
-    (_bpe_oracle, the _pagerank_sql_iterations pattern).
-
-    At 100 TB: one tokenize+count shuffle over the corpus, then rounds
-    whose cost is independent of corpus size — add rounds, not scans.
-    Production BPE runs ~30k merges; the loop body here IS that loop
-    body (3 rounds keep the unrolled oracle reviewable)."""
+    The load-bearing scale property is unchanged: the corpus is read
+    ONCE, collapsing to the (word, frequency) VOCABULARY frame — every
+    round then runs on vocab-sized data; the batch moves the
+    rounds-per-merge constant from 1 to ~1/16, which is what makes a
+    30k-merge production vocabulary ~2000 vocab-sized rounds instead of
+    30k. Selection is a bounded planning read (top-256 ranked pairs
+    collected, greedy in the driver); the oracle replays the IDENTICAL
+    selection with a recursive CTE over the same ranked pool and the
+    identical island-parity rewrite, unrolled per round (the
+    _pagerank_sql_iterations pattern)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    out, _ = _bpe_train(t["documents"])
+    out, _ = _bpe_train(spark, t["documents"])
     return out.orderBy("merge_rank")
 
 
-def _bpe_train(docs: DataFrame):
+def _bpe_train(spark: SparkSession, docs: DataFrame):
     """Collapse ``docs`` to the (word, frequency) vocabulary frame and
-    run _BPE_ROUNDS merge rounds; returns (merges frame, final symbol
-    frame) — shared by the training gate and the encode gate."""
+    run _BPE_ROUNDS batched merge rounds; returns (merges frame, final
+    symbol frame) — shared by the training gate and the encode/packing
+    gates."""
     wf = (docs
           .select(F.explode(tokens_col()).alias("tok"))
           .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
@@ -1089,27 +1165,40 @@ def _bpe_train(docs: DataFrame):
            .localCheckpoint(eager=True))
     wt = Window.partitionBy("tok").orderBy("pos")
     out = None
+    sel_schema = ("round INT, sel_rank BIGINT, a STRING, b STRING, "
+                  "cnt BIGINT")
     for i in range(1, _BPE_ROUNDS + 1):
-        pairs = (seq.withColumn("b", F.lead("sym").over(wt))
-                 .filter(F.col("b").isNotNull())
-                 .groupBy(F.col("sym").alias("a"), "b")
-                 .agg(F.sum("f").alias("cnt")))
-        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
-               .localCheckpoint(eager=True))
-        seq = _bpe_round(seq, top).localCheckpoint(eager=True)
+        pool = (seq.withColumn("b", F.lead("sym").over(wt))
+                .filter(F.col("b").isNotNull())
+                .groupBy(F.col("sym").alias("a"), "b")
+                .agg(F.sum("f").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b").limit(_BPE_POOL)
+                .collect())
+        ranked = sorted(((r["a"], r["b"], r["cnt"]) for r in pool),
+                        key=lambda x: (-x[2], x[0], x[1]))
+        sel = _bpe_select(ranked)
+        sel_df = spark.createDataFrame(
+            [(i, j + 1, a, b, cnt) for j, (a, b, cnt) in enumerate(sel)],
+            sel_schema)
+        if sel:
+            seq = _bpe_apply(seq, sel_df).localCheckpoint(eager=True)
         stats = seq.agg(
             F.sum("f").cast("bigint").alias("symbols_after"),
             F.countDistinct("sym").alias("vocab_after"))
-        row = (top.select(F.lit(i).alias("merge_rank"), "a", "b", "cnt")
-               .crossJoin(F.broadcast(stats)))
+        row = sel_df.crossJoin(F.broadcast(stats))
         out = row if out is None else out.unionByName(row)
+    wr = Window.orderBy("round", "sel_rank")
+    out = out.select(
+        F.row_number().over(wr).cast("bigint").alias("merge_rank"),
+        "round", "sel_rank", "a", "b", "cnt",
+        "symbols_after", "vocab_after")
     return out, seq
 
 
 @query(
     "doc_bpe_encode",
     oracle=f"""
-    WITH {{parts}},
+    WITH RECURSIVE {{parts}},
     tl AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS ntok
       FROM s{_BPE_ROUNDS} GROUP BY tok
@@ -1145,7 +1234,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same join. Oracle nests the identical unrolled merge rounds
     (shared _bpe_oracle_parts) under the lookup join."""
     t = load_tables(spark, sf_dir, ("documents",))
-    _, seq = _bpe_train(t["documents"])
+    _, seq = _bpe_train(spark, t["documents"])
     tl = (seq.groupBy("tok")
           .agg(F.count(F.lit(1)).alias("ntok")))
     st = t["documents"].select(
@@ -1164,7 +1253,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_bpe_packing",
     oracle=f"""
-    WITH {{parts}},
+    WITH RECURSIVE {{parts}},
     tl AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS ntok
       FROM s{_BPE_ROUNDS} GROUP BY tok
@@ -1221,7 +1310,7 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an exactly-representable value (100·int / 2^11), the
     established packing-gate discipline."""
     t = load_tables(spark, sf_dir, ("documents",))
-    _, seq = _bpe_train(t["documents"])
+    _, seq = _bpe_train(spark, t["documents"])
     tl = seq.groupBy("tok").agg(F.count(F.lit(1)).alias("ntok"))
     perdoc = (t["documents"]
               .select("source", "doc_id",

@@ -329,36 +329,51 @@ def test_bm25_indexed_equals_relational_form(spark):
 
 
 def _bpe_reference(word_freqs, rounds):
-    """Sequential reference BPE (Sennrich 2016): greedy left-to-right
-    merge of the (count DESC, lexicographic) winning pair each round."""
+    """Batched reference BPE (round 10): per round, count pairs once,
+    greedy-select up to _BPE_BATCH_K non-conflicting merges from the
+    top-_BPE_POOL ranked pool (the trainer's exact rule, via
+    _bpe_select), then apply them sequentially in selection order.
+    Returns one row per merge: (round, sel_rank, a, b, cnt,
+    symbols_after, vocab_after) with post-ROUND corpus stats."""
+    from iceberg_demo_spark.operators.text import (
+        _BPE_POOL, _BPE_ROUNDS, _bpe_select)
+
+    assert rounds == _BPE_ROUNDS
     seqs = {w: list(w) for w in word_freqs}
     merges = []
-    for _ in range(rounds):
+    for rnd in range(1, rounds + 1):
         counts = {}
         for w, f in word_freqs.items():
             s = seqs[w]
             for i in range(len(s) - 1):
                 counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
-        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        for w in seqs:
-            s, out, i = seqs[w], [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            seqs[w] = out
+        ranked = sorted(((a, b, c) for (a, b), c in counts.items()),
+                        key=lambda x: (-x[2], x[0], x[1]))[:_BPE_POOL]
+        sel = _bpe_select(ranked)
+        for a, b, _cnt in sel:
+            for w in seqs:
+                s, out, i = seqs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
         n_sym = sum(f * len(seqs[w]) for w, f in word_freqs.items())
         vocab = len({t for s in seqs.values() for t in s})
-        merges.append((a, b, cnt, n_sym, vocab))
+        for j, (a, b, cnt) in enumerate(sel):
+            merges.append((rnd, j + 1, a, b, cnt, n_sym, vocab))
     return merges
 
 
-def test_bpe_merges_match_sequential_reference(spark):
-    """The distributed island-parity merge equals the classic
-    sequential greedy loop on the real corpus vocabulary."""
+def test_bpe_merges_match_batched_reference(spark):
+    """The distributed batched trainer equals the pure-Python batched
+    reference on the real corpus vocabulary, reaches the >=64-merge
+    regime (VERDICT r9 #5), and merge_rank is the dense global
+    ordinal."""
+    from iceberg_demo_spark.operators.text import _BPE_ROUNDS
     from iceberg_demo_spark.registry import QUERIES
     from tests.conftest import SF_SMALL
     docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
@@ -366,16 +381,18 @@ def test_bpe_merges_match_sequential_reference(spark):
     for r in docs:
         for tok in r["text"].split(" "):
             wf[tok] = wf.get(tok, 0) + 1
-    want = _bpe_reference(wf, 3)
+    want = _bpe_reference(wf, _BPE_ROUNDS)
     got = QUERIES["doc_bpe_merges"](spark, SF_SMALL).collect()
-    assert [(r["a"], r["b"], r["cnt"], r["symbols_after"], r["vocab_after"])
-            for r in got] == want
+    assert [(r["round"], r["sel_rank"], r["a"], r["b"], r["cnt"],
+             r["symbols_after"], r["vocab_after"]) for r in got] == want
+    assert len(got) >= 64
+    assert [r["merge_rank"] for r in got] == list(range(1, len(got) + 1))
 
 
-def test_bpe_round_handles_equal_symbol_runs(spark):
+def test_bpe_apply_handles_equal_symbol_runs(spark):
     """'aaaa' with winner (a,a) must merge greedily to [aa, aa];
     'aaa' to [aa, a] — the island-parity overlap semantics."""
-    from iceberg_demo_spark.operators.text import _bpe_round
+    from iceberg_demo_spark.operators.text import _bpe_apply
     from pyspark.sql import functions as F
     rows = []
     for w in ("aaaa", "aaa", "baaab"):
@@ -383,7 +400,7 @@ def test_bpe_round_handles_equal_symbol_runs(spark):
             rows.append((w, 1, i + 1, ch))
     df = spark.createDataFrame(rows, "tok string, f long, pos long, sym string")
     top = spark.createDataFrame([("a", "a")], "a string, b string")
-    out = _bpe_round(df, top).orderBy("tok", "pos").collect()
+    out = _bpe_apply(df, top).orderBy("tok", "pos").collect()
     by_tok = {}
     for r in out:
         by_tok.setdefault(r["tok"], []).append(r["sym"])
@@ -402,10 +419,11 @@ def test_bpe_encode_matches_reference_token_counts(spark):
     for r in docs:
         for tok in r["text"].split(" "):
             wf[tok] = wf.get(tok, 0) + 1
-    merges = _bpe_reference(wf, 3)
+    from iceberg_demo_spark.operators.text import _BPE_ROUNDS
+    merges = _bpe_reference(wf, _BPE_ROUNDS)
     # re-derive final sequences with the reference merges
     seqs = {w: list(w) for w in wf}
-    for a, b, *_ in merges:
+    for _rnd, _sr, a, b, *_ in merges:
         for w in seqs:
             s, out, i = seqs[w], [], 0
             while i < len(s):
