@@ -27,6 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from iceberg_demo_spark import registry
+from iceberg_demo_spark.cache import release_pins
 from iceberg_demo_spark.session import get_spark
 
 registry.load_all()
@@ -133,6 +134,7 @@ def main() -> None:
         for name in HEADLINE:
             t0 = time.time()
             registry.QUERIES[name](spark, sf_dir).count()
+            release_pins()  # gate-scoped caches end with the gate
             print(f"# warmup {name}: {round(time.time() - t0, 3)}s", file=sys.stderr)
 
     cold = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
@@ -147,6 +149,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             reps.append(time.time() - t0)
+            release_pins()  # outside the timed span; frees gate residue
         reps.sort()
         timings[name] = round(reps[0], 3)
         medians[name] = round(reps[len(reps) // 2], 3)

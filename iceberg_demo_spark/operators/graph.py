@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.sources import load_tables
 
 #: fixed-point rank scale — integer "1.0"; floor divisions below make
@@ -76,13 +81,13 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
     CTEs; see _CKPT_EVERY for the cadence measurements). Interior caches
     are unpersisted before returning — bounded plan depth, bounded
     cache."""
-    e = edges.persist()
+    e = edges.transform(_pin)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
+             .distinct().transform(_pin))
     n_nodes = nodes.count()
     deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-           .persist())
+           .transform(_pin))
     rank = nodes.select("node", F.lit(_S).cast("bigint").alias("rank"))
     cached: list[DataFrame] = []
     for i in range(n_iter):
@@ -103,12 +108,12 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
                                   f" + d div {n_nodes})) div 100"))
                         .cast("bigint").alias("rank")))
         if (i + 1) % checkpoint_every == 0 or (i + 1) == n_iter:
-            rank = rank.localCheckpoint()  # eager: cut lineage here
+            rank = rank.transform(_pin_ckpt)  # eager: cut lineage here
             for c in cached:
                 c.unpersist()
             cached.clear()
         else:
-            rank = rank.persist()
+            rank = rank.transform(_pin)
             cached.append(rank)
     for c in (e, nodes, deg):
         c.unpersist()
@@ -284,11 +289,11 @@ def graph_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("x.doc_id").alias("src"),
                  F.col("y.doc_id").alias("dst"))
          .distinct()
-         .persist())
+         .transform(_pin))
     deg = (e.select(F.col("src").alias("v"))
            .unionByName(e.select(F.col("dst").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-           .persist())
+           .transform(_pin))
     # orient each edge low-rank → high-rank under (degree, id)
     eo = (e.join(deg.select(F.col("v").alias("src"),
                             F.col("d").alias("ds")), "src")
@@ -303,7 +308,7 @@ def graph_doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | ((F.col("ds") == F.col("dd"))
                         & (F.col("src") < F.col("dst"))),
                      F.col("dst")).otherwise(F.col("src")).alias("v"))
-          .persist())
+          .transform(_pin))
     e1, e2 = eo.alias("e1"), eo.alias("e2")
     wedges = (e1.join(e2, (F.col("e1.u") == F.col("e2.u"))
                       & (F.col("e1.v") < F.col("e2.v")))

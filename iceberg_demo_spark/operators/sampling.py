@@ -23,6 +23,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.sources import load_tables
 
 #: Hash-bucket resolution: rates are expressed in 1/10000ths.
@@ -247,7 +252,7 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             weight="n_chars", group="source")
               .filter(F.col("rn") <= k + 1)
               .select("doc_id", "source", "n_chars", "q", "rn")
-              .persist())
+              .transform(_pin))
     tau = (ranked.groupBy("source")
            .agg(F.coalesce(
                 F.max(F.when(F.col("rn") == k + 1, F.col("q"))),

@@ -35,6 +35,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.sources import load_tables
 
 #: sketch size — the standard accuracy knob (relative error ~ 1/sqrt(k))
@@ -206,8 +211,8 @@ def dedup_kmv_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("source", "wh").distinct()
           .select("source", kmv_value(F.col("wh")).alias("v"))
           .distinct()
-          .persist())
-    sk = kmv_sketch(sv, "source", "v").persist()
+          .transform(_pin))
+    sk = kmv_sketch(sv, "source", "v").transform(_pin)
 
     # pairwise stage: everything below runs on the ≤ S·k-row sketch frame
     srcs = sk.select("source").distinct()
@@ -390,6 +395,20 @@ def bloom_fp_bound_bps(n: int, m: int, k: int) -> int:
         10000 * (1 - math.exp(-(k * n1) / m)) ** k + 0.5))
 
 
+def kmv_count_estimate(df: DataFrame, col: str = "wh") -> int:
+    """Driver-side KMV distinct-count estimate of a digest column — the
+    bounded planning read that sizes a Bloom filter before its build
+    plan exists. Exact integer arithmetic, bit-identical to the
+    _BLOOM_SIZE_SQL replay."""
+    sk = (df.select(kmv_value(F.col(col)).alias("v")).distinct()
+          .orderBy("v").limit(_KMV_K)
+          .agg(F.count(F.lit(1)).alias("cnt"), F.max("v").alias("vk"))
+          .first())
+    n = (sk["cnt"] if sk["cnt"] < _KMV_K
+         else ((_KMV_K - 1) * _KMV_M) // max(sk["vk"], 1))
+    return max(int(n), 1)
+
+
 #: the sizing subquery, shared verbatim by the oracle: n from the
 #: corpus KMV bottom-k, then the exact integer geometry above
 _BLOOM_SIZE_SQL = f"""
@@ -516,20 +535,14 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_demo_spark.operators.dedup import _ingest_windows
 
     t = load_tables(spark, sf_dir, ("documents",))
-    w = _ingest_windows(t["documents"]).persist()
+    w = _ingest_windows(t["documents"]).transform(_pin)
     corpus = (w.filter(F.col("doc_id") % 5 != 0)
-              .select("wh").distinct().persist())
+              .select("wh").distinct().transform(_pin))
     batch = (w.filter(F.col("doc_id") % 5 == 0)
-             .select("source", "wh").distinct().persist())
+             .select("source", "wh").distinct().transform(_pin))
     # sizing: KMV bottom-k over the corpus (a bounded planning read —
     # the filter geometry must exist before the build plan does)
-    sk = (corpus.select(kmv_value(F.col("wh")).alias("v")).distinct()
-          .orderBy("v").limit(_KMV_K)
-          .agg(F.count(F.lit(1)).alias("cnt"), F.max("v").alias("vk"))
-          .first())
-    n_est = (sk["cnt"] if sk["cnt"] < _KMV_K
-             else ((_KMV_K - 1) * _KMV_M) // max(sk["vk"], 1))
-    n_est = max(int(n_est), 1)
+    n_est = kmv_count_estimate(corpus, "wh")
     _, m_bits, k_h = bloom_geometry(n_est)
     bound = bloom_fp_bound_bps(n_est, m_bits, k_h)
     i = F.explode(F.sequence(F.lit(0), F.lit(k_h - 1))).alias("i")

@@ -26,14 +26,18 @@ def measure_one(gate: str, sf_dir: str) -> None:
 
     registry.load_all()
     spark = get_spark("sf1-supplement")
+    from iceberg_demo_spark.cache import release_pins
+
     fn = registry.QUERIES[gate]
     fn(spark, sf_dir).collect()  # warmup
+    release_pins()
     best, rows = None, 0
     for _ in range(2):
         t0 = time.monotonic()
         rows = len(fn(spark, sf_dir).collect())
         dt = time.monotonic() - t0
         best = dt if best is None or dt < best else best
+        release_pins()  # outside the timed span
     print(json.dumps({"secs": round(best, 3), "rows": rows}))
 
 

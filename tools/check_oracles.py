@@ -109,9 +109,12 @@ def main() -> int:
         results[name] = {"status": status, "rows": rows,
                          "secs": round(time.time() - t0, 2)}
 
+    from iceberg_demo_spark.cache import release_pins
+
     for name, fn in registry.QUERIES.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
+        release_pins()  # previous gate's residue must not color this one
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -8,6 +8,15 @@ runs ``bench.py`` at min-of-5 reps, and writes
 ``BENCH_QUIET_r{NN}.json`` containing the bench payload plus the load
 readings that qualify it.
 
+Round 10 (VERDICT r9 #7 — institutionalize the r9 drift adjudication):
+three UNTOUCHED r2-era relational queries run as CANARIES immediately
+before and after the main bench, in their own fresh processes. The
+artifact records both canary totals and ``canary_ratio``
+(after/before): a ratio far from 1.0 means the host drifted DURING the
+window and the main numbers inherit that error bar; comparing one
+round's canary total against another's calibrates ROUND-over-round
+host drift without a 37-query control run.
+
 Usage:  python tools/quiet_bench.py 7            # writes BENCH_QUIET_r07.json
         python tools/quiet_bench.py 7 --max-wait 900 --load-limit 2.0
 """
@@ -22,6 +31,25 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: canaries: r2-era relational gates whose implementation has not
+#: changed since round 2 — pure host-drift thermometers
+CANARIES = ["flagship_revenue_by_region", "q1_pricing_summary",
+            "q6_forecast_revenue"]
+
+
+def run_canaries(env: dict, reps: int = 3) -> dict | None:
+    """One fresh bench.py process restricted to the canary queries;
+    returns its payload (or None on failure — recorded, not fatal)."""
+    cenv = dict(env, SPARK_GRAFT_BENCH_ONLY=",".join(CANARIES),
+                SPARK_GRAFT_BENCH_REPS=str(reps))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=cenv, capture_output=True, text=True)
+    if proc.returncode != 0 or not proc.stdout.strip():
+        sys.stderr.write(proc.stderr)
+        return None
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def wait_for_quiet(limit: float, max_wait: float) -> list[float] | None:
@@ -59,6 +87,7 @@ def main() -> int:
     env = dict(os.environ,
                SPARK_GRAFT_BENCH_REPS=str(args.reps),
                SPARK_GRAFT_SF_DIR=args.sf_dir)
+    canary_before = run_canaries(env)
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -73,6 +102,11 @@ def main() -> int:
               "payload line", file=sys.stderr)
         return 1
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    canary_after = run_canaries(env)
+    canary_ratio = None
+    if canary_before and canary_after and canary_before["value"] > 0:
+        canary_ratio = round(canary_after["value"]
+                             / canary_before["value"], 3)
 
     out = {
         "round": args.round,
@@ -81,6 +115,12 @@ def main() -> int:
         "loadavg_before": load_before,
         "loadavg_after": list(os.getloadavg()),
         "wall_clock_sec": wall,
+        "canaries": CANARIES,
+        "canary_before": (canary_before or {}).get("queries"),
+        "canary_before_total": (canary_before or {}).get("value"),
+        "canary_after": (canary_after or {}).get("queries"),
+        "canary_after_total": (canary_after or {}).get("value"),
+        "canary_ratio": canary_ratio,
         **payload,
     }
     path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
@@ -88,6 +128,7 @@ def main() -> int:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     print(json.dumps({"written": path, "value": payload["value"],
+                      "canary_ratio": canary_ratio,
                       "value_r4_comparable": payload.get(
                           "value_r4_comparable")}))
     return 0
