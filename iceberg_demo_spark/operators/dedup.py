@@ -22,6 +22,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.sources import load_tables
 from iceberg_demo_spark.operators.text import tokens_col
 
@@ -261,7 +266,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reused three times (band build + both join sides); persist so the
     # signature shuffle runs once. At cluster scale this would be a
     # checkpoint/intermediate table instead of executor memory.
-    docs = minhash_signatures(t["documents"].select("doc_id", "text")).persist()
+    docs = minhash_signatures(t["documents"].select("doc_id", "text")).transform(_pin)
     n_bands = _N_PERM // _BAND_SIZE
     # band key = (band_idx, hash of that band's slice of the signature).
     # Narrow projection (doc_id, band, bucket) — the equi-join shuffles 3
@@ -415,7 +420,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-nibble bit votes, chunk blocking and Hamming filter on bit lists
     (single-bigint packing would overflow BIGINT at bit 63)."""
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = simhash_signatures(t["documents"].select("doc_id", "text")).persist()
+    docs = simhash_signatures(t["documents"].select("doc_id", "text")).transform(_pin)
     # Block on each of 4 16-bit chunks: near-identical docs agree on ≥1 chunk
     # when hamming ≤ 16 is concentrated; a standard recall/cost tradeoff.
     chunks = docs.select(
@@ -608,11 +613,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     near-dup clusters is tiny). Each iteration materializes through persist
     so the plan lineage stays bounded."""
     swapped = edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    bidir = edges.select("id_a", "id_b").union(swapped).persist()
+    bidir = edges.select("id_a", "id_b").union(swapped).transform(_pin)
     labels = (
         bidir.select(F.col("id_a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .transform(_pin)
     )
     converged = False
     for _ in range(max_iter):
@@ -624,7 +629,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         new_labels = (
             labels.join(neigh, "id", "left")
             .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
-            .persist()
+            .transform(_pin)
         )
         changed = (
             new_labels.alias("n").join(labels.alias("o"), "id")
@@ -934,7 +939,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kernel) — materialize the assignment once instead of paying the
         # argmin fold twice; executor-local storage, lineage truncated
         # (the persist step a production pipeline would run anyway)
-        .localCheckpoint(eager=False)
+        .transform(_pin_ckpt_lazy)
     )
 
     return (
@@ -1077,7 +1082,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     # persisted: consumed twice (hash-set build + contamination probe) —
     # one batch scan total, the multi-consumer discipline of dedup.py:255
-    batch = _ingest_windows(docs.filter("doc_id % 5 = 0")).persist()
+    batch = _ingest_windows(docs.filter("doc_id % 5 = 0")).transform(_pin)
     corpus = _ingest_windows(docs.filter("doc_id % 5 <> 0"))
 
     batch_hashes = batch.select("wh").distinct()
@@ -1088,7 +1093,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (batch.join(
         F.broadcast(matched.withColumn("hit", F.lit(1))), "wh", "left")
         .withColumn("hit", F.coalesce("hit", F.lit(0)))
-        .persist())
+        .transform(_pin))
     return _ingest_accounting(flagged)
 
 
@@ -1215,7 +1220,7 @@ def _indexed_probe(spark: SparkSession, sf_dir: str,
     flagged = (_ingest_windows(t["documents"].filter("doc_id % 5 = 0"))
                .join(idx.hint("merge"), "wh", "left")
                .withColumn("hit", F.coalesce("hit", F.lit(0)))
-               .persist())
+               .transform(_pin))
     return _ingest_accounting(flagged)
 
 
@@ -1368,8 +1373,8 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     text dies at the hash projection. At 100 TB: two digest-keyed
     shuffles, output |S|² rows."""
     t = load_tables(spark, sf_dir, ("documents",))
-    w = _ingest_windows(t["documents"]).persist()
-    sw = w.select("source", "wh").distinct().persist()
+    w = _ingest_windows(t["documents"]).transform(_pin)
+    sw = w.select("source", "wh").distinct().transform(_pin)
     a = sw.select(F.col("source").alias("source_a"), "wh")
     pairs = (a.join(sw.select(F.col("source").alias("source_b"), "wh"),
                     "wh")
@@ -1514,8 +1519,8 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer",))
     keys = _fuzzy_delete1_keys(t["customer"].select("c_custkey", "c_name"),
                                "c_custkey", "c_name")
-    hits = _fuzzy_hits(keys, "c_custkey", "c_name").persist()
-    pairs = hits.select("id_a", "id_b").distinct().persist()
+    hits = _fuzzy_hits(keys, "c_custkey", "c_name").transform(_pin)
+    pairs = hits.select("id_a", "id_b").distinct().transform(_pin)
     m = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
     bl = hits.agg(F.countDistinct("k").alias("n_blocks"))
     u = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"))
@@ -1598,7 +1603,7 @@ def dedup_fuzzy_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer",))
     s = (t["customer"].select("c_custkey", "c_name")
          .filter(F.col("c_custkey") % 3 == 0)
-         .withColumn("ln", F.length("c_name")).persist())
+         .withColumn("ln", F.length("c_name")).transform(_pin))
 
     def pair_count(df: DataFrame) -> DataFrame:
         return df.select("id_a", "id_b").distinct().agg(
@@ -2191,3 +2196,20 @@ _OR["doc_curation_pipeline"] = f"""
     LEFT JOIN picked USING (source)
     ORDER BY base.source
 """.strip()
+
+# Composed oracle for curation.doc_curation_incremental (round 10,
+# VERDICT r9 #4): IDENTICAL to the batch pipeline on the merged corpus
+# except the bigram LM trains on the STANDING partition only (the
+# frozen-quality-model discipline the incremental tier implements) —
+# one textual edit, asserted, so the two oracles can never drift apart
+# anywhere else. The equivalence this pins: the incremental path
+# (state + batch + bloom-guarded index probe + contracted CC) returns
+# EXACTLY what a full recompute under the same frozen LM returns.
+_CUR_INC_LM_EDIT = (
+    "c2 AS (\n      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2"
+    " FROM bg GROUP BY w1, w2\n    )")
+assert _CUR_INC_LM_EDIT in _OR["doc_curation_pipeline"]
+_OR["doc_curation_incremental"] = _OR["doc_curation_pipeline"].replace(
+    _CUR_INC_LM_EDIT,
+    "c2 AS (\n      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2"
+    " FROM bg\n      WHERE doc_id % 5 <> 0 GROUP BY w1, w2\n    )")

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from iceberg_demo_spark.engine import Engine
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.scratch import scratch_path
 from iceberg_demo_spark.sources import load_tables
 from iceberg_demo_spark.tables import Catalog, procedures as proc
@@ -1241,6 +1246,159 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _bloom_stream_oracle() -> str:
+    """Unrolled 3-batch oracle for streaming_bloom_guarded_dedup: the
+    streaming_dedup_ingest recursion PLUS the bit-exact Bloom filter —
+    seeded from the standing corpus at the KMV-derived geometry
+    (sketches._BLOOM_SIZE_SQL), folded with each batch's novel kept
+    digests, probed per batch at window level. Replays probe volume,
+    hits, and keep/drop exactly."""
+    from iceberg_demo_spark.operators.sketches import _BLOOM_SIZE_SQL
+
+    def pos(src: str) -> str:
+        return (f"SELECT wh, CAST(('0x' || substr(md5(wh || '#' || "
+                f"t.i::VARCHAR), 1, 13))::UBIGINT AS BIGINT) % s.m AS pos"
+                f" FROM {src}, size s, UNNEST(range(0, s.k)) AS t(i)")
+
+    parts = [f"""w AS (
+      SELECT doc_id, source, (doc_id // 5) % 3 AS b,
+             md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+      WHERE doc_id % 5 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+      WHERE doc_id % 5 <> 0
+    ),
+    {_BLOOM_SIZE_SQL.strip()},
+    idx0 AS (SELECT wh FROM corpus),
+    filt0 AS (
+      SELECT pos // 63 AS word, bit_or(CAST(1 AS BIGINT) << (pos % 63)) AS wv
+      FROM ({pos('corpus')}) GROUP BY pos // 63
+    )"""]
+    stats = []
+    for i in range(3):
+        j = i + 1
+        parts.append(f"""
+    wh{i} AS (SELECT DISTINCT wh FROM w WHERE b = {i}),
+    mem{i} AS (
+      SELECT p.wh, MIN((COALESCE(f.wv, 0) >> (p.pos % 63)) & 1) AS member
+      FROM ({pos(f'wh{i}')}) p
+      LEFT JOIN filt{i} f ON f.word = p.pos // 63
+      GROUP BY p.wh
+    ),
+    probed{i} AS (SELECT wh FROM mem{i} WHERE member = 1),
+    hit{i} AS (SELECT p.wh FROM probed{i} p
+               WHERE p.wh IN (SELECT wh FROM idx{i})),
+    d{i} AS (SELECT DISTINCT w.doc_id FROM w
+             JOIN hit{i} h ON w.wh = h.wh WHERE w.b = {i}),
+    k{i} AS (SELECT DISTINCT doc_id FROM w WHERE b = {i}
+             AND doc_id NOT IN (SELECT doc_id FROM d{i})),
+    novel{i} AS (
+      SELECT DISTINCT w.wh FROM w JOIN k{i} USING (doc_id)
+      WHERE w.b = {i} AND w.wh NOT IN (SELECT wh FROM idx{i})
+    ),
+    idx{j} AS (SELECT wh FROM idx{i} UNION ALL SELECT wh FROM novel{i}),
+    filt{j} AS (
+      SELECT word, bit_or(wv) AS wv FROM (
+        SELECT word, wv FROM filt{i}
+        UNION ALL
+        SELECT pos // 63 AS word,
+               bit_or(CAST(1 AS BIGINT) << (pos % 63)) AS wv
+        FROM ({pos(f'novel{i}')}) GROUP BY pos // 63
+      ) GROUP BY word
+    )""")
+        stats.append(f"""
+    SELECT CAST({i} AS BIGINT) AS batch,
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM w WHERE b = {i}) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wh{i}) AS n_windows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probed{i}) AS n_probed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit{i}) AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}) AS n_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d{i}) AS n_dropped""")
+    return ("WITH " + ",".join(parts) + "\n"
+            + " UNION ALL ".join(stats) + " ORDER BY batch")
+
+
+@query("streaming_bloom_guarded_dedup", oracle=_bloom_stream_oracle())
+def streaming_bloom_guarded_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """streaming_dedup_ingest with the sized BLOOM FILTER in front of
+    the index probe (VERDICT r9 #8, the sketch tier composed into the
+    streaming tier): the filter is seeded from the standing corpus
+    digests at the KMV-derived geometry (sketch_bloom_membership's
+    sizing), broadcast into every micro-batch, and only bloom-POSITIVE
+    windows touch the growing hash index; kept docs' novel digests fold
+    into BOTH the index and the filter, so later batches see them in
+    the guard too. No false negatives by construction — the kept/drop
+    outcome is bit-identical to the unguarded stream — and the oracle
+    value-pins the PROBE-VOLUME accounting per batch (windows, probed,
+    hits, kept, dropped): wasted index reads are bounded by
+    (probed − hits), i.e. true dups + the filter's measured fp share.
+
+    Scale shape: the guard turns the per-batch index semi-join into a
+    map-side broadcast test for the (overwhelming at 100 TB) novel
+    share of windows; only the probed residue pays index I/O. Filter
+    maintenance is a KB-scale read-modify-write per batch; geometry is
+    re-sized at maintenance windows (the KMV estimate rides the index),
+    never per batch."""
+    import os
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.operators.sketches import (
+        bloom_geometry, kmv_count_estimate)
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    src = _dedup_ingest_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    # the stream MUTATES index + filter, so both re-seed per invocation
+    tag = _sf_tag(sf_dir)
+    idx_dir = scratch_path(f"glacier_streamb_idx_{tag}")
+    bloom_dir = scratch_path(f"glacier_streamb_bloom_{tag}")
+    stats_dir = scratch_path(f"glacier_streamb_stats_{tag}")
+    for d in (idx_dir, bloom_dir, stats_dir):
+        _shutil.rmtree(d, ignore_errors=True)
+    corpus_docs = (load_tables(spark, sf_dir, ("documents",))["documents"]
+                   .filter("doc_id % 5 <> 0"))
+    (_ingest_windows(corpus_docs).select("wh").distinct()
+     .write.mode("overwrite").parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+    n_est = kmv_count_estimate(idx, "wh")
+    _, m_bits, k_h = bloom_geometry(n_est)
+    posx = (F.conv(F.substring(F.md5(F.concat(
+                F.col("wh"), F.lit("#"), F.col("i").cast("string"))),
+                1, 13), 16, 10).cast("bigint") % m_bits)
+    (idx.select("wh", F.explode(F.sequence(F.lit(0),
+                                           F.lit(k_h - 1))).alias("i"))
+     .select(posx.alias("pos"))
+     .groupBy(F.expr("pos div 63").alias("word"))
+     .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                 "CAST(pos % 63 AS INT)))").alias("wv"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(bloom_dir, "words")))
+    spark.createDataFrame([(n_est, m_bits, k_h)],
+                          "n BIGINT, m BIGINT, k BIGINT")\
+        .coalesce(1).write.mode("overwrite")\
+        .parquet(os.path.join(bloom_dir, "geom"))
+
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.docs_clean_bloom",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    stream_dedup_to_table(
+        spark, src, schema, t, _fresh_ckpt(sf_dir, "sbd"), idx_dir,
+        _ingest_windows, max_files_per_trigger=1,
+        bloom_dir=bloom_dir, stats_dir=stats_dir)
+    return spark.read.parquet(stats_dir).orderBy("batch")
+
+
 # -- Custom Python DataSource (Spark 4 extension point) ---------------------
 
 @query(
@@ -1593,7 +1751,7 @@ def changelog_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change batch before applying it.
     cl = (proc.create_changelog_view(src_t, "cust_repl_changes")
           .select(*data_cols, "_change_type", "_change_ordinal")
-          .localCheckpoint())
+          .transform(_pin_ckpt))
     ordinals = sorted(
         r[0] for r in cl.select("_change_ordinal").distinct().collect())
     for o in ordinals:

@@ -14,6 +14,11 @@ from pyspark.sql import functions as F
 
 from iceberg_demo_spark.functions import davg
 from iceberg_demo_spark.registry import query
+from iceberg_demo_spark.cache import (
+    pin as _pin,
+    pin_checkpoint as _pin_ckpt,
+    pin_checkpoint_lazy as _pin_ckpt_lazy,
+)
 from iceberg_demo_spark.sources import load_tables
 
 
@@ -633,20 +638,15 @@ def doc_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bigram-LM quality scoring (CCNet-style perplexity proxy)
 # ---------------------------------------------------------------------------
 
-def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
-    """Per-document bigram-LM quality scores (doc_id, *carry, doc_ppm)
-    — the trainable core of doc_lm_quality_score, factored out so the
-    composed curation pipeline (curation.py::doc_curation_pipeline) can
-    reuse it verbatim. The LM is the corpus itself: P(w2|w1) =
-    c(w1 w2)/c(w1) in exact integer ppm; a doc's score is the integer
-    mean of its bigram ppms. Two pruned corpus passes (train + score);
-    unigram denominators are a window over the vocab-sized LM frame,
-    never a third scan."""
+def lm_bigrams(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, w1, w2): the corpus bigram stream — shared by LM
+    training and per-doc scoring so the two can never tokenize
+    differently."""
     toks = F.split(F.col("text"), " ")
     n = F.size(F.col("t")) - 1
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>"))
-    bg = (
+    return (
         docs
         .select("doc_id", *carry, toks.alias("t"))
         .select("doc_id", *carry, "t", F.explode(idx).alias("i"))
@@ -656,13 +656,26 @@ def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
             F.expr("element_at(t, i + 1)").alias("w2"),
         )
     )
+
+
+def lm_ppm(bg: DataFrame) -> DataFrame:
+    """The bigram LM table (w1, w2, ppm) from a bigram stream: P(w2|w1)
+    = c(w1 w2)/c(w1) in exact integer ppm. Factored out (round 10) so
+    the incremental curation tier can train on the STANDING corpus and
+    persist the table — the frozen-quality-model discipline."""
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     # n1 = Σ_w2 c2 as a WINDOW over the (already tiny) LM frame — a
     # groupBy-then-join formulation re-derives the whole c2 lineage
     # (Catalyst does not CSE subtrees) and costs a THIRD corpus scan
-    lm = c2.withColumn(
+    return c2.withColumn(
         "n1", F.sum("n2").over(Window.partitionBy("w1"))
     ).select("w1", "w2", F.expr("(1000000 * n2) div n1").alias("ppm"))
+
+
+def lm_score(bg: DataFrame, lm: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Per-doc integer-mean bigram score under an EXPLICIT LM table —
+    docs whose bigrams never hit the LM vocabulary drop out (inner
+    join), exactly the composed pipeline's semantics."""
     return (
         bg.join(lm, ["w1", "w2"])
         .groupBy("doc_id", *carry)
@@ -670,6 +683,19 @@ def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
         .select("doc_id", *carry, "n_bg",
                 F.expr("s div n_bg").alias("doc_ppm"))
     )
+
+
+def lm_doc_scores(docs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """Per-document bigram-LM quality scores (doc_id, *carry, doc_ppm)
+    — the trainable core of doc_lm_quality_score, factored out so the
+    composed curation pipeline (curation.py::doc_curation_pipeline) can
+    reuse it verbatim. The LM is the corpus itself; train and score
+    share ONE bigram stream definition (lm_bigrams → lm_ppm →
+    lm_score). Two pruned corpus passes (train + score); unigram
+    denominators are a window over the vocab-sized LM frame, never a
+    third scan."""
+    bg = lm_bigrams(docs, carry)
+    return lm_score(bg, lm_ppm(bg), carry)
 
 
 @query(
@@ -1162,7 +1188,7 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
                     .alias("pos"))
            .select("tok", "f", "pos",
                    F.expr("substring(tok, pos, 1)").alias("sym"))
-           .localCheckpoint(eager=True))
+           .transform(_pin_ckpt))
     wt = Window.partitionBy("tok").orderBy("pos")
     out = None
     sel_schema = ("round INT, sel_rank BIGINT, a STRING, b STRING, "
@@ -1181,7 +1207,7 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
             [(i, j + 1, a, b, cnt) for j, (a, b, cnt) in enumerate(sel)],
             sel_schema)
         if sel:
-            seq = _bpe_apply(seq, sel_df).localCheckpoint(eager=True)
+            seq = _bpe_apply(seq, sel_df).transform(_pin_ckpt)
         stats = seq.agg(
             F.sum("f").cast("bigint").alias("symbols_after"),
             F.countDistinct("sym").alias("vocab_after"))

@@ -204,11 +204,11 @@ def load_all() -> None:
         "dml_delete_update",
         "dml_delete_update_mor",
         "dml_merge_upsert",
-        "dml_overwrite_dynamic",
-        "doc_bigram_vocab",
         # -- round-10 NEW gates displace the r7 tail one-for-one
         #    (standing policy: new gates sit inside the window) --
         "sim_ivfpq_indexed",
+        "doc_curation_incremental",
+        "streaming_bloom_guarded_dedup",
         # -- the fresher r8/r9-green gates follow in QUERIES order and
         #    stay covered by ORACLES_LOCAL_r10 --
     )
