@@ -2757,49 +2757,10 @@ def _cur_batch_probe(spark: SparkSession, path: str, batch: DataFrame,
     return sh_b, sizes_b, pairs_bb
 
 
-@query("doc_curation_incremental", oracle=None)  # composed in dedup.py
-def doc_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_curation_pipeline's answer maintained INCREMENTALLY
-    (VERDICT r9 #4): the corpus arrives as standing state (doc_id % 5
-    ≠ 0, curated once by ensure_curation_state) plus an ingest batch
-    (doc_id % 5 = 0), and the gate produces the full pipeline
-    accounting for the MERGED corpus while reading raw text exactly
-    ONCE — the batch partition — behind an eager checkpoint (the final
-    plan contains no corpus scan at all, plan-pinned). The quality
-    model is the state's FROZEN bigram LM (the production discipline:
-    scoring models don't retrain per ingest), and the oracle pins the
-    result EXACTLY equal to the batch pipeline run on the merged corpus
-    under that same frozen LM — the dedup_incremental_batch equivalence
-    discipline, one oracle proving the incremental path changes no
-    answer.
-
-    The ingest path composes the repo's whole incremental tier:
-
-    1. batch features + frozen-LM scores from the ONE batch read;
-       exact-dup keeper election against the standing ``dupmin`` digest
-       map (a smaller batch id EVICTS the standing keeper — handled
-       exactly, including cluster splits the eviction causes);
-    2. the sized BLOOM FILTER (state geometry) guards the shingle
-       probe: only bloom-positive batch shingle digests touch the
-       bucketed index — fp-rate-bounded wasted reads, zero missed
-       candidates (no false negatives by construction);
-    3. surviving digests probe the ``partitionBy(shd_bucket)`` inverted
-       index (the bucketed dedup-index discipline) for batch↔base
-       candidate pairs; batch↔batch pairs self-join the batch digests;
-       exact Jaccard verifies both candidate streams;
-    4. cluster maintenance is CONTRACTED: only components touched by a
-       new edge or an eviction re-run connected components (old edges
-       restricted to affected roots ∪ new edges); every other cluster
-       keeps its standing label untouched;
-    5. split/mixture/accounting run over the merged NARROW frame via
-       the shared _pipe_accounting — arithmetic on digests and
-       counters, never text.
-
-    Scale shape: text I/O is the batch alone; candidate work is
-    bloom-filtered probe hits; CC re-runs on affected components only;
-    everything else is state-frame arithmetic. At 100 TB a daily ingest
-    costs O(batch + candidates) against a few-TB digest state instead
-    of a corpus recompute."""
+def _cur_incremental_frames(spark: SparkSession, sf_dir: str):
+    """The incremental tier's working frames — (totals, qual_m, surv) on
+    the MERGED corpus — shared by the accounting gate and the curated-
+    corpus MERGE materializer (one computation, two consumers)."""
     import os
 
     from iceberg_demo_spark.operators.dedup import connected_components
@@ -2904,4 +2865,100 @@ def doc_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .agg(F.count(F.lit(1)).alias("n_total")))
               .groupBy("source")
               .agg(F.sum("n_total").cast("bigint").alias("n_total")))
-    return _pipe_accounting(totals, qual_m, surv)
+    return totals, qual_m, surv
+
+
+@query("doc_curation_incremental", oracle=None)  # composed in dedup.py
+def doc_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_curation_pipeline's answer maintained INCREMENTALLY
+    (VERDICT r9 #4): the corpus arrives as standing state (doc_id % 5
+    ≠ 0, curated once by ensure_curation_state) plus an ingest batch
+    (doc_id % 5 = 0), and the gate produces the full pipeline
+    accounting for the MERGED corpus while reading raw text exactly
+    ONCE — the batch partition — behind an eager checkpoint (the final
+    plan contains no corpus scan at all, plan-pinned). The quality
+    model is the state's FROZEN bigram LM (the production discipline:
+    scoring models don't retrain per ingest), and the oracle pins the
+    result EXACTLY equal to the batch pipeline run on the merged corpus
+    under that same frozen LM — the dedup_incremental_batch equivalence
+    discipline, one oracle proving the incremental path changes no
+    answer.
+
+    The ingest path composes the repo's whole incremental tier:
+
+    1. batch features + frozen-LM scores from the ONE batch read;
+       exact-dup keeper election against the standing ``dupmin`` digest
+       map (a smaller batch id EVICTS the standing keeper — handled
+       exactly, including cluster splits the eviction causes);
+    2. the sized BLOOM FILTER (state geometry) guards the shingle
+       probe: only bloom-positive batch shingle digests touch the
+       bucketed index — fp-rate-bounded wasted reads, zero missed
+       candidates (no false negatives by construction);
+    3. surviving digests probe the ``partitionBy(shd_bucket)`` inverted
+       index (the bucketed dedup-index discipline) for batch↔base
+       candidate pairs; batch↔batch pairs self-join the batch digests;
+       exact Jaccard verifies both candidate streams;
+    4. cluster maintenance is CONTRACTED: only components touched by a
+       new edge or an eviction re-run connected components (old edges
+       restricted to affected roots ∪ new edges); every other cluster
+       keeps its standing label untouched;
+    5. split/mixture/accounting run over the merged NARROW frame via
+       the shared _pipe_accounting — arithmetic on digests and
+       counters, never text.
+
+    Scale shape: text I/O is the batch alone; candidate work is
+    bloom-filtered probe hits; CC re-runs on affected components only;
+    everything else is state-frame arithmetic. At 100 TB a daily ingest
+    costs O(batch + candidates) against a few-TB digest state instead
+    of a corpus recompute."""
+    return _pipe_accounting(*_cur_incremental_frames(spark, sf_dir))
+
+
+def materialize_curated_corpus(spark: SparkSession, sf_dir: str):
+    """Land the incremental result through the CHANGELOG-MERGE tier
+    (the last leg of VERDICT r9 #4's composition): a curated-corpus
+    table is bootstrapped from the STANDING survivors (the state's own
+    election — what the serving table held before the ingest), then ONE
+    keyed MERGE applies the incremental delta — batch survivors insert,
+    re-elected standing docs update, evicted/displaced standing docs
+    delete (not_matched_by_source) — so the table transitions to the
+    merged corpus in O(changed keys) row work, the MV-refresh
+    discipline. Returns the Table; the pytest pins its contents
+    row-for-row equal to the dataframe-computed survivors."""
+    from iceberg_demo_spark.operators.table_ops import _scratch
+
+    totals, qual_m, surv = _cur_incremental_frames(spark, sf_dir)
+    path = curation_state_path(sf_dir)
+    st_docs = spark.read.parquet(path + "/docs")
+    wk = Window.partitionBy("cluster_root").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    base_dropped = (st_docs.filter(F.col("cluster_root").isNotNull())
+                    .withColumn("keep_rank", F.row_number().over(wk))
+                    .filter(F.col("keep_rank") > 1)
+                    .select("doc_id"))
+    base_surv = (st_docs.join(base_dropped, "doc_id", "left_anti")
+                 .withColumn("split",
+                             F.when(F.substring("pri", 1, 1) < "2",
+                                    "valid").otherwise("train"))
+                 .select("doc_id", "source", "n_chars", "n_tok", "pri",
+                         "split"))
+    cat = _scratch(spark)
+    t = cat.create_table(
+        "db.curated_corpus",
+        [("doc_id", "bigint", False), ("source", "string", True),
+         ("n_chars", "bigint", True), ("n_tok", "bigint", True),
+         ("pri", "string", True), ("split", "string", True)])
+    t.append(base_surv)
+    t.merge(
+        surv.select("doc_id", "source", "n_chars", "n_tok", "pri",
+                    "split"),
+        on="t.doc_id = s.doc_id",
+        matched=[{"action": "update",
+                  "set": {c: f"s.{c}" for c in
+                          ("source", "n_chars", "n_tok", "pri",
+                           "split")}}],
+        not_matched=[{"values": None}],
+        not_matched_by_source=[{"action": "delete"}],
+        check_cardinality=False,  # survivors are unique per doc_id
+    )
+    return t

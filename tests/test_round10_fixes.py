@@ -266,3 +266,21 @@ def test_curation_incremental_handles_eviction_and_cluster_split(
         "                WHERE md5(lower(d2.text)) = "
         "                      md5(lower(documents.text)))").fetchall()}
     assert 11 not in merged_qual_ids and 10 in merged_qual_ids
+
+
+def test_curated_corpus_merge_lands_incremental_result(spark):
+    """The changelog-MERGE leg of the incremental tier: bootstrapping
+    the curated table from the standing survivors and applying ONE
+    MERGE of the incremental delta yields exactly the merged corpus's
+    survivor set (insert + update + not_matched_by_source delete)."""
+    from iceberg_demo_spark.operators import curation as C
+
+    t = C.materialize_curated_corpus(spark, SF_SMALL)
+    got = sorted(tuple(r) for r in t.scan().collect())
+    _, _, surv = C._cur_incremental_frames(spark, SF_SMALL)
+    want = sorted(tuple(r) for r in
+                  surv.select("doc_id", "source", "n_chars", "n_tok",
+                              "pri", "split").collect())
+    assert got == want and len(got) > 0
+    # the MERGE produced a single new snapshot over the bootstrap
+    assert len(t.metadata.snapshots) == 2
