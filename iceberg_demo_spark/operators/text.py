@@ -916,18 +916,28 @@ def doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval and a corpus scan per query."""
     import os
 
+    path = ensure_text_index(spark, sf_dir)
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    return _bm25_index_probe(spark, os.path.join(path, "postings"), stats)
+
+
+def _bm25_index_probe(spark: SparkSession, postings_path: str,
+                      stats: DataFrame) -> DataFrame:
+    """The bucket-pruned BM25 probe over ANY postings layout (one
+    definition — the direct index, the fragmented tier and the
+    compacted tier must rank identically): prune to the query terms'
+    tok_bucket directories, filter to the exact terms, rank with the
+    shared arithmetic. ``stats`` provides one row of (n_docs, avgdl)."""
     from iceberg_demo_spark.operators.sampling import hash_bucket
 
-    path = ensure_text_index(spark, sf_dir)
-    buckets = spark.range(0).sparkSession.createDataFrame(
+    buckets = spark.createDataFrame(
         [(t,) for t in _BM25_TERMS], "tok string").select(
         (hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS).alias("b")
     ).collect()
     bucket_ids = sorted({r["b"] for r in buckets})
-    post = (spark.read.parquet(os.path.join(path, "postings"))
+    post = (spark.read.parquet(postings_path)
             .filter(F.col("tok_bucket").isin(bucket_ids))
             .filter(F.col("tok").isin(*_BM25_TERMS)))
-    stats = spark.read.parquet(os.path.join(path, "stats"))
     df = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     joined = post.join(F.broadcast(df), "tok").crossJoin(F.broadcast(stats))
     idf = F.log(
@@ -1363,3 +1373,142 @@ def doc_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   - F.expr(f"(max(cum) - 1) DIV {b}") * b)
                          / b, 2).alias("last_fill_pct"))
             .orderBy("source"))
+
+
+def ensure_fragmented_text_index(spark: SparkSession, sf_dir: str,
+                                 n_epochs: int = 3) -> str:
+    """The small-files hazard on the TEXT index, materialized (the
+    ensure_fragmented_dedup_index twin): the same postings as
+    ensure_text_index but landed as ``n_epochs`` successive ingest-epoch
+    APPENDS (doc_id mod 3 — the streaming batching scheme) into the
+    partitionBy(tok_bucket) layout, so files-per-bucket grows one per
+    epoch — exactly what append-only corpus growth produces. Corpus
+    stats land as mergeable per-epoch (n_docs, sum_dl) rows; their sums
+    divide to the IDENTICAL avgdl double the direct build computes.
+    Built once per SF, source-manifest-guarded."""
+    import os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.operators.sampling import hash_bucket
+    from iceberg_demo_spark.scratch import (
+        index_current, scratch_path, write_index_manifest)
+
+    path = scratch_path(f"glacier_text_idxfrag_{_sf_tag(sf_dir)}")
+    if index_current(path, sf_dir, ("documents",)):
+        return path
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    t = load_tables(spark, sf_dir, ("documents",))
+    for e in range(n_epochs):
+        docs = t["documents"].filter(F.col("doc_id") % n_epochs == e)
+        toks = docs.select(
+            "doc_id", F.explode(tokens_col()).alias("tok"),
+            F.size(tokens_col()).alias("dl"))
+        (toks.groupBy("doc_id", "tok", "dl")
+         .agg(F.count(F.lit(1)).alias("tf"))
+         .withColumn("tok_bucket",
+                     hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS)
+         .write.partitionBy("tok_bucket").mode("append")
+         .parquet(os.path.join(path, "postings")))
+        (docs.agg(F.lit(e).alias("epoch"),
+                  F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(tokens_col())).cast("bigint")
+                   .alias("sum_dl"))
+         .write.mode("append").parquet(os.path.join(path, "stats")))
+    write_index_manifest(path, sf_dir, ("documents",))
+    return path
+
+
+def compact_text_index(spark: SparkSession, src_path: str,
+                       dst_path: str) -> str:
+    """Bin-pack an epoch-accumulated postings layout back to ONE file
+    per tok_bucket directory: repartition on the PARTITION column (each
+    directory's rows land whole in one task, so the partitioned writer
+    emits exactly one file per directory) and rewrite under the same
+    partitionBy spec into a fresh serving tier; the mergeable stats
+    collapse to one row. Layout-only by construction — the postings SET
+    is a disjoint-epoch union, so the probe answer cannot move (the
+    gate shares the relational oracle to prove it).
+
+    Scale shape: one bucket-keyed shuffle over postings (term/doc/count
+    rows — far smaller than text), amortized over a maintenance window;
+    at 100 TB it runs per-bucket-range while the live tier keeps taking
+    appends."""
+    import os
+    import shutil as _shutil
+
+    _shutil.rmtree(dst_path, ignore_errors=True)
+    (spark.read.parquet(os.path.join(src_path, "postings"))
+     .repartition(_TEXT_IDX_BUCKETS, "tok_bucket")
+     .write.partitionBy("tok_bucket").mode("overwrite")
+     .parquet(os.path.join(dst_path, "postings")))
+    (spark.read.parquet(os.path.join(src_path, "stats"))
+     .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+          F.sum("sum_dl").cast("bigint").alias("sum_dl"))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(dst_path, "stats")))
+    return dst_path
+
+
+@query("doc_bm25_index_compact", oracle=None)  # shares doc_bm25_search's
+def doc_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-index maintenance closes the third index family (round 10 —
+    dedup got compaction in r9, ANN in r8): the postings tier
+    accumulated as 3 ingest-epoch appends (files-per-bucket = 3, the
+    streaming small-files drift) is bin-packed back to ONE file per
+    term-bucket directory and the BM25 probe runs against the compacted
+    tier — ranking IDENTICAL to doc_bm25_search (shared oracle: layout
+    never changes answers) and to the direct-index probe (one shared
+    _bm25_index_probe definition). In-gate assertions pin the
+    files-per-bucket transition 3 → 1 on the probed buckets; corpus
+    stats merge exactly (per-epoch (n_docs, sum_dl) sums divide to the
+    identical avgdl double).
+
+    Scale shape: the compaction pays one bucket-keyed shuffle over the
+    postings rows; every later probe reads one file per probed bucket
+    directory instead of one per ingest epoch — the read-amplification
+    fix that keeps retrieval interactive under continuous corpus
+    growth."""
+    import glob as _glob
+    import os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.operators.sampling import hash_bucket
+    from iceberg_demo_spark.scratch import scratch_path
+
+    frag = ensure_fragmented_text_index(spark, sf_dir)
+    dst = scratch_path(f"glacier_text_idxcomp_{_sf_tag(sf_dir)}")
+    compact_text_index(spark, frag, dst)
+
+    def files_per_bucket(root: str) -> dict[int, int]:
+        out = {}
+        for d in _glob.glob(os.path.join(root, "postings",
+                                         "tok_bucket=*")):
+            b = int(d.rsplit("=", 1)[1])
+            out[b] = len([f for f in os.listdir(d)
+                          if f.endswith(".parquet")])
+        return out
+
+    probed = sorted({
+        r["b"] for r in spark.createDataFrame(
+            [(t,) for t in _BM25_TERMS], "tok string")
+        .select((hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS)
+                .alias("b")).collect()})
+    before, after = files_per_bucket(frag), files_per_bucket(dst)
+    for b in probed:
+        assert before.get(b, 0) >= 2, (
+            f"bucket {b} not fragmented ({before.get(b, 0)} files) — "
+            "the compaction premise fell over")
+        assert after.get(b, 0) == 1, (
+            f"bucket {b} still has {after.get(b, 0)} files after "
+            "compaction")
+    stats = spark.read.parquet(os.path.join(dst, "stats")).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"))
+    return _bm25_index_probe(spark, os.path.join(dst, "postings"), stats)
+
+
+from iceberg_demo_spark.registry import ORACLES as _TXOR  # noqa: E402
+
+_TXOR["doc_bm25_index_compact"] = _TXOR["doc_bm25_search"]

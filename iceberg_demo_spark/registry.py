@@ -203,12 +203,12 @@ def load_all() -> None:
         "dedup_minhash_recall",
         "dml_delete_update",
         "dml_delete_update_mor",
-        "dml_merge_upsert",
         # -- round-10 NEW gates displace the r7 tail one-for-one
         #    (standing policy: new gates sit inside the window) --
         "sim_ivfpq_indexed",
         "doc_curation_incremental",
         "streaming_bloom_guarded_dedup",
+        "doc_bm25_index_compact",
         # -- the fresher r8/r9-green gates follow in QUERIES order and
         #    stay covered by ORACLES_LOCAL_r10 --
     )

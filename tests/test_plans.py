@@ -907,3 +907,16 @@ def test_ivfpq_indexed_probe_reads_only_probed_cell_partitions(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
+
+
+def test_bm25_compacted_probe_still_partition_pruned(spark):
+    """doc_bm25_index_compact: after bin-packing the epoch-fragmented
+    postings, the probe still reads only the query terms' tok_bucket
+    directories — compaction must not cost the probe its pruning."""
+    import re as _re
+
+    plan = _plan(spark, "doc_bm25_index_compact")
+    assert "glacier_text_idxcomp" in plan  # probing the COMPACTED tier
+    assert _re.search(
+        r"PartitionFilters: \[tok_bucket#\d+ IN", plan), plan[:400]
+    assert "CartesianProduct" not in plan

@@ -284,3 +284,17 @@ def test_curated_corpus_merge_lands_incremental_result(spark):
     assert got == want and len(got) > 0
     # the MERGE produced a single new snapshot over the bootstrap
     assert len(t.metadata.snapshots) == 2
+
+
+def test_bm25_compacted_tier_ranks_identically(spark):
+    """Direct index, fragmented tier and compacted tier must rank
+    identically (one shared probe definition; layout never changes
+    answers)."""
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    a = registry.QUERIES["doc_bm25_indexed"](spark, SF_MED).collect()
+    b = registry.QUERIES["doc_bm25_index_compact"](spark, SF_MED).collect()
+    c = registry.QUERIES["doc_bm25_search"](spark, SF_MED).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] \
+        == [tuple(r) for r in c]
