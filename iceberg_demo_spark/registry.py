@@ -115,6 +115,17 @@ def load_all() -> None:
     VERDICT r9 #8: the sized Bloom filter fronts the streaming dedup
     index probe; probe-volume column oracle-pinned).
 
+    Late round 10: doc_bm25_index_compact (text-index maintenance —
+    the third index family gets compaction) lands as the FOURTH new
+    gate, displacing dml_merge_upsert to the round-11 queue.
+
+    ROUND-11 QUEUE: run ``python tools/check_coverage.py --plan-next``
+    AFTER the driver's CORRECTNESS_r10 artifact lands — it derives the
+    stalest-first 50 from the refreshed ledger mechanically (expected
+    shape: the 37 remaining r7-stale gates + the 13 stalest r8 gates,
+    alphabetical within cohorts; any round-11 new gate displaces the
+    tail one-for-one per the standing policy).
+
     HISTORY — ROUND-9 WINDOW (VERDICT r8 #1): positions 0-10 were the
     eleven then-never-driver-verified queue gates; 11-15 the round-9
     new/changed gates (dedup_index_compact, doc_curation_pipeline,

@@ -193,9 +193,31 @@ def roster() -> str:
     return "\n".join(lines) + "\n"
 
 
+def plan_next_window(slots: int = 50) -> list[str]:
+    """The stalest-first window RECOMMENDATION for the next round:
+    never-driver-verified gates first (registration order — the
+    standing policy), then by last driver round ascending, alphabetical
+    within a cohort. Prints what the next session should install as
+    registry._window (new gates it adds will displace the tail
+    one-for-one)."""
+    ledger, _current = freshness_ledger()
+    names = list(registry.QUERIES)
+    order = sorted(names, key=lambda n: (ledger.get(n, 0), n))
+    return order[:slots]
+
+
 if __name__ == "__main__":
     if "--roster" in sys.argv:
         print(roster())
+        sys.exit(0)
+    if "--plan-next" in sys.argv:
+        ledger, current = freshness_ledger()
+        print(f"# stalest-first window recommendation for round "
+              f"{current + 1} (install in registry._window; new gates "
+              "displace the tail):")
+        for n in plan_next_window():
+            print(f"    \"{n}\",  # last driver row: "
+                  f"r{ledger.get(n, 0) or 'NEVER'}")
         sys.exit(0)
     probs = check()
     for p in probs:
