@@ -298,3 +298,88 @@ def test_bm25_compacted_tier_ranks_identically(spark):
     c = registry.QUERIES["doc_bm25_search"](spark, SF_MED).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] \
         == [tuple(r) for r in c]
+
+
+def test_curation_incremental_handles_cluster_merge_via_batch_bridge(
+        spark, tmp_path):
+    """A batch doc near-dupping members of TWO separate standing
+    clusters must MERGE them (contracted CC over both affected roots),
+    and the keep-longest election re-runs over the union — verified
+    against the DuckDB oracle on a corpus engineered for exactly that."""
+    import duckdb
+
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    stem = ("the cat and the dog of the house ran to the yard and "
+            "the bird of the tree sang")  # 20 tokens, passes quality
+    # two standing clusters sharing NO shingles with each other:
+    # cluster A = {1, 6} (suffix family "alpha..."), cluster B = {11,
+    # 16} (prefix-rotated family). The batch doc 10 overlaps BOTH.
+    a1 = stem + " alpha beta gamma delta epsilon x1"
+    a2 = stem + " alpha beta gamma delta epsilon x2"
+    b_stem = ("a fox or a hen by a lake swam off a hill or a stone "
+              "and a fish of a pond slept")
+    b1 = b_stem + " omega psi chi phi upsilon y1"
+    b2 = b_stem + " omega psi chi phi upsilon y2"
+    # bridge: first half from family A's text, second half from B's —
+    # shares enough 3-grams with both sides to pass Jaccard >= 0.2
+    bridge = stem + " alpha beta gamma " + b_stem + " omega psi chi"
+    rows = [
+        (1, a1, "src0"), (6, a2, "src0"),
+        (11, b1, "src0"), (16, b2, "src0"),
+        (21, stem + " filler words here zz", "src1"),
+        (10, bridge, "src0"),       # batch: bridges A and B
+        (15, b_stem + " omega psi chi phi upsilon y3", "src1"),
+    ]
+    sf = _write_synth_docs(tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    # scenario sanity: in the BASE world 1-6 and 11-16 are separate
+    # pair-components; merged world connects them through 10
+    base_pairs = con.execute("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(string_split(text,' ')) - 1),
+            i -> array_to_string(list_slice(string_split(text,' '),
+                                            i, i + 2), ' ')))) AS s
+        FROM documents WHERE doc_id % 5 <> 0),
+      sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      c AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) nc
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT x, y FROM c JOIN sz sa ON sa.doc_id = x
+      JOIN sz sb ON sb.doc_id = y
+      WHERE 1.0 * nc / (sa.n + sb.n - nc) >= 0.2 ORDER BY x, y
+    """).fetchall()
+    assert (1, 6) in base_pairs and (11, 16) in base_pairs
+    assert not any({p[0], p[1]} <= {1, 6, 11, 16} and
+                   ({p[0], p[1]} & {1, 6}) and ({p[0], p[1]} & {11, 16})
+                   for p in base_pairs), base_pairs
+    # and in the MERGED world the bridge doc pairs with BOTH clusters
+    merged_pairs = con.execute("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(string_split(text,' ')) - 1),
+            i -> array_to_string(list_slice(string_split(text,' '),
+                                            i, i + 2), ' ')))) AS s
+        FROM documents),
+      sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      c AS (SELECT a.doc_id x, b.doc_id y, COUNT(*) nc
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT x, y FROM c JOIN sz sa ON sa.doc_id = x
+      JOIN sz sb ON sb.doc_id = y
+      WHERE 1.0 * nc / (sa.n + sb.n - nc) >= 0.2
+    """).fetchall()
+    assert any(10 in p and (set(p) & {1, 6}) for p in merged_pairs)
+    assert any(10 in p and (set(p) & {11, 16}) for p in merged_pairs)
+    want = con.execute(
+        registry.ORACLES["doc_curation_incremental"]).fetchall()
+    got = [tuple(r) for r in
+           registry.QUERIES["doc_curation_incremental"](spark, sf)
+           .collect()]
+    norm = [tuple(int(v) if isinstance(v, (int, float)) and not
+                  isinstance(v, bool) else v for v in r) for r in want]
+    assert got == norm, (got, norm)
