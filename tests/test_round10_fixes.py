@@ -383,3 +383,21 @@ def test_curation_incremental_handles_cluster_merge_via_batch_bridge(
     norm = [tuple(int(v) if isinstance(v, (int, float)) and not
                   isinstance(v, bool) else v for v in r) for r in want]
     assert got == norm, (got, norm)
+
+
+def test_plan_next_window_is_stalest_first():
+    """--plan-next recommends never-verified gates first, then oldest
+    driver rounds, alphabetical within cohorts — 50 names, all real."""
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    ledger, _ = cc.freshness_ledger()
+    plan = cc.plan_next_window()
+    assert len(plan) == 50 and set(plan) <= set(registry.QUERIES)
+    keys = [(ledger.get(n, 0), n) for n in plan]
+    assert keys == sorted(keys)
+    # nothing outside the plan is staler than anything inside it
+    worst_in = max(ledger.get(n, 0) for n in plan)
+    best_out = min(ledger.get(n, 0)
+                   for n in registry.QUERIES if n not in plan)
+    assert best_out >= worst_in
