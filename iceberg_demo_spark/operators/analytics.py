@@ -1056,11 +1056,11 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n, sx, sy,
            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-                AS DECIMAL(38,0)) AS slope_num,
+                AS VARCHAR) AS slope_num,
            CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-                AS DECIMAL(38,0)) AS slope_den,
+                AS VARCHAR) AS slope_den,
            CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
-                AS DECIMAL(38,0)) AS intercept_num
+                AS VARCHAR) AS intercept_num
     FROM s ORDER BY l_returnflag
     """,
 )
@@ -1081,11 +1081,18 @@ def lineitem_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame
     changelog_replication precedent, unlike ROUND-to-2dp). The
     determinants exceed int64 (n·Σxy ≈ 2·10¹⁹ at sf0.1), so both
     engines compute them in 128-bit exact arithmetic — Spark
-    DECIMAL(38,0), DuckDB HUGEINT→DECIMAL(38,0) — and the driver's
-    typed value hash sees identical Decimals. No double ever enters
-    the statistic, so there is nothing to drift: deliberately NOT
-    regr_slope/regr_intercept, whose double accumulation is
-    summation-order-dependent and cannot be value-oracled.
+    DECIMAL(38,0), DuckDB HUGEINT — and EMIT them as canonical digit
+    STRINGS: CAST(decimal128 AS STRING) and CAST(HUGEINT AS VARCHAR)
+    render sign + digits identically (verified: no scale suffix, no
+    padding), and a string column is immune to per-engine decimal128
+    canonicalization in any downstream hash — the round-10 driver
+    rendered byte-identical Arrow Decimals as hash-unequal, so wide
+    decimals never cross the output boundary again (memory rule:
+    emit exact 128-bit results as digit strings or int64 limbs). No
+    double ever enters the statistic, so there is nothing to drift:
+    deliberately NOT regr_slope/regr_intercept, whose double
+    accumulation is summation-order-dependent and cannot be
+    value-oracled.
 
     Shuffles: ONE exchange carrying 3 (flag, 5-int) partial rows per
     task. At 100 TB this plan is unchanged — sufficient statistics are
@@ -1107,13 +1114,16 @@ def lineitem_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("bigint").alias("n"),
         F.col("sx").cast("bigint").alias("sx"),
         F.col("sy").cast("bigint").alias("sy"),
-        F.expr(f"CAST(CAST(n AS {dec}) * CAST(sxy AS {dec})"
-               f" - CAST(sx AS {dec}) * CAST(sy AS {dec}) AS {dec})")
+        F.expr(f"CAST(CAST(CAST(n AS {dec}) * CAST(sxy AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sy AS {dec}) AS {dec})"
+               f" AS STRING)")
          .alias("slope_num"),
-        F.expr(f"CAST(CAST(n AS {dec}) * CAST(sxx AS {dec})"
-               f" - CAST(sx AS {dec}) * CAST(sx AS {dec}) AS {dec})")
+        F.expr(f"CAST(CAST(CAST(n AS {dec}) * CAST(sxx AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sx AS {dec}) AS {dec})"
+               f" AS STRING)")
          .alias("slope_den"),
-        F.expr(f"CAST(CAST(sy AS {dec}) * CAST(sxx AS {dec})"
-               f" - CAST(sx AS {dec}) * CAST(sxy AS {dec}) AS {dec})")
+        F.expr(f"CAST(CAST(CAST(sy AS {dec}) * CAST(sxx AS {dec})"
+               f" - CAST(sx AS {dec}) * CAST(sxy AS {dec}) AS {dec})"
+               f" AS STRING)")
          .alias("intercept_num"),
     ).orderBy("l_returnflag")

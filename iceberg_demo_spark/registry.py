@@ -119,12 +119,19 @@ def load_all() -> None:
     the third index family gets compaction) lands as the FOURTH new
     gate, displacing dml_merge_upsert to the round-11 queue.
 
-    ROUND-11 QUEUE: run ``python tools/check_coverage.py --plan-next``
-    AFTER the driver's CORRECTNESS_r10 artifact lands — it derives the
-    stalest-first 50 from the refreshed ledger mechanically (expected
-    shape: the 37 remaining r7-stale gates + the 13 stalest r8 gates,
-    alphabetical within cohorts; any round-11 new gate displaces the
-    tail one-for-one per the standing policy).
+    ROUND-11 WINDOW (VERDICT r10 #2): installed EXACTLY as
+    ``tools/check_coverage.py --plan-next`` emitted it from the
+    CORRECTNESS_r10-refreshed ledger — position 0 the red gate
+    ``lineitem_price_qty_regression`` (its round-10 driver row was
+    rows/schema-green but hash-red on decimal128 canonicalization; the
+    determinants are now emitted as canonical digit STRINGS on both
+    engines, VERDICT r10 #1), positions 1-38 the 38 r7-stale gates
+    (alphabetical), then the stalest r8 gates — with the TAIL displaced
+    one-for-one by round-11's new gates per the standing policy.
+
+    ROUND-12 QUEUE: run ``python tools/check_coverage.py --plan-next``
+    after CORRECTNESS_r11 lands; expected shape is the remaining
+    r8-stale cohort plus the stalest r9 gates.
 
     HISTORY — ROUND-9 WINDOW (VERDICT r8 #1): positions 0-10 were the
     eleven then-never-driver-verified queue gates; 11-15 the round-9
@@ -157,71 +164,66 @@ def load_all() -> None:
         sketches,
     )
 
-    # Round-10 window: explicit (see docstring). Positions 0-16 the
-    # never-driver-verified late-round-9 queue (alphabetical); 17-35 the
-    # r6-stale alphabetical tail; 36-49 the stalest r7 gates
-    # (alphabetical), with the last slots displaced by round-10's new
-    # gates as they land. tools/check_coverage.py enforces the 4-round
-    # staleness SLO against exactly this ordering.
+    # Round-11 window: installed verbatim from `check_coverage.py
+    # --plan-next` (stalest-first over the CORRECTNESS_r10-refreshed
+    # ledger). tools/check_coverage.py enforces the 4-round staleness
+    # SLO against exactly this ordering.
     _window = (
-        # -- 0-16: the never-driver-verified late-round-9 queue --
-        "customer_balance_window_ranks",
-        "dedup_kmv_overlap_matrix",
-        "doc_bm25_indexed",
-        "doc_bpe_encode",
-        "doc_bpe_merges",
-        "doc_bpe_packing",
-        "doc_lm_threshold_sweep",
-        "doc_priority_sample",
-        "emb_code_covariance",
-        "graph_doc_triangles",
+        # -- 0: the red round-10 gate, re-landed hash-stable --
         "lineitem_price_qty_regression",
-        "multimodal_scene_changes",
-        "sim_ivfpq_search",
-        "sketch_bloom_membership",
-        "sketch_kmv_incremental",
-        "source_format_round_trip",
-        "source_python_udtf",
-        # -- 17-35: the r6-stale alphabetical tail --
-        "q10_returned_items",
-        "q12_late_shipments_by_priority",
-        "q13_order_count_distribution",
-        "q14_promo_revenue_share",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        "q19_brand_size_revenue",
-        "q1_pricing_summary",
-        "q22_idle_customers",
-        "q3_top_unshipped_orders",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "revenue_rollup_region_nation",
-        "rollup_flag_status_qty",
-        "suppliers_in_rich_nations",
-        "top3_customers_per_nation",
-        # -- 36-49: stalest r7 gates, alphabetical; the tail of this
-        #    block is displaced one-for-one by round-10's new gates --
-        "asof_click_attribution",
-        "branch_write_isolation",
-        "changelog_row_counts",
-        "compaction_preserves_table",
-        "dedup_cross_source_matrix",
-        "dedup_incremental_batch",
-        "dedup_incremental_indexed",
-        "dedup_minhash_recall",
-        "dml_delete_update",
-        "dml_delete_update_mor",
-        # -- round-10 NEW gates displace the r7 tail one-for-one
-        #    (standing policy: new gates sit inside the window) --
-        "sim_ivfpq_indexed",
-        "doc_curation_incremental",
-        "streaming_bloom_guarded_dedup",
-        "doc_bm25_index_compact",
-        # -- the fresher r8/r9-green gates follow in QUERIES order and
-        #    stay covered by ORACLES_LOCAL_r10 --
+        # -- 1-38: the r7-stale cohort, alphabetical --
+        "dml_merge_upsert",
+        "dml_overwrite_dynamic",
+        "doc_bigram_vocab",
+        "doc_bm25_search",
+        "doc_bpe_token_stats",
+        "doc_dup_span_coverage",
+        "doc_quality_buckets",
+        "doc_token_entropy",
+        "doc_token_stats",
+        "emb_semdedup",
+        "events_distribution_drift",
+        "events_pivot_hourly_matrix",
+        "events_session_window_stats",
+        "incremental_read_appends",
+        "insert_overwrite_static",
+        "lineitem_column_profile",
+        "multimodal_audio_stats",
+        "multimodal_payload_stats",
+        "mv_incremental_refresh",
+        "orders_pareto_share",
+        "q11_important_stock",
+        "q16_supplier_part_counts",
+        "q20_promotion_suppliers",
+        "q21_suppliers_kept_waiting",
+        "q2_min_cost_supplier",
+        "q9_product_profit",
+        "range_join_error_window",
+        "referential_integrity_audit",
+        "sim_ann_lsh_topk",
+        "sim_ann_recall",
+        "sim_cosine_topk",
+        "sim_label_centroid_norms",
+        "sim_threshold_pairs",
+        "source_python_datasource",
+        "streaming_ann_ingest",
+        "streaming_dedup_ingest",
+        "streaming_stream_stream_join",
+        "tt_snapshot_counts",
+        # -- 39-49: the stalest r8 gates, alphabetical; the tail
+        #    of this block is displaced one-for-one by round-11's
+        #    new gates as they land (standing policy) --
+        "bucketed_colocated_join",
+        "changelog_update_images",
+        "cube_flag_status_price",
+        "dedup_fuzzy_name_pairs",
+        "dedup_fuzzy_recall",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_hamming_pairs",
+        "doc_decontamination",
+        "doc_mixture_weights",
+        "doc_per_source_cap",
+        "doc_pii_redaction",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -424,3 +424,39 @@ def test_regression_rationals_match_numpy_fit(spark):
             < 1e-6 * max(abs(slope), 1)
         assert abs(float(r["intercept_num"]) / float(r["slope_den"])
                    - intercept) < 1e-6 * max(abs(intercept), 1)
+
+
+def test_regression_determinant_strings_exact(spark):
+    """The string-typed determinants are the canonical base-10 digits
+    of the exact 128-bit values, digit for digit (recomputed with
+    Python unbounded ints from the raw rows). Guards the round-10
+    driver-hash fix: wide decimals must leave the gate as strings
+    whose rendering both engines agree on — sign + digits, no scale
+    suffix, no padding."""
+    import re
+
+    from iceberg_demo_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["lineitem_price_qty_regression"](spark, SF_SMALL).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    stats: dict[str, list[int]] = {}
+    for r in li:
+        x = round(r["l_quantity"])
+        y = round(r["l_extendedprice"] * 100)
+        s = stats.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * x
+        s[4] += x * y
+    for r in rows:
+        assert isinstance(r["slope_num"], str)
+        n, sx, sy, sxx, sxy = stats[r["l_returnflag"]]
+        assert r["slope_num"] == str(n * sxy - sx * sy)
+        assert r["slope_den"] == str(n * sxx - sx * sx)
+        assert r["intercept_num"] == str(sy * sxx - sx * sxy)
+        for c in ("slope_num", "slope_den", "intercept_num"):
+            assert re.fullmatch(r"-?(0|[1-9]\d*)", r[c]), (c, r[c])

@@ -146,11 +146,17 @@ def project_staleness(gates: list[str], ledger: dict[str, int],
     return projected, problems
 
 
-def check_staleness() -> list[str]:
+def check_staleness(write: bool = False) -> list[str]:
     """Project the current window onto the ledger; enforce the SLO.
 
-    Also persists GATE_FRESHNESS.json (the audited ledger + projection)
-    so the rotation plan is inspectable without re-deriving it.
+    The regenerated ledger is COMPARED against the committed
+    GATE_FRESHNESS.json and drift is reported as a problem — the check
+    never silently rewrites the committed artifact (its content depends
+    on which CORRECTNESS_r*.json files are present, so an unconditional
+    rewrite made the check dirty the tree and environment-dependent —
+    ADVICE r10). Pass ``--write-freshness`` (write=True) to refresh the
+    committed ledger intentionally after installing a new window or
+    landing a driver artifact.
     """
     ledger, current = freshness_ledger()
     window = list(registry.QUERIES)[:50]
@@ -171,8 +177,20 @@ def check_staleness() -> list[str]:
         "projected_after_window": {n: projected[n]
                                    for n in sorted(projected)},
     }
-    with open(os.path.join(_REPO, "GATE_FRESHNESS.json"), "w") as fh:
-        json.dump(out, fh, indent=1, sort_keys=False)
+    path = os.path.join(_REPO, "GATE_FRESHNESS.json")
+    if write:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=False)
+    else:
+        try:
+            committed = json.load(open(path))
+        except (OSError, ValueError):
+            committed = None
+        if committed != out:
+            problems.append(
+                "GATE_FRESHNESS.json is stale relative to the regenerated "
+                "ledger — rerun `python tools/check_coverage.py "
+                "--write-freshness` and commit the result")
     return problems
 
 
@@ -212,13 +230,22 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--plan-next" in sys.argv:
         ledger, current = freshness_ledger()
+        # `current` IS the round in flight (latest artifact + 1): the
+        # recommendation is for the round whose driver run comes next.
         print(f"# stalest-first window recommendation for round "
-              f"{current + 1} (install in registry._window; new gates "
+              f"{current} (install in registry._window; new gates "
               "displace the tail):")
         for n in plan_next_window():
             print(f"    \"{n}\",  # last driver row: "
                   f"r{ledger.get(n, 0) or 'NEVER'}")
         sys.exit(0)
+    if "--write-freshness" in sys.argv:
+        probs = check_staleness(write=True)
+        for p in probs:
+            print("DRIFT:", p)
+        print("GATE_FRESHNESS.json refreshed"
+              f" ({len(probs)} SLO problems)")
+        sys.exit(1 if probs else 0)
     probs = check()
     for p in probs:
         print("DRIFT:", p)
