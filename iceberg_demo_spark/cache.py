@@ -57,6 +57,37 @@ def pin_checkpoint_lazy(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin_mark() -> int:
+    """Snapshot the ledger length so a BUILDER running inside a gate can
+    release only its own pins (:func:`release_pins_since`) without
+    touching pins an enclosing caller registered earlier — calling the
+    global :func:`release_pins` inside a gate would free still-unconsumed
+    checkpoint-backed frames (ADVICE r10)."""
+    return len(_PINS)
+
+
+def release_pins_since(mark: int, blocking: bool = False) -> int:
+    """Unpersist only the pins registered after :func:`pin_mark`
+    returned ``mark`` (newest first); returns the count released."""
+    n = max(len(_PINS) - mark, 0)
+    for _ in range(n):
+        _release_one(_PINS.pop(), blocking)
+    return n
+
+
+def _release_one(entry: tuple[str, DataFrame], blocking: bool) -> None:
+    kind, df = entry
+    try:
+        if kind == "ckpt":
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(blocking)
+        else:
+            df.unpersist(blocking)
+    except Exception:
+        pass
+
+
 def release_pins(blocking: bool = False) -> int:
     """Unpersist every registered pin (newest first); returns the count.
 
@@ -69,14 +100,5 @@ def release_pins(blocking: bool = False) -> int:
     no-op."""
     n = len(_PINS)
     while _PINS:
-        kind, df = _PINS.pop()
-        try:
-            if kind == "ckpt":
-                plan = df._jdf.queryExecution().analyzed()
-                if plan.getClass().getName().endswith("LogicalRDD"):
-                    plan.rdd().unpersist(blocking)
-            else:
-                df.unpersist(blocking)
-        except Exception:
-            pass
+        _release_one(_PINS.pop(), blocking)
     return n

@@ -1691,14 +1691,14 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores + LM scores land in a narrow per-doc frame consumed by five
     # downstream lineages (Catalyst does not CSE — without the cut each
     # consumer would re-run all three text passes)
+    # the per-doc predicate is THE shared _pipe_quality_cond() — the
+    # incremental tier's oracle pins exact equality with this pipeline,
+    # so the conditions must never fork (ADVICE r10); only the
+    # keeper-id conjunct is this gate's own
     qual = (
         scored.join(lm_doc_scores(docs), "doc_id")
-        .filter((F.col("n_en") > 0)
-                & F.col("n_tok").between(20, 1000)
-                & (10 * F.col("n_stop") >= F.col("n_tok"))
-                & (10 * F.col("n_stop") < 9 * F.col("n_tok"))
-                & (F.col("doc_id") == F.col("keeper_id"))
-                & (F.col("doc_ppm") >= _PIPE_LM_MIN_PPM))
+        .filter(_pipe_quality_cond()
+                & (F.col("doc_id") == F.col("keeper_id")))
         .select("source", "doc_id", "n_chars", "n_tok", "pri")
         .transform(_pin_ckpt)
     )
@@ -2620,7 +2620,7 @@ def ensure_curation_state(spark: SparkSession, sf_dir: str) -> str:
     from iceberg_demo_spark.operators.dedup import connected_components
     from iceberg_demo_spark.operators.sampling import hash_bucket
     from iceberg_demo_spark.operators.sketches import (
-        bloom_geometry, bloom_fp_bound_bps)
+        bloom_geometry, bloom_fp_bound_bps, bloom_words)
     from iceberg_demo_spark.operators.text import lm_bigrams, lm_ppm, lm_score
     from iceberg_demo_spark.scratch import (
         index_current, write_index_manifest)
@@ -2628,6 +2628,11 @@ def ensure_curation_state(spark: SparkSession, sf_dir: str) -> str:
     path = curation_state_path(sf_dir)
     if index_current(path, sf_dir, ("documents",)):
         return path
+    # this builder runs INSIDE gates, so it must release only ITS OWN
+    # pins — the global release would free checkpoint-backed frames an
+    # enclosing caller still depends on (ADVICE r10)
+    from iceberg_demo_spark.cache import pin_mark, release_pins_since
+    _mark = pin_mark()
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     base = docs.filter("doc_id % 5 <> 0")
     lm_ppm(lm_bigrams(base)).write.mode("overwrite").parquet(
@@ -2676,24 +2681,14 @@ def ensure_curation_state(spark: SparkSession, sf_dir: str) -> str:
      .parquet(os.path.join(path, "shingles")))
     n_shd = sh.select("shd").distinct().count()
     _, m_bits, k_h = bloom_geometry(n_shd)
-    pos = (F.conv(F.substring(F.md5(F.concat(
-               F.col("shd"), F.lit("#"), F.col("i").cast("string"))),
-               1, 13), 16, 10).cast("bigint") % m_bits)
-    (sh.select("shd").distinct()
-     .select("shd", F.explode(F.sequence(
-         F.lit(0), F.lit(k_h - 1))).alias("i"))
-     .select(pos.alias("pos"))
-     .groupBy(F.expr("pos div 63").alias("word"))
-     .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                 "CAST(pos % 63 AS INT)))").alias("wv"))
+    (bloom_words(sh.select("shd").distinct(), "shd", m_bits, k_h)
      .write.mode("overwrite").parquet(os.path.join(path, "bloom")))
     spark.createDataFrame(
         [(n_shd, m_bits, k_h, bloom_fp_bound_bps(n_shd, m_bits, k_h))],
         "n BIGINT, m BIGINT, k BIGINT, fp_bound_bps BIGINT"
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "geom"))
-    from iceberg_demo_spark.cache import release_pins as _release
-    _release()
+    release_pins_since(_mark)
     write_index_manifest(path, sf_dir, ("documents",))
     return path
 
@@ -2712,24 +2707,14 @@ def _cur_batch_probe(spark: SparkSession, path: str, batch: DataFrame,
     import os
 
     from iceberg_demo_spark.operators.sampling import hash_bucket
+    from iceberg_demo_spark.operators.sketches import bloom_member
 
     sh_b = (_shingle_digests(batch.join(qual_b, "doc_id", "leftsemi"))
             .transform(_pin))
     sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pos = (F.conv(F.substring(F.md5(F.concat(
-               F.col("shd"), F.lit("#"), F.col("i").cast("string"))),
-               1, 13), 16, 10).cast("bigint") % m_bits)
     bloom = spark.read.parquet(os.path.join(path, "bloom"))
-    sh_pos = (sh_b.select("doc_id", "shd",
-                          F.explode(F.sequence(F.lit(0),
-                                               F.lit(k_h - 1))).alias("i"))
-              .select("doc_id", "shd", pos.alias("pos"))
-              .join(F.broadcast(bloom),
-                    F.col("word") == F.expr("pos div 63"), "left")
-              .groupBy("doc_id", "shd")
-              .agg(F.min(F.expr("(coalesce(wv, 0) >> "
-                                "CAST(pos % 63 AS INT)) & 1"))
-                   .alias("member"))
+    sh_pos = (bloom_member(sh_b, "shd", bloom, m_bits, k_h,
+                           carry=("doc_id",))
               .filter(F.col("member") == 1)
               .select("doc_id", "shd")
               .withColumn("shd_bucket",

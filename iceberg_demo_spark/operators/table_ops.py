@@ -1352,7 +1352,7 @@ def streaming_bloom_guarded_dedup(spark: SparkSession,
     from iceberg_demo_spark.operators.dedup import _ingest_windows
     from iceberg_demo_spark.operators.layout import _sf_tag
     from iceberg_demo_spark.operators.sketches import (
-        bloom_geometry, kmv_count_estimate)
+        bloom_geometry, bloom_words, kmv_count_estimate)
     from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
 
     src = _dedup_ingest_src(spark, sf_dir)
@@ -1371,15 +1371,7 @@ def streaming_bloom_guarded_dedup(spark: SparkSession,
     idx = spark.read.parquet(idx_dir)
     n_est = kmv_count_estimate(idx, "wh")
     _, m_bits, k_h = bloom_geometry(n_est)
-    posx = (F.conv(F.substring(F.md5(F.concat(
-                F.col("wh"), F.lit("#"), F.col("i").cast("string"))),
-                1, 13), 16, 10).cast("bigint") % m_bits)
-    (idx.select("wh", F.explode(F.sequence(F.lit(0),
-                                           F.lit(k_h - 1))).alias("i"))
-     .select(posx.alias("pos"))
-     .groupBy(F.expr("pos div 63").alias("word"))
-     .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                 "CAST(pos % 63 AS INT)))").alias("wv"))
+    (bloom_words(idx, "wh", m_bits, k_h)
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(bloom_dir, "words")))
     spark.createDataFrame([(n_est, m_bits, k_h)],

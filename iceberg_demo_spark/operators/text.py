@@ -1496,10 +1496,19 @@ def doc_bm25_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((hash_bucket(F.col("tok")) % _TEXT_IDX_BUCKETS)
                 .alias("b")).collect()})
     before, after = files_per_bucket(frag), files_per_bucket(dst)
+    # aggregate fragmentation assertion (ADVICE r10): requiring >= 2
+    # pre-compaction files in EVERY probed bucket is data-dependent —
+    # a probed term appearing in only one ingest epoch's doc_id%3 slice
+    # leaves its bucket single-file and the gate would raise instead of
+    # returning. The invariant that matters is per-run: the probed
+    # buckets were fragmented IN AGGREGATE and compaction left exactly
+    # one file in each.
+    n_before = sum(before.get(b, 0) for b in probed)
+    assert n_before > len(probed), (
+        f"probed buckets not fragmented in aggregate ({n_before} files "
+        f"across {len(probed)} buckets) — the compaction premise fell "
+        "over")
     for b in probed:
-        assert before.get(b, 0) >= 2, (
-            f"bucket {b} not fragmented ({before.get(b, 0)} files) — "
-            "the compaction premise fell over")
         assert after.get(b, 0) == 1, (
             f"bucket {b} still has {after.get(b, 0)} files after "
             "compaction")

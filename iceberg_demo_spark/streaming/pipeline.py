@@ -436,46 +436,75 @@ def stream_dedup_to_table(
 
     checkpoint_dir = os.path.abspath(checkpoint_dir).rstrip("/") or "/"
 
+    from iceberg_demo_spark.operators.sketches import (
+        bloom_member, bloom_words)
+
+    def _geom() -> tuple[int, int]:
+        geom = spark.read.parquet(os.path.join(bloom_dir, "geom")).first()
+        return int(geom["m"]), int(geom["k"])
+
     def _bloom_member(whs: DataFrame):
         """(wh, member) for distinct window digests vs the broadcast
-        filter — the sketch_bloom_membership probe, md5(wh‖i) hashes."""
-        geom = spark.read.parquet(os.path.join(bloom_dir, "geom")).first()
-        m_bits, k_h = int(geom["m"]), int(geom["k"])
+        filter — the sketch_bloom_membership probe, via the shared
+        sketches.bloom_member hash family (VERDICT r10 #6)."""
+        m_bits, k_h = _geom()
         words = spark.read.parquet(os.path.join(bloom_dir, "words"))
-        pos = (F.conv(F.substring(F.md5(F.concat(
-                   F.col("wh"), F.lit("#"), F.col("i").cast("string"))),
-                   1, 13), 16, 10).cast("bigint") % m_bits)
-        return (whs.select("wh", F.explode(F.sequence(
-                    F.lit(0), F.lit(k_h - 1))).alias("i"))
-                .select("wh", pos.alias("pos"))
-                .join(F.broadcast(words),
-                      F.col("word") == F.expr("pos div 63"), "left")
-                .groupBy("wh")
-                .agg(F.min(F.expr("(coalesce(wv, 0) >> "
-                                  "CAST(pos % 63 AS INT)) & 1"))
-                     .alias("member")))
+        return bloom_member(whs, "wh", words, m_bits, k_h)
 
     def _bloom_fold(novel: DataFrame):
         """OR the novel digests' bits into the standing words frame
-        (read-modify-write; the filter is KB-scale by construction)."""
-        geom = spark.read.parquet(os.path.join(bloom_dir, "geom")).first()
-        m_bits, k_h = int(geom["m"]), int(geom["k"])
+        (read-modify-write; the filter is KB-scale by construction).
+        Idempotent: re-folding digests whose bits are already set is a
+        bitwise no-op — the replay branch leans on this."""
+        m_bits, k_h = _geom()
         words = spark.read.parquet(os.path.join(bloom_dir, "words"))
-        pos = (F.conv(F.substring(F.md5(F.concat(
-                   F.col("wh"), F.lit("#"), F.col("i").cast("string"))),
-                   1, 13), 16, 10).cast("bigint") % m_bits)
-        new_words = (novel.select("wh", F.explode(F.sequence(
-                         F.lit(0), F.lit(k_h - 1))).alias("i"))
-                     .select(pos.alias("pos"))
-                     .groupBy(F.expr("pos div 63").alias("word"))
-                     .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                                 "CAST(pos % 63 AS INT)))").alias("wv")))
-        merged = (words.unionByName(new_words)
+        merged = (words.unionByName(bloom_words(novel, "wh", m_bits, k_h))
                   .groupBy("word").agg(F.expr("bit_or(wv)").alias("wv"))
                   .collect())
         (spark.createDataFrame(merged, "word BIGINT, wv BIGINT")
          .coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(bloom_dir, "words")))
+
+    def _stats_write(row: tuple) -> None:
+        (spark.createDataFrame(
+            [row],
+            "batch BIGINT, n_docs BIGINT, n_windows BIGINT, "
+            "n_probed BIGINT, n_hits BIGINT, n_kept BIGINT, "
+            "n_dropped BIGINT")
+         .write.mode("append").parquet(stats_dir))
+
+    def _replay_stats(batch_df: DataFrame, batch_id: int,
+                      kept: DataFrame, idx_before: DataFrame) -> None:
+        """Recompute a replayed batch's probe-volume row EXACTLY, and
+        write it only if the first attempt didn't (ADVICE r10: a crash
+        before the stats append lost the row the oracle pins). The
+        numbers replay bit-exactly because (a) the index grows
+        kept-only and every kept doc's windows MISSED at probe time, so
+        ``idx_before`` (idx_now minus the kept digests) IS the
+        probe-time index; (b) the filter's bits are the
+        order-independent OR of the indexed digests, so a filter
+        rebuilt from idx_before has the probe-time bits; (c) membership
+        in the index implies bloom-positive (no false negatives), so
+        n_hits is the plain semi-join count."""
+        try:
+            have = (spark.read.parquet(stats_dir)
+                    .filter(F.col("batch") == batch_id).count() > 0)
+        except Exception:
+            have = False  # first batch crashed before any stats row
+        if have:
+            return
+        m_bits, k_h = _geom()
+        words_before = bloom_words(idx_before, "wh", m_bits, k_h)
+        whs = (window_fn(batch_df).select("wh").distinct()
+               .localCheckpoint(eager=True))
+        n_windows = whs.count()
+        n_probed = (bloom_member(whs, "wh", words_before, m_bits, k_h)
+                    .filter(F.col("member") == 1).count())
+        n_hits = whs.join(idx_before, "wh", "leftsemi").count()
+        n_docs = batch_df.select(id_col).distinct().count()
+        n_kept = kept.select(id_col).distinct().count()
+        _stats_write((int(batch_id), n_docs, n_windows, n_probed,
+                      n_hits, n_kept, n_docs - n_kept))
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         idx = spark.read.parquet(index_dir)
@@ -493,18 +522,38 @@ def stream_dedup_to_table(
                          if prior.snapshot_id == done.snapshot_id), None)
             kept = table.scan_incremental(start_snapshot_id=prev,
                                           end_snapshot_id=done.snapshot_id)
-            # localCheckpoint, not persist: inside foreachBatch the
-            # cache lookup misses across actions (streaming leaf plans
-            # don't compare equal), so a persisted anti-join would
-            # silently recompute against the just-grown index and fold
-            # an EMPTY frame; the checkpoint truncates lineage to a
-            # materialized RDD before the append mutates idx
-            novel = (window_fn(kept).select("wh").distinct()
-                     .join(idx, "wh", "left_anti")
-                     .localCheckpoint(eager=True))
-            novel.write.mode("append").parquet(index_dir)
+            # the kept docs' FULL digest set IS the batch's novel set:
+            # one index hit drops a doc, so every window of a kept doc
+            # was absent at probe time. localCheckpoint, not persist:
+            # inside foreachBatch the cache lookup misses across
+            # actions (streaming leaf plans don't compare equal), so a
+            # persisted frame would silently recompute against the
+            # just-grown index; the checkpoint truncates lineage to a
+            # materialized RDD before the appends mutate idx.
+            kws = (window_fn(kept).select("wh").distinct()
+                   .localCheckpoint(eager=True))
+            if bloom_dir is not None and stats_dir is not None:
+                # probe-time index, reconstructed BEFORE mutating it
+                # (kept-only growth makes the subtraction exact)
+                idx_before = (idx.join(kws, "wh", "left_anti")
+                              .localCheckpoint(eager=True))
+            # index append stays anti-joined (one row per digest even
+            # when the first attempt already appended these digests)
+            (kws.join(idx, "wh", "left_anti")
+             .localCheckpoint(eager=True)
+             .write.mode("append").parquet(index_dir))
             if bloom_dir is not None:
-                _bloom_fold(novel)
+                # fold the FULL kept digest set, NOT the anti-join
+                # survivors (ADVICE r10, medium): a crash between the
+                # index append and the fold leaves idx already grown,
+                # making the anti-join empty — the old code then folded
+                # nothing and the filter permanently missed this
+                # batch's digests (later batches could bloom-NEGATIVE
+                # on indexed digests and keep duplicates). bit_or is
+                # idempotent, so re-folding present digests is a no-op.
+                _bloom_fold(kws)
+                if stats_dir is not None:
+                    _replay_stats(batch_df, batch_id, kept, idx_before)
             return None
         wins = window_fn(batch_df)
         whs = wins.select("wh").distinct()
@@ -556,12 +605,7 @@ def stream_dedup_to_table(
         if bloom_dir is not None:
             _bloom_fold(novel)
             if stats_dir is not None:
-                (spark.createDataFrame(
-                    [stats_row],
-                    "batch BIGINT, n_docs BIGINT, n_windows BIGINT, "
-                    "n_probed BIGINT, n_hits BIGINT, n_kept BIGINT, "
-                    "n_dropped BIGINT")
-                 .write.mode("append").parquet(stats_dir))
+                _stats_write(stats_row)
             probed.unpersist()
             hit.unpersist()
             dropped.unpersist()

@@ -1,0 +1,230 @@
+"""Round-10 ADVICE regressions (fixed in round 11).
+
+1. (medium) the bloom-guarded streaming dedup broke its own
+   at-least-once replay invariant: a crash BETWEEN the index append and
+   the filter fold made the replayed anti-join empty (the index had
+   already grown), so nothing folded and the filter permanently missed
+   that batch's digests — later batches could bloom-NEGATIVE on indexed
+   digests and keep duplicates. The replayed batch's stats row was also
+   never written. The replay branch now folds the kept docs' FULL
+   digest set (bit_or is idempotent) and recomputes the probe-volume
+   row exactly against the reconstructed pre-batch index.
+2. (low) ``ensure_curation_state`` called the global ``release_pins()``
+   inside a gate, freeing checkpoint-backed pins an enclosing caller
+   still depended on. Pins are now scoped: ``pin_mark()`` +
+   ``release_pins_since(mark)`` release only the builder's own suffix.
+3. (low) the per-doc quality predicate existed in two copies
+   (``_pipe_quality_cond`` and an inline restatement in
+   ``doc_curation_pipeline``); the pipeline now calls the shared
+   predicate, so the incremental oracle's exact-equality pin cannot be
+   desynchronized by a one-sided edit.
+4. (low) ``doc_bm25_index_compact`` required >= 2 pre-compaction files
+   in EVERY probed bucket (data-dependent); it now asserts aggregate
+   fragmentation across the probed buckets.
+
+Also VERDICT r10 #6: the Bloom position expression (k independent
+md5(key#i) hashes) was hand-copied across three modules; it is now ONE
+definition in ``sketches.bloom_positions``/``bloom_words``/
+``bloom_member`` with all tiers calling it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from iceberg_demo_spark.tables.catalog import Catalog
+from tests.conftest import SF_SMALL
+
+
+# -- 1: bloom-guard replay restores the filter AND the stats row ------------
+
+def _stage_wave(df, src: str, name: str, stage_root: str, mtime: float):
+    """coalesce(1) a doc slice into src/<name>.parquet with a pinned
+    mtime (the file stream source orders batches by mtime)."""
+    stage = os.path.join(stage_root, name)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith("."))
+    dst = os.path.join(src, f"{name}.parquet")
+    shutil.copyfile(os.path.join(stage, part), dst)
+    os.utime(dst, (mtime, mtime))
+    return dst
+
+
+def test_bloom_guard_crash_between_index_append_and_fold(spark, tmp_path):
+    """Adversarial W2 crash window: the batch committed to the table
+    AND appended its digests to the index, but crashed BEFORE the bloom
+    fold and the stats append. On restart the replayed batch must (a)
+    restore filter ⊇ index — every indexed digest bloom-positive, so
+    later batches can never keep a duplicate — and (b) re-emit the lost
+    probe-volume stats row with the EXACT original values (the oracle
+    pins them)."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+    from iceberg_demo_spark.operators.sketches import (
+        bloom_geometry, bloom_member, bloom_words, kmv_count_estimate)
+    from iceberg_demo_spark.sources import load_tables
+    from iceberg_demo_spark.streaming.pipeline import stream_dedup_to_table
+
+    docs = (load_tables(spark, SF_SMALL, ("documents",))["documents"]
+            .select("doc_id", "source", "n_chars", "text"))
+    corpus = docs.filter("doc_id % 5 <> 0")
+    ingest = docs.filter("doc_id % 5 = 0")
+    src = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    os.makedirs(src)
+    now = time.time()
+    _stage_wave(ingest.filter("(doc_id div 5) % 3 = 0"), src, "000",
+                stage, now - 30)
+    _stage_wave(ingest.filter("(doc_id div 5) % 3 = 1"), src, "001",
+                stage, now - 20)
+    schema = spark.read.parquet(src).schema
+
+    idx_dir = str(tmp_path / "idx")
+    bloom_dir = str(tmp_path / "bloom")
+    stats_dir = str(tmp_path / "stats")
+    (_ingest_windows(corpus).select("wh").distinct()
+     .write.parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+    n_est = kmv_count_estimate(idx, "wh")
+    _, m_bits, k_h = bloom_geometry(n_est)
+    (bloom_words(idx, "wh", m_bits, k_h).coalesce(1)
+     .write.parquet(os.path.join(bloom_dir, "words")))
+    spark.createDataFrame([(n_est, m_bits, k_h)],
+                          "n BIGINT, m BIGINT, k BIGINT") \
+        .coalesce(1).write.parquet(os.path.join(bloom_dir, "geom"))
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "db.clean_bloom",
+        [(f.name, f.dataType.simpleString(), f.nullable)
+         for f in schema.fields])
+    ck = str(tmp_path / "ck")
+    run = lambda: stream_dedup_to_table(  # noqa: E731
+        spark, src, schema, t, ck, idx_dir, _ingest_windows,
+        bloom_dir=bloom_dir, stats_dir=stats_dir)
+    run()
+    # words as they stood BEFORE the final wave — the probe-time filter
+    # the crash simulation rolls back to (captured between runs, not
+    # reconstructed, so the test is independent of the fix's own math)
+    words_mid = sorted(
+        (r["word"], r["wv"]) for r in
+        spark.read.parquet(os.path.join(bloom_dir, "words")).collect())
+
+    _stage_wave(ingest.filter("(doc_id div 5) % 3 = 2"), src, "002",
+                stage, now - 10)
+    run()
+    t.refresh()
+    kept = sorted(r["doc_id"] for r in t.scan().select("doc_id").collect())
+    n_snaps = len(t.metadata.snapshots)
+    n_idx = spark.read.parquet(idx_dir).count()
+    stats_full = sorted(map(tuple, spark.read.parquet(stats_dir).collect()))
+    words_full = sorted(
+        (r["word"], r["wv"]) for r in
+        spark.read.parquet(os.path.join(bloom_dir, "words")).collect())
+    assert len(stats_full) == 3 and n_snaps >= 3
+    last_batch = max(s[0] for s in stats_full)
+
+    # -- simulate the W2 crash of the final batch --
+    commits = sorted(f for f in os.listdir(os.path.join(ck, "commits"))
+                     if not f.startswith("."))
+    os.remove(os.path.join(ck, "commits", commits[-1]))
+    crc = os.path.join(ck, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # filter rolled back to pre-batch bits (the fold never happened)
+    shutil.rmtree(os.path.join(bloom_dir, "words"))
+    (spark.createDataFrame(words_mid, "word BIGINT, wv BIGINT")
+     .coalesce(1).write.parquet(os.path.join(bloom_dir, "words")))
+    # the batch's stats row never landed
+    remaining = [tuple(r) for r in
+                 spark.read.parquet(stats_dir).collect()
+                 if r["batch"] != last_batch]
+    shutil.rmtree(stats_dir)
+    (spark.createDataFrame(
+        remaining,
+        "batch BIGINT, n_docs BIGINT, n_windows BIGINT, n_probed BIGINT, "
+        "n_hits BIGINT, n_kept BIGINT, n_dropped BIGINT")
+     .write.parquet(stats_dir))
+
+    run()  # the replay branch fires for the final batch
+    t.refresh()
+    assert sorted(r["doc_id"]
+                  for r in t.scan().select("doc_id").collect()) == kept
+    assert len(t.metadata.snapshots) == n_snaps
+    idx_after = spark.read.parquet(idx_dir)
+    assert idx_after.count() == n_idx
+    assert idx_after.distinct().count() == n_idx
+    # (a) filter restored: bit-identical to the uncrashed run, and
+    # every indexed digest bloom-positive (no possible duplicate keeps)
+    assert sorted(
+        (r["word"], r["wv"]) for r in
+        spark.read.parquet(os.path.join(bloom_dir, "words")).collect()
+    ) == words_full
+    words = spark.read.parquet(os.path.join(bloom_dir, "words"))
+    assert (bloom_member(idx_after, "wh", words, m_bits, k_h)
+            .filter(F.col("member") == 0).count()) == 0
+    # (b) the stats row recomputed EXACTLY — same values the first
+    # attempt measured before it crashed
+    assert sorted(map(tuple, spark.read.parquet(stats_dir).collect())) \
+        == stats_full
+
+
+# -- 2: scoped pin release ---------------------------------------------------
+
+def test_release_pins_since_releases_only_the_suffix(spark):
+    from iceberg_demo_spark.cache import (
+        pin, pin_mark, release_pins, release_pins_since)
+
+    outer = pin(spark.range(10))
+    outer.count()
+    mark = pin_mark()
+    inner = pin(spark.range(5))
+    inner.count()
+    try:
+        assert release_pins_since(mark) == 1
+        assert inner.storageLevel.useMemory is False
+        # the enclosing caller's pin survives the builder's release
+        assert outer.storageLevel.useMemory is True
+    finally:
+        release_pins()
+    assert outer.storageLevel.useMemory is False
+
+
+def test_ensure_curation_state_preserves_enclosing_pins(spark, tmp_path,
+                                                        monkeypatch):
+    """The state builder releases its own pins but never an enclosing
+    caller's (ADVICE r10: the old global release made still-unconsumed
+    checkpoint frames unrecomputable mid-gate)."""
+    import iceberg_demo_spark.operators.curation as cur
+    from iceberg_demo_spark.cache import pin, release_pins
+
+    monkeypatch.setattr(
+        cur, "curation_state_path",
+        lambda sf_dir: str(tmp_path / "cur_state"))
+    outer = pin(spark.range(7))
+    outer.count()
+    try:
+        cur.ensure_curation_state(spark, SF_SMALL)
+        assert outer.storageLevel.useMemory is True
+    finally:
+        release_pins()
+
+
+# -- 3: one quality predicate, two tiers ------------------------------------
+
+def test_pipeline_quality_filter_is_the_shared_predicate():
+    """doc_curation_pipeline's qual filter must call
+    _pipe_quality_cond() — the incremental tier's oracle pins exact
+    equality with the batch pipeline, so the conditions must have ONE
+    definition (source-level guard: the inline restatement is gone)."""
+    import inspect
+
+    import iceberg_demo_spark.operators.curation as cur
+
+    src = inspect.getsource(cur.doc_curation_pipeline)
+    assert "_pipe_quality_cond()" in src
+    assert "_PIPE_LM_MIN_PPM" not in src  # lives only in the predicate

@@ -78,7 +78,33 @@ def check() -> list[str]:
     problems += check_artifact_claims(cov)
     # 6. the 4-round staleness SLO holds under the current window
     problems += check_staleness()
+    # 7. the pytest-count claim matches the collected-count artifact
+    problems += check_pytest_count_claim(cov)
     return problems
+
+
+def check_pytest_count_claim(cov: str) -> list[str]:
+    """COVERAGE.md's pytest figure matches TESTCOUNT.json (written by
+    the conftest collection hook on any full-suite run) — VERDICT r10
+    #7: stale prose counts become a CI failure, like the oracle A/B
+    claims before them."""
+    m = re.search(r"(\d+)\+?\s+pytest cases[^.]*?across\s+(\d+)\s+"
+                  r"test\s+modules", cov)
+    if m is None:
+        return ["COVERAGE.md is missing the 'N pytest cases across M "
+                "test modules' claim"]
+    path = os.path.join(_REPO, "TESTCOUNT.json")
+    if not os.path.exists(path):
+        return ["TESTCOUNT.json missing — run the full pytest suite "
+                "(or `pytest tests/ --collect-only -q`) to regenerate"]
+    data = json.load(open(path))
+    claim = (int(m.group(1)), int(m.group(2)))
+    actual = (data["collected"], data["modules"])
+    if claim != actual:
+        return [f"COVERAGE.md claims {claim[0]} pytest cases across "
+                f"{claim[1]} modules but TESTCOUNT.json records "
+                f"{actual[0]} across {actual[1]}"]
+    return []
 
 
 def check_artifact_claims(cov: str) -> list[str]:

@@ -52,6 +52,57 @@ def run_canaries(env: dict, reps: int = 3) -> dict | None:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def cross_round_normalization(repo: str, current_round: int,
+                              payload: dict, canary_total: float | None,
+                              ) -> dict:
+    """Round-over-round adjudication as NUMBERS in the artifact
+    (VERDICT r10 #3 — previously prose in SCALE.md): find the latest
+    earlier BENCH_QUIET_r{NN}.json with canary totals, compute the
+    cross-round canary ratio (pure host drift — the canaries' code has
+    not changed since round 2), and emit the shared-query subtotal both
+    raw and normalized by that drift. A normalized ratio near 1.0 means
+    the engine is flat; the raw ratio alone conflates code and host."""
+    import glob as _glob
+    import re as _re
+
+    prev, prev_round = None, None
+    for path in sorted(_glob.glob(os.path.join(repo,
+                                               "BENCH_QUIET_r*.json"))):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if m is None:  # diagnostic variants, e.g. _r09_control37.json
+            continue
+        rnd = int(m.group(1))
+        if rnd >= current_round:
+            continue
+        data = json.load(open(path))
+        if data.get("canary_before_total") or data.get(
+                "canary_after_total"):
+            if prev_round is None or rnd > prev_round:
+                prev, prev_round = data, rnd
+    if prev is None or not canary_total:
+        return {"canary_prev_round": None}
+    prev_totals = [t for t in (prev.get("canary_before_total"),
+                               prev.get("canary_after_total")) if t]
+    prev_canary = sum(prev_totals) / len(prev_totals)
+    ratio = round(canary_total / prev_canary, 3) if prev_canary else None
+    shared = sorted(set(payload.get("queries", {}))
+                    & set(prev.get("queries", {})))
+    this_sub = round(sum(payload["queries"][q] for q in shared), 3)
+    prev_sub = round(sum(prev["queries"][q] for q in shared), 3)
+    raw = round(this_sub / prev_sub, 3) if prev_sub else None
+    return {
+        "canary_prev_round": prev_round,
+        "canary_prev_total": round(prev_canary, 3),
+        "canary_cross_round_ratio": ratio,
+        "shared_query_count": len(shared),
+        "shared_subtotal_sec": this_sub,
+        "shared_subtotal_prev_sec": prev_sub,
+        "shared_ratio_raw": raw,
+        "shared_ratio_normalized": (round(raw / ratio, 3)
+                                    if raw and ratio else None),
+    }
+
+
 def wait_for_quiet(limit: float, max_wait: float) -> list[float] | None:
     """Block until the 1-min load average drops to ``limit`` (poll every
     15s); None if it never does within ``max_wait``."""
@@ -107,6 +158,12 @@ def main() -> int:
     if canary_before and canary_after and canary_before["value"] > 0:
         canary_ratio = round(canary_after["value"]
                              / canary_before["value"], 3)
+    canary_totals = [d["value"] for d in (canary_before, canary_after)
+                     if d and d.get("value")]
+    canary_total = (sum(canary_totals) / len(canary_totals)
+                    if canary_totals else None)
+    norm = cross_round_normalization(REPO, args.round, payload,
+                                     canary_total)
 
     out = {
         "round": args.round,
@@ -121,6 +178,7 @@ def main() -> int:
         "canary_after": (canary_after or {}).get("queries"),
         "canary_after_total": (canary_after or {}).get("value"),
         "canary_ratio": canary_ratio,
+        **norm,
         **payload,
     }
     path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
