@@ -2331,9 +2331,16 @@ def sim_ivfpq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy; candidates join a broadcast query frame; the one
     corpus-sized cost left in the gate is the recall audit, which a
     production probe simply drops."""
+    return _ivfpq_probe(spark, sf_dir, ensure_ivfpq_index(spark, sf_dir))
+
+
+def _ivfpq_probe(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """The persisted-index IVF-PQ probe + recall audit, factored so the
+    standing index (sim_ivfpq_indexed) and the compacted index
+    (sim_ivfpq_index_compact) serve the IDENTICAL plan from different
+    roots — layout maintenance must never change the probe."""
     import os
 
-    path = ensure_ivfpq_index(spark, sf_dir)
     pts = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
     queries = pts.filter(F.col("vec_id") < 8).select(
@@ -2422,6 +2429,140 @@ from iceberg_demo_spark.registry import ORACLES as _OR2  # noqa: E402
 
 # persistence must not change the answer: one oracle proves both plans
 _OR2["sim_ivfpq_indexed"] = _OR2["sim_ivfpq_search"]
+
+
+def ensure_fragmented_ivfpq_index(spark: SparkSession, sf_dir: str,
+                                  n_epochs: int = 3) -> str:
+    """The IVF-PQ INGEST path (VERDICT r10 #4 — the third index family
+    gets the incremental discipline dedup and BM25 already have): the
+    codebook and coarse cells come FROZEN from the standing index
+    (ensure_ivfpq_index — at 100 TB you never retrain per batch), and
+    each ingest epoch (vec_id mod ``n_epochs``, the streaming batching
+    scheme) encodes ONLY its own vectors against the broadcast frozen
+    codebook and APPENDS its codes into the partitionBy(cell_id)
+    layout. Files-per-cell grows one per epoch — exactly what
+    append-only corpus growth produces; the codes SET is a
+    disjoint-epoch union of the direct build's codes, so the probe
+    answer cannot move. Built once per SF, source-manifest-guarded."""
+    import os
+    import shutil as _shutil
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import (
+        index_current, scratch_path, write_index_manifest)
+
+    path = scratch_path(f"glacier_ivfpq_idxfrag_{_sf_tag(sf_dir)}")
+    if index_current(path, sf_dir, ("embeddings",)):
+        return path
+    _shutil.rmtree(path, ignore_errors=True)
+    std = ensure_ivfpq_index(spark, sf_dir)
+    for tier in ("codebook", "cells"):
+        (spark.read.parquet(os.path.join(std, tier))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(path, tier)))
+    cbs = (spark.read.parquet(os.path.join(path, "codebook"))
+           .agg(F.expr("array_sort(collect_list(struct(m, code, c)))")
+                .alias("cbs")))
+    ivfc = (spark.read.parquet(os.path.join(path, "cells"))
+            .agg(F.expr("array_sort(collect_list(struct(cell_id, c)))")
+                 .alias("cells")))
+    pts = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]\
+        .select("vec_id",
+                F.col("embedding").cast("array<double>").alias("e"))
+    for e in range(n_epochs):
+        (pts.filter(F.col("vec_id") % n_epochs == e)
+         .crossJoin(F.broadcast(ivfc)).crossJoin(F.broadcast(cbs))
+         .select("vec_id",
+                 F.expr(_IVFPQ_AMIN_CELL).alias("cell_id"),
+                 F.expr("transform(" + _PQ_ENC.format(d=_IVFPQ_D)
+                        + ", a -> a.code)").alias("codes"))
+         .repartition(_IVFPQ_CELLS, "cell_id")
+         .write.partitionBy("cell_id").mode("append")
+         .parquet(os.path.join(path, "codes")))
+    write_index_manifest(path, sf_dir, ("embeddings",))
+    return path
+
+
+def compact_ivfpq_index(spark: SparkSession, src_path: str,
+                        dst_path: str) -> str:
+    """Bin-pack an epoch-accumulated code layout back to ONE file per
+    cell directory (the compact_text_index / dedup_index_compact
+    discipline): repartition on the PARTITION column so each cell's
+    rows land whole in one task and the partitioned writer emits
+    exactly one file per directory; codebook and cells copy through
+    unchanged (they are maintenance-invariant by construction).
+    Layout-only: the probe answer is pinned by the shared oracle.
+
+    Scale shape: one cell-keyed shuffle over CODES (4 small ints per
+    vector — ~2% of raw vector bytes), amortized over a maintenance
+    window; at 100 TB it runs per-cell-range while the live tier keeps
+    taking appends."""
+    import os
+    import shutil as _shutil
+
+    _shutil.rmtree(dst_path, ignore_errors=True)
+    for tier in ("codebook", "cells"):
+        (spark.read.parquet(os.path.join(src_path, tier))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(dst_path, tier)))
+    (spark.read.parquet(os.path.join(src_path, "codes"))
+     .repartition(_IVFPQ_CELLS, "cell_id")
+     .write.partitionBy("cell_id").mode("overwrite")
+     .parquet(os.path.join(dst_path, "codes")))
+    return dst_path
+
+
+@query("sim_ivfpq_index_compact", oracle=None)  # shares sim_ivfpq_search's
+def sim_ivfpq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index maintenance (VERDICT r10 #4) — the LAST index
+    family gets the full incremental lifecycle (dedup r9, BM25 r10):
+    the code tier accumulated as 3 ingest-epoch appends against the
+    FROZEN codebook (files-per-cell = 3, the streaming small-files
+    drift) is bin-packed back to ONE file per cell directory, and the
+    probe runs against the compacted tier through the exact plan
+    sim_ivfpq_indexed serves (_ivfpq_probe — partition-pruned to the
+    nprobe cells). In-gate assertions pin the layout delta (aggregate
+    fragmentation before; exactly one file per cell after); the shared
+    sim_ivfpq_search oracle pins that NEITHER the epoch-sliced encode
+    nor the rewrite moved a single recall or candidate count.
+
+    Scale shape: ingest encodes only the batch (one map pass against
+    two broadcast rows); compaction shuffles codes once on the
+    partition key. Probe I/O after maintenance is minimal-file
+    nprobe-cell reads — the serving property the whole tier exists
+    for."""
+    import glob as _glob
+    import os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+
+    frag = ensure_fragmented_ivfpq_index(spark, sf_dir)
+    dst = scratch_path(f"glacier_ivfpq_idxcomp_{_sf_tag(sf_dir)}")
+    compact_ivfpq_index(spark, frag, dst)
+
+    def files_per_cell(root: str) -> dict[int, int]:
+        out = {}
+        for d in _glob.glob(os.path.join(root, "codes", "cell_id=*")):
+            out[int(d.rsplit("=", 1)[1])] = len(
+                [f for f in os.listdir(d) if f.endswith(".parquet")])
+        return out
+
+    before, after = files_per_cell(frag), files_per_cell(dst)
+    # aggregate pre-compaction assertion (the ADVICE r10 lesson: a
+    # per-cell >= 2 demand is data-dependent — an epoch slice can miss
+    # a cell); post-compaction is exact: one file per cell directory
+    assert sum(before.values()) > len(before), (
+        f"code tier not fragmented in aggregate ({sum(before.values())} "
+        f"files across {len(before)} cells)")
+    assert before and set(after) == set(before), "cell set changed"
+    for cell, n in after.items():
+        assert n == 1, f"cell {cell} has {n} files after compaction"
+    return _ivfpq_probe(spark, sf_dir, dst)
+
+
+# maintenance must not change the answer: one oracle proves all three
+_OR2["sim_ivfpq_index_compact"] = _OR2["sim_ivfpq_search"]
 
 
 # ---------------------------------------------------------------------------

@@ -223,7 +223,10 @@ def load_all() -> None:
         "doc_decontamination",
         "doc_mixture_weights",
         "doc_per_source_cap",
-        "doc_pii_redaction",
+        # -- round-11 NEW/CHANGED gates displace the r8 tail one-for-one
+        #    (standing policy: new gates sit inside the window;
+        #    doc_pii_redaction spills to the round-12 queue) --
+        "sim_ivfpq_index_compact",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -909,6 +909,26 @@ def test_ivfpq_indexed_probe_reads_only_probed_cell_partitions(spark):
     assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
 
 
+def test_ivfpq_compacted_probe_still_partition_pruned(spark):
+    """sim_ivfpq_index_compact (round 11): after bin-packing the
+    epoch-fragmented code tier, the probe still carries cell_id
+    PartitionFilters over the COMPACTED root — maintenance must not
+    cost the serving read its pruning — and the probe plan keeps the
+    sim_ivfpq_indexed shape (broadcast candidates, no cell_id
+    exchange)."""
+    import re as _re
+
+    plan = _plan(spark, "sim_ivfpq_index_compact")
+    assert "glacier_ivfpq_idxcomp" in plan  # probing the COMPACTED tier
+    i = plan.index("/codes]")  # the codes tier's scan location line
+    seg = plan[i:i + 500]
+    assert "PartitionFilters" in seg
+    assert "INSET" in seg
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
+
+
 def test_bm25_compacted_probe_still_partition_pruned(spark):
     """doc_bm25_index_compact: after bin-packing the epoch-fragmented
     postings, the probe still reads only the query terms' tok_bucket

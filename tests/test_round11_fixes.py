@@ -214,6 +214,41 @@ def test_ensure_curation_state_preserves_enclosing_pins(spark, tmp_path,
         release_pins()
 
 
+# -- VERDICT r10 #4: incremental IVF-PQ maintenance --------------------------
+
+def test_ivfpq_fragmented_codes_equal_direct_build(spark):
+    """The epoch-sliced encode against the FROZEN codebook produces
+    exactly the direct build's (vec_id, cell_id, codes) set — ingest
+    appends are a disjoint union, never a re-train."""
+    import os
+
+    from iceberg_demo_spark.operators.curation import (
+        ensure_fragmented_ivfpq_index, ensure_ivfpq_index)
+
+    std = ensure_ivfpq_index(spark, SF_SMALL)
+    frag = ensure_fragmented_ivfpq_index(spark, SF_SMALL)
+
+    def rows(root):
+        return sorted(
+            (r["vec_id"], r["cell_id"], tuple(r["codes"])) for r in
+            spark.read.parquet(os.path.join(root, "codes")).collect())
+
+    a, b = rows(std), rows(frag)
+    assert a == b and len(a) == len({v for v, _, _ in a})
+
+
+def test_ivfpq_compact_equals_indexed_answer(spark):
+    """Maintenance must not change the answer: the compacted-tier probe
+    and the standing-index probe return identical rows."""
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    a = registry.QUERIES["sim_ivfpq_indexed"](spark, SF_SMALL).collect()
+    b = registry.QUERIES["sim_ivfpq_index_compact"](
+        spark, SF_SMALL).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
 # -- 3: one quality predicate, two tiers ------------------------------------
 
 def test_pipeline_quality_filter_is_the_shared_predicate():

@@ -156,6 +156,10 @@ EXTRA = [
     # reads a per-invocation scratch sink — tests only.
     "sim_ivfpq_indexed",
     "doc_bm25_index_compact",
+    # round 11: the compacted IVF-PQ tier's probe — cell_id
+    # PartitionFilters must survive the bin-pack (the shared
+    # _ivfpq_probe plan over the idxcomp root).
+    "sim_ivfpq_index_compact",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
