@@ -3027,7 +3027,13 @@ def doc_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. cluster maintenance is CONTRACTED: only components touched by a
        new edge or an eviction re-run connected components (old edges
        restricted to affected roots ∪ new edges); every other cluster
-       keeps its standing label untouched;
+       keeps its standing label untouched. Because survivorship is
+       re-ranked per batch over the MERGED labels (never carried from
+       the state), eviction-driven RE-ADMISSION is automatic (VERDICT
+       r10 #5): a standing doc dropped only because a now-evicted doc
+       out-ranked it re-enters as soon as its affected cluster
+       relabels — pinned by the adversarial eviction-flip fixture in
+       tests/test_round11_fixes.py against the oracle;
     5. split/mixture/accounting run over the merged NARROW frame via
        the shared _pipe_accounting — arithmetic on digests and
        counters, never text.

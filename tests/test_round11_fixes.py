@@ -249,6 +249,77 @@ def test_ivfpq_compact_equals_indexed_answer(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
+# -- VERDICT r10 #5: eviction-driven re-admission ----------------------------
+
+def test_curation_incremental_eviction_readmits_outranked_survivor(
+        spark, tmp_path):
+    """A standing doc Y was dropped ONLY because its near-dup X
+    out-ranked it (longer n_chars). A batch doc B with a smaller id and
+    X's lowercased text EVICTS X — and B itself fails quality (its
+    stopwords are uppercased, so n_en = 0), so the whole dup group
+    dies. Y must be RE-ADMITTED: its cluster is affected (the eviction
+    touches it), the contracted CC relabels it a singleton, and the
+    per-batch survivorship recompute over merged labels keeps it. The
+    oracle (the batch pipeline on the merged corpus) pins the flip."""
+    import duckdb
+
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.operators import curation as C
+    from tests.test_round10_fixes import _write_synth_docs
+
+    registry.load_all()
+    # two DISJOINT stems (no shared word trigram → Jaccard 0 across
+    # stems), each quality-satisfying and its own bigram-LM mode, so
+    # the only near-dup cluster in the base is {x, y}
+    stem1 = ("the cat and the dog of the house ran to the yard and "
+             "the bird of the tree sang")  # 20 tokens
+    stem2 = ("the fox and the hen of the barn sat in the pen and "
+             "the mouse of the field hid")  # 20 tokens
+    y = stem1 + " alpha beta gamma x1"          # 24 tokens, SHORTER
+    x = stem1 + " alpha beta gamma x1extra"     # near-dup of y, LONGER
+    # B: x's text with every quality stopword uppercased — same
+    # dup_key (md5 of LOWERCASED text), zero lowercase n_en tokens
+    b = " ".join(t.upper() if t in ("the", "a", "of", "and", "to")
+                 else t for t in x.split())
+    rows = [
+        # base partition (doc_id % 5 != 0): x out-ranks y in their
+        # near-dup cluster, so the standing election drops y
+        (6, y, "src0"),
+        (11, x, "src0"),
+        (21, stem2 + " delta epsilon zeta x4", "src1"),
+        # batch partition: doc 10 evicts doc 11 (same lowercased text,
+        # smaller id) and fails quality itself
+        (10, b, "src0"),
+        (15, stem2 + " delta epsilon zeta x5", "src1"),
+    ]
+    sf = _write_synth_docs(tmp_path, rows)
+    # the standing state really dropped y: x and y share a non-null
+    # cluster root (and ONLY they do), and x is longer
+    C.ensure_curation_state(spark, sf)
+    st = {r["doc_id"]: r for r in spark.read.parquet(
+        C.curation_state_path(sf) + "/docs").collect()}
+    assert st[6]["cluster_root"] is not None
+    assert st[6]["cluster_root"] == st[11]["cluster_root"]
+    assert st[21]["cluster_root"] is None  # isolated from the x/y pair
+    assert st[11]["n_chars"] > st[6]["n_chars"]
+    # the incremental survivor set: y re-admitted, x evicted, b unfit
+    _, _, surv = C._cur_incremental_frames(spark, sf)
+    ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    assert 6 in ids and 11 not in ids and 10 not in ids
+    # and the full accounting equals the batch pipeline's oracle
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(
+        registry.ORACLES["doc_curation_incremental"]).fetchall()
+    got = [tuple(r) for r in
+           registry.QUERIES["doc_curation_incremental"](spark, sf)
+           .collect()]
+    norm = [tuple(int(v) if isinstance(v, (int, float)) and not
+                  isinstance(v, bool) else v for v in r) for r in want]
+    assert got == norm, (got, norm)
+
+
 # -- 3: one quality predicate, two tiers ------------------------------------
 
 def test_pipeline_quality_filter_is_the_shared_predicate():
