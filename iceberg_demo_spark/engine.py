@@ -51,7 +51,10 @@ class Engine:
                 self.mv.drop(groups.group(2), if_exists=bool(groups.group(1)))
                 return self._status(f"dropped materialized view {groups.group(2)}")
             if kind == "refresh_mv":
-                mv = self.mv.refresh(groups.group(1), incremental=bool(groups.group(2)))
+                mode = (groups.group(2) or "").strip().lower()
+                mv = self.mv.refresh(groups.group(1),
+                                     incremental=mode == "incremental",
+                                     delta=mode == "delta")
                 return self._status(f"refreshed materialized view {mv.name}")
             if kind == "show_mv":
                 return self.mv.show()

@@ -279,7 +279,8 @@ _DROP_MV_RE = re.compile(
     r"^\s*drop\s+materialized\s+view\s+(if\s+exists\s+)?([\w.]+)\s*$", re.IGNORECASE
 )
 _REFRESH_MV_RE = re.compile(
-    r"^\s*refresh\s+materialized\s+view\s+([\w.]+)(\s+incremental)?\s*$", re.IGNORECASE
+    r"^\s*refresh\s+materialized\s+view\s+([\w.]+)"
+    r"(\s+incremental|\s+delta)?\s*$", re.IGNORECASE
 )
 _SHOW_MV_RE = re.compile(r"^\s*show\s+materialized\s+views\s*$", re.IGNORECASE)
 _CALL_RE = re.compile(r"^\s*call\s+(?:[\w]+\.)?system\.(\w+)\s*\((.*)\)\s*$",

@@ -320,6 +320,109 @@ def test_curation_incremental_eviction_readmits_outranked_survivor(
     assert got == norm, (got, norm)
 
 
+# -- VERDICT r10 #8: changelog-driven MV delta maintenance -------------------
+
+def _delta_engine(spark, tmp_path, rows):
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table_as(
+        "db.facts", spark.createDataFrame(
+            rows, "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvd AS "
+            "SELECT k, SUM(amt) AS total, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    return eng, src
+
+
+def _backing_rows(eng):
+    mv = eng.mv_catalog.get("mvd")
+    return sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                  .select("k", "total", "cnt").collect())
+
+
+def test_mv_delta_refresh_deletes_vanished_group(spark, tmp_path):
+    """Deleting EVERY source row of a group must remove its backing row
+    (the count-reaches-zero MERGE leg) — from the changelog alone, with
+    no source rescan."""
+    eng, src = _delta_engine(spark, tmp_path, [
+        ("a", 10), ("a", 20), ("b", 5), ("c", 7)])
+    src.delete_where("k = 'b'")
+    src.append(spark.createDataFrame([("c", 3)], "k STRING, amt BIGINT"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert _backing_rows(eng) == [("a", 30, 2), ("c", 10, 2)]
+
+
+def test_mv_delta_refresh_insert_then_delete_nets_to_nothing(
+        spark, tmp_path):
+    """A group inserted and fully deleted INSIDE the window must not
+    appear (the not_matched condition skips zero-count deltas)."""
+    eng, src = _delta_engine(spark, tmp_path, [("a", 10)])
+    src.append(spark.createDataFrame([("z", 99)], "k STRING, amt BIGINT"))
+    src.delete_where("k = 'z'")
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert _backing_rows(eng) == [("a", 10, 1)]
+
+
+def test_mv_delta_refresh_refuses_non_summable_aggregates(
+        spark, tmp_path):
+    """MIN cannot be maintained from deltas under deletes: REFRESH DELTA
+    must fall back to full recompute (mode records the fallback) and
+    still produce the right answer."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table_as(
+        "db.facts", spark.createDataFrame(
+            [("a", 10), ("a", 3), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvm AS "
+            "SELECT k, MIN(amt) AS lo, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.delete_where("k = 'a' AND amt = 3")
+    eng.sql("REFRESH MATERIALIZED VIEW mvm DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    mv = eng.mv_catalog.get("mvm")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "lo", "cnt").collect())
+    assert got == [("a", 10, 1), ("b", 5, 1)]
+
+
+def test_mv_delta_refresh_requires_count_star(spark, tmp_path):
+    """Without COUNT(*) a vanished group is undetectable from deltas:
+    the planner must refuse and fall back to full."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table_as(
+        "db.facts", spark.createDataFrame(
+            [("a", 10), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvs AS "
+            "SELECT k, SUM(amt) AS total FROM db_facts GROUP BY k")
+    src.delete_where("k = 'b'")
+    eng.sql("REFRESH MATERIALIZED VIEW mvs DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    mv = eng.mv_catalog.get("mvs")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "total").collect())
+    assert got == [("a", 10)]
+
+
+def test_mv_delta_refresh_update_commit_signs_both_images(
+        spark, tmp_path):
+    """An UPDATE commit emits UPDATE_BEFORE (−) and UPDATE_AFTER (+)
+    images; the signed fold must land the net difference."""
+    eng, src = _delta_engine(spark, tmp_path, [("a", 10), ("b", 5)])
+    src.update_where({"amt": "amt + 100"}, "k = 'a'")
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert _backing_rows(eng) == [("a", 110, 1), ("b", 5, 1)]
+
+
 # -- 3: one quality predicate, two tiers ------------------------------------
 
 def test_pipeline_quality_filter_is_the_shared_predicate():
