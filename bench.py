@@ -121,6 +121,18 @@ HEADLINE = [
     "doc_curation_incremental",
     "sketch_bloom_membership",
     "doc_bpe_merges",
+    # round-11 additions: the compacted IVF-PQ serving probe (index
+    # maintenance — the bin-packed code tier must not cost the probe
+    # anything), the changelog-driven MV delta refresh (three DML
+    # commits + one keyed MERGE — the heaviest table-format composition
+    # in the set), and the string-determinant sufficient-statistics
+    # regression (one partial-agg exchange over the whole lineitem —
+    # the cheapest full-scan aggregate, a useful floor). Rounds 1-10
+    # benched the first 44 queries; that subtotal stays comparable as
+    # value_r10_comparable.
+    "sim_ivfpq_index_compact",
+    "mv_changelog_refresh",
+    "lineitem_price_qty_regression",
 ]
 
 
@@ -184,6 +196,7 @@ def main() -> None:
     r7_set = HEADLINE[:31]
     r8_set = HEADLINE[:37]
     r9_set = HEADLINE[:40]
+    r10_set = HEADLINE[:44]
     print(
         json.dumps(
             {
@@ -201,6 +214,8 @@ def main() -> None:
                     sum(timings[q] for q in r8_set), 3),
                 "value_r9_comparable": round(
                     sum(timings[q] for q in r9_set), 3),
+                "value_r10_comparable": round(
+                    sum(timings[q] for q in r10_set), 3),
                 "sf": sf,
             }
         )
