@@ -2213,3 +2213,8 @@ _OR["doc_curation_incremental"] = _OR["doc_curation_pipeline"].replace(
     _CUR_INC_LM_EDIT,
     "c2 AS (\n      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n2"
     " FROM bg\n      WHERE doc_id % 5 <> 0 GROUP BY w1, w2\n    )")
+# the two-batch CHAIN (round 11, curation.doc_curation_state_advance)
+# ends at the same merged corpus under the same frozen LM, so the same
+# oracle proves that advancing the state between batches changes no
+# answer
+_OR["doc_curation_state_advance"] = _OR["doc_curation_incremental"]

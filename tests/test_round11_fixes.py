@@ -37,7 +37,7 @@ import time
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.tables.catalog import Catalog
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 
 # -- 1: bloom-guard replay restores the filter AND the stats row ------------
@@ -421,6 +421,94 @@ def test_mv_delta_refresh_update_commit_signs_both_images(
     eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
     assert eng.mv.last_refresh_mode == "delta"
     assert _backing_rows(eng) == [("a", 110, 1), ("b", 5, 1)]
+
+
+# -- round 11: state advancement (the multi-batch chain) ---------------------
+
+def test_curation_chain_equals_one_shot_merge(spark):
+    """Splitting the ingest into two batches and ADVANCING the state
+    between them must land exactly where the one-shot merge lands —
+    both equal the full-corpus batch pipeline under the frozen LM, so
+    they must equal each other row-for-row."""
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    a = registry.QUERIES["doc_curation_incremental"](
+        spark, SF_SMALL).collect()
+    b = registry.QUERIES["doc_curation_state_advance"](
+        spark, SF_SMALL).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) > 0
+
+
+def test_curation_advance_carries_eviction_across_chain(
+        spark, tmp_path):
+    """An eviction folded into the ADVANCED state must persist into the
+    next link: batch 1 evicts the standing keeper (quality-failing
+    case-variant, smaller id) and re-admits the out-ranked survivor;
+    batch 2 then merges against the advanced state and the chained
+    answer still equals the full-corpus oracle."""
+    import duckdb
+
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.operators import curation as C
+    from tests.test_round10_fixes import _write_synth_docs
+
+    registry.load_all()
+    stem1 = ("the cat and the dog of the house ran to the yard and "
+             "the bird of the tree sang")
+    stem2 = ("the fox and the hen of the barn sat in the pen and "
+             "the mouse of the field hid")
+    y = stem1 + " alpha beta gamma x1"
+    x = stem1 + " alpha beta gamma x1extra"
+    b = " ".join(t.upper() if t in ("the", "a", "of", "and", "to")
+                 else t for t in x.split())
+    rows = [
+        (6, y, "src0"), (11, x, "src0"),
+        (21, stem2 + " delta epsilon zeta x4", "src1"),
+        # batch 1 (doc_id % 10 = 0): the evicting quality-failing doc
+        (10, b, "src0"),
+        # batch 2 (doc_id % 10 = 5): an unrelated src1 near-dup
+        (15, stem2 + " delta epsilon zeta x5", "src1"),
+    ]
+    sf = _write_synth_docs(tmp_path, rows)
+    got = [tuple(r) for r in
+           registry.QUERIES["doc_curation_state_advance"](spark, sf)
+           .collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(
+        registry.ORACLES["doc_curation_state_advance"]).fetchall()
+    norm = [tuple(int(v) if isinstance(v, (int, float)) and not
+                  isinstance(v, bool) else v for v in r) for r in want]
+    assert got == norm, (got, norm)
+    # the advanced state really dropped the evicted keeper and
+    # re-admitted the out-ranked survivor
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    import os
+    p1 = scratch_path(f"glacier_cur_state_b1_{_sf_tag(sf)}")
+    adv = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(p1, "docs")).collect()}
+    assert 11 not in adv and 10 not in adv and 6 in adv
+
+
+def test_curation_chain_final_plan_never_scans_corpus(spark):
+    """Each chain link reads raw text once (its own batch, behind an
+    eager checkpoint); the returned accounting plan scans NO corpus —
+    the advanced state is consumed through its parquet artifacts."""
+    import contextlib
+    import io
+
+    from iceberg_demo_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["doc_curation_state_advance"](spark, SF_MED)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "documents.parquet" not in buf.getvalue()
 
 
 # -- 3: one quality predicate, two tiers ------------------------------------
