@@ -570,19 +570,12 @@ class MVManager:
 
         plan = self._maintenance_plan(mv.query)
         if plan is None:
-            raise ParseError("not delta-maintainable: shape")
+            return self._refresh_changelog_delta_join(mv)
         source, info = plan
         items = info.agg_items()
-        for fn, _arg, _a in items:
-            if fn and fn not in ("sum", "count"):
-                raise ParseError(f"not delta-maintainable: {fn}")
         backing = self.table_catalog.load_table(mv.backing_table)
         backing_cols = [f.name for f in backing.metadata.schema]
-        cnt_cols = [backing_cols[i] for i, (fn, arg, _a) in enumerate(items)
-                    if fn == "count" and arg.strip() in ("*", "1")]
-        if not cnt_cols:
-            raise ParseError("not delta-maintainable: needs COUNT(*)")
-        cnt_col = cnt_cols[0]
+        cnt_col = self._delta_cnt_col(items, backing_cols)
         t = self.table_catalog.load_table(source)
         head = t.metadata.current_snapshot()
         if head is None or mv.source_snapshot_id < 0:
@@ -599,28 +592,61 @@ class MVManager:
                       F.lit(1)).otherwise(F.lit(-1))
         key_cols = [(backing_cols[i], expr)
                     for i, (fn, expr, _a) in enumerate(items) if fn == ""]
-        aggs, updates = [], {}
+        aggs = []
         for i, (fn, expr, _a) in enumerate(items):
             if fn == "":
                 continue
             col = backing_cols[i]
             if fn == "count" and expr.strip() in ("*", "1"):
                 aggs.append(F.sum(sign).cast("bigint").alias(col))
-                updates[col] = f"t.{col} + s.{col}"
             elif fn == "count":
                 aggs.append(F.sum(F.when(F.expr(expr).isNotNull(), sign)
                                   .otherwise(F.lit(0)))
                             .cast("bigint").alias(col))
-                updates[col] = f"t.{col} + s.{col}"
             else:  # sum: NULL deltas (all-NULL contributors) add nothing
                 aggs.append(F.sum(sign * F.expr(expr)).alias(col))
+        delta_df = cl.groupBy(
+            *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs)
+        self._merge_group_deltas(backing, backing_cols, items,
+                                 [n for n, _e in key_cols],
+                                 cnt_col, delta_df)
+        mv.source_snapshot_id = head.snapshot_id
+        return self._finish_refresh(mv, backing)
+
+    @staticmethod
+    def _delta_cnt_col(items, backing_cols: list[str]) -> str:
+        """Validate delta-maintainability (SUM/COUNT only, plain
+        COUNT(*) present) and return the count column's name."""
+        for fn, _arg, _a in items:
+            if fn and fn not in ("sum", "count"):
+                raise ParseError(f"not delta-maintainable: {fn}")
+        cnt = [backing_cols[i] for i, (fn, arg, _a) in enumerate(items)
+               if fn == "count" and arg.strip() in ("*", "1")]
+        if not cnt:
+            raise ParseError("not delta-maintainable: needs COUNT(*)")
+        return cnt[0]
+
+    def _merge_group_deltas(self, backing, backing_cols: list[str],
+                            items, key_names: list[str], cnt_col: str,
+                            delta_df: DataFrame) -> None:
+        """Fold one signed delta row per touched group into the backing
+        table (shared by the single-table and join delta paths):
+        update-add on matched groups, delete when COUNT(*) reaches
+        zero, insert brand-new groups, skip insert-then-delete
+        zero-nets."""
+        updates = {}
+        for i, (fn, expr, _a) in enumerate(items):
+            if fn == "":
+                continue
+            col = backing_cols[i]
+            if fn == "count":
+                updates[col] = f"t.{col} + s.{col}"
+            else:  # sum: NULL-in NULL-out on both sides
                 updates[col] = (
                     f"CASE WHEN t.{col} IS NULL AND s.{col} IS NULL "
                     f"THEN NULL ELSE coalesce(t.{col}, 0) + "
                     f"coalesce(s.{col}, 0) END")
-        delta_df = cl.groupBy(
-            *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs)
-        on = " AND ".join(f"t.{n} <=> s.{n}" for n, _e in key_cols)
+        on = " AND ".join(f"t.{n} <=> s.{n}" for n in key_names)
         backing.merge(
             delta_df, on=on,
             matched=[
@@ -635,7 +661,102 @@ class MVManager:
             # delta_df is one row per group key by construction
             check_cardinality=False,
         )
-        mv.source_snapshot_id = head.snapshot_id
+
+    def _refresh_changelog_delta_join(self, mv: MaterializedView,
+                                      ) -> MaterializedView:
+        """The JOIN extension of DELTA maintenance — FACT-ONLY changes:
+        when the ONLY table that changed in the window is the join
+        tree's BASE (the fact table), each changelog row's contribution
+        to the view is exactly its join against the other tables'
+        CURRENT state (they did not move inside the window), so the
+        signed fact images joined through the unchanged dimensions
+        aggregate to the per-group delta — no group recompute, no fact
+        rescan. A changed dimension cannot be delta-folded (a dim row's
+        change re-keys every fact row it matches), so any non-base
+        change REFUSES and refresh() falls back (INCREMENTAL's
+        touched-group recompute handles it exactly).
+
+        LEFT joins are safe here: a preserved-side fact image
+        null-extends exactly as its original contribution did, and SUMs
+        over nullable dim expressions contribute nothing — matching the
+        full recompute. Same SUM/COUNT + plain-COUNT(*) restriction as
+        the single-table path.
+
+        Scale shape: one changelog-sized join against broadcast-able
+        dims + one keyed MERGE — O(window commits), never O(fact)."""
+        from iceberg_demo_spark.tables import procedures as proc
+
+        plan = self._join_maintenance_plan(mv.query)
+        if plan is None:
+            raise ParseError("not delta-maintainable: shape")
+        sources, info = plan
+        items = info.agg_items()
+        backing = self.table_catalog.load_table(mv.backing_table)
+        backing_cols = [f.name for f in backing.metadata.schema]
+        cnt_col = self._delta_cnt_col(items, backing_cols)
+        tables = {ref: self.table_catalog.load_table(src)
+                  for ref, src in sources.items()}
+        heads = {}
+        for ref, t in tables.items():
+            h = t.metadata.current_snapshot()
+            if h is None:
+                raise ValueError(f"source {ref} has no snapshot")
+            heads[ref] = h
+        rec = mv.source_snapshots
+        if not rec or set(rec) != set(tables):
+            raise ValueError("no synchronized snapshots recorded")
+        changed = [ref for ref in tables
+                   if heads[ref].snapshot_id != rec[ref][1]]
+        if not changed:
+            return self._finish_refresh(mv, backing)
+        fact = info.base_tables[0]
+        if changed != [fact]:
+            raise ParseError(
+                "not delta-maintainable: non-fact change in window")
+        cl = proc.create_changelog_view(
+            tables[fact],
+            f"__mv_cldeltaj_{mv.name.lower().replace('.', '_')}",
+            start_snapshot_id=rec[fact][1],
+            end_snapshot_id=heads[fact].snapshot_id)
+        sign = F.when(F.col("_change_type").isin("INSERT", "UPDATE_AFTER"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        (cl.withColumn("_sign", sign)
+         .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
+         .createOrReplaceTempView(fact))
+        for ref, t in tables.items():
+            if ref != fact:
+                t.scan().createOrReplaceTempView(ref)
+        parts = [fact]
+        for j in info.joins:
+            kw = ("JOIN" if j["type"] == "inner"
+                  else f"{j['type'].upper()} JOIN")
+            parts.append(f" {kw} {j['right_table']} ON {j['condition']}")
+        where_sql = (" WHERE " + " AND ".join(f"({c})" for c in info.where)
+                     ) if info.where else ""
+        key_cols = [(backing_cols[i], e)
+                    for i, (fn, e, _a) in enumerate(items) if fn == ""]
+        sel = [f"{e} AS {n}" for n, e in key_cols]
+        for i, (fn, expr, _a) in enumerate(items):
+            if fn == "":
+                continue
+            col = backing_cols[i]
+            if fn == "count" and expr.strip() in ("*", "1"):
+                sel.append(f"CAST(SUM({fact}._sign) AS BIGINT) AS {col}")
+            elif fn == "count":
+                sel.append(f"CAST(SUM(CASE WHEN ({expr}) IS NOT NULL "
+                           f"THEN {fact}._sign ELSE 0 END) AS BIGINT) "
+                           f"AS {col}")
+            else:
+                sel.append(f"SUM({fact}._sign * ({expr})) AS {col}")
+        delta_df = self.spark.sql(
+            f"SELECT {', '.join(sel)} FROM {''.join(parts)}{where_sql} "
+            f"GROUP BY {', '.join(e for _n, e in key_cols)}")
+        self._merge_group_deltas(backing, backing_cols, items,
+                                 [n for n, _e in key_cols],
+                                 cnt_col, delta_df)
+        # rebind the fact view to its current state for later readers
+        tables[fact].scan().createOrReplaceTempView(fact)
+        self._record_join_sources(mv, sources)
         return self._finish_refresh(mv, backing)
 
     def _rebind_sources(self, query: str) -> None:

@@ -515,6 +515,82 @@ def mv_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+@query(
+    "mv_join_changelog_refresh",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    after_del AS (SELECT * FROM fact WHERE o_orderkey % 7 <> 0),
+    after_upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN cents + 1000
+                  ELSE cents END AS cents
+      FROM after_del
+    ),
+    inserted AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, cents
+      FROM fact WHERE o_orderkey % 7 = 0
+    ),
+    final AS (SELECT * FROM after_upd
+              UNION ALL SELECT * FROM inserted)
+    SELECT c.c_mktsegment,
+           CAST(SUM(f.cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def mv_join_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mv_changelog_refresh's JOIN extension (round 11): a star-join
+    aggregate MV (fact × customer dimension, grouped by market segment)
+    absorbs a fact-only DELETE + UPDATE + INSERT commit chain by
+    joining the changelog's SIGNED fact images through the UNCHANGED
+    dimension and folding the per-group delta with one keyed MERGE
+    (``_refresh_changelog_delta_join``) — neither the fact table nor
+    the MV is rescanned, and the gate asserts ``last_refresh_mode ==
+    "delta"`` so a fallback cannot masquerade. A changed dimension
+    correctly REFUSES this path (pytest-pinned) because a dim-row
+    change re-keys every fact row it matches. The oracle recomputes the
+    mutated fact⋈dim aggregate from scratch in exact integer cents.
+
+    Scale shape: refresh = changelog-window rows joined against a
+    broadcast-able dimension + one MERGE — O(day's commits), the MV
+    cost model that makes hourly star-schema rollups viable at 100 TB."""
+    import tempfile as _tf
+
+    t_in = load_tables(spark, sf_dir, ("orders", "customer"))
+    eng = Engine(spark, _tf.mkdtemp(prefix="glacier_mvjd_"))
+    fact = t_in["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    src = eng.catalog.create_table_as("db.ord_f", fact)
+    eng.catalog.create_table_as(
+        "db.cust_d", t_in["customer"].select("c_custkey", "c_mktsegment"))
+    eng.register("db.ord_f")
+    eng.register("db.cust_d")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvjd AS "
+        "SELECT c.c_mktsegment, SUM(f.cents) AS total_cents, "
+        "COUNT(*) AS cnt FROM db_ord_f f "
+        "JOIN db_cust_d c ON f.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
+    src.delete_where("o_orderkey % 7 = 0")
+    src.update_where({"cents": "cents + 1000"}, "o_orderkey % 5 = 0")
+    src.append(fact.filter("o_orderkey % 7 = 0").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey", "cents"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvjd DELTA")
+    assert eng.mv.last_refresh_mode == "delta", eng.mv.last_refresh_mode
+    mv = eng.mv_catalog.get("mvjd")
+    return (eng.mv.backing_df(mv)
+            .select("c_mktsegment", "total_cents", "cnt")
+            .orderBy("c_mktsegment"))
+
+
 # -- streaming ingest under the value gate ---------------------------------
 
 @query(

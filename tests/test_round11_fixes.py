@@ -412,6 +412,71 @@ def test_mv_delta_refresh_requires_count_star(spark, tmp_path):
     assert got == [("a", 10)]
 
 
+def _join_delta_engine(spark, tmp_path, join="JOIN"):
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    f = eng.catalog.create_table_as(
+        "db.facts", spark.createDataFrame(
+            [(1, "east", 10), (2, "west", 5), (3, "east", 7),
+             (4, "gone", 2)],
+            "fid BIGINT, region STRING, amt BIGINT"))
+    d = eng.catalog.create_table_as(
+        "db.dim", spark.createDataFrame(
+            [("east", "z1"), ("west", "z2")],
+            "region STRING, zone STRING"))
+    eng.register("db.facts")
+    eng.register("db.dim")
+    eng.sql("CREATE MATERIALIZED VIEW mvj AS "
+            "SELECT d.zone, SUM(f.amt) AS total, COUNT(*) AS cnt "
+            f"FROM db_facts f {join} db_dim d ON f.region = d.region "
+            "GROUP BY d.zone")
+    return eng, f, d
+
+
+def _mvj_rows(eng):
+    mv = eng.mv_catalog.get("mvj")
+    return sorted((tuple(r) for r in eng.mv.backing_df(mv)
+                   .select("zone", "total", "cnt").collect()),
+                  key=lambda r: (r[0] is not None, r[0] or ""))
+
+
+def test_mv_join_delta_fact_only_changes(spark, tmp_path):
+    """Fact-only window: signed fact images joined through the
+    unchanged dimension fold the exact per-group delta — insert, delete
+    and a vanished group, no fact rescan, delta path asserted."""
+    eng, f, d = _join_delta_engine(spark, tmp_path)
+    f.append(spark.createDataFrame([(5, "east", 100)],
+                                   "fid BIGINT, region STRING, amt BIGINT"))
+    f.delete_where("region = 'west'")
+    eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert _mvj_rows(eng) == [("z1", 117, 3)]
+
+
+def test_mv_join_delta_left_join_null_extension(spark, tmp_path):
+    """LEFT join: a fact row with no dim match contributes a
+    NULL-extended image — COUNT(*) counts it, SUM(dim-side) doesn't."""
+    eng, f, d = _join_delta_engine(spark, tmp_path, join="LEFT JOIN")
+    f.append(spark.createDataFrame([(6, "nowhere", 50)],
+                                   "fid BIGINT, region STRING, amt BIGINT"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    # 'gone' (4) and 'nowhere' (6) both land in the NULL zone group
+    assert _mvj_rows(eng) == [(None, 52, 2), ("z1", 17, 2), ("z2", 5, 1)]
+
+
+def test_mv_join_delta_refuses_dimension_change(spark, tmp_path):
+    """A changed dimension cannot be delta-folded: REFRESH DELTA must
+    fall back (here to full recompute) and still be exact."""
+    eng, f, d = _join_delta_engine(spark, tmp_path)
+    d.append(spark.createDataFrame([("gone", "z3")],
+                                   "region STRING, zone STRING"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert _mvj_rows(eng) == [("z1", 17, 2), ("z2", 5, 1), ("z3", 2, 1)]
+
+
 def test_mv_delta_refresh_update_commit_signs_both_images(
         spark, tmp_path):
     """An UPDATE commit emits UPDATE_BEFORE (−) and UPDATE_AFTER (+)
