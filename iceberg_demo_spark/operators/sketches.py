@@ -458,22 +458,27 @@ def kmv_count_estimate(df: DataFrame, col: str = "wh") -> int:
     return max(int(n), 1)
 
 
-#: the sizing subquery, shared verbatim by the oracle: n from the
-#: corpus KMV bottom-k, then the exact integer geometry above
-_BLOOM_SIZE_SQL = f"""
-    nest AS (
+def bloom_size_sql(src: str, suffix: str = "") -> str:
+    """The KMV-sizing CTE chain over an arbitrary source view, with
+    optionally suffixed CTE names — so one oracle can size TWO filters
+    (the resize gate compares a saturated geometry against a fresh
+    one). ``bloom_size_sql('corpus')`` is byte-compatible with the
+    legacy _BLOOM_SIZE_SQL."""
+    s = suffix
+    return f"""
+    nest{s} AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MAX(v) AS maxv
       FROM (SELECT DISTINCT CAST(('0x' || substr(wh, 1, 13))::UBIGINT
                                  AS BIGINT) AS v
-            FROM corpus ORDER BY v LIMIT {_KMV_K})
+            FROM {src} ORDER BY v LIMIT {_KMV_K})
     ),
-    nn AS (
+    nn{s} AS (
       SELECT GREATEST(CASE WHEN cnt < {_KMV_K} THEN cnt
                   ELSE ({_KMV_K - 1} * {_KMV_M}) // GREATEST(maxv, 1)
                   END, 1) AS n
-      FROM nest
+      FROM nest{s}
     ),
-    size AS (
+    size{s} AS (
       SELECT n,
              63 * GREATEST({_BLOOM_MIN_WORDS},
                  ({_BLOOM_BITS_PER_KEY} * n + 62) // 63) AS m,
@@ -482,8 +487,14 @@ _BLOOM_SIZE_SQL = f"""
                        ({_BLOOM_BITS_PER_KEY} * n + 62) // 63))
                     * {_BLOOM_LN2_PPM} + n * 1000000)
                  // (2 * n * 1000000))) AS k
-      FROM nn
+      FROM nn{s}
     )"""
+
+
+#: the sizing subquery, shared verbatim by the oracle: ONE
+#: definition via bloom_size_sql (the resize gate sizes twice
+#: through the same generator)
+_BLOOM_SIZE_SQL = bloom_size_sql("corpus")
 
 
 @query(
@@ -616,3 +627,169 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(k_h).cast("bigint").alias("k_hashes"),
                     F.lit(bound).cast("bigint").alias("fp_bound_bps"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom maintenance: saturation measured, geometry re-sized (round 11)
+# ---------------------------------------------------------------------------
+
+def _bloom_pos_sql(src: str, size: str) -> str:
+    """Positions CTE body over a digest view at a sizing CTE — the SQL
+    twin of bloom_positions (kept beside the Python definition so the
+    two hash families cannot drift: same md5(wh‖'#'‖i) 52-bit prefix)."""
+    return (f"SELECT wh, CAST(('0x' || substr(md5(wh || '#' || "
+            f"t.i::VARCHAR), 1, 13))::UBIGINT AS BIGINT) % s.m AS pos "
+            f"FROM {src}, {size} s, UNNEST(range(0, s.k)) AS t(i)")
+
+
+def _bloom_probe_sql(tag: str) -> str:
+    """filt/tested CTE pair for one geometry: build the word array from
+    the corpus positions, probe the batch positions."""
+    return f"""
+    filt{tag} AS (
+      SELECT pos // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % 63)) AS wv
+      FROM ({_bloom_pos_sql('corpus', f'size{tag}')}) GROUP BY pos // 63
+    ),
+    tested{tag} AS (
+      SELECT p.wh, MIN((COALESCE(f.wv, 0) >> (p.pos % 63)) & 1) AS member
+      FROM ({_bloom_pos_sql('batch', f'size{tag}')}) p
+      LEFT JOIN filt{tag} f ON f.word = p.pos // 63
+      GROUP BY p.wh
+    )"""
+
+
+_BOUND_SQL = ("CAST(FLOOR(10000 * POW(1 - EXP(-(CAST({k} * {n} AS DOUBLE)"
+              " / {m})), {k}) + 0.5) AS BIGINT)")
+
+
+@query(
+    "sketch_bloom_resize",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT doc_id, md5(substr(text, s::INT, 64)) AS wh
+      FROM documents,
+           UNNEST(range(1, greatest(n_chars - 63, 1) + 1, 32)) AS t(s)
+    ),
+    corpus AS (SELECT DISTINCT wh FROM w WHERE doc_id % 5 <> 0),
+    seed AS (SELECT DISTINCT wh FROM w
+             WHERE doc_id % 5 <> 0 AND doc_id % 3 = 0),
+    batch AS (SELECT DISTINCT wh FROM w WHERE doc_id % 5 = 0),
+    {bloom_size_sql('seed', '_old')},
+    {bloom_size_sql('corpus', '_new')},
+    {_bloom_probe_sql('_old').strip()},
+    {_bloom_probe_sql('_new').strip()},
+    truth AS (
+      SELECT b.wh, CASE WHEN c.wh IS NULL THEN 0 ELSE 1 END AS is_true
+      FROM batch b LEFT JOIN corpus c ON b.wh = c.wh
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+             CAST(SUM(x.is_true) AS BIGINT) AS true_hits,
+             CAST(SUM(o.member) AS BIGINT) AS hits_old,
+             CAST(SUM(n.member) AS BIGINT) AS hits_new
+      FROM truth x
+      JOIN tested_old o ON x.wh = o.wh
+      JOIN tested_new n ON x.wh = n.wh
+    )
+    SELECT (SELECT n FROM size_old) AS n_design,
+           (SELECT m FROM size_old) AS m_old,
+           (SELECT k FROM size_old) AS k_old,
+           (SELECT n FROM size_new) AS n_full,
+           (SELECT m FROM size_new) AS m_new,
+           (SELECT k FROM size_new) AS k_new,
+           a.n_probes, a.true_hits, a.hits_old,
+           CAST((10000 * (a.hits_old - a.true_hits))
+                // greatest(a.n_probes - a.true_hits, 1) AS BIGINT)
+             AS fp_old_bps,
+           a.hits_new,
+           CAST((10000 * (a.hits_new - a.true_hits))
+                // greatest(a.n_probes - a.true_hits, 1) AS BIGINT)
+             AS fp_new_bps,
+           (SELECT {_BOUND_SQL.format(k='s.k', n='s.n', m='s.m')}
+            FROM size_old s) AS bound_design_bps,
+           (SELECT {_BOUND_SQL.format(k='o.k', n='nn.n', m='o.m')}
+            FROM size_old o, size_new nn) AS bound_saturated_bps,
+           (SELECT {_BOUND_SQL.format(k='s.k', n='s.n', m='s.m')}
+            FROM size_new s) AS bound_new_bps
+    FROM agg a
+    """,
+)
+def sketch_bloom_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter MAINTENANCE: saturation measured, then repaired by
+    a re-size (round 11 — the 're-sized at maintenance windows' policy
+    the guard tiers document, now an implemented, oracle-pinned
+    operator). A filter sized for the corpus as it stood at SEED time
+    (here: the doc_id % 3 = 0 third of the standing corpus — the KMV
+    estimate a younger corpus would have produced) keeps absorbing
+    digests as the corpus grows past its design point; the analytic
+    bound at the TRUE folded cardinality (bound_saturated_bps) and the
+    measured fp rate both climb ~an order of magnitude above the design
+    point. Maintenance re-estimates cardinality from the CURRENT digest
+    set (one KMV bottom-k pass over the index — the filter itself can't
+    be resized in place, but the index it guards is the ground truth),
+    rebuilds at the fresh geometry, and the measured fp returns to the
+    design curve. Output: both geometries, measured fp under each, and
+    all three analytic bounds — saturation and repair as NUMBERS, the
+    audit a production maintenance loop alerts on.
+
+    Exactness: geometry and fp rates are exact integer arithmetic (the
+    sketch_bloom_membership discipline); the three bounds are computed
+    once driver-side through libm and embedded as literals. Scale
+    shape: the re-estimate is a bottom-k pass over digests; the rebuild
+    is one pass + a words-sized bit_or — amortized over a maintenance
+    window, never per batch."""
+    from iceberg_demo_spark.operators.dedup import _ingest_windows
+
+    t = load_tables(spark, sf_dir, ("documents",))
+    w = _ingest_windows(t["documents"]).transform(_pin)
+    corpus = (w.filter(F.col("doc_id") % 5 != 0)
+              .select("wh").distinct().transform(_pin))
+    seed = (w.filter((F.col("doc_id") % 5 != 0)
+                     & (F.col("doc_id") % 3 == 0))
+            .select("wh").distinct())
+    batch = (w.filter(F.col("doc_id") % 5 == 0)
+             .select("wh").distinct().transform(_pin))
+    n_design = kmv_count_estimate(seed, "wh")
+    _, m_old, k_old = bloom_geometry(n_design)
+    n_full = kmv_count_estimate(corpus, "wh")
+    _, m_new, k_new = bloom_geometry(n_full)
+    # the saturated filter: seed geometry, FULL corpus folded in (the
+    # bits are identical whether folded incrementally or built fresh —
+    # bit_or is order-independent)
+    tested_old = bloom_member(batch, "wh",
+                              bloom_words(corpus, "wh", m_old, k_old),
+                              m_old, k_old)
+    tested_new = bloom_member(batch, "wh",
+                              bloom_words(corpus, "wh", m_new, k_new),
+                              m_new, k_new)
+    truth = (batch.join(corpus.withColumn("is_true", F.lit(1)),
+                        "wh", "left")
+             .select("wh", F.coalesce("is_true", F.lit(0)).alias("is_true")))
+    agg = (truth
+           .join(tested_old.withColumnRenamed("member", "m_old"), "wh")
+           .join(tested_new.withColumnRenamed("member", "m_new"), "wh")
+           .agg(F.count(F.lit(1)).alias("n_probes"),
+                F.sum("is_true").cast("bigint").alias("true_hits"),
+                F.sum("m_old").cast("bigint").alias("hits_old"),
+                F.sum("m_new").cast("bigint").alias("hits_new")))
+    fp = ("(10000 * ({h} - true_hits))"
+          " div greatest(n_probes - true_hits, 1)")
+    return agg.select(
+        F.lit(n_design).cast("bigint").alias("n_design"),
+        F.lit(m_old).cast("bigint").alias("m_old"),
+        F.lit(k_old).cast("bigint").alias("k_old"),
+        F.lit(n_full).cast("bigint").alias("n_full"),
+        F.lit(m_new).cast("bigint").alias("m_new"),
+        F.lit(k_new).cast("bigint").alias("k_new"),
+        "n_probes", "true_hits", "hits_old",
+        F.expr(fp.format(h="hits_old")).cast("bigint").alias("fp_old_bps"),
+        "hits_new",
+        F.expr(fp.format(h="hits_new")).cast("bigint").alias("fp_new_bps"),
+        F.lit(bloom_fp_bound_bps(n_design, m_old, k_old))
+         .cast("bigint").alias("bound_design_bps"),
+        F.lit(bloom_fp_bound_bps(n_full, m_old, k_old))
+         .cast("bigint").alias("bound_saturated_bps"),
+        F.lit(bloom_fp_bound_bps(n_full, m_new, k_new))
+         .cast("bigint").alias("bound_new_bps"),
+    )

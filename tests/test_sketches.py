@@ -161,3 +161,28 @@ def test_bloom_geometry_scales_with_corpus():
     # floor regime: tiny corpora still get a filter, k is capped
     w, m, k = bloom_geometry(1)
     assert w == 16 and 1 <= k <= 16
+
+
+def test_bloom_resize_repairs_saturation(spark):
+    """The maintenance gate's numbers must show the failure AND the
+    repair: the under-sized filter's measured fp tracks its saturated
+    analytic bound (and sits far above the design point), the re-sized
+    filter returns to the design curve, no false negatives ever, and
+    the fresh geometry is strictly larger."""
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    r = registry.QUERIES["sketch_bloom_resize"](
+        spark, SF_SMALL).collect()[0]
+    assert r["m_new"] > r["m_old"] and r["n_full"] > r["n_design"]
+    # no false negatives: every true member bloom-hits in BOTH filters
+    assert r["hits_old"] >= r["true_hits"]
+    assert r["hits_new"] >= r["true_hits"]
+    # saturation visible: measured fp at least 10x the design bound,
+    # and within the usual audit envelope of the saturated bound
+    assert r["fp_old_bps"] >= 10 * r["bound_design_bps"]
+    assert r["fp_old_bps"] <= 2.5 * r["bound_saturated_bps"]
+    # repair lands back on the design curve
+    assert r["fp_new_bps"] <= 2.5 * r["bound_new_bps"]
+    assert r["fp_new_bps"] < r["fp_old_bps"] / 4
