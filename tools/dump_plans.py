@@ -158,8 +158,12 @@ EXTRA = [
     "doc_bm25_index_compact",
     # round 11: the compacted IVF-PQ tier's probe — cell_id
     # PartitionFilters must survive the bin-pack (the shared
-    # _ivfpq_probe plan over the idxcomp root).
+    # _ivfpq_probe plan over the idxcomp root) — and the Bloom
+    # saturation/resize audit (broadcast word joins, one digest scan
+    # per geometry). The MV delta gates and the curation chain mutate
+    # per-invocation scratch/DML state — plan-pinned in tests instead.
     "sim_ivfpq_index_compact",
+    "sketch_bloom_resize",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
