@@ -3127,10 +3127,15 @@ def advance_curation_state(spark: SparkSession, sf_dir: str, path: str,
 
     * ``lm/`` copies through UNCHANGED (the frozen-quality-model
       discipline: retraining is a separate maintenance event);
-    * ``bloom/``+``geom/`` keep the base GEOMETRY and fold the batch
-      digests' bits in (evicted docs' bits stay set — a Bloom filter
-      can't unset; both are fp-only effects, re-sized/rebuilt at
-      maintenance windows when the fp audit says so).
+    * ``bloom/``+``geom/`` fold the batch digests' bits in at the
+      standing geometry (evicted docs' bits stay set — a Bloom filter
+      can't unset; fp-only) — UNLESS the advanced digest set's KMV
+      estimate has outgrown the design point by more than 1.5×, in
+      which case the filter REBUILDS at the fresh geometry from the
+      advanced digest set (the sketch_bloom_resize maintenance loop,
+      applied where the policy was written; the 1.5× slack keeps the
+      analytic fp within ~4× of design between rebuilds instead of
+      re-sizing on every ingest).
 
     Everything else advances exactly (pytest-pinned frame-for-frame
     against the from-scratch rebuild): ``docs`` = surviving standing
@@ -3151,7 +3156,9 @@ def advance_curation_state(spark: SparkSession, sf_dir: str, path: str,
     import shutil as _shutil
 
     from iceberg_demo_spark.operators.sampling import hash_bucket
-    from iceberg_demo_spark.operators.sketches import bloom_words
+    from iceberg_demo_spark.operators.sketches import (
+        bloom_fp_bound_bps, bloom_geometry, bloom_words,
+        kmv_count_estimate)
     from iceberg_demo_spark.scratch import write_index_manifest
 
     _shutil.rmtree(out_path, ignore_errors=True)
@@ -3161,7 +3168,6 @@ def advance_curation_state(spark: SparkSession, sf_dir: str, path: str,
         (df.coalesce(1) if one else df)
         .write.mode("overwrite").parquet(os.path.join(out_path, n)))
     wr(rd("lm"), "lm")
-    wr(rd("geom"), "geom", one=True)
     evict = fr["evict"]
     st_keep = (fr["st_docs"].join(evict, "doc_id", "left_anti")
                .drop("cluster_root"))
@@ -3192,12 +3198,26 @@ def advance_curation_state(spark: SparkSession, sf_dir: str, path: str,
      .parquet(os.path.join(out_path, "shingles")))
     geom = fr["geom"]
     m_bits, k_h = int(geom["m"]), int(geom["k"])
-    words = rd("bloom")
-    merged = (words.unionByName(
-                  bloom_words(fr["sh_b"].select("shd").distinct(),
-                              "shd", m_bits, k_h))
-              .groupBy("word").agg(F.expr("bit_or(wv)").alias("wv")))
-    wr(merged, "bloom", one=True)
+    shd_all = sh_all.select("shd").distinct()
+    n_new = kmv_count_estimate(shd_all, "shd")
+    if 2 * n_new > 3 * int(geom["n"]):
+        # the advanced digest set outgrew the design point by > 1.5x:
+        # rebuild at the fresh geometry (sketch_bloom_resize's loop) —
+        # evicted digests' stale bits also retire here for free
+        _, m2, k2 = bloom_geometry(n_new)
+        wr(bloom_words(shd_all, "shd", m2, k2), "bloom", one=True)
+        spark.createDataFrame(
+            [(n_new, m2, k2, bloom_fp_bound_bps(n_new, m2, k2))],
+            "n BIGINT, m BIGINT, k BIGINT, fp_bound_bps BIGINT"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_path, "geom"))
+    else:
+        wr(rd("geom"), "geom", one=True)
+        merged = (rd("bloom").unionByName(
+                      bloom_words(fr["sh_b"].select("shd").distinct(),
+                                  "shd", m_bits, k_h))
+                  .groupBy("word").agg(F.expr("bit_or(wv)").alias("wv")))
+        wr(merged, "bloom", one=True)
     write_index_manifest(out_path, sf_dir, ("documents",))
     return out_path
 

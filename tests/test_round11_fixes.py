@@ -559,6 +559,55 @@ def test_curation_advance_carries_eviction_across_chain(
     assert 11 not in adv and 10 not in adv and 6 in adv
 
 
+def test_curation_advance_resizes_saturated_bloom(spark, tmp_path):
+    """When an ingest batch grows the advanced digest set past 1.5× the
+    filter's design point, advancement must REBUILD the guard at the
+    fresh geometry (the sketch_bloom_resize loop applied in place) —
+    and the chained answer still equals the full-corpus oracle."""
+    import json
+    import os
+
+    import duckdb
+
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.operators import curation as C
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.scratch import scratch_path
+    from tests.test_round10_fixes import _write_synth_docs
+
+    registry.load_all()
+    stem = ("the cat and the dog of the house ran to the yard and "
+            "the bird of the tree sang")
+    rows = [
+        (6, stem + " alpha beta gamma x1", "src0"),
+        (11, stem + " alpha beta gamma x2", "src0"),
+        (15, stem + " delta epsilon x5", "src0"),  # batch 2
+    ]
+    # batch 1: five big docs, each adding ~40 unique suffix trigrams —
+    # the digest set grows far past the base filter's design point
+    for i in (10, 20, 30, 40, 50):
+        suffix = " ".join(f"q{i}t{j}" for j in range(40))
+        rows.append((i, stem + " " + suffix, "src0"))
+    sf = _write_synth_docs(tmp_path, rows)
+    got = [tuple(r) for r in
+           registry.QUERIES["doc_curation_state_advance"](spark, sf)
+           .collect()]
+    p0 = C.curation_state_path(sf)
+    p1 = scratch_path(f"glacier_cur_state_b1_{_sf_tag(sf)}")
+    g0 = spark.read.parquet(os.path.join(p0, "geom")).first()
+    g1 = spark.read.parquet(os.path.join(p1, "geom")).first()
+    assert g1["n"] > g0["n"] and g1["m"] > g0["m"], (dict(g0.asDict()),
+                                                     dict(g1.asDict()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(
+        registry.ORACLES["doc_curation_state_advance"]).fetchall()
+    norm = [tuple(int(v) if isinstance(v, (int, float)) and not
+                  isinstance(v, bool) else v for v in r) for r in want]
+    assert got == norm, (got, norm)
+
+
 def test_curation_chain_final_plan_never_scans_corpus(spark):
     """Each chain link reads raw text once (its own batch, behind an
     eager checkpoint); the returned accounting plan scans NO corpus —
