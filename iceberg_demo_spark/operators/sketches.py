@@ -793,3 +793,119 @@ def sketch_bloom_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bloom_fp_bound_bps(n_full, m_new, k_new))
          .cast("bigint").alias("bound_new_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sample quantiles (round 11 — the third sketch family)
+# ---------------------------------------------------------------------------
+
+#: sampling rate denominator: keep keys whose 52-bit hash falls in the
+#: lowest 1/8 of the domain (a deterministic ~12.5% Bernoulli sample)
+_QSAMPLE_RATE = 8
+
+
+@query(
+    "sketch_quantile_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT source, doc_id, n_chars,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+                  AS BIGINT) AS hv
+      FROM documents
+    ),
+    samp AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM v WHERE hv * {_QSAMPLE_RATE} < {_KMV_M}
+    ),
+    full_r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM v
+    ),
+    est AS (
+      SELECT source,
+             CAST(MAX(ns) AS BIGINT) AS n_sample,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 50 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p50_est,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 90 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p90_est,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 99 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p99_est
+      FROM samp GROUP BY source
+    ),
+    ex AS (
+      SELECT source,
+             CAST(MAX(ns) AS BIGINT) AS n_total,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 50 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p50_exact,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 90 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p90_exact,
+             CAST(MAX(CASE WHEN rn = GREATEST(1, (ns * 99 + 99) // 100)
+                      THEN n_chars END) AS BIGINT) AS p99_exact
+      FROM full_r GROUP BY source
+    )
+    SELECT e.source, x.n_total, e.n_sample,
+           e.p50_est, x.p50_exact,
+           e.p90_est, x.p90_exact,
+           e.p99_est, x.p99_exact
+    FROM est e JOIN ex x ON e.source = x.source
+    ORDER BY e.source
+    """,
+)
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a DETERMINISTIC hash sample — the third sketch
+    family (KMV cardinality, Bloom membership, now quantiles): keep
+    the rows whose 52-bit key hash falls in the lowest 1/{rate} of the
+    domain (a fixed, seedless Bernoulli sample) and read p50/p90/p99
+    as exact ⌈q·n⌉ order statistics of the sample, beside the same
+    order statistics of the full data (the audit half). Determinism is
+    the production property reservoir sampling lacks: the sample of a
+    UNION is the union of the samples — every worker, batch and rerun
+    selects the same keys, so sampled quantiles are mergeable across
+    ingest epochs and reproducible in an incident review.
+
+    Exactness: the hash, the keep predicate (hv·rate < 2^52, exact
+    int64) and the ⌈·⌉ rank arithmetic are engine-identical; both
+    engines pick literally the same sample rows and the same order
+    statistics (ties broken by doc_id), so est AND audit columns
+    value-match bit-for-bit — no floats anywhere.
+
+    Scale shape: the keep predicate is a map-side filter (no shuffle
+    added to the scan); the per-source rank window runs over the
+    SAMPLE (1/{rate} of rows); the full-data window is the audit only —
+    a production profile drops it and quantile cost becomes
+    O(sample log sample) per source. At 100 TB with rate 1/1024 this
+    is the only way per-source length/quality quantiles stay a
+    dashboard query."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v = docs.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        kmv_value(F.md5(F.col("doc_id").cast("string"))).alias("hv"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ws = Window.partitionBy("source")
+
+    def order_stats(df: DataFrame, prefix: str, n_name: str) -> DataFrame:
+        ranked = (df.withColumn("rn", F.row_number().over(w))
+                  .withColumn("ns", F.count(F.lit(1)).over(ws)))
+        rank = "greatest(1, (ns * {p} + 99) div 100)"
+        return ranked.groupBy("source").agg(
+            F.max("ns").cast("bigint").alias(n_name),
+            *[F.max(F.when(F.col("rn") == F.expr(rank.format(p=p)),
+                           F.col("n_chars")))
+              .cast("bigint").alias(f"p{p}_{prefix}")
+              for p in (50, 90, 99)])
+
+    samp = v.filter(F.col("hv") * _QSAMPLE_RATE < F.lit(_KMV_M))
+    est = order_stats(samp, "est", "n_sample")
+    exact = order_stats(v, "exact", "n_total")
+    return (est.join(exact, "source")
+            .select("source", "n_total", "n_sample",
+                    "p50_est", "p50_exact",
+                    "p90_est", "p90_exact",
+                    "p99_est", "p99_exact")
+            .orderBy("source"))

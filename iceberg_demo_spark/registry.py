@@ -218,17 +218,18 @@ def load_all() -> None:
         "cube_flag_status_price",
         "dedup_fuzzy_name_pairs",
         "dedup_fuzzy_recall",
-        "dedup_minhash_lsh_pairs",
         # -- round-11 NEW/CHANGED gates displace the r8 tail one-for-one
         #    (standing policy: new gates sit inside the window;
-        #    dedup_simhash_hamming_pairs + doc_decontamination +
-        #    doc_mixture_weights + doc_per_source_cap +
-        #    doc_pii_redaction spill to the round-12 queue) --
+        #    dedup_minhash_lsh_pairs + dedup_simhash_hamming_pairs +
+        #    doc_decontamination + doc_mixture_weights +
+        #    doc_per_source_cap + doc_pii_redaction spill to the
+        #    round-12 queue) --
         "sim_ivfpq_index_compact",
         "mv_changelog_refresh",
         "doc_curation_state_advance",
         "mv_join_changelog_refresh",
         "sketch_bloom_resize",
+        "sketch_quantile_sample",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

@@ -929,6 +929,20 @@ def test_ivfpq_compacted_probe_still_partition_pruned(spark):
     assert not _re.search(r"Exchange hashpartitioning\(cell_id", plan)
 
 
+def test_quantile_sample_filter_precedes_exchange(spark):
+    """sketch_quantile_sample: the hash-keep predicate is a map-side
+    filter BEFORE the sample branch's source exchange (the sample
+    shuffles 1/8 of rows, the scan is never widened); the only
+    exchanges are the two source-keyed windows + the final sort."""
+    plan = _plan(spark, "sketch_quantile_sample")
+    assert plan.count("hashpartitioning(source") == 2
+    assert "CartesianProduct" not in plan
+    # the keep predicate is a real map-side Filter on the md5-derived
+    # hash (it feeds the sample window, so it cannot sit above its
+    # exchange); the scan itself is shared by both branches
+    assert "Filter" in plan and "md5(" in plan and "conv(" in plan
+
+
 def test_bm25_compacted_probe_still_partition_pruned(spark):
     """doc_bm25_index_compact: after bin-packing the epoch-fragmented
     postings, the probe still reads only the query terms' tok_bucket

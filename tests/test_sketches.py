@@ -186,3 +186,36 @@ def test_bloom_resize_repairs_saturation(spark):
     # repair lands back on the design curve
     assert r["fp_new_bps"] <= 2.5 * r["bound_new_bps"]
     assert r["fp_new_bps"] < r["fp_old_bps"] / 4
+
+
+def test_quantile_sample_deterministic_mergeable_and_sane(spark):
+    """The hash sample is seedless and row-local, so the sample of a
+    union IS the union of the samples (the mergeability reservoir
+    sampling lacks); estimates are monotone across the quantile ladder
+    and the sample size sits inside loose binomial bounds of n/8."""
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.operators.sketches import (
+        _KMV_M, _QSAMPLE_RATE, kmv_value)
+    from iceberg_demo_spark.sources import load_tables
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    rows = registry.QUERIES["sketch_quantile_sample"](
+        spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["p50_est"] <= r["p90_est"] <= r["p99_est"]
+        assert r["p50_exact"] <= r["p90_exact"] <= r["p99_exact"]
+        if r["n_total"] >= 100:
+            assert r["n_total"] // 20 <= r["n_sample"] <= r["n_total"] // 2
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    keep = (kmv_value(F.md5(F.col("doc_id").cast("string")))
+            * _QSAMPLE_RATE < F.lit(_KMV_M))
+    whole = set(r["doc_id"] for r in
+                docs.filter(keep).select("doc_id").collect())
+    by_epoch = set()
+    for e in range(3):
+        by_epoch |= {r["doc_id"] for r in
+                     docs.filter(F.col("doc_id") % 3 == e).filter(keep)
+                     .select("doc_id").collect()}
+    assert by_epoch == whole
