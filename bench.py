@@ -133,6 +133,19 @@ HEADLINE = [
     "sim_ivfpq_index_compact",
     "mv_changelog_refresh",
     "lineitem_price_qty_regression",
+    # round-12 additions — the four gates that landed after round 11's
+    # headline freeze (VERDICT r11 #2): the multi-batch curation state
+    # chain (three ingest links, each batch+candidates-bound), the
+    # fact-only join-MV delta refresh (signed changelog through
+    # broadcast dims + keyed MERGE), the Bloom saturation/resize
+    # maintenance loop (KMV bottom-k + digest pass), and the
+    # deterministic hash-sample quantiles (one Bernoulli-sample scan +
+    # exact order statistics). Rounds 1-11 benched the first 47
+    # queries; that subtotal stays comparable as value_r11_comparable.
+    "doc_curation_state_advance",
+    "mv_join_changelog_refresh",
+    "sketch_bloom_resize",
+    "sketch_quantile_sample",
 ]
 
 
@@ -197,6 +210,7 @@ def main() -> None:
     r8_set = HEADLINE[:37]
     r9_set = HEADLINE[:40]
     r10_set = HEADLINE[:44]
+    r11_set = HEADLINE[:47]
     print(
         json.dumps(
             {
@@ -216,6 +230,8 @@ def main() -> None:
                     sum(timings[q] for q in r9_set), 3),
                 "value_r10_comparable": round(
                     sum(timings[q] for q in r10_set), 3),
+                "value_r11_comparable": round(
+                    sum(timings[q] for q in r11_set), 3),
                 "sf": sf,
             }
         )

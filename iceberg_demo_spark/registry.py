@@ -129,9 +129,19 @@ def load_all() -> None:
     (alphabetical), then the stalest r8 gates — with the TAIL displaced
     one-for-one by round-11's new gates per the standing policy.
 
-    ROUND-12 QUEUE: run ``python tools/check_coverage.py --plan-next``
-    after CORRECTNESS_r11 lands; expected shape is the remaining
-    r8-stale cohort plus the stalest r9 gates.
+    ROUND-12 WINDOW (VERDICT r11 #2): installed EXACTLY as
+    ``tools/check_coverage.py --plan-next`` emitted it from the
+    CORRECTNESS_r11-refreshed ledger — positions 0-5 the six r8 names
+    displaced by round-11's late gates (dedup_minhash_lsh_pairs,
+    dedup_simhash_hamming_pairs, doc_decontamination,
+    doc_mixture_weights, doc_per_source_cap, doc_pii_redaction), then
+    the remaining r8-stale cohort alphabetically (through position 42),
+    then the stalest r9 gates alphabetically — with the TAIL displaced
+    one-for-one by round-12's new gates per the standing policy.
+
+    ROUND-13 QUEUE: run ``python tools/check_coverage.py --plan-next``
+    after CORRECTNESS_r12 lands; expected shape is the remaining
+    r9-stale cohort plus the stalest r10 gates.
 
     HISTORY — ROUND-9 WINDOW (VERDICT r8 #1): positions 0-10 were the
     eleven then-never-driver-verified queue gates; 11-15 the round-9
@@ -164,72 +174,66 @@ def load_all() -> None:
         sketches,
     )
 
-    # Round-11 window: installed verbatim from `check_coverage.py
-    # --plan-next` (stalest-first over the CORRECTNESS_r10-refreshed
-    # ledger). tools/check_coverage.py enforces the 4-round staleness
-    # SLO against exactly this ordering.
+    # Round-12 window: installed verbatim from `check_coverage.py
+    # --plan-next` (stalest-first over the CORRECTNESS_r11-refreshed
+    # ledger): positions 0-42 the 43-gate r8-stale cohort (the six
+    # names displaced by round-11's late gates lead, then the rest
+    # alphabetically), positions 43-49 the stalest r9 gates
+    # (alphabetical). The TAIL is displaced one-for-one by round-12's
+    # new gates as they land (standing policy).
+    # tools/check_coverage.py enforces the 4-round staleness SLO
+    # against exactly this ordering.
     _window = (
-        # -- 0: the red round-10 gate, re-landed hash-stable --
-        "lineitem_price_qty_regression",
-        # -- 1-38: the r7-stale cohort, alphabetical --
-        "dml_merge_upsert",
-        "dml_overwrite_dynamic",
-        "doc_bigram_vocab",
-        "doc_bm25_search",
-        "doc_bpe_token_stats",
-        "doc_dup_span_coverage",
-        "doc_quality_buckets",
-        "doc_token_entropy",
-        "doc_token_stats",
-        "emb_semdedup",
-        "events_distribution_drift",
-        "events_pivot_hourly_matrix",
-        "events_session_window_stats",
-        "incremental_read_appends",
-        "insert_overwrite_static",
-        "lineitem_column_profile",
-        "multimodal_audio_stats",
-        "multimodal_payload_stats",
-        "mv_incremental_refresh",
-        "orders_pareto_share",
-        "q11_important_stock",
-        "q16_supplier_part_counts",
-        "q20_promotion_suppliers",
-        "q21_suppliers_kept_waiting",
-        "q2_min_cost_supplier",
-        "q9_product_profit",
-        "range_join_error_window",
-        "referential_integrity_audit",
-        "sim_ann_lsh_topk",
-        "sim_ann_recall",
-        "sim_cosine_topk",
-        "sim_label_centroid_norms",
-        "sim_threshold_pairs",
-        "source_python_datasource",
-        "streaming_ann_ingest",
-        "streaming_dedup_ingest",
-        "streaming_stream_stream_join",
-        "tt_snapshot_counts",
-        # -- 39-49: the stalest r8 gates, alphabetical; the tail
-        #    of this block is displaced one-for-one by round-11's
-        #    new gates as they land (standing policy) --
-        "bucketed_colocated_join",
-        "changelog_update_images",
-        "cube_flag_status_price",
-        "dedup_fuzzy_name_pairs",
-        "dedup_fuzzy_recall",
-        # -- round-11 NEW/CHANGED gates displace the r8 tail one-for-one
-        #    (standing policy: new gates sit inside the window;
-        #    dedup_minhash_lsh_pairs + dedup_simhash_hamming_pairs +
-        #    doc_decontamination + doc_mixture_weights +
-        #    doc_per_source_cap + doc_pii_redaction spill to the
-        #    round-12 queue) --
-        "sim_ivfpq_index_compact",
-        "mv_changelog_refresh",
-        "doc_curation_state_advance",
-        "mv_join_changelog_refresh",
-        "sketch_bloom_resize",
-        "sketch_quantile_sample",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_hamming_pairs",
+        "doc_decontamination",
+        "doc_mixture_weights",
+        "doc_per_source_cap",
+        "doc_pii_redaction",
+        "doc_quality_pipeline",
+        "doc_repetition_metrics",
+        "doc_sequence_packing",
+        "doc_shard_assignment",
+        "doc_stratified_sample",
+        "doc_tfidf_top_terms",
+        "emb_dominant_dims",
+        "emb_feature_norm_stats",
+        "emb_int8_quantization",
+        "emb_kmeans_clusters",
+        "events_funnel_conversion",
+        "events_gap_fill_resample",
+        "events_hourly_anomalies",
+        "events_type_transitions",
+        "graph_doc_pagerank",
+        "merge_not_matched_by_source",
+        "multimodal_decode_features",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "mv_rollup_correctness",
+        "orders_cohort_retention",
+        "orders_market_basket",
+        "orders_rfm_segments",
+        "partition_evolution_read",
+        "partition_pruned_scan",
+        "q15_top_supplier",
+        "quantity_percentiles_by_flag",
+        "schema_evolution_read",
+        "sim_ann_index_compact",
+        "sim_ann_ivf_topk",
+        "skew_salted_agg",
+        "skew_salted_join",
+        "sql_ctas_rtas",
+        "sql_pivot_unpivot",
+        "streaming_ingest_hourly",
+        "streaming_running_counts",
+        "streaming_stateful_dedup",
+        "changelog_replication",
+        "customers_without_orders",
+        "dedup_cascade_lsh_cosine",
+        "dedup_cluster_survivorship",
+        "dedup_clusters",
+        "dedup_embedding_cosine",
+        "dedup_exact",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

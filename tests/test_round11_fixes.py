@@ -670,14 +670,14 @@ def test_freshness_check_reports_drift_instead_of_rewriting(tmp_path,
     ledger_path.write_text(json.dumps({"stale": True}))
     before = ledger_path.read_text()
     probs = cc.check_staleness(write=False)
-    assert any("GATE_FRESHNESS.json is stale" in p for p in probs)
+    assert any("matches neither" in p for p in probs)
     assert ledger_path.read_text() == before  # untouched
     probs2 = cc.check_staleness(write=True)
-    assert not any("stale relative" in p for p in probs2)
+    assert not any("matches neither" in p for p in probs2)
     data = json.loads(ledger_path.read_text())
     assert "window" in data and "last_driver_round" in data
     # and the refreshed ledger now passes the drift check
-    assert not any("GATE_FRESHNESS.json is stale" in p
+    assert not any("matches neither" in p
                    for p in cc.check_staleness(write=False))
 
 
