@@ -225,6 +225,11 @@ class MVManager:
         #: "incremental" or "full" (gates assert the mode, not just the
         #: answer, so a silent fallback can't masquerade as maintenance)
         self.last_refresh_mode: str | None = None
+        #: why the requested maintenance path fell back to a cheaper-
+        #: correctness mode (None when the requested path ran) — VERDICT
+        #: r11 #5: production callers must be able to SEE a deliberate
+        #: refusal; genuine bugs now raise instead of degrading silently
+        self.last_refresh_fallback_reason: str | None = None
 
     def _backing_name(self, name: str) -> str:
         return f"mv.mv_backing_{name.lower().replace('.', '_')}"
@@ -307,6 +312,66 @@ class MVManager:
     def _source_snapshot_id(self, source: str) -> int:
         snap = self.table_catalog.load_table(source).metadata.current_snapshot()
         return snap.snapshot_id if snap else -1
+
+    @staticmethod
+    def _require_ancestor(t, snapshot_id: int, ref: str) -> None:
+        """The recorded sync snapshot must still be an ancestor of head
+        (ADVICE r11 medium): after ``expire_snapshots`` or a rollback on
+        the source, ``create_changelog_view`` silently falls back to the
+        FULL snapshot chain, so the delta path would re-apply every
+        historical change on top of the already-populated backing table
+        — silent double counting. Raising ValueError here makes
+        refresh() fall back to the always-correct full recompute (and
+        records the reason)."""
+        from iceberg_demo_spark.tables.format import MAIN_BRANCH
+
+        chain = {s.snapshot_id for s in t.metadata.ancestors(MAIN_BRANCH)}
+        if snapshot_id not in chain:
+            raise ValueError(
+                f"synchronized snapshot {snapshot_id} of {ref} is no "
+                "longer an ancestor of head (expired or rolled back) — "
+                "the changelog window cannot be pinned")
+
+    #: operators under which a SUM argument provably cannot produce NULL
+    #: when every referenced column is NOT NULL (strict, never-NULL
+    #: arithmetic — division is excluded: x/0 is NULL in Spark)
+    _SUM_SAFE_RESID = re.compile(r"[\s()+\-*,]*")
+
+    def _require_non_null_sums(self, items, backing_cols: list[str],
+                               col_nullable: dict[str, bool]) -> None:
+        """Refuse DELTA enrollment when a SUM argument can evaluate to
+        NULL (ADVICE r11 low): merged-delta SUM arithmetic turns "every
+        non-NULL contributor deleted while NULL rows remain" into a
+        spurious 0 where full recompute yields NULL. Admitted arguments:
+        compositions of provably NOT NULL column refs, numeric
+        literals, and the never-NULL strict operators ``+ - *`` (no
+        division — x/0 is NULL — no functions, no CASE). Anything else
+        raises ParseError → refresh() falls back and records why.
+
+        ``col_nullable`` maps lowercased bare and qualified column names
+        to their schema nullability; an unresolvable identifier counts
+        as nullable."""
+        for i, (fn, expr, _a) in enumerate(items):
+            if fn != "sum":
+                continue
+            e = re.sub(r"'(?:[^']|'')*'", " NULL ", expr.strip().lower())
+            ok = True
+            for m in re.finditer(r"[a-z_][\w.]*", e):
+                tok = m.group(0)
+                if e[m.end():].lstrip()[:1] == "(":
+                    ok = False  # function call — semantics unknown
+                    break
+                if col_nullable.get(tok, True):
+                    ok = False  # nullable or unresolvable column
+                    break
+            resid = re.sub(r"[a-z_][\w.]*|\d+(\.\d+)?", " ", e)
+            if not ok or not self._SUM_SAFE_RESID.fullmatch(resid):
+                raise ParseError(
+                    f"not delta-maintainable: SUM argument {expr!r} "
+                    f"(column {backing_cols[i]}) may evaluate to NULL — "
+                    "deletes could drive the merged SUM to 0 where full "
+                    "recompute yields NULL; declare the columns NOT NULL "
+                    "or use REFRESH ... INCREMENTAL")
 
     def _join_maintenance_plan(self, query: str) -> tuple[dict, QueryInfo] | None:
         """({table_ref: catalog_table}, parsed query) when the defining query
@@ -522,24 +587,34 @@ class MVManager:
 
         Either mode falls back (DELTA → full; INCREMENTAL → full) when the
         query shape or changelog doesn't allow it; ``last_refresh_mode``
-        records which path actually ran."""
+        records which path actually ran and
+        ``last_refresh_fallback_reason`` why a fallback was taken. Only
+        DELIBERATE refusals (``ParseError``/``ValueError`` raised by the
+        maintenance planners) fall back — any other exception is a real
+        bug in the maintenance path and propagates, instead of silently
+        degrading to a correct-but-O(source) full recompute with no
+        signal (VERDICT r11 #5)."""
         mv = self.mv_catalog.get(name)
         if mv is None:
             raise ValueError(f"Materialized view {name} does not exist")
+        self.last_refresh_fallback_reason = None
         if delta and (mv.source_table or mv.source_snapshots):
             try:
                 out = self._refresh_changelog_delta(mv)
                 self.last_refresh_mode = "delta"
                 return out
-            except Exception:
-                pass  # fall through to full recompute
+            except (ParseError, ValueError) as e:
+                self.last_refresh_fallback_reason = f"delta refused: {e}"
         if incremental and (mv.source_table or mv.source_snapshots):
             try:
                 out = self._refresh_incremental(mv)
                 self.last_refresh_mode = "incremental"
                 return out
-            except Exception:
-                pass  # fall through to full recompute
+            except (ParseError, ValueError) as e:
+                self.last_refresh_fallback_reason = (
+                    (self.last_refresh_fallback_reason + "; ")
+                    if self.last_refresh_fallback_reason else ""
+                ) + f"incremental refused: {e}"
         out = self._refresh_full(mv)
         self.last_refresh_mode = "full"
         return out
@@ -582,6 +657,10 @@ class MVManager:
             raise ValueError("no synchronized snapshot recorded")
         if head.snapshot_id == mv.source_snapshot_id:
             return self._finish_refresh(mv, backing)  # already in sync
+        self._require_ancestor(t, mv.source_snapshot_id, source)
+        self._require_non_null_sums(
+            items, backing_cols,
+            {f.name.lower(): f.nullable for f in t.schema().fields})
         cl = proc.create_changelog_view(
             t, f"__mv_cldelta_{mv.name.lower().replace('.', '_')}",
             start_snapshot_id=mv.source_snapshot_id,
@@ -607,9 +686,11 @@ class MVManager:
                 aggs.append(F.sum(sign * F.expr(expr)).alias(col))
         delta_df = cl.groupBy(
             *[F.expr(e).alias(n) for n, e in key_cols]).agg(*aggs)
-        self._merge_group_deltas(backing, backing_cols, items,
-                                 [n for n, _e in key_cols],
-                                 cnt_col, delta_df)
+        self._merge_group_deltas(
+            backing, backing_cols, items, [n for n, _e in key_cols],
+            cnt_col, delta_df,
+            stamp=self._window_stamp(
+                [(source, mv.source_snapshot_id, head.snapshot_id)]))
         mv.source_snapshot_id = head.snapshot_id
         return self._finish_refresh(mv, backing)
 
@@ -626,14 +707,44 @@ class MVManager:
             raise ParseError("not delta-maintainable: needs COUNT(*)")
         return cnt[0]
 
+    # -- delta-window idempotence stamp (round 12, VERDICT r11 #6) ---------
+    #
+    # The MERGE and the catalog's source-snapshot advance are two commits;
+    # a crash between them would re-apply the same changelog window on the
+    # next refresh — silent double counting, exactly the failure mode the
+    # streaming bloom guard's epoch stamps close. Stamp the applied window
+    # on the backing table's merge snapshot; a re-run of the SAME window
+    # skips the fold and just re-advances the catalog.
+
+    _DELTA_STAMP = "mv-delta-window"
+
+    def _window_stamp(self, windows: list[tuple[str, int, int]]) -> str:
+        return ";".join(f"{ref}:{a}->{b}" for ref, a, b in windows)
+
+    def _window_already_applied(self, backing, stamp: str) -> bool:
+        snap = backing.metadata.current_snapshot()
+        return (snap is not None
+                and snap.summary.get(self._DELTA_STAMP) == stamp)
+
+    def _stamp_delta_window(self, backing, stamp: str) -> None:
+        snap = backing.metadata.current_snapshot()
+        if snap is not None:
+            snap.summary[self._DELTA_STAMP] = stamp
+            backing.metadata.save()
+
     def _merge_group_deltas(self, backing, backing_cols: list[str],
                             items, key_names: list[str], cnt_col: str,
-                            delta_df: DataFrame) -> None:
+                            delta_df: DataFrame,
+                            stamp: str | None = None) -> None:
         """Fold one signed delta row per touched group into the backing
         table (shared by the single-table and join delta paths):
         update-add on matched groups, delete when COUNT(*) reaches
         zero, insert brand-new groups, skip insert-then-delete
-        zero-nets."""
+        zero-nets. With ``stamp``, an already-applied window (the crash
+        replay between MERGE and catalog advance) is skipped and the
+        fresh fold's snapshot is stamped."""
+        if stamp is not None and self._window_already_applied(backing, stamp):
+            return
         updates = {}
         for i, (fn, expr, _a) in enumerate(items):
             if fn == "":
@@ -661,29 +772,40 @@ class MVManager:
             # delta_df is one row per group key by construction
             check_cardinality=False,
         )
+        if stamp is not None:
+            self._stamp_delta_window(backing, stamp)
 
     def _refresh_changelog_delta_join(self, mv: MaterializedView,
                                       ) -> MaterializedView:
-        """The JOIN extension of DELTA maintenance — FACT-ONLY changes:
-        when the ONLY table that changed in the window is the join
-        tree's BASE (the fact table), each changelog row's contribution
-        to the view is exactly its join against the other tables'
-        CURRENT state (they did not move inside the window), so the
-        signed fact images joined through the unchanged dimensions
-        aggregate to the per-group delta — no group recompute, no fact
-        rescan. A changed dimension cannot be delta-folded (a dim row's
-        change re-keys every fact row it matches), so any non-base
-        change REFUSES and refresh() falls back (INCREMENTAL's
-        touched-group recompute handles it exactly).
+        """The JOIN extension of DELTA maintenance — TWO-SIDED since
+        round 12 (VERDICT r11 #3). The multiset identity
 
-        LEFT joins are safe here: a preserved-side fact image
-        null-extends exactly as its original contribution did, and SUMs
-        over nullable dim expressions contribute nothing — matching the
-        full recompute. Same SUM/COUNT + plain-COUNT(*) restriction as
-        the single-table path.
+            Δ(T₁⋈…⋈Tₙ) = Σᵢ T₁ⁿᵉʷ⋈…⋈Tᵢ₋₁ⁿᵉʷ ⋈ ΔTᵢ ⋈ Tᵢ₊₁ᵒˡᵈ⋈…⋈Tₙᵒˡᵈ
 
-        Scale shape: one changelog-sized join against broadcast-able
-        dims + one keyed MERGE — O(window commits), never O(fact)."""
+        (telescoping sum; exact for INNER equi-join trees) turns ANY
+        combination of changed tables into one signed changelog-sized
+        term per changed table: tables left of the delta pin their HEAD
+        snapshot, tables right of it pin the RECORDED sync snapshot —
+        consistent snapshots by construction, no table rescanned beyond
+        its window. The union of the terms' signed row contributions
+        aggregates to the per-group delta and ONE keyed MERGE folds it
+        in. Fact-only windows reduce to the round-11 one-term shape.
+
+        LEFT join trees are admitted only for FACT-ONLY windows: a
+        preserved-side fact image null-extends exactly as its original
+        contribution did, but a dim-side change flips null-extension of
+        fact rows it (un)matches, which the telescoping terms cannot
+        see — those windows REFUSE and refresh() falls back
+        (INCREMENTAL's touched-group recompute handles them exactly).
+        Same SUM/COUNT + plain-COUNT(*) restriction as the single-table
+        path, plus the NULL-able SUM-argument refusal (ADVICE r11 low;
+        a LEFT join's nullable side counts as nullable regardless of
+        declared schema). Every changed table's recorded snapshot must
+        still be a head ancestor (ADVICE r11 medium).
+
+        Scale shape: one changelog-sized join per changed table against
+        broadcast-able pinned states + one keyed MERGE — O(window
+        commits), never O(fact)."""
         from iceberg_demo_spark.tables import procedures as proc
 
         plan = self._join_maintenance_plan(mv.query)
@@ -705,57 +827,120 @@ class MVManager:
         rec = mv.source_snapshots
         if not rec or set(rec) != set(tables):
             raise ValueError("no synchronized snapshots recorded")
-        changed = [ref for ref in tables
+        order = list(info.base_tables)
+        changed = [ref for ref in order
                    if heads[ref].snapshot_id != rec[ref][1]]
         if not changed:
             return self._finish_refresh(mv, backing)
-        fact = info.base_tables[0]
-        if changed != [fact]:
+        fact = order[0]
+        if changed != [fact] and any(j["type"] != "inner"
+                                     for j in info.joins):
             raise ParseError(
-                "not delta-maintainable: non-fact change in window")
-        cl = proc.create_changelog_view(
-            tables[fact],
-            f"__mv_cldeltaj_{mv.name.lower().replace('.', '_')}",
-            start_snapshot_id=rec[fact][1],
-            end_snapshot_id=heads[fact].snapshot_id)
-        sign = F.when(F.col("_change_type").isin("INSERT", "UPDATE_AFTER"),
-                      F.lit(1)).otherwise(F.lit(-1))
-        (cl.withColumn("_sign", sign)
-         .drop("_change_type", "_change_ordinal", "_commit_snapshot_id")
-         .createOrReplaceTempView(fact))
+                "not delta-maintainable: non-fact change under a LEFT "
+                "join (null-extension flips are invisible to the "
+                "telescoping terms)")
+        for ref in changed:
+            self._require_ancestor(tables[ref], rec[ref][1], ref)
+        # nullability map for the SUM-argument guard: declared schema,
+        # EXCEPT that every column of a LEFT join's nullable side is
+        # nullable by join semantics regardless of declaration
+        null_side = {j["right_table"] for j in info.joins
+                     if j["type"] == "left"}
+        colmap: dict[str, bool] = {}
+        bare: dict[str, bool] = {}
         for ref, t in tables.items():
-            if ref != fact:
-                t.scan().createOrReplaceTempView(ref)
-        parts = [fact]
+            for f in t.schema().fields:
+                nn = f.nullable or ref in null_side
+                colmap[f"{ref}.{f.name.lower()}"] = nn
+                n = f.name.lower()
+                bare[n] = bare.get(n, False) or nn
+        colmap.update(bare)
+        self._require_non_null_sums(items, backing_cols, colmap)
+
+        key_cols = [(backing_cols[i], e)
+                    for i, (fn, e, _a) in enumerate(items) if fn == ""]
+        where_sql = (" WHERE " + " AND ".join(f"({c})" for c in info.where)
+                     ) if info.where else ""
+        from_parts = [fact]
         for j in info.joins:
             kw = ("JOIN" if j["type"] == "inner"
                   else f"{j['type'].upper()} JOIN")
-            parts.append(f" {kw} {j['right_table']} ON {j['condition']}")
-        where_sql = (" WHERE " + " AND ".join(f"({c})" for c in info.where)
-                     ) if info.where else ""
-        key_cols = [(backing_cols[i], e)
-                    for i, (fn, e, _a) in enumerate(items) if fn == ""]
-        sel = [f"{e} AS {n}" for n, e in key_cols]
-        for i, (fn, expr, _a) in enumerate(items):
-            if fn == "":
-                continue
-            col = backing_cols[i]
-            if fn == "count" and expr.strip() in ("*", "1"):
-                sel.append(f"CAST(SUM({fact}._sign) AS BIGINT) AS {col}")
-            elif fn == "count":
-                sel.append(f"CAST(SUM(CASE WHEN ({expr}) IS NOT NULL "
-                           f"THEN {fact}._sign ELSE 0 END) AS BIGINT) "
-                           f"AS {col}")
-            else:
-                sel.append(f"SUM({fact}._sign * ({expr})) AS {col}")
-        delta_df = self.spark.sql(
-            f"SELECT {', '.join(sel)} FROM {''.join(parts)}{where_sql} "
-            f"GROUP BY {', '.join(e for _n, e in key_cols)}")
-        self._merge_group_deltas(backing, backing_cols, items,
-                                 [n for n, _e in key_cols],
-                                 cnt_col, delta_df)
-        # rebind the fact view to its current state for later readers
-        tables[fact].scan().createOrReplaceTempView(fact)
+            from_parts.append(
+                f" {kw} {j['right_table']} ON {j['condition']}")
+        from_sql = "".join(from_parts)
+
+        def _term_sql(delta_ref: str) -> str:
+            """Row-level signed contributions of one telescoping term —
+            aggregation happens once, over the UNION of all terms."""
+            sel = [f"{e} AS {n}" for n, e in key_cols]
+            for i, (fn, expr, _a) in enumerate(items):
+                if fn == "":
+                    continue
+                col = backing_cols[i]
+                if fn == "count" and expr.strip() in ("*", "1"):
+                    sel.append(f"CAST({delta_ref}._sign AS BIGINT) "
+                               f"AS {col}")
+                elif fn == "count":
+                    sel.append(
+                        f"CAST(CASE WHEN ({expr}) IS NOT NULL THEN "
+                        f"{delta_ref}._sign ELSE 0 END AS BIGINT) "
+                        f"AS {col}")
+                else:
+                    sel.append(f"{delta_ref}._sign * ({expr}) AS {col}")
+            return f"SELECT {', '.join(sel)} FROM {from_sql}{where_sql}"
+
+        sign = F.when(F.col("_change_type").isin("INSERT", "UPDATE_AFTER"),
+                      F.lit(1)).otherwise(F.lit(-1))
+        meta_cols = ("_change_type", "_change_ordinal",
+                     "_commit_snapshot_id")
+        vbase = f"__mv_cldeltaj_{mv.name.lower().replace('.', '_')}"
+        try:
+            terms = []
+            for idx, ref in enumerate(order):
+                if ref not in changed:
+                    continue
+                cl = proc.create_changelog_view(
+                    tables[ref], f"{vbase}_{idx}",
+                    start_snapshot_id=rec[ref][1],
+                    end_snapshot_id=heads[ref].snapshot_id)
+                (cl.withColumn("_sign", sign).drop(*meta_cols)
+                 .createOrReplaceTempView(ref))
+                for jdx, other in enumerate(order):
+                    if other == ref:
+                        continue
+                    # left of the delta: NEW state; right of it: OLD
+                    state = (tables[other].scan() if jdx < idx else
+                             tables[other].scan(snapshot_id=rec[other][1]))
+                    state.createOrReplaceTempView(other)
+                # spark.sql analyzes eagerly, so the term's plan captures
+                # THESE bindings; later rebinding cannot corrupt it
+                terms.append(self.spark.sql(_term_sql(ref)))
+            rows = terms[0]
+            for extra in terms[1:]:
+                rows = rows.unionAll(extra)
+            aggs = []
+            for i, (fn, _e, _a) in enumerate(items):
+                if fn == "":
+                    continue
+                col = backing_cols[i]
+                agg = F.sum(F.col(col))
+                aggs.append((agg.cast("bigint") if fn == "count" else agg)
+                            .alias(col))
+            delta_df = rows.groupBy(
+                *[F.col(n) for n, _e in key_cols]).agg(*aggs)
+            self._merge_group_deltas(
+                backing, backing_cols, items, [n for n, _e in key_cols],
+                cnt_col, delta_df,
+                stamp=self._window_stamp(
+                    [(ref, rec[ref][1], heads[ref].snapshot_id)
+                     for ref in changed]))
+        finally:
+            # ALWAYS restore every ref's view to its current state — a
+            # failing delta/MERGE must not leave a global binding pointed
+            # at a changelog window or a pinned old snapshot (ADVICE r11
+            # low: future callers would inherit a corrupted binding)
+            for ref, t in tables.items():
+                t.scan().createOrReplaceTempView(ref)
         self._record_join_sources(mv, sources)
         return self._finish_refresh(mv, backing)
 
@@ -865,11 +1050,12 @@ class MVManager:
             src = src.filter(_key_cond(F.expr(key_cols[0][1])))
             backing_cond = _key_cond(F.col(name0))
         else:
+            probe = self._semi_join_probe(touched, len(keys), mv)
             cond = None
             for n, e in key_cols:
-                eq = F.expr(e).eqNullSafe(touched[n])
+                eq = F.expr(e).eqNullSafe(probe[n])
                 cond = eq if cond is None else (cond & eq)
-            src = src.join(F.broadcast(touched), cond, "left_semi")
+            src = src.join(probe, cond, "left_semi")
         aggs = []
         for i, (fn, expr, _a) in enumerate(items):
             if fn == "":
@@ -890,6 +1076,34 @@ class MVManager:
                           agg_cols, touched, recomputed, backing_cond)
         mv.source_snapshot_id = head.snapshot_id
         return self._finish_refresh(mv, backing)
+
+    #: touched-group fraction above which partial recompute stops paying:
+    #: the recompute scan covers most of the source anyway, so refuse and
+    #: let refresh() take the one-pass full recompute (VERDICT r11 #4)
+    _TOUCHED_FRACTION_LIMIT = 0.3
+
+    def _semi_join_probe(self, touched: DataFrame, n_probed: int,
+                         mv: MaterializedView) -> DataFrame:
+        """The touched-keys frame as a semi-join probe. Up to 1000 keys
+        (proven by the bounded ``limit(1001).collect()``) a broadcast
+        hint is strictly right. Past that the frame is UNBOUNDED — a
+        commit touching most groups makes it group-space-sized, and a
+        forced broadcast at 100× scale is a driver/executor OOM, not a
+        slow query (VERDICT r11 #4 weak flag) — so drop the hint and let
+        AQE pick the join strategy from the frame's real size; first,
+        count it, and when it covers ≥ ~30% of the backing groups refuse
+        outright (ValueError → full recompute, which scans the source
+        once instead of recomputing most groups through a shuffle)."""
+        if n_probed <= 1000:
+            return F.broadcast(touched)
+        n_touched = touched.count()
+        n_groups = max(mv.row_count, 1)
+        if n_touched >= self._TOUCHED_FRACTION_LIMIT * n_groups:
+            raise ValueError(
+                f"{n_touched} touched groups ≥ "
+                f"{self._TOUCHED_FRACTION_LIMIT:.0%} of {n_groups} backing "
+                "groups — full recompute is cheaper than partial")
+        return touched
 
     def _swap_groups(self, backing, backing_cols: list[str],
                      key_names: list[str], agg_cols: list[str],
@@ -1122,12 +1336,13 @@ class MVManager:
             f"SELECT {', '.join(proj)} FROM {from_sql}"
             f"{where_sql}{key_filter_sql}")
         if not few_keys:
-            b, k = base.alias("b"), touched.alias("k")
+            probe = self._semi_join_probe(touched, len(keys), mv)
+            b, k = base.alias("b"), probe.alias("k")
             cond = None
             for n, _e in key_cols:
                 eq = F.col(f"b.{n}").eqNullSafe(F.col(f"k.{n}"))
                 cond = eq if cond is None else (cond & eq)
-            base = b.join(F.broadcast(k), cond, "left_semi")
+            base = b.join(k, cond, "left_semi")
         aggs = []
         for col, fn, an in arg_specs:
             basefn = fn[:-9] if fn.endswith("_distinct") else fn

@@ -480,6 +480,11 @@ def mv_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert commit creates a brand-new group (the MERGE's
     insert-new-group leg). The oracle recomputes the mutated fact table
     from scratch: delta-refresh must equal full recompute exactly.
+    Round 12: the fact table declares its columns NOT NULL — the delta
+    path now REFUSES SUM over nullable arguments (ADVICE r11 low: a
+    window deleting every non-NULL contributor of a group would drive
+    the merged SUM to 0 where full recompute yields NULL), so enrolling
+    requires the declaration a production fact table would carry anyway.
 
     Scale shape: refresh reads ONLY the changelog window (the three
     commits' row deltas) and MERGEs one row per touched group —
@@ -492,7 +497,11 @@ def mv_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t_in["orders"].select(
         "o_orderkey", "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
-    src = eng.catalog.create_table_as("db.ord_cl", base)
+    src = eng.catalog.create_table(
+        "db.ord_cl",
+        "o_orderkey bigint not null, o_orderpriority string not null, "
+        "cents bigint not null")
+    src.append(base)
     eng.register("db.ord_cl")
     eng.sql(
         "CREATE MATERIALIZED VIEW mvd AS "
@@ -551,10 +560,13 @@ def mv_join_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension and folding the per-group delta with one keyed MERGE
     (``_refresh_changelog_delta_join``) — neither the fact table nor
     the MV is rescanned, and the gate asserts ``last_refresh_mode ==
-    "delta"`` so a fallback cannot masquerade. A changed dimension
-    correctly REFUSES this path (pytest-pinned) because a dim-row
-    change re-keys every fact row it matches. The oracle recomputes the
-    mutated fact⋈dim aggregate from scratch in exact integer cents.
+    "delta"`` so a fallback cannot masquerade. Since round 12 the path
+    is TWO-SIDED (telescoping decomposition): a changed dimension is
+    delta-folded too — ``mv_join_changelog_refresh_dim`` gates that
+    side; only non-fact changes under LEFT joins refuse. The oracle
+    recomputes the mutated fact⋈dim aggregate from scratch in exact
+    integer cents. Round 12: the fact declares NOT NULL measures (the
+    nullable-SUM delta refusal, ADVICE r11 low).
 
     Scale shape: refresh = changelog-window rows joined against a
     broadcast-able dimension + one MERGE — O(day's commits), the MV
@@ -566,7 +578,11 @@ def mv_join_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t_in["orders"].select(
         "o_orderkey", "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
-    src = eng.catalog.create_table_as("db.ord_f", fact)
+    src = eng.catalog.create_table(
+        "db.ord_f",
+        "o_orderkey bigint not null, o_custkey bigint not null, "
+        "cents bigint not null")
+    src.append(fact)
     eng.catalog.create_table_as(
         "db.cust_d", t_in["customer"].select("c_custkey", "c_mktsegment"))
     eng.register("db.ord_f")
@@ -586,6 +602,90 @@ def mv_join_changelog_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("REFRESH MATERIALIZED VIEW mvjd DELTA")
     assert eng.mv.last_refresh_mode == "delta", eng.mv.last_refresh_mode
     mv = eng.mv_catalog.get("mvjd")
+    return (eng.mv.backing_df(mv)
+            .select("c_mktsegment", "total_cents", "cnt")
+            .orderBy("c_mktsegment"))
+
+
+@query(
+    "mv_join_changelog_refresh_dim",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    dim AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'RESEG'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      WHERE c_custkey % 11 <> 0
+    )
+    SELECT d.c_mktsegment,
+           CAST(SUM(f.cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment
+    """,
+)
+def mv_join_changelog_refresh_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-side delta maintenance (VERDICT r11 #3 — round 11's
+    one remaining full-recompute cliff): the customer dimension is
+    re-segmented (UPDATE flips a third of the customers to a brand-new
+    segment) and pruned (DELETE drops every 11th customer, removing
+    their orders from the inner join) while the FACT table does not
+    move. The two-sided telescoping decomposition folds the window as
+    F_head ⋈ ΔD — the dim changelog's signed images joined against the
+    pinned fact state re-key exactly the affected orders, growing the
+    new RESEG group, shrinking the donors, and draining the deleted
+    customers' contributions — through the same single keyed MERGE as
+    the fact-only path. The gate asserts ``last_refresh_mode ==
+    "delta"`` (and no recorded fallback reason), so a silent recompute
+    cannot pass; the oracle recomputes the mutated fact⋈dim aggregate
+    from scratch in exact integer cents.
+
+    Scale shape: dimension corrections are routine at 100 TB (a
+    re-segmentation touches thousands of dim rows, never the fact
+    table) — this keeps MV maintenance O(dim window ⋈ fact partitions
+    on the join key), with the changelog side small enough to
+    broadcast, instead of O(fact) per correction.
+
+    Reference parity: docs/starrocks-mv-features.md:56-58 stubs ALL MV
+    refresh as full recompute — both sides of this gate are beyond it."""
+    import tempfile as _tf
+
+    t_in = load_tables(spark, sf_dir, ("orders", "customer"))
+    eng = Engine(spark, _tf.mkdtemp(prefix="glacier_mvjdd_"))
+    fact = t_in["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    src = eng.catalog.create_table(
+        "db.ord_fd",
+        "o_orderkey bigint not null, o_custkey bigint not null, "
+        "cents bigint not null")
+    src.append(fact)
+    dim = eng.catalog.create_table_as(
+        "db.cust_dd", t_in["customer"].select("c_custkey", "c_mktsegment"))
+    eng.register("db.ord_fd")
+    eng.register("db.cust_dd")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvjdd AS "
+        "SELECT c.c_mktsegment, SUM(f.cents) AS total_cents, "
+        "COUNT(*) AS cnt FROM db_ord_fd f "
+        "JOIN db_cust_dd c ON f.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
+    # dimension-only window: re-segment a third, drop every 11th
+    dim.update_where({"c_mktsegment": "'RESEG'"}, "c_custkey % 3 = 0")
+    dim.delete_where("c_custkey % 11 = 0")
+    eng.sql("REFRESH MATERIALIZED VIEW mvjdd DELTA")
+    assert eng.mv.last_refresh_mode == "delta", eng.mv.last_refresh_mode
+    assert eng.mv.last_refresh_fallback_reason is None, \
+        eng.mv.last_refresh_fallback_reason
+    mv = eng.mv_catalog.get("mvjdd")
+    assert mv.source_snapshots["db_cust_dd"][1] == \
+        dim.metadata.current_snapshot().snapshot_id, "dim did not sync"
     return (eng.mv.backing_df(mv)
             .select("c_mktsegment", "total_cents", "cnt")
             .orderBy("c_mktsegment"))

@@ -229,11 +229,17 @@ def load_all() -> None:
         "streaming_stateful_dedup",
         "changelog_replication",
         "customers_without_orders",
-        "dedup_cascade_lsh_cosine",
-        "dedup_cluster_survivorship",
-        "dedup_clusters",
-        "dedup_embedding_cosine",
-        "dedup_exact",
+        # -- round-12 NEW/CHANGED gates displace the r9 tail
+        #    one-for-one (standing policy; the displaced names
+        #    lead the round-13 queue): the MV delta gates changed
+        #    (NOT NULL fixture declarations for the nullable-SUM
+        #    refusal, ADVICE r11 low; two-sided join delta,
+        #    VERDICT r11 #3) and three gates are new --
+        "mv_changelog_refresh",
+        "mv_join_changelog_refresh",
+        "mv_join_changelog_refresh_dim",
+        "streaming_mv_delta_refresh",
+        "sketch_quantile_advance",
     )
     _order = ([n for n in _window if n in QUERIES]
               + [n for n in QUERIES if n not in _window])

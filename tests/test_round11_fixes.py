@@ -326,9 +326,11 @@ def _delta_engine(spark, tmp_path, rows):
     from iceberg_demo_spark.engine import Engine
 
     eng = Engine(spark, str(tmp_path / "wh"))
-    src = eng.catalog.create_table_as(
-        "db.facts", spark.createDataFrame(
-            rows, "k STRING, amt BIGINT"))
+    # NOT NULL amt: the delta path refuses SUM over nullable arguments
+    # since round 12 (ADVICE r11 low)
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT NOT NULL")
+    src.append(spark.createDataFrame(rows, "k STRING, amt BIGINT"))
     eng.register("db.facts")
     eng.sql("CREATE MATERIALIZED VIEW mvd AS "
             "SELECT k, SUM(amt) AS total, COUNT(*) AS cnt "
@@ -416,11 +418,14 @@ def _join_delta_engine(spark, tmp_path, join="JOIN"):
     from iceberg_demo_spark.engine import Engine
 
     eng = Engine(spark, str(tmp_path / "wh"))
-    f = eng.catalog.create_table_as(
-        "db.facts", spark.createDataFrame(
-            [(1, "east", 10), (2, "west", 5), (3, "east", 7),
-             (4, "gone", 2)],
-            "fid BIGINT, region STRING, amt BIGINT"))
+    # NOT NULL amt: the delta path refuses SUM over nullable arguments
+    # since round 12 (ADVICE r11 low)
+    f = eng.catalog.create_table(
+        "db.facts",
+        "fid BIGINT NOT NULL, region STRING NOT NULL, amt BIGINT NOT NULL")
+    f.append(spark.createDataFrame(
+        [(1, "east", 10), (2, "west", 5), (3, "east", 7), (4, "gone", 2)],
+        "fid BIGINT, region STRING, amt BIGINT"))
     d = eng.catalog.create_table_as(
         "db.dim", spark.createDataFrame(
             [("east", "z1"), ("west", "z2")],
@@ -466,14 +471,48 @@ def test_mv_join_delta_left_join_null_extension(spark, tmp_path):
     assert _mvj_rows(eng) == [(None, 52, 2), ("z1", 17, 2), ("z2", 5, 1)]
 
 
-def test_mv_join_delta_refuses_dimension_change(spark, tmp_path):
-    """A changed dimension cannot be delta-folded: REFRESH DELTA must
-    fall back (here to full recompute) and still be exact."""
+def test_mv_join_delta_folds_dimension_change(spark, tmp_path):
+    """Round 12 (VERDICT r11 #3): a changed INNER-join dimension is
+    delta-folded by the telescoping decomposition — the new dim row
+    grants fact row 4 a brand-new group, read from the dim changelog
+    joined against the pinned fact state, never a recompute."""
     eng, f, d = _join_delta_engine(spark, tmp_path)
     d.append(spark.createDataFrame([("gone", "z3")],
                                    "region STRING, zone STRING"))
     eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert eng.mv.last_refresh_fallback_reason is None
+    assert _mvj_rows(eng) == [("z1", 17, 2), ("z2", 5, 1), ("z3", 2, 1)]
+
+
+def test_mv_join_delta_both_sides_changed(spark, tmp_path):
+    """Fact AND dim change in the same window: the telescoping terms
+    (ΔF ⋈ D_old, F_new ⋈ ΔD) pin consistent snapshots — the new fact
+    row must join the OLD dim image in its own term and still be
+    re-keyed by the dim change's term, netting to the full recompute."""
+    eng, f, d = _join_delta_engine(spark, tmp_path)
+    f.append(spark.createDataFrame([(5, "west", 100)],
+                                   "fid BIGINT, region STRING, amt BIGINT"))
+    # west re-zones z2 → z9: delete + insert images in the dim window
+    d.delete_where("region = 'west'")
+    d.append(spark.createDataFrame([("west", "z9")],
+                                   "region STRING, zone STRING"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert _mvj_rows(eng) == [("z1", 17, 2), ("z9", 105, 2)]
+
+
+def test_mv_join_delta_refuses_dim_change_under_left_join(spark, tmp_path):
+    """A dim-side change under a LEFT join flips null-extension of the
+    fact rows it (un)matches — invisible to the telescoping terms, so
+    the window must REFUSE (recorded reason) and fall back, exactly."""
+    eng, f, d = _join_delta_engine(spark, tmp_path, join="LEFT JOIN")
+    d.append(spark.createDataFrame([("gone", "z3")],
+                                   "region STRING, zone STRING"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvj DELTA")
     assert eng.mv.last_refresh_mode == "full"
+    assert "LEFT" in (eng.mv.last_refresh_fallback_reason or "")
+    # fact row 4 moved from the NULL-extended group into z3
     assert _mvj_rows(eng) == [("z1", 17, 2), ("z2", 5, 1), ("z3", 2, 1)]
 
 

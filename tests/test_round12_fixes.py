@@ -78,3 +78,172 @@ def test_committed_artifacts_reflect_git_index():
     assert any(b.startswith("CORRECTNESS_r") for b in tracked)
     for base in tracked:
         assert os.path.exists(os.path.join(REPO, base))
+
+
+# -- VERDICT r11 #5: narrowed fallback excepts + recorded reason -------------
+
+def _delta_mv_engine(spark, tmp_path):
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT NOT NULL")
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvd AS "
+            "SELECT k, SUM(amt) AS total, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    return eng, src
+
+
+def test_refresh_injected_delta_bug_raises_instead_of_full(spark, tmp_path):
+    """A REAL bug in the delta path (anything but the deliberate
+    ParseError/ValueError refusals) must PROPAGATE — the old bare
+    ``except Exception`` silently degraded to a correct-but-O(source)
+    full recompute with no signal."""
+    import pytest
+
+    eng, src = _delta_mv_engine(spark, tmp_path)
+    src.delete_where("k = 'b'")
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected delta-path bug")
+
+    eng.mv._merge_group_deltas = boom
+    with pytest.raises(RuntimeError, match="injected delta-path bug"):
+        eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+
+
+def test_refresh_fallback_reason_is_recorded(spark, tmp_path):
+    """A deliberate refusal still falls back — and now says why."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table_as(
+        "db.facts", spark.createDataFrame(
+            [("a", 10), ("a", 3)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvm AS "
+            "SELECT k, MIN(amt) AS lo, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.delete_where("amt = 3")
+    eng.sql("REFRESH MATERIALIZED VIEW mvm DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert "not delta-maintainable" in eng.mv.last_refresh_fallback_reason
+    # a successful delta clears the reason
+    eng2, src2 = _delta_mv_engine(spark, tmp_path / "b")
+    src2.delete_where("k = 'b'")
+    eng2.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng2.mv.last_refresh_mode == "delta"
+    assert eng2.mv.last_refresh_fallback_reason is None
+
+
+# -- ADVICE r11 medium: sync snapshot must be a head ancestor -----------------
+
+def test_delta_refresh_refuses_non_ancestor_sync_snapshot(spark, tmp_path):
+    """When the recorded sync snapshot is no longer an ancestor of head
+    (expired / rolled back), create_changelog_view would silently fall
+    back to the FULL chain and the delta fold would double-count every
+    historical change. The path must refuse → exact full recompute."""
+    eng, src = _delta_mv_engine(spark, tmp_path)
+    src.delete_where("k = 'b'")
+    mv = eng.mv_catalog.get("mvd")
+    mv.source_snapshot_id = 987654321  # expired/rolled-back lineage
+    eng.mv_catalog.update(mv)
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert "ancestor" in eng.mv.last_refresh_fallback_reason
+    mv = eng.mv_catalog.get("mvd")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "total", "cnt").collect())
+    assert got == [("a", 30, 2)]
+
+
+# -- ADVICE r11 low: SUM over a nullable argument refuses delta ---------------
+
+def test_delta_refresh_refuses_nullable_sum_argument(spark, tmp_path):
+    """Deletes that remove every non-NULL contributor of a group while
+    NULL rows remain would drive the merged SUM to 0 where full
+    recompute yields NULL — the exact divergence, demonstrated: the
+    refusal + fallback lands NULL, as SQL requires."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT")  # amt nullable
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvn AS "
+            "SELECT k, SUM(amt) AS total, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.delete_where("amt = 10")  # group a keeps only the NULL row
+    eng.sql("REFRESH MATERIALIZED VIEW mvn DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert "NULL" in eng.mv.last_refresh_fallback_reason
+    mv = eng.mv_catalog.get("mvn")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "total", "cnt").collect())
+    assert got == [("a", None, 1), ("b", 5, 1)]  # NULL, not 0
+
+
+# -- VERDICT r11 #4: no forced broadcast past the bounded-probe limit --------
+
+def test_semi_join_probe_drops_hint_past_1000_keys(spark):
+    """≤1000 collected keys: broadcast hint (bounded, strictly right).
+    1001 (unbounded): the returned probe must be the raw frame — no
+    ResolvedHint — so AQE picks the strategy from its real size; and a
+    touched set covering ≥30% of the backing groups refuses outright."""
+    import pytest
+
+    from iceberg_demo_spark.mv.catalog import MaterializedView
+    from iceberg_demo_spark.mv.manager import MVManager
+
+    mgr = MVManager(spark, table_catalog=None, mv_catalog=None)
+    mv = MaterializedView(name="x", query="", backing_table="",
+                          last_refresh_ts=0, storage_format="",
+                          storage_location="", row_count=100_000,
+                          size_in_bytes=0)
+    touched = spark.range(1100).withColumnRenamed("id", "k")
+    hinted = mgr._semi_join_probe(touched, 900, mv)
+    plan = hinted._jdf.queryExecution().logical().toString()
+    assert "hint" in plan.lower(), plan
+    unhinted = mgr._semi_join_probe(touched, 1001, mv)
+    assert unhinted is touched  # no hint wrapper past the bounded probe
+    mv.row_count = 2000  # 1100 touched ≥ 30% of 2000 groups
+    with pytest.raises(ValueError, match="full recompute is cheaper"):
+        mgr._semi_join_probe(touched, 1001, mv)
+
+
+# -- VERDICT r11 #6: the delta-window idempotence stamp ----------------------
+
+def test_delta_window_stamp_makes_replay_idempotent(spark, tmp_path):
+    """Crash-window replay: the MERGE landed but the catalog's sync
+    advance was lost. Re-running REFRESH DELTA over the SAME window
+    must skip the fold (stamped on the backing snapshot) instead of
+    double-counting, then re-advance the catalog."""
+    eng, src = _delta_mv_engine(spark, tmp_path)
+    old_sync = eng.mv_catalog.get("mvd").source_snapshot_id
+    src.delete_where("k = 'b'")
+    src.append(spark.createDataFrame([("c", 7)], "k STRING, amt BIGINT"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    mv = eng.mv_catalog.get("mvd")
+    head = src.metadata.current_snapshot().snapshot_id
+    assert mv.source_snapshot_id == head
+    rows_after_first = sorted(
+        tuple(r) for r in eng.mv.backing_df(mv)
+        .select("k", "total", "cnt").collect())
+    # simulate the crash: the catalog advance is lost, the MERGE is not
+    mv.source_snapshot_id = old_sync
+    eng.mv_catalog.update(mv)
+    eng.sql("REFRESH MATERIALIZED VIEW mvd DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    mv = eng.mv_catalog.get("mvd")
+    assert mv.source_snapshot_id == head  # re-synced
+    rows_after_replay = sorted(
+        tuple(r) for r in eng.mv.backing_df(mv)
+        .select("k", "total", "cnt").collect())
+    assert rows_after_replay == rows_after_first == [
+        ("a", 30, 2), ("c", 7, 1)]
