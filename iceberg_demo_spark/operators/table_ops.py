@@ -691,6 +691,103 @@ def mv_join_changelog_refresh_dim(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("c_mktsegment"))
 
 
+@query(
+    "streaming_mv_delta_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def streaming_mv_delta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MV maintenance (VERDICT r11 #6): an aggregate MV over a
+    streamed-into fact table stays fresh PER MICRO-BATCH by composing
+    the ``REFRESH … DELTA`` net-changelog fold with ``foreachBatch`` —
+    each batch's epoch-stamped append is one commit, and the delta
+    refresh folds exactly that commit's changelog window into the
+    backing table through one keyed MERGE. The gate drains the orders
+    stream (availableNow, 4 source files, maxFilesPerTrigger=1 → ≥4
+    micro-batches), asserts ``last_refresh_mode == "delta"`` for EVERY
+    batch (a single silent full recompute fails the gate), and returns
+    the final backing table — which the oracle pins to a from-scratch
+    aggregate over the whole source.
+
+    Replay safety rides two idempotence layers: the batch append is
+    guarded by the (checkpoint, batch_id) epoch stamp exactly like the
+    bloom-guarded dedup ingest (a re-delivered batch skips the append),
+    and the delta MERGE stamps its applied changelog window on the
+    backing snapshot, so the crash window between MERGE and catalog
+    advance re-applies as a no-op (``_merge_group_deltas`` stamp;
+    pytest-pinned in test_round12_fixes).
+
+    Scale shape: per batch the ONLY data read is that batch's changelog
+    window; MV freshness cost is O(batch), independent of the
+    accumulated fact table and of MV size — at 100 TB/day this is what
+    keeps a continuously-ingested rollup queryable at batch latency
+    instead of nightly-recompute latency."""
+    import os as _os
+
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.streaming.pipeline import _batch_summary
+
+    # stage the orders fact (exact integer cents) as a 4-file source dir
+    src_dir = scratch_path(f"glacier_src_mvsd_{_sf_tag(sf_dir)}")
+    if not _os.path.exists(f"{src_dir}/_SUCCESS"):
+        (load_tables(spark, sf_dir, ("orders",))["orders"]
+         .select("o_orderkey", "o_orderpriority",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents"))
+         .repartition(4).write.mode("overwrite").parquet(src_dir))
+    schema = spark.read.parquet(src_dir).schema
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="glacier_mvsd_"))
+    t = eng.catalog.create_table(
+        "db.ord_stream",
+        "o_orderkey bigint not null, o_orderpriority string not null, "
+        "cents bigint not null")
+    # seed an EMPTY snapshot so the MV records a sync point and every
+    # micro-batch (including the first) refreshes through the delta path
+    t.append(spark.read.parquet(src_dir).limit(0))
+    eng.register("db.ord_stream")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvsd AS "
+        "SELECT o_orderpriority, SUM(cents) AS total_cents, "
+        "COUNT(*) AS cnt FROM db_ord_stream GROUP BY o_orderpriority")
+
+    ck = _fresh_ckpt(sf_dir, "mvsd")
+    modes: list[str] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        done = next((s for s in t.metadata.snapshots
+                     if s.summary.get("streaming-batch-id") == str(batch_id)
+                     and s.summary.get("streaming-checkpoint") == ck), None)
+        if done is None:
+            t.append(batch_df, summary=_batch_summary(batch_id, ck))
+        # the delta-window stamp makes a replayed refresh a no-op fold
+        eng.mv.refresh("mvsd", delta=True)
+        modes.append(eng.mv.last_refresh_mode)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src_dir)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert len(modes) >= 2, f"expected multiple micro-batches, got {modes}"
+    assert all(m == "delta" for m in modes), modes
+    mv = eng.mv_catalog.get("mvsd")
+    assert mv.source_snapshot_id == \
+        t.metadata.current_snapshot().snapshot_id, "stream did not sync"
+    return (eng.mv.backing_df(mv)
+            .select("o_orderpriority", "total_cents", "cnt")
+            .orderBy("o_orderpriority"))
+
+
 # -- streaming ingest under the value gate ---------------------------------
 
 @query(

@@ -216,6 +216,48 @@ def test_semi_join_probe_drops_hint_past_1000_keys(spark):
         mgr._semi_join_probe(touched, 1001, mv)
 
 
+# -- VERDICT r11 #7: quantile-sample state advancement -----------------------
+
+def test_quantile_advance_equals_rebuild(spark):
+    """The advanced (3-epoch chained) sample state must yield exactly
+    the one-shot gate's rows — union-of-samples == sample-of-union is
+    the keep predicate's row-wise determinism, pinned end-to-end."""
+    from iceberg_demo_spark import registry
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    a = registry.QUERIES["sketch_quantile_sample"](spark, SF_SMALL).collect()
+    b = registry.QUERIES["sketch_quantile_advance"](spark, SF_SMALL).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) > 0
+
+
+def test_quantile_advanced_state_is_the_one_shot_sample(spark):
+    """The persisted state's row set (not just its quantiles) equals
+    the one-shot keep-predicate output — no duplicate folds, no lost
+    epochs."""
+    import os
+
+    from iceberg_demo_spark import registry
+    from iceberg_demo_spark.operators.layout import _sf_tag
+    from iceberg_demo_spark.operators.sketches import (
+        _qsample_keep, _qsample_project)
+    from iceberg_demo_spark.scratch import scratch_path
+    from iceberg_demo_spark.sources import load_tables
+    from tests.conftest import SF_SMALL
+
+    registry.load_all()
+    registry.QUERIES["sketch_quantile_advance"](spark, SF_SMALL).collect()
+    state = scratch_path(f"glacier_qsample_state_{_sf_tag(SF_SMALL)}")
+    assert os.path.exists(state)
+    got = {tuple(r) for r in spark.read.parquet(state)
+           .select("source", "doc_id", "n_chars").collect()}
+    docs = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    want = {tuple(r) for r in _qsample_keep(_qsample_project(docs))
+            .select("source", "doc_id", "n_chars").collect()}
+    assert got == want and len(want) > 0
+
+
 # -- VERDICT r11 #6: the delta-window idempotence stamp ----------------------
 
 def test_delta_window_stamp_makes_replay_idempotent(spark, tmp_path):
