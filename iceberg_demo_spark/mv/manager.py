@@ -338,7 +338,8 @@ class MVManager:
     _SUM_SAFE_RESID = re.compile(r"[\s()+\-*,]*")
 
     def _require_non_null_sums(self, items, backing_cols: list[str],
-                               col_nullable: dict[str, bool]) -> None:
+                               col_nullable: dict[str, bool],
+                               guarded: dict | None = None) -> None:
         """Refuse DELTA enrollment when a SUM argument can evaluate to
         NULL (ADVICE r11 low): merged-delta SUM arithmetic turns "every
         non-NULL contributor deleted while NULL rows remain" into a
@@ -350,9 +351,12 @@ class MVManager:
 
         ``col_nullable`` maps lowercased bare and qualified column names
         to their schema nullability; an unresolvable identifier counts
-        as nullable."""
+        as nullable. SUM columns in ``guarded`` (a COUNT companion over
+        the identical argument restores NULL exactly at merge time) are
+        exempt — round 12, the view paid for exactness."""
+        guarded = guarded or {}
         for i, (fn, expr, _a) in enumerate(items):
-            if fn != "sum":
+            if fn != "sum" or backing_cols[i] in guarded:
                 continue
             e = re.sub(r"'(?:[^']|'')*'", " NULL ", expr.strip().lower())
             ok = True
@@ -650,7 +654,9 @@ class MVManager:
         items = info.agg_items()
         backing = self.table_catalog.load_table(mv.backing_table)
         backing_cols = [f.name for f in backing.metadata.schema]
-        cnt_col = self._delta_cnt_col(items, backing_cols)
+        avg_derived, sum_guards = self._delta_companions(
+            items, backing_cols, backing)
+        cnt_col = self._delta_cnt_col(items, backing_cols, avg_derived)
         t = self.table_catalog.load_table(source)
         head = t.metadata.current_snapshot()
         if head is None or mv.source_snapshot_id < 0:
@@ -660,7 +666,8 @@ class MVManager:
         self._require_ancestor(t, mv.source_snapshot_id, source)
         self._require_non_null_sums(
             items, backing_cols,
-            {f.name.lower(): f.nullable for f in t.schema().fields})
+            {f.name.lower(): f.nullable for f in t.schema().fields},
+            guarded=sum_guards)
         cl = proc.create_changelog_view(
             t, f"__mv_cldelta_{mv.name.lower().replace('.', '_')}",
             start_snapshot_id=mv.source_snapshot_id,
@@ -673,9 +680,9 @@ class MVManager:
                     for i, (fn, expr, _a) in enumerate(items) if fn == ""]
         aggs = []
         for i, (fn, expr, _a) in enumerate(items):
-            if fn == "":
-                continue
             col = backing_cols[i]
+            if fn == "" or col in avg_derived:
+                continue  # avg is recomputed from its merged companions
             if fn == "count" and expr.strip() in ("*", "1"):
                 aggs.append(F.sum(sign).cast("bigint").alias(col))
             elif fn == "count":
@@ -690,16 +697,24 @@ class MVManager:
             backing, backing_cols, items, [n for n, _e in key_cols],
             cnt_col, delta_df,
             stamp=self._window_stamp(
-                [(source, mv.source_snapshot_id, head.snapshot_id)]))
+                [(source, mv.source_snapshot_id, head.snapshot_id)]),
+            avg_derived=avg_derived, sum_guards=sum_guards)
         mv.source_snapshot_id = head.snapshot_id
         return self._finish_refresh(mv, backing)
 
     @staticmethod
-    def _delta_cnt_col(items, backing_cols: list[str]) -> str:
-        """Validate delta-maintainability (SUM/COUNT only, plain
-        COUNT(*) present) and return the count column's name."""
-        for fn, _arg, _a in items:
-            if fn and fn not in ("sum", "count"):
+    def _delta_cnt_col(items, backing_cols: list[str],
+                       avg_derived: dict | None = None) -> str:
+        """Validate delta-maintainability (SUM/COUNT natively; AVG only
+        when derivable from SUM+COUNT companions; plain COUNT(*)
+        present) and return the count column's name."""
+        avg_derived = avg_derived or {}
+        for i, (fn, _arg, _a) in enumerate(items):
+            if fn == "avg" and backing_cols[i] not in avg_derived:
+                raise ParseError(
+                    "not delta-maintainable: AVG without matching "
+                    "SUM + COUNT companion columns (bigint/double)")
+            if fn and fn not in ("sum", "count", "avg"):
                 raise ParseError(f"not delta-maintainable: {fn}")
         cnt = [backing_cols[i] for i, (fn, arg, _a) in enumerate(items)
                if fn == "count" and arg.strip() in ("*", "1")]
@@ -732,26 +747,96 @@ class MVManager:
             snap.summary[self._DELTA_STAMP] = stamp
             backing.metadata.save()
 
+    # -- companion-column delta derivations (round 12) ---------------------
+    #
+    # A view that ALSO carries the right companions unlocks two classes
+    # the bare SUM/COUNT restriction refuses:
+    #   * AVG(x) is derivable when SUM(x) and COUNT(x) are view columns —
+    #     the MERGE recomputes avg from the merged companions, exactly as
+    #     the rewriter derives AVG from SUM/COUNT at query time.
+    #   * SUM(x) over a NULLABLE x is NULL-exact when COUNT(x) is a view
+    #     column: post-merge COUNT(x) == 0 restores SQL's NULL where the
+    #     bare merged-delta arithmetic would leave a spurious 0 (the
+    #     ADVICE r11 refusal, lifted when the view can pay for exactness).
+
+    @staticmethod
+    def _norm_arg(e: str) -> str:
+        return re.sub(r"\s+", "", e.strip().lower())
+
+    def _delta_companions(self, items, backing_cols: list[str], backing,
+                          ) -> tuple[dict, dict]:
+        """(avg_col → (sum_col, cnt_col), sum_col → cnt_col) from
+        companion columns over the IDENTICAL normalized argument. AVG
+        derivation is restricted to bigint SUM + double AVG backing
+        types: Spark accumulates a non-decimal AVG sum as double, which
+        equals our exact bigint sum (cast to double) whenever the sum
+        stays within 2^53 — integer-measure views, the delta gates'
+        standing discipline; decimal/double arguments keep refusing."""
+        types = {f.name: f.type for f in backing.metadata.schema}
+        sums: dict[str, str] = {}
+        cnts: dict[str, str] = {}
+        for i, (fn, e, _a) in enumerate(items):
+            if fn == "sum":
+                sums.setdefault(self._norm_arg(e), backing_cols[i])
+            elif fn == "count" and e.strip() not in ("*", "1"):
+                cnts.setdefault(self._norm_arg(e), backing_cols[i])
+        avg_derived: dict[str, tuple[str, str]] = {}
+        sum_guards: dict[str, str] = {}
+        for i, (fn, e, _a) in enumerate(items):
+            k = self._norm_arg(e)
+            col = backing_cols[i]
+            if (fn == "avg" and k in sums and k in cnts
+                    and types.get(col) == "double"
+                    and types.get(sums[k]) == "bigint"):
+                avg_derived[col] = (sums[k], cnts[k])
+            elif fn == "sum" and k in cnts:
+                sum_guards[col] = cnts[k]
+        return avg_derived, sum_guards
+
     def _merge_group_deltas(self, backing, backing_cols: list[str],
                             items, key_names: list[str], cnt_col: str,
                             delta_df: DataFrame,
-                            stamp: str | None = None) -> None:
+                            stamp: str | None = None,
+                            avg_derived: dict | None = None,
+                            sum_guards: dict | None = None) -> None:
         """Fold one signed delta row per touched group into the backing
         table (shared by the single-table and join delta paths):
         update-add on matched groups, delete when COUNT(*) reaches
         zero, insert brand-new groups, skip insert-then-delete
         zero-nets. With ``stamp``, an already-applied window (the crash
         replay between MERGE and catalog advance) is skipped and the
-        fresh fold's snapshot is stamped."""
+        fresh fold's snapshot is stamped. ``avg_derived`` columns are
+        absent from ``delta_df`` and recomputed from their merged
+        SUM/COUNT companions; ``sum_guards`` columns restore NULL when
+        their companion COUNT reaches zero (all SET expressions read
+        pre-update t values, so companion reads are consistent)."""
         if stamp is not None and self._window_already_applied(backing, stamp):
             return
+        avg_derived = avg_derived or {}
+        sum_guards = sum_guards or {}
         updates = {}
+        inserts = {}
         for i, (fn, expr, _a) in enumerate(items):
             if fn == "":
                 continue
             col = backing_cols[i]
+            if col in avg_derived:
+                sc, cc = avg_derived[col]
+                updates[col] = (
+                    f"CASE WHEN t.{cc} + s.{cc} = 0 THEN NULL "
+                    f"ELSE CAST(coalesce(t.{sc}, 0) + coalesce(s.{sc}, 0) "
+                    f"AS DOUBLE) / (t.{cc} + s.{cc}) END")
+                inserts[col] = (f"CASE WHEN s.{cc} = 0 THEN NULL "
+                                f"ELSE CAST(s.{sc} AS DOUBLE) / s.{cc} END")
+                continue
+            inserts[col] = f"s.{col}"
             if fn == "count":
                 updates[col] = f"t.{col} + s.{col}"
+            elif col in sum_guards:
+                cc = sum_guards[col]
+                updates[col] = (
+                    f"CASE WHEN t.{cc} + s.{cc} = 0 THEN NULL "
+                    f"ELSE coalesce(t.{col}, 0) + coalesce(s.{col}, 0) END")
             else:  # sum: NULL-in NULL-out on both sides
                 updates[col] = (
                     f"CASE WHEN t.{col} IS NULL AND s.{col} IS NULL "
@@ -768,7 +853,9 @@ class MVManager:
             ],
             # insert-then-delete inside the window nets to zero: skip
             not_matched=[{"condition": f"s.{cnt_col} > 0",
-                          "values": {c: f"s.{c}" for c in backing_cols}}],
+                          "values": {
+                              **{n: f"s.{n}" for n in key_names},
+                              **inserts}}],
             # delta_df is one row per group key by construction
             check_cardinality=False,
         )
@@ -815,7 +902,9 @@ class MVManager:
         items = info.agg_items()
         backing = self.table_catalog.load_table(mv.backing_table)
         backing_cols = [f.name for f in backing.metadata.schema]
-        cnt_col = self._delta_cnt_col(items, backing_cols)
+        avg_derived, sum_guards = self._delta_companions(
+            items, backing_cols, backing)
+        cnt_col = self._delta_cnt_col(items, backing_cols, avg_derived)
         tables = {ref: self.table_catalog.load_table(src)
                   for ref, src in sources.items()}
         heads = {}
@@ -855,7 +944,8 @@ class MVManager:
                 n = f.name.lower()
                 bare[n] = bare.get(n, False) or nn
         colmap.update(bare)
-        self._require_non_null_sums(items, backing_cols, colmap)
+        self._require_non_null_sums(items, backing_cols, colmap,
+                                    guarded=sum_guards)
 
         key_cols = [(backing_cols[i], e)
                     for i, (fn, e, _a) in enumerate(items) if fn == ""]
@@ -874,9 +964,9 @@ class MVManager:
             aggregation happens once, over the UNION of all terms."""
             sel = [f"{e} AS {n}" for n, e in key_cols]
             for i, (fn, expr, _a) in enumerate(items):
-                if fn == "":
-                    continue
                 col = backing_cols[i]
+                if fn == "" or col in avg_derived:
+                    continue  # avg recomputes from merged companions
                 if fn == "count" and expr.strip() in ("*", "1"):
                     sel.append(f"CAST({delta_ref}._sign AS BIGINT) "
                                f"AS {col}")
@@ -920,9 +1010,9 @@ class MVManager:
                 rows = rows.unionAll(extra)
             aggs = []
             for i, (fn, _e, _a) in enumerate(items):
-                if fn == "":
-                    continue
                 col = backing_cols[i]
+                if fn == "" or col in avg_derived:
+                    continue
                 agg = F.sum(F.col(col))
                 aggs.append((agg.cast("bigint") if fn == "count" else agg)
                             .alias(col))
@@ -933,7 +1023,8 @@ class MVManager:
                 cnt_col, delta_df,
                 stamp=self._window_stamp(
                     [(ref, rec[ref][1], heads[ref].snapshot_id)
-                     for ref in changed]))
+                     for ref in changed]),
+                avg_derived=avg_derived, sum_guards=sum_guards)
         finally:
             # ALWAYS restore every ref's view to its current state — a
             # failing delta/MERGE must not leave a global binding pointed

@@ -943,6 +943,19 @@ def test_quantile_sample_filter_precedes_exchange(spark):
     assert "Filter" in plan and "md5(" in plan and "conv(" in plan
 
 
+def test_quantile_advance_reads_state_not_corpus(spark):
+    """sketch_quantile_advance: the estimate branch ranks the PERSISTED
+    advanced state (already keep-filtered — no md5/hash recompute
+    anywhere in the final plan, Catalyst prunes hv away), the corpus
+    appears only as the audit branch's scan; same two source-keyed
+    window exchanges as the one-shot gate."""
+    plan = _plan(spark, "sketch_quantile_advance")
+    assert "glacier_qsample_state_" in plan
+    assert plan.count("hashpartitioning(source") == 2
+    assert "md5(" not in plan  # the state is pre-filtered at advance time
+    assert "CartesianProduct" not in plan
+
+
 def test_bm25_compacted_probe_still_partition_pruned(spark):
     """doc_bm25_index_compact: after bin-packing the epoch-fragmented
     postings, the probe still reads only the query terms' tok_bucket

@@ -216,6 +216,95 @@ def test_semi_join_probe_drops_hint_past_1000_keys(spark):
         mgr._semi_join_probe(touched, 1001, mv)
 
 
+# -- round 12: companion-column delta enrollment ------------------------------
+
+def test_delta_guarded_sum_restores_null_exactly(spark, tmp_path):
+    """The ADVICE r11 divergence, LIFTED by a companion: with COUNT(amt)
+    in the view, deleting every non-NULL contributor of a group while a
+    NULL row remains lands SUM = NULL (as full recompute does), through
+    the DELTA path — no fallback."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT")  # amt nullable
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvg AS "
+            "SELECT k, SUM(amt) AS total, COUNT(amt) AS nvals, "
+            "COUNT(*) AS cnt FROM db_facts GROUP BY k")
+    src.delete_where("amt = 10")  # group a keeps only its NULL row
+    eng.sql("REFRESH MATERIALIZED VIEW mvg DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert eng.mv.last_refresh_fallback_reason is None
+    mv = eng.mv_catalog.get("mvg")
+    got = sorted((tuple(r) for r in eng.mv.backing_df(mv)
+                  .select("k", "total", "nvals", "cnt").collect()))
+    assert got == [("a", None, 0, 1), ("b", 5, 1, 1)]  # NULL, not 0
+
+
+def test_delta_avg_derives_from_companions(spark, tmp_path):
+    """AVG(amt) delta-folds when SUM(amt) + COUNT(amt) ride in the view:
+    the MERGE recomputes avg from the merged companions, equal to full
+    recompute; NULL when the companion count reaches zero."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT")
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", None), ("b", 5), ("c", 8)],
+        "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mva AS "
+            "SELECT k, SUM(amt) AS total, COUNT(amt) AS nvals, "
+            "AVG(amt) AS mean, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.delete_where("k = 'a' AND amt = 10")   # a: avg 20
+    src.delete_where("k = 'c'")                # c vanishes
+    src.append(spark.createDataFrame(
+        [("b", None), ("d", 7), ("d", 9)], "k STRING, amt BIGINT"))
+    eng.sql("REFRESH MATERIALIZED VIEW mva DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert eng.mv.last_refresh_fallback_reason is None
+    mv = eng.mv_catalog.get("mva")
+    got = sorted((tuple(r) for r in eng.mv.backing_df(mv)
+                  .select("k", "total", "nvals", "mean", "cnt").collect()))
+    assert got == [("a", 20, 1, 20.0, 2), ("b", 5, 1, 5.0, 2),
+                   ("d", 16, 2, 8.0, 2)]
+    # and the delta answer equals a full recompute of the same view
+    eng.sql("REFRESH MATERIALIZED VIEW mva")
+    mv = eng.mv_catalog.get("mva")
+    full = sorted((tuple(r) for r in eng.mv.backing_df(mv)
+                   .select("k", "total", "nvals", "mean", "cnt").collect()))
+    assert got == full
+
+
+def test_delta_avg_without_companions_refuses(spark, tmp_path):
+    """AVG with no matching SUM+COUNT companions cannot be maintained
+    from deltas — refuse with a recorded reason, fall back exactly."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT NOT NULL")
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvx AS "
+            "SELECT k, AVG(amt) AS mean, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.delete_where("amt = 20")
+    eng.sql("REFRESH MATERIALIZED VIEW mvx DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert "companion" in eng.mv.last_refresh_fallback_reason
+    mv = eng.mv_catalog.get("mvx")
+    got = sorted((tuple(r) for r in eng.mv.backing_df(mv)
+                  .select("k", "mean", "cnt").collect()))
+    assert got == [("a", 10.0, 1), ("b", 5.0, 1)]
+
+
 # -- VERDICT r11 #7: quantile-sample state advancement -----------------------
 
 def test_quantile_advance_equals_rebuild(spark):

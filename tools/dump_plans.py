@@ -164,6 +164,13 @@ EXTRA = [
     # per-invocation scratch/DML state — plan-pinned in tests instead.
     "sim_ivfpq_index_compact",
     "sketch_bloom_resize",
+    # round 11 late + round 12: the one-shot hash-sample quantiles and
+    # their state-advancement twin (the est branch must rank the
+    # persisted pre-filtered state, corpus only as audit). The
+    # streaming/dim MV delta gates mutate per-invocation DML state —
+    # in-gate mode asserts + tests instead.
+    "sketch_quantile_sample",
+    "sketch_quantile_advance",
 ]
 SNAPSHOT = SNAPSHOT + [q for q in EXTRA if q not in SNAPSHOT]
 
