@@ -206,11 +206,10 @@ def test_semi_join_probe_drops_hint_past_1000_keys(spark):
                           storage_location="", row_count=100_000,
                           size_in_bytes=0)
     touched = spark.range(1100).withColumnRenamed("id", "k")
-    hinted = mgr._semi_join_probe(touched, 900, mv)
-    plan = hinted._jdf.queryExecution().logical().toString()
-    assert "hint" in plan.lower(), plan
-    unhinted = mgr._semi_join_probe(touched, 1001, mv)
-    assert unhinted is touched  # no hint wrapper past the bounded probe
+    probe, hint = mgr._semi_join_probe(touched, 900, mv)
+    assert hint and probe is touched  # hint applied at the join call
+    probe, hint = mgr._semi_join_probe(touched, 1001, mv)
+    assert not hint and probe is touched  # AQE decides past the bound
     mv.row_count = 2000  # 1100 touched ≥ 30% of 2000 groups
     with pytest.raises(ValueError, match="full recompute is cheaper"):
         mgr._semi_join_probe(touched, 1001, mv)

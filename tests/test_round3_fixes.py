@@ -234,6 +234,10 @@ def test_incremental_refresh_composite_keys_merge_path(engine):
         "region string, product string, amount double"))
     t.delete_where("region = 'west'")
     engine.sql("REFRESH MATERIALIZED VIEW ck_mv INCREMENTAL")
+    # round 12: the composite-key semi-join was latently ambiguous and
+    # silently fell back to full recompute until the fallback excepts
+    # were narrowed — pin the mode so the merge path actually runs
+    assert engine.mv.last_refresh_mode == "incremental"
     assert _mv_rows(engine, "ck_mv") == {
         ("east", "w", 101.0, 2), ("east", "g", 10.0, 1),
         ("north", "w", 7.0, 1), (None, "g", 7.0, 2)}
