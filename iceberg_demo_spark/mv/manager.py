@@ -674,6 +674,10 @@ class MVManager:
             end_snapshot_id=head.snapshot_id)
         if info.where:
             cl = cl.filter(" AND ".join(f"({c})" for c in info.where))
+        # MIN/MAX enroll only when the (view-scoped) window is pure
+        # inserts — checked AFTER the WHERE filter: a delete the view's
+        # predicate never admits cannot retract its extremum
+        self._require_insert_only_for_minmax(items, cl)
         sign = F.when(F.col("_change_type").isin("INSERT", "UPDATE_AFTER"),
                       F.lit(1)).otherwise(F.lit(-1))
         key_cols = [(backing_cols[i], expr)
@@ -689,6 +693,9 @@ class MVManager:
                 aggs.append(F.sum(F.when(F.expr(expr).isNotNull(), sign)
                                   .otherwise(F.lit(0)))
                             .cast("bigint").alias(col))
+            elif fn in ("min", "max"):
+                # insert-only by the check above: the window extremum
+                aggs.append(getattr(F, fn)(F.expr(expr)).alias(col))
             else:  # sum: NULL deltas (all-NULL contributors) add nothing
                 aggs.append(F.sum(sign * F.expr(expr)).alias(col))
         delta_df = cl.groupBy(
@@ -714,7 +721,7 @@ class MVManager:
                 raise ParseError(
                     "not delta-maintainable: AVG without matching "
                     "SUM + COUNT companion columns (bigint/double)")
-            if fn and fn not in ("sum", "count", "avg"):
+            if fn and fn not in ("sum", "count", "avg", "min", "max"):
                 raise ParseError(f"not delta-maintainable: {fn}")
         cnt = [backing_cols[i] for i, (fn, arg, _a) in enumerate(items)
                if fn == "count" and arg.strip() in ("*", "1")]
@@ -762,6 +769,25 @@ class MVManager:
     @staticmethod
     def _norm_arg(e: str) -> str:
         return re.sub(r"\s+", "", e.strip().lower())
+
+    @staticmethod
+    def _require_insert_only_for_minmax(items, cl: DataFrame) -> None:
+        """MIN/MAX delta-fold is valid ONLY for insert-only windows
+        (round 12): under pure inserts a group's extremum can move in
+        one direction only, so least/greatest merging is exact; a
+        single delete/update image can retract the stored extremum,
+        which no delta can repair — refuse (ParseError → refresh()
+        falls back; INCREMENTAL's touched-group recompute is exact).
+        One LIMIT-1 probe over the window, not a full count."""
+        if not any(fn in ("min", "max") for fn, _e, _a in items):
+            return
+        neg = cl.filter(F.col("_change_type")
+                        .isin("DELETE", "UPDATE_BEFORE")).limit(1).count()
+        if neg:
+            raise ParseError(
+                "not delta-maintainable: MIN/MAX with deletes/updates "
+                "in the window (an extremum retraction cannot be "
+                "delta-folded)")
 
     def _delta_companions(self, items, backing_cols: list[str], backing,
                           ) -> tuple[dict, dict]:
@@ -832,6 +858,12 @@ class MVManager:
             inserts[col] = f"s.{col}"
             if fn == "count":
                 updates[col] = f"t.{col} + s.{col}"
+            elif fn in ("min", "max"):
+                # insert-only window (validated upstream): the stored
+                # extremum can only be improved; least/greatest skip
+                # NULLs in Spark, so an all-NULL window delta is a no-op
+                agg2 = "least" if fn == "min" else "greatest"
+                updates[col] = f"{agg2}(t.{col}, s.{col})"
             elif col in sum_guards:
                 cc = sum_guards[col]
                 updates[col] = (
@@ -975,6 +1007,10 @@ class MVManager:
                         f"CAST(CASE WHEN ({expr}) IS NOT NULL THEN "
                         f"{delta_ref}._sign ELSE 0 END AS BIGINT) "
                         f"AS {col}")
+                elif fn in ("min", "max"):
+                    # insert-only windows only (validated per changed
+                    # table): every image is a positive contribution
+                    sel.append(f"({expr}) AS {col}")
                 else:
                     sel.append(f"{delta_ref}._sign * ({expr}) AS {col}")
             return f"SELECT {', '.join(sel)} FROM {from_sql}{where_sql}"
@@ -993,6 +1029,8 @@ class MVManager:
                     tables[ref], f"{vbase}_{idx}",
                     start_snapshot_id=rec[ref][1],
                     end_snapshot_id=heads[ref].snapshot_id)
+                # raw per-table window (pre-WHERE) — conservative-sound
+                self._require_insert_only_for_minmax(items, cl)
                 (cl.withColumn("_sign", sign).drop(*meta_cols)
                  .createOrReplaceTempView(ref))
                 for jdx, other in enumerate(order):
@@ -1012,6 +1050,9 @@ class MVManager:
             for i, (fn, _e, _a) in enumerate(items):
                 col = backing_cols[i]
                 if fn == "" or col in avg_derived:
+                    continue
+                if fn in ("min", "max"):
+                    aggs.append(getattr(F, fn)(F.col(col)).alias(col))
                     continue
                 agg = F.sum(F.col(col))
                 aggs.append((agg.cast("bigint") if fn == "count" else agg)

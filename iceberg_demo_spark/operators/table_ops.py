@@ -704,6 +704,91 @@ def mv_changelog_refresh_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mv_changelog_refresh_minmax",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    app1 AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             '9-NEW' AS o_orderpriority, cents
+      FROM base WHERE o_orderkey % 9 = 0
+    ),
+    app2 AS (
+      SELECT o_orderkey + 200000000 AS o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 0 THEN cents * 3
+                  ELSE cents // 3 END AS cents
+      FROM base WHERE o_orderkey % 11 = 0
+    ),
+    final AS (SELECT * FROM base
+              UNION ALL SELECT * FROM app1
+              UNION ALL SELECT * FROM app2)
+    SELECT o_orderpriority,
+           CAST(MIN(cents) AS BIGINT) AS lo,
+           CAST(MAX(cents) AS BIGINT) AS hi,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def mv_changelog_refresh_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX delta maintenance for INSERT-ONLY windows (round 12,
+    beyond the SUM/COUNT restriction): under pure inserts a group's
+    extremum can move in one direction only, so the window extremum
+    merges exactly with least/greatest — the append-only fact-table
+    case (event logs, crawl ingests, market ticks) where MIN/MAX
+    rollups are routine. The gate streams two APPEND commits through
+    ``REFRESH … DELTA``: a brand-new group and a batch that raises
+    maxima (cents×3) and lowers minima (cents÷3) on existing groups;
+    mode == delta asserted, no fallback reason. A window containing
+    any delete/update image refuses (one LIMIT-1 probe; an extremum
+    retraction cannot be delta-folded — pytest pins the refusal and
+    the exact fallback), so correctness is never traded for the fold.
+
+    Scale shape: same O(window commits) + one keyed MERGE as the other
+    delta gates; the insert-only probe reads at most one changelog row.
+    The reference stubs ALL MV refresh as full recompute
+    (docs/starrocks-mv-features.md:56-58)."""
+    import tempfile as _tf
+
+    t_in = load_tables(spark, sf_dir, ("orders",))
+    eng = Engine(spark, _tf.mkdtemp(prefix="glacier_mvmm_"))
+    base = t_in["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    src = eng.catalog.create_table(
+        "db.ord_mm",
+        "o_orderkey bigint not null, o_orderpriority string not null, "
+        "cents bigint not null")
+    src.append(base)
+    eng.register("db.ord_mm")
+    eng.sql(
+        "CREATE MATERIALIZED VIEW mvmm AS "
+        "SELECT o_orderpriority, MIN(cents) AS lo, MAX(cents) AS hi, "
+        "SUM(cents) AS total_cents, COUNT(*) AS cnt "
+        "FROM db_ord_mm GROUP BY o_orderpriority"
+    )
+    src.append(base.filter("o_orderkey % 9 = 0").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("9-NEW").alias("o_orderpriority"), "cents"))
+    src.append(base.filter("o_orderkey % 11 = 0").select(
+        (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+        "o_orderpriority",
+        F.expr("CASE WHEN o_orderkey % 2 = 0 THEN cents * 3 "
+               "ELSE cents div 3 END").alias("cents")))
+    eng.sql("REFRESH MATERIALIZED VIEW mvmm DELTA")
+    assert eng.mv.last_refresh_mode == "delta", eng.mv.last_refresh_mode
+    assert eng.mv.last_refresh_fallback_reason is None, \
+        eng.mv.last_refresh_fallback_reason
+    mv = eng.mv_catalog.get("mvmm")
+    return (eng.mv.backing_df(mv)
+            .select("o_orderpriority", "lo", "hi", "total_cents", "cnt")
+            .orderBy("o_orderpriority"))
+
+
+@query(
     "mv_join_changelog_refresh_dim",
     oracle="""
     WITH fact AS (

@@ -227,7 +227,6 @@ def load_all() -> None:
         "streaming_ingest_hourly",
         "streaming_running_counts",
         "streaming_stateful_dedup",
-        "changelog_replication",
         # -- round-12 NEW/CHANGED gates displace the r9 tail
         #    one-for-one (standing policy; the displaced names
         #    lead the round-13 queue): the MV delta gates changed
@@ -238,6 +237,7 @@ def load_all() -> None:
         "mv_join_changelog_refresh",
         "mv_join_changelog_refresh_dim",
         "mv_changelog_refresh_avg",
+        "mv_changelog_refresh_minmax",
         "streaming_mv_delta_refresh",
         "sketch_quantile_advance",
     )

@@ -304,6 +304,39 @@ def test_delta_avg_without_companions_refuses(spark, tmp_path):
     assert got == [("a", 10.0, 1), ("b", 5.0, 1)]
 
 
+def test_delta_minmax_insert_only_window(spark, tmp_path):
+    """MIN/MAX delta-fold under a pure-insert window: extrema merge via
+    least/greatest, new groups insert, equal to full recompute."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    src = eng.catalog.create_table(
+        "db.facts", "k STRING NOT NULL, amt BIGINT NOT NULL")
+    src.append(spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "k STRING, amt BIGINT"))
+    eng.register("db.facts")
+    eng.sql("CREATE MATERIALIZED VIEW mvmm AS "
+            "SELECT k, MIN(amt) AS lo, MAX(amt) AS hi, COUNT(*) AS cnt "
+            "FROM db_facts GROUP BY k")
+    src.append(spark.createDataFrame(
+        [("a", 3), ("a", 99), ("c", 7)], "k STRING, amt BIGINT"))
+    eng.sql("REFRESH MATERIALIZED VIEW mvmm DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert eng.mv.last_refresh_fallback_reason is None
+    mv = eng.mv_catalog.get("mvmm")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "lo", "hi", "cnt").collect())
+    assert got == [("a", 3, 99, 4), ("b", 5, 5, 1), ("c", 7, 7, 1)]
+    # a delete in the NEXT window retracts an extremum: must refuse
+    src.delete_where("k = 'a' AND amt = 99")
+    eng.sql("REFRESH MATERIALIZED VIEW mvmm DELTA")
+    assert eng.mv.last_refresh_mode == "full"
+    assert "MIN/MAX" in eng.mv.last_refresh_fallback_reason
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("k", "lo", "hi", "cnt").collect())
+    assert got == [("a", 3, 20, 3), ("b", 5, 5, 1), ("c", 7, 7, 1)]
+
+
 # -- VERDICT r11 #7: quantile-sample state advancement -----------------------
 
 def test_quantile_advance_equals_rebuild(spark):
