@@ -304,6 +304,59 @@ def test_delta_avg_without_companions_refuses(spark, tmp_path):
     assert got == [("a", 10.0, 1), ("b", 5.0, 1)]
 
 
+def test_mv_join_delta_three_tables_two_changed(spark, tmp_path):
+    """3-table inner star, changes in the FACT and the SECOND dim in
+    one window, plus a WHERE filter: the telescoping terms must pin
+    head state left of each delta and recorded state right of it —
+    wrong pinning double- or under-counts the row that both changes
+    touch. Oracle: full recompute of the final state."""
+    from iceberg_demo_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    f = eng.catalog.create_table(
+        "db.f", "fid BIGINT NOT NULL, r STRING NOT NULL, "
+                "p STRING NOT NULL, amt BIGINT NOT NULL")
+    f.append(spark.createDataFrame(
+        [(1, "east", "w", 10), (2, "west", "w", 5), (3, "east", "g", 7),
+         (4, "east", "w", 100)],
+        "fid BIGINT, r STRING, p STRING, amt BIGINT"))
+    d1 = eng.catalog.create_table_as(
+        "db.d1", spark.createDataFrame(
+            [("east", "z1"), ("west", "z2")], "r STRING, zone STRING"))
+    d2 = eng.catalog.create_table_as(
+        "db.d2", spark.createDataFrame(
+            [("w", "wood"), ("g", "glass")], "p STRING, mat STRING"))
+    for n in ("db.f", "db.d1", "db.d2"):
+        eng.register(n)
+    eng.sql("CREATE MATERIALIZED VIEW mv3 AS "
+            "SELECT d1.zone, d2.mat, SUM(f.amt) AS total, COUNT(*) AS cnt "
+            "FROM db_f f JOIN db_d1 d1 ON f.r = d1.r "
+            "JOIN db_d2 d2 ON f.p = d2.p "
+            "WHERE f.amt < 100 GROUP BY d1.zone, d2.mat")
+    # window: fact gains a row AND loses one; d2 re-materializes 'g'
+    f.append(spark.createDataFrame([(5, "west", "g", 9)],
+                                   "fid BIGINT, r STRING, p STRING, amt BIGINT"))
+    f.delete_where("fid = 2")
+    d2.delete_where("p = 'g'")
+    d2.append(spark.createDataFrame([("g", "green_glass")],
+                                    "p STRING, mat STRING"))
+    eng.sql("REFRESH MATERIALIZED VIEW mv3 DELTA")
+    assert eng.mv.last_refresh_mode == "delta"
+    assert eng.mv.last_refresh_fallback_reason is None
+    mv = eng.mv_catalog.get("mv3")
+    got = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                 .select("zone", "mat", "total", "cnt").collect())
+    # final state (amt<100 filters fid=4): f={1e w10, 3e g7, 5w g9},
+    # d1 unchanged, d2={w wood, g green_glass}
+    assert got == [("z1", "green_glass", 7, 1), ("z1", "wood", 10, 1),
+                   ("z2", "green_glass", 9, 1)]
+    # and it equals an independent full recompute
+    eng.sql("REFRESH MATERIALIZED VIEW mv3")
+    full = sorted(tuple(r) for r in eng.mv.backing_df(mv)
+                  .select("zone", "mat", "total", "cnt").collect())
+    assert got == full
+
+
 def test_delta_minmax_insert_only_window(spark, tmp_path):
     """MIN/MAX delta-fold under a pure-insert window: extrema merge via
     least/greatest, new groups insert, equal to full recompute."""
