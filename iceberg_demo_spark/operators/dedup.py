@@ -1693,17 +1693,21 @@ def dedup_cascade_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    norm = emb.select(
-        "vec_id",
-        F.expr(
-            "transform(v, x -> x / sqrt(aggregate(transform(v, y -> y * y),"
-            " 0D, (a, b) -> a + b)))"
-        ).alias("u"),
-    )
-    a = norm.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
-    b = norm.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
-    cos = F.expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), 0D,"
-                 " (a, b) -> a + b)")
+    # normalization is applied AFTER the candidate joins (round 12): the
+    # per-element expression — x / sqrt(Σ y²), the exact fold order the
+    # DuckDB oracle mirrors — is unchanged, but it now evaluates only on
+    # the candidate-sized joined rows instead of twice over the whole
+    # embedding table (the joins stream raw vectors; the CPU-heavy
+    # transform runs ∝ candidates, the cascade's design premise)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+
+    def _unit(col: str) -> str:
+        return (f"transform({col}, x -> x / sqrt(aggregate("
+                f"transform({col}, y -> y * y), 0D, (a, b) -> a + b)))")
+
+    cos = F.expr(f"aggregate(zip_with({_unit('va')}, {_unit('vb')}, "
+                 "(x, y) -> x * y), 0D, (a, b) -> a + b)")
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1907,11 +1911,22 @@ def prefix_filter_pairs(docs: DataFrame, tau: float = 0.2) -> DataFrame:
     power test) can drive it."""
     sh = docs.select("doc_id", F.explode(shingles_col()).alias("s"))
     # one grouped pass builds BOTH the size frame and the per-doc sorted
-    # shingle array the candidate-bound verifier joins against
+    # shingle array the candidate-bound verifier joins against; the
+    # checkpoint makes it the ONLY pass that ever tokenizes/shingles the
+    # corpus — every later consumer (df counts, prefix ranking, the two
+    # verify joins, the fallback match stream) re-derives the shingle
+    # stream by exploding the materialized arrays instead of re-reading
+    # and re-shingling the text
     arrs = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("arr"),
-        F.count(F.lit(1)).alias("n_sh"))
-    prefix = _prefix_tokens(sh, arrs, tau)
+        F.count(F.lit(1)).alias("n_sh")).transform(_pin_ckpt)
+    # identical multiset to ``sh`` (shingles are distinct per doc), but
+    # rooted at the checkpointed arrays
+    sh = arrs.select("doc_id", F.explode("arr").alias("s"))
+    # checkpointed because BOTH the planning statistic and (on the
+    # candidate-bound path) candidate generation consume it — and the
+    # statistic's action materializes it anyway
+    prefix = _prefix_tokens(sh, arrs, tau).transform(_pin_ckpt)
     # bounded driver-side planning decision: Σ df_p·(df_p−1)/2 over the
     # PREFIX-token frequencies upper-bounds the candidate-pair stream
     # (with co-shared-shingle multiplicity) from a VOCAB-sized aggregate

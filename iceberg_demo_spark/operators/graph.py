@@ -28,25 +28,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_demo_spark.registry import query
-from iceberg_demo_spark.cache import (
-    pin as _pin,
-    pin_checkpoint as _pin_ckpt,
-    pin_checkpoint_lazy as _pin_ckpt_lazy,
-)
+from iceberg_demo_spark.cache import pin as _pin, pin_checkpoint as _pin_ckpt
 from iceberg_demo_spark.sources import load_tables
 
 #: fixed-point rank scale — integer "1.0"; floor divisions below make
 #: every iteration bit-exact across engines
 _S = 1_000_000_000
 
-#: iterations / lineage-cut cadence for the gate. Cadence 1 is measured,
-#: not assumed: every iteration's rank frame has TWO consumers (edge
-#: contributions + the dangling-mass sum), and Spark re-executes shared
-#: logical subtrees, so any uncheckpointed iteration is recomputed once
-#: per consumer — 2^k work between cuts. At sf0.1: cadence 5 = 26.3s,
-#: cadence 2 = 6.8s, cadence 1 = 6.3s for the 10-iteration gate. A
-#: rank frame with a single consumer could stretch the cadence; this
-#: one cannot.
+#: iterations / materialization cadence for the gate. Cadence 1 is
+#: measured, not assumed: every iteration's rank frame has TWO consumers
+#: (edge contributions + the dangling-mass sum), and Spark re-executes
+#: shared logical subtrees, so any unmaterialized iteration is recomputed
+#: once per consumer — 2^k work between cuts. At sf0.1: cadence 5 =
+#: 26.3s, cadence 2 = 6.8s, cadence 1 = 6.3s for the 10-iteration gate
+#: under the round-11 localCheckpoint regime; round 12 swaps the cut to
+#: eager persist+count so the planner also gets exact sizes (see
+#: integer_pagerank). A rank frame with a single consumer could stretch
+#: the cadence; this one cannot.
 _N_ITER = 10
 _CKPT_EVERY = 1
 
@@ -69,8 +67,8 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
     N·S − ⌈(E + 2N)/0.15⌉ ≤ Σ rank ≤ N·S — asserted per-iteration in
     tests/test_graph.py.
 
-    Scale shape: ``edges`` is persisted once; each iteration is ONE
-    shuffle (contributions grouped by dst) plus node-sized joins; the
+    Scale shape: ``edges`` is persisted once; each iteration is at most
+    ONE shuffle (contributions grouped by dst) plus node-sized joins; the
     dangling mass is a 1-row broadcast aggregate (no driver collect).
     Each rank frame has TWO consumers (contributions + dangling sum) and
     Spark re-executes shared logical subtrees — a lazy ``persist`` does
@@ -78,29 +76,55 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
     ``localCheckpoint``s (eager) every ``checkpoint_every`` iterations
     and at the end, making each iteration's work happen exactly once and
     cutting lineage (the Spark-side twin of the oracle's MATERIALIZED
-    CTEs; see _CKPT_EVERY for the cadence measurements). Interior caches
-    are unpersisted before returning — bounded plan depth, bounded
-    cache."""
+    CTEs; see _CKPT_EVERY for the cadence measurements — a persist-based
+    cut was tried in round 12 and rejected: without the lineage cut the
+    logical plan doubles per iteration, two rank references per level,
+    and analysis time explodes). Because the checkpointed rank is a
+    LogicalRDD whose size Catalyst cannot estimate, the node-sized loop
+    frames carry a COUNT-GATED broadcast hint (exact measured n_nodes ×
+    conservative bytes/row vs the session threshold) — adaptive, never
+    forced on an unbounded frame. Interior caches are unpersisted before
+    returning — bounded plan depth, bounded cache."""
     e = edges.transform(_pin)
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct().transform(_pin))
-    n_nodes = nodes.count()
+    n_nodes = nodes.count()   # materializes e + nodes caches
     deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
            .transform(_pin))
+    # Count-GATED broadcast of the node-sized loop frames: each
+    # checkpointed rank frame is a LogicalRDD whose size Catalyst cannot
+    # estimate (default-huge), so without a hint every iteration pays
+    # sort-merge exchanges even on a hundred-node graph. n_nodes is the
+    # EXACT row count of rank/deg/agg forever (all are keyed by node),
+    # so gating the hint on measured rows x a conservative bytes/row
+    # against the session's broadcast threshold is adaptive, never
+    # forced: a graph that outgrows the threshold keeps the shuffled
+    # joins. With the hint, an iteration's only exchange is the
+    # contribution groupBy -- the edge frame itself never shuffles.
+    try:
+        thresh = int(e.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    except ValueError:
+        thresh = 10 * 1024 * 1024
+    small = 0 < n_nodes * 64 <= thresh
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     rank = nodes.select("node", F.lit(_S).cast("bigint").alias("rank"))
     cached: list[DataFrame] = []
     for i in range(n_iter):
-        dang = (rank.join(deg, rank.node == deg.src, "left")
+        dang = (rank.join(_bc(deg), rank.node == deg.src, "left")
                 .filter(F.col("outdeg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0))
                      .cast("bigint").alias("d")))
-        contrib = (e.join(rank, e.src == rank.node)
-                   .join(deg, "src")
+        contrib = (e.join(_bc(rank), e.src == rank.node)
+                   .join(_bc(deg), "src")
                    .select("dst", F.expr("rank div outdeg").alias("share")))
         agg = (contrib.groupBy(F.col("dst").alias("node"))
                .agg(F.sum("share").cast("bigint").alias("s")))
-        rank = (nodes.join(agg, "node", "left")
+        rank = (nodes.join(_bc(agg), "node", "left")
                 .crossJoin(F.broadcast(dang))
                 .select("node",
                         (F.lit(15 * _S // 100)

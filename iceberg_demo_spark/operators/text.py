@@ -1200,34 +1200,64 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
                    F.expr("substring(tok, pos, 1)").alias("sym"))
            .transform(_pin_ckpt))
     wt = Window.partitionBy("tok").orderBy("pos")
-    out = None
     sel_schema = ("round INT, sel_rank BIGINT, a STRING, b STRING, "
                   "cnt BIGINT")
+    _stats_aggs = (F.sum("f").cast("bigint").alias("sa"),
+                   F.countDistinct("sym").alias("va"))
+    out_rows: list[tuple] = []
+    pending: list[tuple] = []  # current round's merges awaiting stats
+
+    def _flush(sa: int, va: int) -> None:
+        out_rows.extend((*p, sa, va) for p in pending)
+        pending.clear()
+
     for i in range(1, _BPE_ROUNDS + 1):
-        pool = (seq.withColumn("b", F.lead("sym").over(wt))
-                .filter(F.col("b").isNotNull())
-                .groupBy(F.col("sym").alias("a"), "b")
-                .agg(F.sum("f").alias("cnt"))
-                .orderBy(F.desc("cnt"), "a", "b").limit(_BPE_POOL)
-                .collect())
-        ranked = sorted(((r["a"], r["b"], r["cnt"]) for r in pool),
+        # ONE bounded job per round returns BOTH the ranked pair pool of
+        # the current symbol frame AND the (symbols, vocab) stats of that
+        # same frame — i.e. the PREVIOUS round's symbols_after/
+        # vocab_after. The old shape hung 8 stats subtrees off the
+        # output plan (8 broadcast jobs at final materialization) and
+        # assembled the ≤(16×rounds)-row result distributively; all of
+        # it is derivable from the bounded collects the loop already
+        # pays for, so the result frame is now built driver-side from
+        # ≤257 collected rows per round (the established
+        # bounded-planning-read discipline).
+        pool_and_stats = (
+            seq.withColumn("b", F.lead("sym").over(wt))
+            .filter(F.col("b").isNotNull())
+            .groupBy(F.col("sym").alias("a"), "b")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b").limit(_BPE_POOL)
+            .select(F.lit(0).alias("_t"), "a", "b", "cnt",
+                    F.lit(None).cast("bigint").alias("sa"),
+                    F.lit(None).cast("bigint").alias("va"))
+            .unionByName(seq.agg(*_stats_aggs).select(
+                F.lit(1).alias("_t"),
+                F.lit(None).cast("string").alias("a"),
+                F.lit(None).cast("string").alias("b"),
+                F.lit(None).cast("bigint").alias("cnt"), "sa", "va"))
+            .collect())
+        st = next(r for r in pool_and_stats if r["_t"] == 1)
+        _flush(st["sa"], st["va"])
+        ranked = sorted(((r["a"], r["b"], r["cnt"])
+                         for r in pool_and_stats if r["_t"] == 0),
                         key=lambda x: (-x[2], x[0], x[1]))
         sel = _bpe_select(ranked)
-        sel_df = spark.createDataFrame(
-            [(i, j + 1, a, b, cnt) for j, (a, b, cnt) in enumerate(sel)],
-            sel_schema)
+        pending = [(i, j + 1, a, b, cnt)
+                   for j, (a, b, cnt) in enumerate(sel)]
         if sel:
-            seq = _bpe_apply(seq, sel_df).transform(_pin_ckpt)
-        stats = seq.agg(
-            F.sum("f").cast("bigint").alias("symbols_after"),
-            F.countDistinct("sym").alias("vocab_after"))
-        row = sel_df.crossJoin(F.broadcast(stats))
-        out = row if out is None else out.unionByName(row)
-    wr = Window.orderBy("round", "sel_rank")
-    out = out.select(
-        F.row_number().over(wr).cast("bigint").alias("merge_rank"),
-        "round", "sel_rank", "a", "b", "cnt",
-        "symbols_after", "vocab_after")
+            sel_df = spark.createDataFrame(pending, sel_schema)
+            # LAZY checkpoint: the next round's pool+stats collection
+            # (or the final stats pass) is the action that materializes
+            # it — same lineage cut and exactly-once work per round as
+            # the eager form, minus one dedicated job per round
+            seq = _bpe_apply(seq, sel_df).transform(_pin_ckpt_lazy)
+    st = seq.agg(*_stats_aggs).collect()[0]
+    _flush(st["sa"], st["va"])
+    out = spark.createDataFrame(
+        [(k + 1, *r) for k, r in enumerate(out_rows)],
+        "merge_rank BIGINT, round INT, sel_rank BIGINT, a STRING, "
+        "b STRING, cnt BIGINT, symbols_after BIGINT, vocab_after BIGINT")
     return out, seq
 
 

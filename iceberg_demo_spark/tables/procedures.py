@@ -13,8 +13,11 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from iceberg_demo_spark.cache import pin_checkpoint as _pin_ckpt
 from iceberg_demo_spark.tables.format import MAIN_BRANCH, Snapshot, now_ms
-from iceberg_demo_spark.tables.table import Table
+from iceberg_demo_spark.tables.table import (
+    _DELETE_BROADCAST_BYTES, _FILE_COL, _POS_COL, Table,
+)
 
 # -- snapshot management ---------------------------------------------------
 
@@ -574,6 +577,10 @@ def create_changelog_view(
         if end_snapshot_id in ids:
             chain = chain[: ids.index(end_snapshot_id) + 1]
     parts = []
+    # commits needing a multiset diff are batched into ONE aggregation per
+    # output schema (keyed by column tuple): every commit's signed rows ride
+    # the same shuffle, tagged with their ordinal/snapshot id
+    diff_groups: dict[tuple[str, ...], list[DataFrame]] = {}
     for ordinal, snap in enumerate(chain):
         by_path = {f.path: f for f in snap.files}
         parent = md.snapshot_by_id(snap.parent_id) if snap.parent_id else None
@@ -587,30 +594,90 @@ def create_changelog_view(
         if not added and not removed and not new_dels:
             continue
         schema_id = snap.schema_id
+
+        def _stamp(df: DataFrame, change: str, ordinal=ordinal,
+                   snap=snap) -> DataFrame:
+            return df.select(
+                "*", F.lit(change).alias("_change_type"),
+                F.lit(ordinal).alias("_change_ordinal"),
+                F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
+            )
+
         added_df = table._read_files(added, schema_id,
                                      delete_files=snap.delete_files)
+        if not removed and not new_dels:
+            # pure append: the added rows ARE the inserts — no multiset
+            # diff to compute (exceptAll against the empty removed side
+            # would still shuffle+aggregate the whole added frame twice)
+            parts.append(_stamp(added_df, "INSERT"))
+            continue
         removed_df = table._read_files(removed, schema_id,
                                        delete_files=parent.delete_files if parent else None)
         if new_dels:
+            # Rows newly masked by this commit's delete files, computed
+            # DIRECTLY from the (file, pos) delete entries: read the
+            # referenced files once under the PARENT's delete set and
+            # semi-join the new entries (position-unique, so multiset
+            # semantics are exact). The previous shape —
+            # before.exceptAll(after) — read those files twice and paid a
+            # full-width multiset diff for what is a keyed lookup.
             touched = {
                 r["file_path"]
                 for r in table._delete_entries_df(new_dels).select("file_path").distinct().collect()
             }
             ref = [f for f in (parent.files if parent else []) if f.path in touched]
-            before = table._read_files(ref, schema_id,
-                                       delete_files=parent.delete_files if parent else None)
-            after = table._read_files(ref, schema_id, delete_files=snap.delete_files)
-            removed_df = removed_df.unionByName(before.exceptAll(after))
-        ins = added_df.exceptAll(removed_df).select(
-            "*", F.lit("INSERT").alias("_change_type"),
-            F.lit(ordinal).alias("_change_ordinal"),
-            F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
-        )
-        dels = removed_df.exceptAll(added_df).select(
-            "*", F.lit("DELETE").alias("_change_type"),
-            F.lit(ordinal).alias("_change_ordinal"),
-            F.lit(snap.snapshot_id).alias("_commit_snapshot_id"),
-        )
+            before = table._read_files(
+                ref, schema_id,
+                delete_files=parent.delete_files if parent else None,
+                with_pos_col=True)
+            ent = table._delete_entries_df(new_dels)
+            if sum(d.bytes for d in new_dels) <= _DELETE_BROADCAST_BYTES:
+                ent = F.broadcast(ent)
+            newly_masked = before.join(
+                ent,
+                (before[_FILE_COL] == ent["file_path"])
+                & (before[_POS_COL] == ent["pos"]),
+                "left_semi",
+            ).drop(_FILE_COL, _POS_COL)
+            removed_df = removed_df.unionByName(newly_masked)
+        if not added and not new_dels:
+            # pure removal (metadata-only delete): the removed rows ARE
+            # the deletes
+            parts.append(_stamp(removed_df, "DELETE"))
+            continue
+        # Both directions of the multiset diff come from ONE aggregation
+        # (the very shape Spark's RewriteExceptAll rule lowers exceptAll
+        # to, but shared between the two directions instead of run twice):
+        # sign rows ±1, tag them with the commit's ordinal/snapshot id,
+        # and defer to a single per-schema groupBy below.
+        data_cols = added_df.columns
+        signed = added_df.withColumn("_g_sgn", F.lit(1)).unionByName(
+            removed_df.withColumn("_g_sgn", F.lit(-1)))
+        diff_groups.setdefault(tuple(data_cols), []).append(
+            signed.withColumn("_change_ordinal", F.lit(ordinal))
+            .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id)))
+    for cols, frames in diff_groups.items():
+        all_signed = frames[0]
+        for fr in frames[1:]:
+            all_signed = all_signed.unionByName(fr)
+        # One shuffle nets EVERY diff-needing commit in the window; the
+        # nonzero nets (O(changed rows)) are checkpointed eagerly so both
+        # output branches — and any downstream re-execution, e.g. a MERGE
+        # consuming the changelog — read materialized blocks instead of
+        # re-running the table-sized diff.
+        net = (all_signed
+               .groupBy(*cols, "_change_ordinal", "_commit_snapshot_id")
+               .agg(F.sum("_g_sgn").alias("_g_net"))
+               .filter(F.col("_g_net") != 0)
+               .transform(_pin_ckpt))
+        ins = (net.filter(F.col("_g_net") > 0)
+               .withColumn("_g_i", F.explode(F.expr("sequence(1, _g_net)")))
+               .select(*cols, F.lit("INSERT").alias("_change_type"),
+                       "_change_ordinal", "_commit_snapshot_id"))
+        dels = (net.filter(F.col("_g_net") < 0)
+                .withColumn("_g_i", F.explode(F.expr("sequence(1, -_g_net)")))
+                .select(*cols, F.lit("DELETE").alias("_change_type"),
+                        "_change_ordinal", "_commit_snapshot_id"))
         parts.extend([ins, dels])
     if not parts:
         out = spark.createDataFrame(

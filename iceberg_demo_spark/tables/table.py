@@ -1680,8 +1680,6 @@ class Table:
         st = self._struct(schema_id)
         mor = self.write_mode("merge") == "merge-on-read"
 
-        target = self._read_files(old, schema_id, with_file_col=True,
-                                  delete_files=dels, with_pos_col=mor).alias("t")
         # Row-presence marker: a matched source row must be detected by the
         # JOIN producing it, not by the nullability of any data column (a
         # matched row whose first column is NULL is still a match —
@@ -1692,6 +1690,28 @@ class Table:
             raise ValueError(
                 f"MERGE: source column {_S_PRESENT_COL!r} collides with the "
                 "engine's reserved row-presence marker")
+        # The source frame feeds up to four SEQUENTIAL jobs (cardinality
+        # probe, hit-file scan, rewrite join, insert anti-join); without a
+        # persist each job re-executes the source's whole lineage — for a
+        # changelog- or aggregate-shaped source that triples the MERGE's
+        # cost. Lazy persist: the first job fills the cache, the rest read
+        # it, and the blocks are dropped before returning (spills to disk
+        # past memory, so a huge source degrades gracefully at scale).
+        src_cached = source.persist()
+        try:
+            return self._merge_body(
+                src_cached, on, matched, not_matched, not_matched_by_source,
+                branch, check_cardinality, old, dels, schema_id, st, mor)
+        finally:
+            src_cached.unpersist()
+
+    def _merge_body(self, source: DataFrame, on: str, matched: list[dict],
+                    not_matched: list[dict], not_matched_by_source: list[dict],
+                    branch: str, check_cardinality: bool, old: list[DataFile],
+                    dels: list[DeleteFile], schema_id: int, st: T.StructType,
+                    mor: bool) -> Snapshot | None:
+        target = self._read_files(old, schema_id, with_file_col=True,
+                                  delete_files=dels, with_pos_col=mor).alias("t")
         src = source.withColumn(_S_PRESENT_COL, F.lit(True)).alias("s")
         on_expr = F.expr(on)
 

@@ -873,12 +873,16 @@ def test_bm25_indexed_probe_is_partition_pruned(spark):
 
 def test_bpe_merges_final_plan_rescans_no_corpus(spark):
     """doc_bpe_merges: every merge round runs on the checkpointed
-    vocab-sized symbol frame — the output plan contains no parquet
-    (re)scan of documents; corpus work happened exactly once, behind
-    the round-1 checkpoint."""
+    vocab-sized symbol frame and the ≤(16×rounds)-row result is
+    assembled from the loop's bounded collects — the output plan
+    contains no parquet (re)scan of documents, no exchange, and no
+    distributed work at all (round 12: previously the plan carried 8
+    stats subtrees over the checkpointed frames; corpus work still
+    happened exactly once, behind the round-1 checkpoint)."""
     plan = _plan(spark, "doc_bpe_merges")
     assert "documents" not in plan
-    assert "ExistingRDD" in plan  # the checkpointed round frames
+    assert "Scan parquet" not in plan
+    assert "LocalTableScan" in plan  # driver-assembled bounded result
 
 
 def test_code_covariance_never_shuffles_vectors(spark):
