@@ -41,9 +41,9 @@ _S = 1_000_000_000
 #: shared logical subtrees, so any unmaterialized iteration is recomputed
 #: once per consumer — 2^k work between cuts. At sf0.1: cadence 5 =
 #: 26.3s, cadence 2 = 6.8s, cadence 1 = 6.3s for the 10-iteration gate
-#: under the round-11 localCheckpoint regime; round 12 swaps the cut to
-#: eager persist+count so the planner also gets exact sizes (see
-#: integer_pagerank). A rank frame with a single consumer could stretch
+#: under the round-11 plans; re-measured in round 12 after the gated
+#: broadcast landed (cadence 2 = 5.8s, cadence 1 = 5.0s quiet) — the
+#: cut stays at 1. A rank frame with a single consumer could stretch
 #: the cadence; this one cannot.
 _N_ITER = 10
 _CKPT_EVERY = 1

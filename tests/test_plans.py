@@ -882,7 +882,7 @@ def test_bpe_merges_final_plan_rescans_no_corpus(spark):
     plan = _plan(spark, "doc_bpe_merges")
     assert "documents" not in plan
     assert "Scan parquet" not in plan
-    assert "LocalTableScan" in plan  # driver-assembled bounded result
+    assert "ExistingRDD" in plan  # driver-assembled bounded result
 
 
 def test_code_covariance_never_shuffles_vectors(spark):
