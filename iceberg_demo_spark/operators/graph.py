@@ -112,21 +112,30 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
     def _bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    rank = nodes.select("node", F.lit(_S).cast("bigint").alias("rank"))
+    # Fold the LOOP-INVARIANT out-degree into the rank frame once
+    # (round 12): the old loop re-joined ``deg`` twice per iteration
+    # (dangling filter + contribution share) — two joins and two
+    # broadcast builds per iteration whose right side never changes.
+    # Carrying (node, outdeg, rank) through the checkpoints makes the
+    # dangling sum a join-free filter+aggregate and the contribution
+    # share a plain column expression; per-iteration cost drops to one
+    # edge join + the contribution groupBy + the node-keyed carry join.
+    ndeg = (nodes.join(_bc(deg), nodes.node == deg.src, "left")
+            .select("node", "outdeg").transform(_pin))
+    rank = ndeg.select("node", "outdeg",
+                       F.lit(_S).cast("bigint").alias("rank"))
     cached: list[DataFrame] = []
     for i in range(n_iter):
-        dang = (rank.join(_bc(deg), rank.node == deg.src, "left")
-                .filter(F.col("outdeg").isNull())
+        dang = (rank.filter(F.col("outdeg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0))
                      .cast("bigint").alias("d")))
         contrib = (e.join(_bc(rank), e.src == rank.node)
-                   .join(_bc(deg), "src")
                    .select("dst", F.expr("rank div outdeg").alias("share")))
         agg = (contrib.groupBy(F.col("dst").alias("node"))
                .agg(F.sum("share").cast("bigint").alias("s")))
-        rank = (nodes.join(_bc(agg), "node", "left")
+        rank = (ndeg.join(_bc(agg), "node", "left")
                 .crossJoin(F.broadcast(dang))
-                .select("node",
+                .select("node", "outdeg",
                         (F.lit(15 * _S // 100)
                          + F.expr(f"(85 * (coalesce(s, CAST(0 AS BIGINT))"
                                   f" + d div {n_nodes})) div 100"))
@@ -139,9 +148,9 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
         else:
             rank = rank.transform(_pin)
             cached.append(rank)
-    for c in (e, nodes, deg):
+    for c in (e, nodes, deg, ndeg):
         c.unpersist()
-    return rank
+    return rank.select("node", "rank")
 
 
 def _pagerank_sql_iterations(n_iter: int) -> str:
