@@ -1009,6 +1009,68 @@ def _bpe_select(ranked: list) -> list:
     return sel
 
 
+#: the batched rewrite as ONE SQL statement (semantics identical to the
+#: DataFrame chain it replaced — same windows, same island parity, same
+#: null handling; mirrored by the oracle's k/x/y/z blocks). Built via
+#: spark.sql(..., df=...) so the whole round costs ONE analyzer pass
+#: instead of ~10 incremental ones: each DataFrame API call re-analyzes
+#: the growing plan eagerly, and at vocab-frame size that driver-side
+#: chatter — not execution — dominated the training loop (measured
+#: ~0.38 s/round of pure plan build at sf0.1). {pred} is the selected
+#: pairs as a LITERAL disjunction over parameter markers (bounded by
+#: _BPE_BATCH_K ≤ 16 driver-held pairs): under AQE, a broadcast JOIN
+#: against the ≤16-row selection frame cost one eagerly-executed
+#: broadcast build per round at every localCheckpoint — ~0.35 s/round of
+#: pure fixed latency on a 16-row relation (measured; the literal
+#: predicate removed it, 0.65× on the gate).
+_BPE_APPLY_SQL = """
+WITH m AS (
+  SELECT tok, f, pos, sym,
+         lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS nxt,
+         row_number() OVER (PARTITION BY tok ORDER BY pos) AS rn
+  FROM {df}
+),
+k AS (SELECT *, COALESCE({pred}, false) AS mt FROM m),
+c AS (
+  SELECT *, SUM(CAST(mt AS INT)) OVER (PARTITION BY tok ORDER BY pos) AS cm
+  FROM k
+),
+x AS (SELECT *, CASE WHEN mt THEN rn - cm END AS isl FROM c),
+y AS (
+  SELECT *,
+         mt AND ((rn - MIN(rn) OVER (PARTITION BY tok, isl)) % 2 = 0) AS sl
+  FROM x
+),
+z AS (
+  SELECT tok, f, pos,
+         CASE WHEN sl THEN concat(sym, nxt) ELSE sym END AS sym,
+         COALESCE(LAG(sl) OVER (PARTITION BY tok ORDER BY pos), false)
+           AS consumed
+  FROM y
+)
+SELECT tok, f, pos, sym FROM z WHERE NOT consumed
+"""
+
+
+def _bpe_apply_pairs(df: DataFrame, pairs: list[tuple[str, str]],
+                     ) -> DataFrame:
+    """The batched rewrite for a driver-held merge batch (≤ _BPE_BATCH_K
+    pairs by the greedy selection's bound). Symbols reach the SQL as
+    BOUND PARAMETERS, never by string interpolation — corpus-derived
+    text cannot inject into the statement."""
+    if not pairs:
+        pred, args = "false", {}
+    else:
+        disj, args = [], {}
+        for j, (a, b) in enumerate(pairs):
+            disj.append(f"(sym = :a{j} AND nxt = :b{j})")
+            args[f"a{j}"] = a
+            args[f"b{j}"] = b
+        pred = "(" + " OR ".join(disj) + ")"
+    return df.sparkSession.sql(_BPE_APPLY_SQL.replace("{pred}", pred),
+                               args=args, df=df)
+
+
 def _bpe_apply(df: DataFrame, sel_df: DataFrame) -> DataFrame:
     """One batched BPE rewrite over the (tok, f, pos, sym) symbol frame:
     greedy left-to-right replacement of EVERY selected pair (a, b) → ab
@@ -1018,31 +1080,12 @@ def _bpe_apply(df: DataFrame, sel_df: DataFrame) -> DataFrame:
     consecutive matching ROWS form an island (gaps-and-islands on
     row_number − cumulative match count) and every even-offset match
     within it merges — the classic sequential semantics, computed with
-    window functions only."""
-    wt = Window.partitionBy("tok").orderBy("pos")
-    m = (df
-         .withColumn("nxt", F.lead("sym").over(wt))
-         .withColumn("rn", F.row_number().over(wt))
-         .join(F.broadcast(sel_df.select(F.col("a").alias("ta"),
-                                         F.col("b").alias("tb"),
-                                         F.lit(True).alias("m0"))),
-               (F.col("sym") == F.col("ta"))
-               & (F.col("nxt") == F.col("tb")), "left")
-         .withColumn("match", F.coalesce("m0", F.lit(False))))
-    m = m.withColumn("cm", F.sum(F.col("match").cast("int")).over(wt))
-    m = m.withColumn("isl", F.when(F.col("match"),
-                                   F.col("rn") - F.col("cm")))
-    w_isl = Window.partitionBy("tok", "isl")
-    m = m.withColumn(
-        "sel", F.col("match")
-        & ((F.col("rn") - F.min("rn").over(w_isl)) % 2 == 0))
-    m = m.withColumn("consumed",
-                     F.coalesce(F.lag("sel").over(wt), F.lit(False)))
-    return (m.filter(~F.col("consumed"))
-            .select("tok", "f", "pos",
-                    F.when(F.col("sel"),
-                           F.concat("sym", "nxt")).otherwise(F.col("sym"))
-                     .alias("sym")))
+    window functions only (_BPE_APPLY_SQL). ``sel_df`` is batch-bounded
+    (≤ _BPE_BATCH_K rows) by every caller, so reading it back to the
+    driver is a bounded planning read, not a data funnel."""
+    pairs = [(r["a"], r["b"])
+             for r in sel_df.select("a", "b").collect()]
+    return _bpe_apply_pairs(df, pairs)
 
 
 #: the recursive-CTE greedy selection, validated standalone against the
@@ -1180,6 +1223,37 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("merge_rank")
 
 
+#: per-round pool + stats as ONE SQL statement (see _BPE_APPLY_SQL for
+#: why): top-_BPE_POOL weighted pair counts of the current symbol frame
+#: (deterministic (cnt DESC, a, b) tiebreak, exactly the frame the
+#: DataFrame chain produced) unioned with the frame's 1-row
+#: (Σf, |vocab|) stats, tagged by _t for the driver-side split.
+_BPE_POOL_SQL = """
+SELECT 0 AS _t, a, b, cnt, CAST(NULL AS BIGINT) AS sa,
+       CAST(NULL AS BIGINT) AS va
+FROM (
+  SELECT a, b, cnt
+  FROM (
+    SELECT sym AS a, b, SUM(f) AS cnt
+    FROM (
+      SELECT sym, f,
+             lead(sym) OVER (PARTITION BY tok ORDER BY pos) AS b
+      FROM {df}
+    ) nx
+    WHERE b IS NOT NULL
+    GROUP BY sym, b
+    ORDER BY cnt DESC, a, b
+    LIMIT %(pool)d
+  ) top
+) pool
+UNION ALL
+SELECT 1, CAST(NULL AS STRING), CAST(NULL AS STRING),
+       CAST(NULL AS BIGINT), CAST(SUM(f) AS BIGINT),
+       CAST(COUNT(DISTINCT sym) AS BIGINT)
+FROM {df}
+""" % {"pool": _BPE_POOL}
+
+
 def _bpe_train(spark: SparkSession, docs: DataFrame):
     """Collapse ``docs`` to the (word, frequency) vocabulary frame and
     run _BPE_ROUNDS batched merge rounds; returns (merges frame, final
@@ -1199,9 +1273,6 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
            .select("tok", "f", "pos",
                    F.expr("substring(tok, pos, 1)").alias("sym"))
            .transform(_pin_ckpt))
-    wt = Window.partitionBy("tok").orderBy("pos")
-    sel_schema = ("round INT, sel_rank BIGINT, a STRING, b STRING, "
-                  "cnt BIGINT")
     _stats_aggs = (F.sum("f").cast("bigint").alias("sa"),
                    F.countDistinct("sym").alias("va"))
     out_rows: list[tuple] = []
@@ -1221,22 +1292,10 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
         # it is derivable from the bounded collects the loop already
         # pays for, so the result frame is now built driver-side from
         # ≤257 collected rows per round (the established
-        # bounded-planning-read discipline).
-        pool_and_stats = (
-            seq.withColumn("b", F.lead("sym").over(wt))
-            .filter(F.col("b").isNotNull())
-            .groupBy(F.col("sym").alias("a"), "b")
-            .agg(F.sum("f").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b").limit(_BPE_POOL)
-            .select(F.lit(0).alias("_t"), "a", "b", "cnt",
-                    F.lit(None).cast("bigint").alias("sa"),
-                    F.lit(None).cast("bigint").alias("va"))
-            .unionByName(seq.agg(*_stats_aggs).select(
-                F.lit(1).alias("_t"),
-                F.lit(None).cast("string").alias("a"),
-                F.lit(None).cast("string").alias("b"),
-                F.lit(None).cast("bigint").alias("cnt"), "sa", "va"))
-            .collect())
+        # bounded-planning-read discipline). Built as ONE SQL statement
+        # for the same reason as _BPE_APPLY_SQL: one analyzer pass per
+        # round instead of ~8.
+        pool_and_stats = seq.sparkSession.sql(_BPE_POOL_SQL, df=seq).collect()
         st = next(r for r in pool_and_stats if r["_t"] == 1)
         _flush(st["sa"], st["va"])
         ranked = sorted(((r["a"], r["b"], r["cnt"])
@@ -1246,12 +1305,14 @@ def _bpe_train(spark: SparkSession, docs: DataFrame):
         pending = [(i, j + 1, a, b, cnt)
                    for j, (a, b, cnt) in enumerate(sel)]
         if sel:
-            sel_df = spark.createDataFrame(pending, sel_schema)
             # LAZY checkpoint: the next round's pool+stats collection
             # (or the final stats pass) is the action that materializes
             # it — same lineage cut and exactly-once work per round as
-            # the eager form, minus one dedicated job per round
-            seq = _bpe_apply(seq, sel_df).transform(_pin_ckpt_lazy)
+            # the eager form, minus one dedicated job per round. The
+            # driver-held batch goes in as literal parameters
+            # (_bpe_apply_pairs), never a joined frame.
+            seq = (_bpe_apply_pairs(seq, [(a, b) for a, b, _ in sel])
+                   .transform(_pin_ckpt_lazy))
     st = seq.agg(*_stats_aggs).collect()[0]
     _flush(st["sa"], st["va"])
     out = spark.createDataFrame(
