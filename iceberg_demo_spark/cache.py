@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame
 
 _PINS: list[tuple[str, DataFrame]] = []
 
+#: byte suffixes Spark's own JavaUtils.byteStringAsBytes accepts
+_SIZE_SUFFIXES = (("tb", 1024 ** 4), ("gb", 1024 ** 3), ("mb", 1024 ** 2),
+                  ("kb", 1024), ("t", 1024 ** 4), ("g", 1024 ** 3),
+                  ("m", 1024 ** 2), ("k", 1024), ("b", 1))
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in BYTES, accepting the
+    byte-suffixed forms Spark itself accepts ('10m', '1g', …). The
+    measured-size gates (PageRank loop frames, connected-components
+    collapse) compare exact row counts against this; a value that
+    cannot be parsed — or a negative one, which means broadcasting is
+    disabled — returns 0 so every gate degrades to the distributed
+    shape instead of silently falling back to a default the user
+    overrode (ADVICE r12)."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                                 "10485760")).strip().lower()
+        for suf, mult in _SIZE_SUFFIXES:
+            if raw.endswith(suf):
+                return max(int(raw[: -len(suf)]) * mult, 0)
+        return max(int(raw), 0)
+    except (TypeError, ValueError):
+        return 0
+
 
 def pin(df: DataFrame) -> DataFrame:
     """``persist()`` + register for harness-boundary release.

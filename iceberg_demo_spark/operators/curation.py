@@ -1731,69 +1731,95 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipe_accounting(base, qual, surv)
 
 
+#: the accounting tail as ONE SQL statement (the _BPE_APPLY_SQL
+#: rationale: building it through ~20 DataFrame calls re-analyzed the
+#: growing plan each call — ~0.85 s of pure driver time per gate rep at
+#:  sf0.1). Shapes and arithmetic are verbatim from the DataFrame chain
+#: it replaced, with ONE structural fusion: n_surviving/n_train/n_valid
+#: and the per-source train token sums come from a single scan of
+#: ``surv`` (per_src) instead of two — ``budgets`` filters per_src to
+#: n_train > 0, which is exactly the row set the old groupBy over the
+#: train slice produced, so every downstream value is identical.
+_PIPE_ACCOUNTING_SQL = """
+WITH per_src AS (
+  SELECT source,
+         COUNT(*) AS n_surviving,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+         SUM(CASE WHEN split = 'train' THEN n_tok END) AS n_tokens
+  FROM {surv}
+  GROUP BY source
+),
+budgets AS (
+  SELECT source,
+         ((total_tokens div 2) div 1000000) * mixture_ppm
+           + (((total_tokens div 2) % 1000000) * mixture_ppm) div 1000000
+           AS budget_tokens
+  FROM (
+    SELECT source,
+           CAST(ROUND(1000000 * CAST(w_raw AS DOUBLE)
+                      / CAST(SUM(w_raw) OVER () AS DOUBLE)) AS BIGINT)
+             AS mixture_ppm,
+           SUM(n_tokens) OVER () AS total_tokens
+    FROM (
+      SELECT source, n_tokens,
+             CAST(FLOOR(1000000 * SQRT(CAST(n_tokens AS DOUBLE)))
+                  AS BIGINT) AS w_raw
+      FROM per_src WHERE n_train > 0
+    ) w
+  ) b
+),
+picked AS (
+  SELECT source,
+         COUNT(*) AS picked_docs,
+         SUM(n_tok) AS picked_tokens
+  FROM (
+    SELECT /*+ BROADCAST(b) */ s.source, s.n_tok,
+           SUM(s.n_tok) OVER (PARTITION BY s.source
+                              ORDER BY s.pri, s.doc_id) AS cum_tok,
+           b.budget_tokens
+    FROM (SELECT * FROM {surv} WHERE split = 'train') s
+    JOIN budgets b ON s.source = b.source
+  ) p
+  WHERE cum_tok <= budget_tokens
+  GROUP BY source
+),
+nq AS (
+  SELECT source, COUNT(*) AS n_quality FROM {qual} GROUP BY source
+)
+SELECT t.source, t.n_total,
+       COALESCE(nq.n_quality, 0) AS n_quality,
+       COALESCE(ps.n_surviving, 0) AS n_surviving,
+       COALESCE(ps.n_train, 0) AS n_train,
+       COALESCE(ps.n_valid, 0) AS n_valid,
+       COALESCE(b.budget_tokens, 0) AS budget_tokens,
+       COALESCE(p.picked_docs, 0) AS picked_docs,
+       COALESCE(p.picked_tokens, 0) AS picked_tokens,
+       (10000 * COALESCE(p.picked_tokens, 0))
+         div greatest(COALESCE(b.budget_tokens, 1L), 1L) AS fill_bps
+FROM {totals} t
+LEFT JOIN nq ON t.source = nq.source
+LEFT JOIN per_src ps ON t.source = ps.source
+LEFT JOIN budgets b ON t.source = b.source
+LEFT JOIN picked p ON t.source = p.source
+ORDER BY t.source
+"""
+
+
 def _pipe_accounting(totals: DataFrame, qual: DataFrame,
                      surv: DataFrame) -> DataFrame:
     """The curation pipeline's mixture-budget + per-source accounting
     tail over NARROW frames — shared verbatim by the batch pipeline and
     the incremental tier (one copy, so the two can never desync on the
     budget arithmetic). ``totals`` = (source, n_total); ``qual`` =
-    quality docs; ``surv`` = survivors with split."""
-    train = surv.filter(F.col("split") == "train")
-    tot = Window.partitionBy()
-    budgets = (
-        train.groupBy("source").agg(F.sum("n_tok").alias("n_tokens"))
-        .withColumn("w_raw",
-                    F.floor(1_000_000
-                            * F.sqrt(F.col("n_tokens").cast("double")))
-                    .cast("bigint"))
-        .withColumn("mixture_ppm",
-                    F.round(1_000_000 * F.col("w_raw").cast("double")
-                            / F.sum("w_raw").over(tot).cast("double"))
-                    .cast("bigint"))
-        .withColumn("total_tokens", F.sum("n_tokens").over(tot))
-        # int64-safe split product — the doc_mixture_materialize fix
-        .select("source",
-                F.expr("((total_tokens div 2) div 1000000) * mixture_ppm"
-                       " + (((total_tokens div 2) % 1000000)"
-                       " * mixture_ppm) div 1000000")
-                .alias("budget_tokens"))
-    )
-    cum = Window.partitionBy("source").orderBy("pri", "doc_id")
-    picked = (
-        train.withColumn("cum_tok", F.sum("n_tok").over(cum))
-        .join(F.broadcast(budgets), "source")
-        .filter(F.col("cum_tok") <= F.col("budget_tokens"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("picked_docs"),
-             F.sum("n_tok").alias("picked_tokens"))
-    )
-    nq = qual.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
-    ns = surv.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_surviving"),
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
-        .cast("bigint").alias("n_train"),
-        F.sum(F.when(F.col("split") == "valid", 1).otherwise(0))
-        .cast("bigint").alias("n_valid"))
-    return (
-        totals.join(nq, "source", "left")
-        .join(ns, "source", "left")
-        .join(budgets, "source", "left")
-        .join(picked, "source", "left")
-        .select(
-            "source", "n_total",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_surviving", F.lit(0)).alias("n_surviving"),
-            F.coalesce("n_train", F.lit(0)).alias("n_train"),
-            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
-            F.coalesce("budget_tokens", F.lit(0)).alias("budget_tokens"),
-            F.coalesce("picked_docs", F.lit(0)).alias("picked_docs"),
-            F.coalesce("picked_tokens", F.lit(0)).alias("picked_tokens"),
-            F.expr("(10000 * coalesce(picked_tokens, 0))"
-                   " div greatest(coalesce(budget_tokens, 1L), 1L)")
-            .alias("fill_bps"),
-        )
-        .orderBy("source")
-    )
+    quality docs; ``surv`` = survivors with split. One SQL statement
+    (_PIPE_ACCOUNTING_SQL); ``surv`` is read twice in the plan
+    (per-source aggregate + the budget-fill window), so callers that
+    pass an unmaterialized survivors frame should checkpoint it first."""
+    return totals.sparkSession.sql(_PIPE_ACCOUNTING_SQL, totals=totals,
+                                   qual=qual, surv=surv)
 
 
 # ---------------------------------------------------------------------------
@@ -2845,15 +2871,14 @@ def _cur_batch_probe(spark: SparkSession, path: str, batch: DataFrame,
     doc_bm25_indexed discipline) → partition-pruned scan of ONLY the
     probed shd_bucket directories → co-shingle counts → exact Jaccard.
     Returns (sh_b, sizes_b, pairs_bb)."""
-    import os
-
     from iceberg_demo_spark.operators.sampling import hash_bucket
     from iceberg_demo_spark.operators.sketches import bloom_member
+    from iceberg_demo_spark.scratch import cached_parquet
 
     sh_b = (_shingle_digests(batch.join(qual_b, "doc_id", "leftsemi"))
             .transform(_pin))
     sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    bloom = spark.read.parquet(os.path.join(path, "bloom"))
+    bloom = cached_parquet(spark, path, "bloom")
     sh_pos = (bloom_member(sh_b, "shd", bloom, m_bits, k_h,
                            carry=("doc_id",))
               .filter(F.col("member") == 1)
@@ -2866,7 +2891,7 @@ def _cur_batch_probe(spark: SparkSession, path: str, batch: DataFrame,
     # directories — bounded by the bucket count, never by data size
     buckets = sorted(r["shd_bucket"] for r in
                      sh_pos.select("shd_bucket").distinct().collect())
-    idx = (spark.read.parquet(os.path.join(path, "shingles"))
+    idx = (cached_parquet(spark, path, "shingles")
            .filter(F.col("shd_bucket").isin(buckets)))
     cand_bb = (idx.join(F.broadcast(sh_pos.withColumnRenamed(
                    "doc_id", "id_b")), ["shd_bucket", "shd"])
@@ -2890,7 +2915,11 @@ def _cur_incremental_frames(spark: SparkSession, sf_dir: str):
     path = ensure_curation_state(spark, sf_dir)
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     fr = _cur_merge_frames(spark, path, docs.filter("doc_id % 5 = 0"))
-    return fr["totals"], fr["qual_m"], fr["surv"]
+    # survivors feed TWO consumers inside the one accounting job (the
+    # per-source aggregate and the budget-fill window — and the MERGE
+    # materializer besides): an eager cut makes the survivorship
+    # election run once, the doc_curation_pipeline discipline
+    return fr["totals"], fr["qual_m"], fr["surv"].transform(_pin_ckpt)
 
 
 def _cur_merge_frames(spark: SparkSession, path: str, batch_raw: DataFrame,
@@ -2906,10 +2935,18 @@ def _cur_merge_frames(spark: SparkSession, path: str, batch_raw: DataFrame,
     from iceberg_demo_spark.operators.sampling import hash_bucket
     from iceberg_demo_spark.operators.text import lm_bigrams, lm_score
 
-    rd = lambda n: spark.read.parquet(os.path.join(path, n))  # noqa: E731
+    from iceberg_demo_spark.scratch import (
+        cached_parquet, cached_parquet_first)
+
+    # state artifacts are manifest-guarded and immutable once built:
+    # cached relation handles skip the per-invocation parquet footer
+    # re-read (driver metadata I/O, ~0.1 s/artifact — guide §6 file
+    # listing); the geometry row is a bounded 1-row metadata read,
+    # cached outright. Data is still scanned per action.
+    rd = lambda n: cached_parquet(spark, path, n)  # noqa: E731
     st_docs = rd("docs").transform(_pin)
     st_lm = rd("lm")
-    geom = rd("geom").first()
+    geom = cached_parquet_first(spark, path, "geom")
     m_bits, k_h = int(geom["m"]), int(geom["k"])
     # THE one raw-text read: the batch partition, cut by an eager
     # checkpoint so every downstream lineage reuses it
@@ -3076,10 +3113,11 @@ def materialize_curated_corpus(spark: SparkSession, sf_dir: str):
     discipline. Returns the Table; the pytest pins its contents
     row-for-row equal to the dataframe-computed survivors."""
     from iceberg_demo_spark.operators.table_ops import _scratch
+    from iceberg_demo_spark.scratch import cached_parquet
 
     totals, qual_m, surv = _cur_incremental_frames(spark, sf_dir)
     path = curation_state_path(sf_dir)
-    st_docs = spark.read.parquet(path + "/docs")
+    st_docs = cached_parquet(spark, path, "docs")
     wk = Window.partitionBy("cluster_root").orderBy(
         F.desc("n_chars"), F.asc("doc_id"))
     base_dropped = (st_docs.filter(F.col("cluster_root").isNotNull())
@@ -3159,11 +3197,12 @@ def advance_curation_state(spark: SparkSession, sf_dir: str, path: str,
     from iceberg_demo_spark.operators.sketches import (
         bloom_fp_bound_bps, bloom_geometry, bloom_words,
         kmv_count_estimate)
-    from iceberg_demo_spark.scratch import write_index_manifest
+    from iceberg_demo_spark.scratch import (
+        cached_parquet, write_index_manifest)
 
     _shutil.rmtree(out_path, ignore_errors=True)
     fr = _cur_merge_frames(spark, path, batch_raw)
-    rd = lambda n: spark.read.parquet(os.path.join(path, n))  # noqa: E731
+    rd = lambda n: cached_parquet(spark, path, n)  # noqa: E731
     wr = lambda df, n, one=False: (  # noqa: E731
         (df.coalesce(1) if one else df)
         .write.mode("overwrite").parquet(os.path.join(out_path, n)))
@@ -3252,7 +3291,10 @@ def doc_curation_state_advance(spark: SparkSession,
         advance_curation_state(spark, sf_dir, p0,
                                docs.filter("doc_id % 10 = 0"), p1)
     fr = _cur_merge_frames(spark, p1, docs.filter("doc_id % 10 = 5"))
-    return _pipe_accounting(fr["totals"], fr["qual_m"], fr["surv"])
+    # same eager survivors cut as _cur_incremental_frames: the
+    # accounting SQL reads surv twice
+    return _pipe_accounting(fr["totals"], fr["qual_m"],
+                            fr["surv"].transform(_pin_ckpt))
 
 
 # NOTE: the chain gate's oracle is doc_curation_incremental's verbatim

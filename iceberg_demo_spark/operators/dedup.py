@@ -614,6 +614,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     so the plan lineage stays bounded."""
     swapped = edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     bidir = edges.select("id_a", "id_b").union(swapped).transform(_pin)
+    # measured-size gate (the integer_pagerank discipline): when the
+    # bidirectional edge frame provably fits one task, collapse it and
+    # the label frame to a single partition — every iteration's joins,
+    # aggregate and convergence count then plan with ZERO exchanges
+    # (SinglePartition satisfies every clustered distribution); a graph
+    # that outgrows the threshold keeps the distributed shape untouched
+    from iceberg_demo_spark.cache import broadcast_threshold_bytes
+    n_bidir = bidir.count()
+    small = 0 < n_bidir * 64 <= broadcast_threshold_bytes(
+        edges.sparkSession)
+    if small:
+        bidir = bidir.coalesce(1)
     labels = (
         bidir.select(F.col("id_a").alias("id")).distinct()
         .withColumn("label", F.col("id"))

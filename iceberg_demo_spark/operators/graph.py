@@ -102,12 +102,8 @@ def integer_pagerank(edges: DataFrame, n_iter: int = _N_ITER,
     # forced: a graph that outgrows the threshold keeps the shuffled
     # joins. With the hint, an iteration's only exchange is the
     # contribution groupBy -- the edge frame itself never shuffles.
-    try:
-        thresh = int(e.sparkSession.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
-    except ValueError:
-        thresh = 10 * 1024 * 1024
-    small = 0 < n_nodes * 64 <= thresh
+    from iceberg_demo_spark.cache import broadcast_threshold_bytes
+    small = 0 < n_nodes * 64 <= broadcast_threshold_bytes(e.sparkSession)
 
     def _bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
