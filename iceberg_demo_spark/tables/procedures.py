@@ -664,7 +664,19 @@ def create_changelog_view(
         # nonzero nets (O(changed rows)) are checkpointed eagerly so both
         # output branches — and any downstream re-execution, e.g. a MERGE
         # consuming the changelog — read materialized blocks instead of
-        # re-running the table-sized diff.
+        # re-running the table-sized diff. Two documented costs of this
+        # shape (ADVICE r12): (1) creating the view RUNS the diff jobs
+        # even if the view is never queried, and the checkpoint blocks
+        # stay pinned until the harness releases them — every in-repo
+        # consumer queries the view immediately and harnesses release
+        # per gate, so eager is the right trade here; a long-lived
+        # session creating speculative views should release_pins
+        # between them. (2) explode(sequence(1, |net|)) materializes one
+        # array per netted row: per-row memory is bounded by the largest
+        # single-value multiplicity CHANGE in one commit (duplicates of
+        # one value in one commit), which realistic tables keep tiny;
+        # a pathological million-fold duplicate insert would want the
+        # sequence chunked.
         net = (all_signed
                .groupBy(*cols, "_change_ordinal", "_commit_snapshot_id")
                .agg(F.sum("_g_sgn").alias("_g_net"))

@@ -1697,13 +1697,20 @@ class Table:
         # cost. Lazy persist: the first job fills the cache, the rest read
         # it, and the blocks are dropped before returning (spills to disk
         # past memory, so a huge source degrades gracefully at scale).
-        src_cached = source.persist()
+        # A source the CALLER already pinned is left alone: persist() on a
+        # cached frame is a no-op on the existing entry, so the finally
+        # would evict the caller's cache and every later consumer would
+        # silently recompute the full lineage (ADVICE r12).
+        lvl = source.storageLevel
+        own_pin = not (lvl.useMemory or lvl.useDisk)
+        src_cached = source.persist() if own_pin else source
         try:
             return self._merge_body(
                 src_cached, on, matched, not_matched, not_matched_by_source,
                 branch, check_cardinality, old, dels, schema_id, st, mor)
         finally:
-            src_cached.unpersist()
+            if own_pin:
+                src_cached.unpersist()
 
     def _merge_body(self, source: DataFrame, on: str, matched: list[dict],
                     not_matched: list[dict], not_matched_by_source: list[dict],
